@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Core relational operator inventory (SURVEY.md §2.2): scans, filters,
+  * joins (inner/broadcast/outer/semi/anti/theta), hash aggregation,
+  * distinct aggregation, global sort+limit, set operations.
+  *
+  * Every query follows the determinism contract (SURVEY.md §7.6): terminal
+  * `orderBy` on a unique key tuple, doubles rounded where aggregated, column
+  * names aliased identically to the DuckDB oracle.
+  *
+  * Scale notes (100 TB posture): all plans are declarative DataFrame plans —
+  * filters and projections reach the parquet scan (Catalyst pushdown), joins
+  * shuffle only on their equi-keys, the dimension sides of star joins are
+  * broadcast, and aggregates run partial+final (map-side combine). No
+  * driver-side collects anywhere.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) =>
+      // Projection + limit: ReadSchema in explain() shows only the 4 columns.
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // order by every output column so ties are value-identical.
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100)),
+
+    "q_filter_pred" -> ((s, d) =>
+      // Conjunctive predicates: between / comparison / IN / LIKE all push to
+      // the parquet scan (PushedFilters) before the shuffle-free project.
+      lineitem(s, d)
+        .filter(
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24 &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_linestatus").like("F%"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                 "l_returnflag", "l_linestatus")),
+
+    "q_join_inner" -> ((s, d) => {
+      // Equi join on the natural key; at scale this is a shuffle hash join /
+      // SMJ on o_custkey = c_custkey only (no other exchange needed).
+      val o = orders(s, d)
+      val c = customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      // region (5 rows) is broadcast: no shuffle of nation at any scale.
+      val n = nation(s, d)
+      val r = region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+        .select(n("n_nationkey"), n("n_name"), r("r_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    "q_join_outer" -> ((s, d) => {
+      // Left outer + aggregate: customers with zero orders survive with
+      // n_orders = 0. count(col) skips nulls in both Spark and DuckDB.
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(
+          count(o("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      // EXISTS: left semi join never materializes the right side's columns,
+      // and Spark builds/broadcasts only the distinct keys.
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_theta" -> ((s, d) => {
+      // Equi + range predicate: Catalyst keys the shuffle on the equi part
+      // (nationkey) and evaluates the range residually — never a Cartesian.
+      val sp = supplier(s, d)
+      val c = customer(s, d)
+      sp.join(c,
+          sp("s_nationkey") === c("c_nationkey") && sp("s_acctbal") > c("c_acctbal"),
+          "inner")
+        .select(sp("s_suppkey"), c("c_custkey"), sp("s_acctbal"), c("c_acctbal"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    "q_agg_hash" -> ((s, d) =>
+      // TPC-H Q1 shape: partial+final HashAggregate, whole-stage codegen.
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      // Distinct aggregate: Catalyst expands to a two-phase distinct+agg.
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")),
+
+    "q_sort_limit" -> ((s, d) =>
+      // Global top-k: plans as TakeOrderedAndProject — per-partition heap +
+      // driver merge of k rows, NOT a full global sort, at any scale.
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)),
+
+    "q_set_union" -> ((s, d) =>
+      // UNION (distinct): union-all + hash-distinct on the single column.
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .union(customer(s, d).select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")),
+
+    "q_set_intersect" -> ((s, d) =>
+      // Catalyst rewrites INTERSECT to a left-semi join over distinct rows.
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "q_set_except" -> ((s, d) =>
+      // Catalyst rewrites EXCEPT to a left-anti join over distinct rows.
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 100""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |  AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |         l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS sum_price
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+        |FROM supplier s JOIN customer c
+        |  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+        |ORDER BY s.s_suppkey, c.c_custkey""".stripMargin,
+
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION SELECT c_custkey AS custkey FROM customer
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
+  )
+}

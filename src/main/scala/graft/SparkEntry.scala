@@ -16,10 +16,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++
+    operators.WindowQueries.queries ++
+    operators.GroupingQueries.queries ++
+    operators.FunctionQueries.queries ++
+    operators.EventTimeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracles
+    operators.RelationalQueries.oracles ++
+    operators.WindowQueries.oracles ++
+    operators.GroupingQueries.oracles ++
+    operators.FunctionQueries.oracles ++
+    operators.EventTimeQueries.oracles
 }

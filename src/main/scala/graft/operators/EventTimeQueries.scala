@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Parity._
+
+/** Event-time inventory (SURVEY.md §2.3): tumbling / sliding / session
+  * windows, as-of join, keyed dedup. These run in batch for the t2 oracle;
+  * the identical expressions run under `readStream` in graft.streaming.
+  *
+  * Fixture quirk (SURVEY.md §7.5): events.ts is timestamp[ns]. Spark
+  * truncates to µs on read while DuckDB keeps ns, so every ts that reaches
+  * the output or an ordering is normalized to epoch milliseconds
+  * (`unix_millis` / `epoch_ms`) with the unique event_id as tiebreak.
+  *
+  * Scale notes: every operator here shuffles exactly once on its key
+  * (user_id or the window bucket). The as-of join deliberately avoids the
+  * naive range-join + aggregate (quadratic on hot users): it unions both
+  * sides and resolves the match with a single running `last(ignoreNulls)`
+  * window — one shuffle, linear work, the standard distributed as-of plan.
+  */
+object EventTimeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.ts arrives as raw ns-since-epoch Long (Tables.events); integer
+    * division gives exact epoch ms, matching DuckDB's epoch_ms(ts). */
+  private def ems(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ems", expr("ts div 1000000"))
+
+  /** Deterministic first-event-per-key dedup: row_number over a fully
+    * tiebroken order — NOT dropDuplicates, which is order-nondeterministic
+    * under parallelism (SURVEY.md §7.5).
+    */
+  private def firstPerKey(e: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ems"), col("event_id"))
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_join_asof" -> ((s, d) => {
+      // Each purchase matched to the same user's latest prior-or-equal
+      // signup. Union + running last() = single shuffle as-of join.
+      val e = ems(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
+        .withColumn("s_ms", when(col("tag") === 0, col("ems")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ems"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("signup_ms", last("s_ms", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ems").as("purchase_ms"),
+                col("signup_ms"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_tumbling" -> ((s, d) =>
+      // Tumbling 1h windows on the ms-exact timestamp; hour bucket
+      // boundaries are µs-aligned so ns→ms truncation cannot rebucket.
+      // sum(value) runs in DECIMAL for engine-exact results (Parity).
+      ems(s, d)
+        .groupBy(window(timestamp_millis(col("ems")), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_v"))
+        .select(unix_millis(col("window.start")).as("ws_ms"),
+                col("event_type"), col("n"), col("sum_v"))
+        .orderBy("ws_ms", "event_type")),
+
+    "q_win_sliding" -> ((s, d) =>
+      // 1h window sliding 30min: each event lands in 2 windows (Expand, no
+      // self-join); epoch-aligned starts match DuckDB's time_bucket.
+      ems(s, d)
+        .groupBy(window(timestamp_millis(col("ems")), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("ws_ms"), col("n"))
+        .orderBy("ws_ms")),
+
+    "q_session_windows" -> ((s, d) =>
+      // 30-min-gap sessionization via native session_window. Output contract
+      // is (user_id, min ts, max ts, count) — session_window.end is
+      // last+gap, which no gaps-and-islands oracle would match (§2.3).
+      // Sessionize on ms-truncated timestamps so gap comparisons see the
+      // exact values the ms-based oracle sees (ns fixture, §7.5).
+      ems(s, d)
+        .withColumn("tsm", timestamp_millis(col("ems")))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(min(col("ems")).as("s_ms"),
+             max(col("ems")).as("e_ms"),
+             count(lit(1)).as("n"))
+        .select("user_id", "s_ms", "e_ms", "n")
+        .orderBy("user_id", "s_ms")),
+
+    "q_dedup_exact" -> ((s, d) =>
+      firstPerKey(ems(s, d), Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id", "ems")
+        .orderBy("user_id", "event_type")),
+
+    "q_stream_dedup" -> ((s, d) =>
+      // Batch twin of dropDuplicatesWithinWatermark((user_id, event_type)) —
+      // same key contract as streaming.StreamingOps.dedupStream (§2.4).
+      firstPerKey(ems(s, d), Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")),
+
+    "q_approx_distinct" -> ((s, d) =>
+      // HyperLogLog++ sketch — t2-excluded (sketches differ across engines);
+      // accuracy pinned by ApproxDistinctSpec at ±5% vs exact.
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+        |         CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag,
+        |         CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END AS s_ms
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, purchase_ms, signup_ms FROM (
+        |  SELECT event_id, user_id, ems AS purchase_ms, tag,
+        |         last_value(s_ms IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ems, tag, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
+        |  FROM e) WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_tumbling" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws_ms,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
+
+    "q_win_sliding" ->
+      """SELECT ws_ms, count(*) AS n FROM (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts))
+        |         - k * 1800000 AS ws_ms
+        |  FROM events, unnest([0, 1]) AS t(k))
+        |GROUP BY ws_ms ORDER BY ws_ms""".stripMargin,
+
+    "q_session_windows" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
+        |g AS (SELECT user_id, ems,
+        |             CASE WHEN ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems)
+        |                    >= 1800000
+        |                  OR lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |i AS (SELECT user_id, ems,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ems
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ems) AS s_ms, max(ems) AS e_ms, count(*) AS n
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, s_ms""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ems
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY epoch_ms(ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY epoch_ms(ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Parity._
+
+/** Multi-dimensional grouping (ROLLUP / CUBE / GROUPING SETS) and subqueries
+  * (SURVEY.md §2.2).
+  *
+  * ROLLUP/CUBE plan as a single Expand + two-phase HashAggregate in Spark —
+  * one shuffle regardless of how many grouping sets, which is the right
+  * shape at 100 TB (no per-set rescan). GROUPING SETS has no DataFrame API,
+  * so it goes through `spark.sql` over temp views (§7.5). Correlated
+  * subqueries are decorrelated by Catalyst into joins — verified via
+  * explain(): no per-row subquery execution.
+  *
+  * Null ordering of super-aggregate rows is pinned explicitly
+  * (NULLS FIRST on both sides) because Spark defaults nulls-first while
+  * DuckDB defaults nulls-last.
+  */
+object GroupingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q_agg_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+        .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+        .orderBy(col("gid"),
+                 col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sumMoney(col("o_totalprice")).as("sum_price"))
+        .select("gid", "o_orderstatus", "o_orderpriority", "n", "sum_price")
+        .orderBy(col("gid"),
+                 col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      nation(s, d).createOrReplaceTempView("nation")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+          |       n_name, c_mktsegment,
+          |       count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM nation JOIN customer ON n_nationkey = c_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+          |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q_multi_subquery" -> ((s, d) => {
+      // Correlated scalar subquery (per-customer avg) + uncorrelated scalar
+      // (global avg); Catalyst decorrelates the former into an aggregate +
+      // join — one shuffle on o_custkey, broadcast of the 1-row global avg.
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice,
+          |       o_totalprice > (SELECT avg(o_totalprice) FROM orders) AS above_global
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey
+          |""".stripMargin)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+        |       n_name, c_mktsegment,
+        |       count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q_multi_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       o_totalprice > (SELECT avg(o_totalprice) FROM orders) AS above_global
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.Parity._
 
 /** Core relational operator inventory (SURVEY.md §2.2): scans, filters,
   * joins (inner/broadcast/outer/semi/anti/theta), hash aggregation,
@@ -74,7 +75,7 @@ object RelationalQueries {
         .groupBy(c("c_custkey"), c("c_name"))
         .agg(
           count(o("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+          coalesce(sumMoney(o("o_totalprice")), lit(0.0)).as("sum_price"))
         .orderBy("c_custkey")
     }),
 
@@ -113,11 +114,13 @@ object RelationalQueries {
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          // Exact decimal sums → double: order-independent, engine-exact.
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          // per-row product truncated to cents (bit-exact), then exact sum
+          sumMoney(floor2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
+          (sumMoney(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -183,7 +186,7 @@ object RelationalQueries {
 
     "q_join_outer" ->
       """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
-        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS sum_price
+        |       coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
 
@@ -205,10 +208,11 @@ object RelationalQueries {
 
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) / 100
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |       count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

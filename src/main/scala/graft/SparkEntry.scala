@@ -20,7 +20,10 @@ object SparkEntry {
     operators.WindowQueries.queries ++
     operators.GroupingQueries.queries ++
     operators.FunctionQueries.queries ++
-    operators.EventTimeQueries.queries
+    operators.EventTimeQueries.queries ++
+    operators.TextQueries.queries ++
+    operators.SimilarityQueries.queries ++
+    operators.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +32,8 @@ object SparkEntry {
     operators.WindowQueries.oracles ++
     operators.GroupingQueries.oracles ++
     operators.FunctionQueries.oracles ++
-    operators.EventTimeQueries.oracles
+    operators.EventTimeQueries.oracles ++
+    operators.TextQueries.oracles ++
+    operators.SimilarityQueries.oracles ++
+    operators.DedupQueries.oracles
 }

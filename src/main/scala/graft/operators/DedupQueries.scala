@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextHash._
+import graft.functions.expressions.VectorFunctions.dot_product
+
+/** Deduplication operators for LLM training-data pipelines (north star):
+  * exact content dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup — each over `documents`/`embeddings` with a
+  * DuckDB oracle computing the identical arithmetic.
+  *
+  * Scale notes (100 TB): the quadratic trap in dedup is pair enumeration.
+  *  - exact: hash-groupBy on content digest — one shuffle, linear.
+  *  - minhash-LSH: shingles → k minhashes → banded signatures; candidate
+  *    pairs come from equality joins on band signatures (shuffle on the
+  *    band key), never from an all-pairs product. Exact Jaccard verifies
+  *    only the candidates.
+  *  - ngram: inverted-index join on shingles (pairs only for docs sharing
+  *    a shingle); hot-shingle (high doc-frequency) caps are the standard
+  *    skew guard at scale — omitted here to keep oracle semantics exact.
+  *  - simhash: order-insensitive 60-bit fingerprint; 4×15-bit band
+  *    equality join finds all pairs with hamming ≤ 3 (and most ≤ 6).
+  *  - embedding: exact-verify cosine over candidate pairs; at scale the
+  *    candidates come from the IVF/LSH buckets of SimilarityQueries — the
+  *    tiny fixed-size fixture verifies all pairs.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8        // minhash functions
+  private val Rows = 2     // rows per LSH band → 4 bands
+
+  /** (doc_id, shingle) of distinct 3-token shingles; docs shorter than 3
+    * tokens produce no shingles (both engines agree).
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(ts) >= 3,
+            transform(sequence(lit(0), size(ts) - 3),
+              j => concat_ws(" ", element_at(ts, j + 1),
+                                  element_at(ts, j + 2),
+                                  element_at(ts, j + 3))))
+          .otherwise(array().cast("array<string>")))).as("sh"))
+  }
+
+  private val duckShingles =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |            for i in range(1, len(ts) - 1)])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_content" -> ((s, d) => {
+      // Exact dedup: hash-groupBy on the content digest; keeper = lowest
+      // doc_id per digest group (deterministic, not dropDuplicates).
+      val w = Window.partitionBy("content_md5").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+        .withColumn("is_keeper", row_number().over(w) === 1)
+        .withColumn("group_n", count(lit(1))
+          .over(Window.partitionBy("content_md5")))
+        .select("doc_id", "content_md5", "is_keeper", "group_n")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = shingles(s, d)
+      // k minhashes per doc: explode the hash-family index, min per (doc,i)
+      val mh = sh
+        .select(col("doc_id"), col("sh"),
+                explode(sequence(lit(0), lit(K - 1))).as("i"))
+        .select(col("doc_id"), col("i"),
+                md5longSeeded(col("sh"), col("i")).as("h"))
+        .groupBy("doc_id", "i").agg(min("h").as("mh"))
+      // band signatures: 4 bands × 2 rows, deterministic slot aggregation
+      val bands = mh
+        .withColumn("band", (col("i") / Rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(min(when(col("i") % Rows === 0, col("mh"))).as("m0"),
+             min(when(col("i") % Rows === 1, col("mh"))).as("m1"))
+        .select(col("doc_id"),
+                concat_ws(":", col("band"), col("m0"), col("m1")).as("sig"))
+      // candidates: equality join on band signature (never all-pairs)
+      val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      // exact Jaccard verification of candidates only
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
+                           col("sa.sh") === col("sb.sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("na"), col("da") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+        .select(col("da"), col("db"), col("inter"),
+                col("na.n").as("n_a"), col("nb.n").as("n_b"),
+                floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))
+                        * 1e6).cast("long").as("jac_e6"))
+        .filter(col("jac_e6") >= 700000)
+        .orderBy("da", "db")
+    }),
+
+    "q_dedup_ngram" -> ((s, d) => {
+      // Exact n-gram Jaccard via inverted-index join: pairs exist only for
+      // docs sharing ≥1 shingle — the scalable exact-dedup pattern.
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("na"), col("da") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+        .select(col("da"), col("db"),
+                floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))
+                        * 1e6).cast("long").as("jac_e6"))
+        .filter(col("jac_e6") >= 800000)
+        .orderBy("da", "db")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      // 60-bit SimHash over the token multiset (order-insensitive — catches
+      // the fixture's permuted near-dups); pairs via 4×15-bit band joins.
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), md5long(col("t")).as("h"))
+      val bitSums = tok
+        .select(col("doc_id"), col("h"),
+                explode(sequence(lit(0), lit(59))).as("j"))
+        .select(col("doc_id"), col("j"),
+                when(expr("(h >> j) & 1") === 1, 1).otherwise(-1).as("c"))
+        .groupBy("doc_id", "j").agg(sum("c").as("sb"))
+      val sim = bitSums
+        .select(col("doc_id"),
+                when(col("sb") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+                  .otherwise(0L).as("bv"))
+        .groupBy("doc_id").agg(sum("bv").as("simhash"))
+      val banded = sim.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))
+      banded.as("a").join(banded.as("b2"),
+          col("a.b") === col("b2.b") && col("a.bsig") === col("b2.bsig") &&
+          col("a.doc_id") < col("b2.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
+                bit_count(expr("a.simhash ^ b2.simhash")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("da", "db")
+    }),
+
+    "q_dedup_embed" -> ((s, d) => {
+      // Embedding-cosine near-dup: exact pairwise verify (threshold 0.45 —
+      // the synthetic corpus has no planted vector dups; max sim ≈ 0.51).
+      // At scale candidates come from IVF buckets, not the full product.
+      // Native codegen'd dot product (graft.functions.expressions) and
+      // per-vector norms computed ONCE before the pair join: the pair loop
+      // then does a single 64-wide dot per candidate. sqrt(|a|²)·sqrt(|b|²)
+      // is precomputed but value-identical to the oracle's inline form.
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val cos = dot_product(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+                floor(cos * 1e9).cast("long").as("sim_e9"))
+        .filter(col("sim_e9") >= 450000000L)
+        .orderBy("va", "vb")
+    })
+  )
+
+  private val duckH = duckMd5LongSeeded("sh", "i")
+  private val duckTokH = duckMd5Long("t")
+  private val dDot = (a: String, b: String) =>
+    s"list_aggregate([$a[i] * $b[i] for i in range(1, 65)], 'sum')"
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_content" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_keeper,
+        |       count(*) OVER (PARTITION BY md5(text)) AS group_n
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, i, min($duckH) AS mh
+         |       FROM sh, unnest([0,1,2,3,4,5,6,7]) AS t(i)
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id,
+         |            CAST(i // 2 AS INT) AS band,
+         |            (CAST(i // 2 AS INT) || ':' ||
+         |             min(CASE WHEN i % 2 = 0 THEN mh END) || ':' ||
+         |             min(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+         |          FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS inter
+         |          FROM cand c
+         |          JOIN sh sa ON c.da = sa.doc_id
+         |          JOIN sh sb ON c.db = sb.doc_id AND sa.sh = sb.sh
+         |          GROUP BY c.da, c.db)
+         |SELECT i.da, i.db, i.inter, na.n AS n_a, nb.n AS n_b,
+         |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6) AS BIGINT) AS jac_e6
+         |FROM inter i
+         |JOIN sizes na ON i.da = na.doc_id
+         |JOIN sizes nb ON i.db = nb.doc_id
+         |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 700000
+         |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $duckShingles,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.da, i.db,
+         |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6) AS BIGINT) AS jac_e6
+         |FROM inter i
+         |JOIN sizes na ON i.da = na.doc_id
+         |JOIN sizes nb ON i.db = nb.doc_id
+         |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000
+         |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $duckTokH AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |bitsums AS (
+         |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+         |  FROM tok, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                  ELSE 0 END) AS simhash
+         |  FROM bitsums GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
+         |  FROM sim, unnest([0,1,2,3]) AS u(b))
+         |SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
+         |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_embed" -> {
+      val cos = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
+         |       CAST(floor($cos * 1e9) AS BIGINT) AS sim_e9
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE floor($cos * 1e9) >= 450000000
+         |ORDER BY va, vb""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.expressions.VectorFunctions.{cosine_sim, dot_product}
+
+/** Similarity search over the embedding column (north star): brute-force
+  * cosine top-k as the exactness baseline, and an IVF (inverted-file) probe
+  * as the scale path.
+  *
+  * Scale notes: the brute path broadcasts the 1-row query vector — a map-only
+  * scan at any corpus size (linear, no shuffle). The IVF path is the real
+  * 100 TB design: k centroids (here: a deterministic sample), each vector
+  * assigned to its nearest centroid (broadcast join, one argmin per row);
+  * a query probes only the nProbe nearest centroid partitions, turning
+  * top-k from corpus-wide into |probed buckets|. Centroids would come from
+  * k-means at scale; the fixture uses vec_id 0..7 so the oracle can mirror.
+  *
+  * Cosine parity: both engines evaluate the identical expression tree
+  * (zip-multiply, sequential sum, dot/(sqrt(na)*sqrt(nb))) over
+  * double-cast arrays, and scores surface floored at 1e-9 (Parity).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+
+  /** embeddings with the float[] column cast to double[] (parity). */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  // cosine via the codegen'd native DotProduct expression — identical
+  // accumulation order to the interpreted HOF form and the DuckDB oracle.
+  private def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
+
+  private def floor9(c: Column): Column = floor(c * 1e9) / 1e9
+
+  /** DuckDB fragment: sequential sum of elementwise products (dim fixed). */
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate([$a[i] * $b[i] for i in range(1, ${Dim + 1})], 'sum')"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  def queries: Map[String, Q] = Map(
+    "q_sim_knn" -> ((s, d) => {
+      // Brute-force top-5 cosine neighbours of vec 0: broadcast the query
+      // vector, map-side score, TakeOrderedAndProject for the top-k.
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    "q_sim_ivf" -> ((s, d) => {
+      // IVF probe: assign all vectors to nearest of 8 centroids; probe the
+      // query's 2 nearest centroid buckets; exact top-5 within the probes.
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("v"), col("cv")))
+      // nearest centroid per vector (argmax with cid tiebreak)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      // the query's 2 nearest centroids
+      val probes = scored.filter(col("vec_id") === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("cid").as("probe_cid"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      assigned
+        .join(broadcast(probes), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cid"),
+                floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sim_knn" -> {
+      val cos = duckCos("e.v", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    "q_sim_ivf" -> {
+      val csim = duckCos("e.v", "c.cv")
+      val qsim = duckCos("a.v", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, e.v, $csim AS csim,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |assigned AS (SELECT vec_id, cid, v FROM scored WHERE rn = 1),
+         |probes AS (SELECT cid AS probe_cid FROM scored
+         |           WHERE vec_id = 0 AND rn <= 2),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT a.vec_id, a.cid, floor(($qsim) * 1e9) / 1e9 AS sim
+         |FROM assigned a JOIN probes p ON a.cid = p.probe_cid, q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    }
+  )
+}

@@ -23,7 +23,8 @@ object SparkEntry {
     operators.EventTimeQueries.queries ++
     operators.TextQueries.queries ++
     operators.SimilarityQueries.queries ++
-    operators.DedupQueries.queries
+    operators.DedupQueries.queries ++
+    operators.Sbs1Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     operators.EventTimeQueries.oracles ++
     operators.TextQueries.oracles ++
     operators.SimilarityQueries.oracles ++
-    operators.DedupQueries.oracles
+    operators.DedupQueries.oracles ++
+    operators.Sbs1Queries.oracles
 }

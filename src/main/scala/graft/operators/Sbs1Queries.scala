@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.sources.Sbs1
+
+/** SBS-1 queries: the reference-domain surface (SURVEY.md §2.4 s_ingest's
+  * batch twin, plus flight analytics over parsed squitters).
+  *
+  * q_sbs1_parse is oracle-checked against DuckDB's read_csv of the same
+  * fixture (empty→NULL agrees with the engine's normalization — verified:
+  * DuckDB nulls empty VARCHAR fields and preserves callsign padding).
+  *
+  * The s_* keys return the same unresolved plans the streaming variants
+  * run under readStream (no oracle — covered by StreamingSpec); they're in
+  * `queries` so t1/bench exercise them.
+  */
+object Sbs1Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Driver-independent fixture (repo-internal, sf-invariant). */
+  val FixturePath = "/root/repo/src/test/resources/sbs1/batch.txt"
+
+  private def parsed(s: SparkSession): DataFrame =
+    Sbs1.parse(s.read.text(FixturePath), withParsedTime = false)
+
+  def queries: Map[String, Q] = Map(
+    "q_sbs1_parse" -> ((s, _) =>
+      parsed(s)
+        .withColumn("event_time", Sbs1.eventTime)
+        .orderBy(col("generated_time").asc_nulls_first,
+                 col("message_type").asc)),
+
+    // Flight analytics over the parsed feed: messages per aircraft by type
+    // (the "flights-per-aircraft" domain query, SURVEY.md §2.1 R14).
+    "q_sbs1_aircraft_stats" -> ((s, _) =>
+      parsed(s)
+        .groupBy("hex_ident")
+        .agg(count(lit(1)).as("n_msgs"),
+             count(col("callsign")).as("n_callsign_msgs"),
+             max(col("altitude")).cast("int").as("max_alt"),
+             count(col("lat")).as("n_positions"))
+        .orderBy(col("hex_ident").asc_nulls_first)),
+
+    // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
+    "s_ingest_sbs1" -> ((s, _) => parsed(s)),
+    "s_watermark_late" -> ((s, d) =>
+      EventTimeQueries.queries("q_win_tumbling")(s, d)),
+    "s_session_stream" -> ((s, d) =>
+      EventTimeQueries.queries("q_session_windows")(s, d)),
+    "s_stream_dedup" -> ((s, d) =>
+      EventTimeQueries.queries("q_stream_dedup")(s, d)),
+    "s_stream_join" -> ((s, d) => {
+      // stream-static enrichment shape: events against the customer dim
+      val e = events(s, d)
+      val c = customer(s, d)
+      e.join(broadcast(c), e("user_id") === c("c_custkey"), "left_outer")
+        .select(e("event_id"), e("user_id"), c("c_name"), c("c_mktsegment"))
+        .orderBy("event_id")
+    })
+  )
+
+  private val duckCols = Sbs1.Fields.map { case (n, _) => s"'$n': 'VARCHAR'" }
+    .mkString("{", ", ", "}")
+
+  private val duckTyped = Sbs1.Fields.map {
+    case (n, org.apache.spark.sql.types.IntegerType) => s"CAST($n AS INTEGER) AS $n"
+    case (n, org.apache.spark.sql.types.DoubleType)  => s"CAST($n AS DOUBLE) AS $n"
+    case (n, _) => n
+  }.mkString(",\n       ")
+
+  def oracles: Map[String, String] = Map(
+    "q_sbs1_parse" ->
+      s"""SELECT $duckTyped,
+         |       strptime(generated_date || ' ' || generated_time,
+         |                '%Y/%m/%d %H:%M:%S.%g') AS event_time
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |ORDER BY generated_time ASC NULLS FIRST, message_type ASC""".stripMargin,
+
+    "q_sbs1_aircraft_stats" ->
+      s"""SELECT hex_ident, count(*) AS n_msgs,
+         |       count(callsign) AS n_callsign_msgs,
+         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt,
+         |       count(lat) AS n_positions
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |GROUP BY hex_ident ORDER BY hex_ident ASC NULLS FIRST""".stripMargin,
+
+    "s_stream_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

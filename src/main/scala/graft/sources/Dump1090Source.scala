@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.io.InputStream
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 streaming source for a dump1090 SBS-1 TCP feed
+  * (SURVEY.md §7.4 — the reference's R1–R3 as a replayable Spark source).
+  *
+  * Reference semantics reproduced (reference-reconstruction/
+  * dump1090-stream-parser.py):
+  *  - chunked socket reads of `bufferSize` bytes (P:30, P:113);
+  *  - bounded connect retries: `connectAttemptLimit` attempts with
+  *    `connectAttemptDelay` seconds between (P:87-99); an empty read
+  *    triggers a reconnect (P:120-126);
+  *  - line framing with a partial trailing line carried to the next chunk
+  *    (P:131, P:166-170) — WITHOUT upstream's strip("\n") edge case that
+  *    can merge two records across a chunk boundary (P:114; documented
+  *    divergence, pinned by Dump1090FramerSpec).
+  *
+  * Unlike Spark's built-in `socket` source (dev-only, non-replayable), this
+  * source buffers framed lines against a monotonically increasing line
+  * offset: `planInputPartitions(start, end)` can re-serve any uncommitted
+  * range, so checkpoint recovery gives exactly-once into a transactional
+  * (file/parquet) sink. `commit(end)` trims the buffer. The buffer is
+  * driver-side, like the built-ins (rate/socket); at production scale the
+  * same interface would be backed by a replayable log (e.g. Kafka) — the
+  * offset/partition contract here is identical.
+  *
+  * Usage: spark.readStream.format("graft.sources.Dump1090TableProvider")
+  *          .option("host", ...).option("port", ...).load()
+  */
+class Dump1090TableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Dump1090Source.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new Dump1090Table
+}
+
+object Dump1090Source {
+  /** Raw framed lines; parse with Sbs1.parse downstream. */
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+class Dump1090Table extends Table with SupportsRead {
+  override def name(): String = "dump1090"
+  override def schema(): StructType = Dump1090Source.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = Dump1090Source.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new Dump1090MicroBatchStream(
+          host = options.getOrDefault("host", "localhost"),
+          port = options.getInt("port", 30003),
+          bufferSize = options.getInt("bufferSize", 100),
+          connectAttemptLimit = options.getInt("connectAttemptLimit", 10),
+          connectAttemptDelayMs =
+            (options.getDouble("connectAttemptDelay", 5.14) * 1000).toLong)
+    }
+}
+
+/** Line offset (count of lines framed since stream start). */
+case class LineOffset(offset: Long) extends Offset {
+  override def json(): String = offset.toString
+}
+
+class Dump1090MicroBatchStream(
+    host: String, port: Int, bufferSize: Int,
+    connectAttemptLimit: Int, connectAttemptDelayMs: Long)
+  extends MicroBatchStream {
+
+  // lines[i] holds line (trimOffset + i); guarded by `lock`
+  private val lock = new Object
+  private val lines = ArrayBuffer.empty[String]
+  private var trimOffset = 0L
+  @volatile private var exhausted = false
+
+  private val reader = new Thread("dump1090-reader") {
+    setDaemon(true)
+    override def run(): Unit = readLoop()
+  }
+  reader.start()
+
+  /** R1–R3: connect (with retry), chunked recv, frame, carry partials. */
+  private def readLoop(): Unit = {
+    val partial = new StringBuilder
+    var attempts = 0
+    var in: InputStream = null
+    var sock: Socket = null
+    val buf = new Array[Byte](math.max(bufferSize, 1))
+    while (!exhausted) {
+      try {
+        if (in == null) {
+          attempts += 1
+          sock = new Socket()
+          sock.connect(new InetSocketAddress(host, port), 10000)
+          in = sock.getInputStream
+          attempts = 0
+        }
+        val n = in.read(buf)
+        if (n < 0) { // EOF — reference reconnects on empty read (P:120-126)
+          try sock.close() catch { case _: Throwable => }
+          in = null
+          if (connectAttemptLimit == 0) exhausted = true
+        } else if (n > 0) {
+          partial.append(new String(buf, 0, n, StandardCharsets.UTF_8))
+          frame(partial)
+        }
+      } catch {
+        case _: InterruptedException => exhausted = true
+        case _: java.io.IOException =>
+          try { if (sock != null) sock.close() } catch { case _: Throwable => }
+          in = null
+          if (attempts >= connectAttemptLimit) {
+            exhausted = true // P:98-99 quit() after retry budget
+          } else {
+            try Thread.sleep(connectAttemptDelayMs)
+            catch { case _: InterruptedException => exhausted = true }
+          }
+      }
+    }
+    // flush a trailing unterminated line at shutdown
+    if (partial.nonEmpty) lock.synchronized {
+      val last = partial.toString
+      if (last.nonEmpty) lines += last
+    }
+  }
+
+  /** Split out complete lines; keep the trailing partial (correct R3 —
+    * a chunk boundary can never merge two records).
+    */
+  private def frame(partial: StringBuilder): Unit = {
+    var idx = partial.indexOf("\n")
+    if (idx < 0) return
+    lock.synchronized {
+      while (idx >= 0) {
+        val line = partial.substring(0, idx).stripSuffix("\r")
+        if (line.nonEmpty) lines += line
+        partial.delete(0, idx + 1)
+        idx = partial.indexOf("\n")
+      }
+    }
+  }
+
+  override def initialOffset(): Offset = LineOffset(0L)
+  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+
+  override def latestOffset(): Offset = lock.synchronized {
+    LineOffset(trimOffset + lines.length)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LineOffset].offset
+    val e = end.asInstanceOf[LineOffset].offset
+    val slice = lock.synchronized {
+      lines.slice((s - trimOffset).toInt, (e - trimOffset).toInt).toArray
+    }
+    Array(Dump1090Partition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[Dump1090Partition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(rows(i)))
+        override def close(): Unit = ()
+      }
+    }
+
+  /** Epoch committed — drop replay state below `end` (WAL trim, R9). */
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[LineOffset].offset
+    val drop = (e - trimOffset).toInt
+    if (drop > 0) { lines.dropInPlace(drop); trimOffset = e }
+  }
+
+  override def stop(): Unit = { exhausted = true; reader.interrupt() }
+
+  /** Test hook: has the retry budget been exhausted (P:98-99)? */
+  def isExhausted: Boolean = exhausted
+}
+
+case class Dump1090Partition(rows: Array[String]) extends InputPartition

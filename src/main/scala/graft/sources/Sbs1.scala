@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SBS-1 / BaseStation message parsing — the reference's core data model
+  * (reference-reconstruction/dump1090-stream-parser.py: DDL P:55-81, split
+  * P:134, 22-field validation P:137, parsed_time enrichment P:106-140).
+  *
+  * Design (SURVEY.md §2.5 S1): no custom expression needed — the parse is
+  * `split` + `element_at` + empty→NULL normalization + casts, all Spark
+  * built-ins inside one codegen'd projection (Catalyst's common-subexpression
+  * elimination evaluates the split once per row).
+  *
+  * Deliberate divergences from upstream, pinned by Sbs1ParserSpec:
+  *  - empty CSV fields become NULL, not '' (SURVEY.md §1.2);
+  *  - a line split across read chunks is reassembled, and two complete
+  *    lines are never merged (upstream's strip("\n") bug, P:114 / R3).
+  */
+object Sbs1 {
+
+  /** The 22 SBS-1 positional fields: name → engine type. */
+  val Fields: Seq[(String, DataType)] = Seq(
+    "message_type"      -> StringType,
+    "transmission_type" -> IntegerType,
+    "session_id"        -> IntegerType,
+    "aircraft_id"       -> IntegerType,
+    "hex_ident"         -> StringType,
+    "flight_id"         -> IntegerType,
+    "generated_date"    -> StringType,
+    "generated_time"    -> StringType,
+    "logged_date"       -> StringType,
+    "logged_time"       -> StringType,
+    "callsign"          -> StringType,   // trailing spaces preserved
+    "altitude"          -> IntegerType,
+    "ground_speed"      -> IntegerType,
+    "track"             -> IntegerType,
+    "lat"               -> DoubleType,
+    "lon"               -> DoubleType,
+    "vertical_rate"     -> IntegerType,
+    "squawk"            -> StringType,   // 4 octal digits, keep leading zeros
+    "alert"             -> IntegerType,
+    "emergency"         -> IntegerType,
+    "spi"               -> IntegerType,
+    "is_on_ground"      -> IntegerType
+  )
+
+  /** squitters schema: 22 fields + parsed_time (processing time, P:79). */
+  val Schema: StructType = StructType(
+    Fields.map { case (n, t) => StructField(n, t) } :+
+      StructField("parsed_time", TimestampType))
+
+  /** Typed columns from a raw SBS-1 line column: split once, empty→NULL,
+    * cast per field. Codegen-friendly (no UDF).
+    *
+    * Spark 4 runs ANSI mode by default, where a malformed numeric field (or
+    * an out-of-range element_at) would fail the whole job — one bad line
+    * must never kill a stream, so lookups and casts use TRY semantics
+    * (malformed → NULL), matching the reference's drop-don't-crash posture.
+    */
+  def sbs1Columns(raw: Column): Seq[Column] = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    def tryCast(c: Column, t: DataType): Column =
+      toColumn(Cast(toExpression(c), t, None, EvalMode.TRY))
+    val parts = split(raw, ",", -1)
+    Fields.zipWithIndex.map { case ((name, dt), i) =>
+      val s = try_element_at(parts, lit(i + 1))
+      val nulled = when(s === "", lit(null)).otherwise(s)
+      (dt match {
+        case StringType => nulled
+        case t          => tryCast(nulled, t)
+      }).as(name)
+    }
+  }
+
+  /** Event time from the generated date/time fields (SURVEY.md §1.1: the
+    * data's own clock, vs parsed_time's processing clock).
+    */
+  def eventTime: Column =
+    to_timestamp(concat_ws(" ", col("generated_date"), col("generated_time")),
+                 "yyyy/MM/dd HH:mm:ss.SSS").as("event_time")
+
+  /** Validity predicate — exactly 22 fields (P:137). */
+  def isValid(raw: Column): Column = size(split(raw, ",", -1)) === 22
+
+  /** Batch/stream parse of a lines DataFrame (column `value`, as produced
+    * by text/socket sources). Keeps only valid lines; appends parsed_time
+    * (processing time) like the reference's 23rd column.
+    */
+  def parse(lines: DataFrame, withParsedTime: Boolean = true): DataFrame = {
+    val base = lines
+      .filter(isValid(col("value")))
+      .select(sbs1Columns(col("value")): _*)
+    if (withParsedTime) base.withColumn("parsed_time", current_timestamp())
+    else base
+  }
+
+  /** PERMISSIVE-mode variant: invalid lines survive with the raw text in
+    * `corrupt_record` and NULL fields (CSV permissive-mode analog, R5).
+    */
+  def parsePermissive(lines: DataFrame): DataFrame =
+    lines.select(
+      (sbs1Columns(col("value")) :+
+        when(!isValid(col("value")), col("value")).as("corrupt_record")): _*)
+}

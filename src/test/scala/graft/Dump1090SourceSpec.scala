@@ -1,0 +1,96 @@
+package graft
+
+import java.io.OutputStream
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end test of the custom DSv2 dump1090 source (SURVEY.md §7.4):
+  * a local TCP server replays SBS-1 lines in deliberately awkward chunks
+  * (mid-line splits, CRLF, multi-line chunks) and the streaming query must
+  * recover every record exactly once.
+  */
+class Dump1090SourceSpec extends SparkSpec {
+
+  private val lines = (0 until 50).map { i =>
+    f"MSG,3,111,$i%05d,HEX$i%03d,$i,2026/08/12,14:21:$i%02.0f.000,2026/08/12,14:21:$i%02.0f.100,,${30000 + i},,,42.0,-87.0,,,0,0,0,0"
+  }
+
+  /** Serve the payload in fixed-size chunks then close (EOF). */
+  private def serve(payload: Array[Byte], chunk: Int): ServerSocket = {
+    val server = new ServerSocket(0)
+    new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out: OutputStream = sock.getOutputStream
+        payload.grouped(chunk).foreach { c => out.write(c); out.flush(); Thread.sleep(2) }
+        out.flush(); sock.close()
+      } catch { case _: Throwable => }
+    }, "sbs1-test-server").start()
+    server
+  }
+
+  test("socket ingest frames chunk-split lines and never merges records") {
+    val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 37) // prime size → splits mid-line
+    val out = java.nio.file.Files.createTempDirectory("d1090out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("d1090ckpt").toString
+    try {
+      val stream = spark.readStream
+        .format("graft.sources.Dump1090TableProvider")
+        .option("host", "localhost")
+        .option("port", server.getLocalPort)
+        .option("bufferSize", 100)          // reference default (P:30)
+        .option("connectAttemptLimit", 0)   // EOF ⇒ exhausted (test mode)
+        .load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // wait until all lines surfaced in the sink
+      val deadline = System.currentTimeMillis() + 30000
+      def sunk(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      while (sunk() < lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.stop()
+      val got = spark.read.parquet(out).select("value").collect().map(_.getString(0))
+      assert(got.length == lines.length, s"expected ${lines.length} rows, got ${got.length}")
+      assert(got.sorted.toSeq == lines.sorted)
+    } finally server.close()
+  }
+
+  test("parsed stream yields typed squitters rows") {
+    val payload = lines.take(10).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 64)
+    try {
+      val df = graft.streaming.StreamingOps.ingestSocket(
+        spark, "localhost", server.getLocalPort,
+        Map("connectAttemptLimit" -> "0"))
+      val q = df.writeStream.format("memory").queryName("squitters_mem")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("squitters_mem").count() < 10 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      q.stop()
+      val rows = spark.table("squitters_mem")
+      assert(rows.count() == 10)
+      assert(rows.filter(col("altitude") >= 30000).count() == 10)
+      assert(rows.filter(col("parsed_time").isNotNull).count() == 10)
+    } finally server.close()
+  }
+
+  test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
+    val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val stream = new graft.sources.Dump1090MicroBatchStream(
+      "localhost", dead, 100, connectAttemptLimit = 2, connectAttemptDelayMs = 50)
+    val deadline = System.currentTimeMillis() + 10000
+    while (!stream.isExhausted && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(stream.isExhausted)
+    stream.stop()
+  }
+}

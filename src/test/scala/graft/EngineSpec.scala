@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.VectorFunctions.{cosine_sim, dot_product}
+
+/** Engine-level specs: custom expression correctness, approx-distinct
+  * tolerance (SURVEY.md §2.4), smoke over the full query inventory.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot_product matches the interpreted HOF fold bit-for-bit") {
+    val df = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(100)
+      .withColumn("qv", col("v"))
+    val both = df.select(
+      dot_product(col("v"), col("qv")).as("native"),
+      aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+                lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dot_product nulls propagate; cosine of self is 1") {
+    val one = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0))).toDF("a", "b")
+    val r = one.select(dot_product(col("a"), col("b")).as("d"),
+                       cosine_sim(col("a"), col("b")).as("c")).first()
+    assert(r.getDouble(0) == 9.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val n = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(n.select(dot_product(col("a"), col("b"))).first().isNullAt(0))
+  }
+
+  test("approx_count_distinct within ±5% of exact (q_approx_distinct)") {
+    val got = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n).toDouble / n <= 0.05,
+             s"$k: approx ${got(k)} vs exact $n")
+    }
+  }
+
+  test("entry smoke: flagship query returns rows (t1 contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and oracle keys ⊆ query keys") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.sources.Sbs1
+
+/** Property-based invariants (SURVEY.md §5.2 item 4), sampled from
+  * scalacheck generators with fixed seeds (scalatest-scalacheck bridge is
+  * not in the offline cache, so sampling is driven manually):
+  *  - serialize→parse is identity for well-formed squitter rows;
+  *  - arbitrary re-chunking of a byte stream frames to the same records
+  *    (the reference's R3 contract, minus its strip("\n") merge bug).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val hexGen = Gen.listOfN(6, Gen.oneOf(('0' to '9') ++ ('A' to 'F'))).map(_.mkString)
+  private val lineGen: Gen[String] = for {
+    tt   <- Gen.choose(1, 8)
+    hex  <- hexGen
+    alt  <- Gen.option(Gen.choose(0, 45000))
+    gs   <- Gen.option(Gen.choose(0, 600))
+    lat  <- Gen.option(Gen.choose(-89.0, 89.0))
+    sec  <- Gen.choose(0, 59)
+  } yield {
+    val latS = lat.map(v => f"$v%.5f").getOrElse("")
+    val lonS = lat.map(v => f"${-v}%.5f").getOrElse("")
+    f"MSG,$tt,111,11111,$hex,111111,2026/08/12,14:21:$sec%02d.000,2026/08/12,14:21:$sec%02d.100," +
+      f",${alt.map(_.toString).getOrElse("")},${gs.map(_.toString).getOrElse("")},,$latS,$lonS,,,0,0,0,0"
+  }
+
+  /** Canonical form: numeric fields via their parsed-value toString, so the
+    * value round-trip is tested rather than decimal formatting ("-84.94590"
+    * and "-84.9459" are the same double).
+    */
+  private def canon(line: String): String = {
+    val parts = line.split(",", -1)
+    Sbs1.Fields.zipWithIndex.map { case ((_, dt), i) =>
+      val v = parts(i)
+      if (v.isEmpty) ""
+      else dt match {
+        case org.apache.spark.sql.types.IntegerType => v.toInt.toString
+        case org.apache.spark.sql.types.DoubleType  => v.toDouble.toString
+        case _ => v
+      }
+    }.mkString(",")
+  }
+
+  test("parse is lossless for well-formed lines (round-trip, 10 seeds)") {
+    (1L to 10L).foreach { seed =>
+      val lines = sample(Gen.listOfN(20, lineGen), seed)
+      val parsed = Sbs1.parse(lines.toDF("value"), withParsedTime = false)
+      assert(parsed.count() == lines.length)
+      val back = parsed.collect().map { r =>
+        Sbs1.Fields.map { case (n, _) =>
+          val i = r.fieldIndex(n)
+          if (r.isNullAt(i)) "" else r.get(i).toString
+        }.mkString(",")
+      }
+      assert(back.sorted.toSeq == lines.map(canon).sorted, s"seed $seed")
+    }
+  }
+
+  test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
+    val frame: Seq[String] => Seq[String] = chunks => {
+      val all = chunks.mkString
+      all.split("\n", -1).dropRight(1).filter(_.nonEmpty).toSeq
+    }
+    (1L to 30L).foreach { seed =>
+      val lines = sample(Gen.listOfN(10, lineGen), seed)
+      val chunkSize = sample(Gen.choose(1, 40), seed * 7 + 1)
+      val stream = lines.mkString("", "\n", "\n")
+      val chunked = stream.grouped(chunkSize).toSeq
+      assert(frame(chunked) == lines, s"seed $seed chunk $chunkSize")
+      assert(frame(Seq(stream)) == lines, s"seed $seed single-chunk")
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sbs1
+
+/** Golden + negative tests for the SBS-1 parser (SURVEY.md §5.2-3; FIXTURES.md §1). */
+class Sbs1ParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(lines: String*) =
+    Sbs1.parse(lines.toDF("value"), withParsedTime = false)
+
+  private val posLine =
+    "MSG,3,111,11111,A0B1C2,111111,2026/08/12,14:21:08.123,2026/08/12,14:21:08.141,,37000,,,42.12345,-87.54321,,,0,0,0,0"
+  private val identLine =
+    "MSG,1,111,11111,A0B1C2,111111,2026/08/12,14:21:09.005,2026/08/12,14:21:09.020,UAL123  ,,,,,,,,,,,"
+
+  test("airborne position line parses to typed row with NULLs for empties") {
+    val r = parse(posLine).first()
+    assert(r.getAs[String]("message_type") == "MSG")
+    assert(r.getAs[Int]("transmission_type") == 3)
+    assert(r.getAs[String]("hex_ident") == "A0B1C2")
+    assert(r.getAs[Int]("altitude") == 37000)
+    assert(r.getAs[Double]("lat") == 42.12345)
+    assert(r.getAs[Double]("lon") == -87.54321)
+    // empty fields → NULL, not '' (deliberate divergence, SURVEY.md §1.2)
+    assert(r.isNullAt(r.fieldIndex("callsign")))
+    assert(r.isNullAt(r.fieldIndex("ground_speed")))
+    assert(r.getAs[Int]("is_on_ground") == 0)
+  }
+
+  test("callsign keeps trailing spaces; squawk keeps leading zeros") {
+    val r = parse(identLine).first()
+    assert(r.getAs[String]("callsign") == "UAL123  ")
+    val sq = parse(
+      "MSG,6,111,1,AB34CD,1,2026/08/12,14:21:10.001,2026/08/12,14:21:10.018,,,,,,,,0421,1,1,0,0").first()
+    assert(sq.getAs[String]("squawk") == "0421")
+  }
+
+  test("invalid field counts are dropped (R5), valid ones kept") {
+    val df = parse("MSG,3,111", posLine, "", identLine + ",extra")
+    assert(df.count() == 1)
+  }
+
+  test("malformed numeric fields null out instead of failing (ANSI-safe)") {
+    val bad = posLine.replace("37000", "not_a_number")
+    val r = parse(bad).first()
+    assert(r.isNullAt(r.fieldIndex("altitude")))
+    assert(r.getAs[Double]("lat") == 42.12345) // rest of the row survives
+  }
+
+  test("parsePermissive surfaces corrupt lines with the raw text") {
+    val df = Sbs1.parsePermissive(Seq("MSG,3,111", posLine).toDF("value"))
+    val corrupt = df.filter(col("corrupt_record").isNotNull).collect()
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getAs[String]("corrupt_record") == "MSG,3,111")
+  }
+
+  test("event_time derives from generated date+time at ms precision") {
+    val t = parse(posLine).withColumn("event_time", Sbs1.eventTime)
+      .select(date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss.SSS"))
+      .first().getString(0)
+    assert(t == "2026-08-12 14:21:08.123")
+  }
+
+  test("parsed_time enrichment appends processing time (R6)") {
+    val df = Sbs1.parse(Seq(posLine).toDF("value"))
+    assert(df.schema.fieldNames.last == "parsed_time")
+    assert(df.filter(col("parsed_time").isNotNull).count() == 1)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming-op behavior (SURVEY.md §2.4/§5.2-5): watermark late-drop,
+  * session merging, stateful dedup, stream-static join — MemoryStream-driven
+  * so out-of-order arrival is scripted exactly.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+  private def t2(h: Int, min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+  test("watermark drops rows later than threshold (s_watermark_late)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingCounts(in.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: events up to 10:55
+    in.addData(Ev(t2(10, 5), 1, "click", 1.0), Ev(t2(10, 55), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: 11:30 → once committed, watermark = 11:20
+    in.addData(Ev(t2(11, 30), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: 10:10 is far behind the 11:20 watermark → dropped; 11:35 fine
+    in.addData(Ev(t2(10, 10), 1, "click", 1.0), Ev(t2(11, 35), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(t2(13, 0), 1, "click", 1.0)) // push watermark → close 11:00 window
+    q.processAllAvailable()
+    q.stop()
+    // sum by window in case a window surfaces across multiple emissions
+    val counts = spark.table("wm_out")
+      .groupBy(date_format(col("ws"), "HH:mm").as("w"))
+      .agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    // 10:00 window holds the on-time 10:05 + 10:55; the late 10:10 would
+    // have made it 3 — its absence proves the watermark drop
+    assert(counts.get("10:00").contains(2L), s"got $counts")
+    assert(counts.get("11:00").contains(2L), s"got $counts") // 11:30 + 11:35
+  }
+
+  test("streaming session_window merges bursts and honors the gap (s_session_stream)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sess = StreamingOps.sessionize(in.toDF(), "user_id", gap = "30 minutes",
+                                       watermark = "5 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    in.addData(Ev(t(0), 7, "a", 0), Ev(t(10), 7, "a", 0), Ev(t(25), 7, "a", 0))
+    q.processAllAvailable()
+    in.addData(Ev(t2(12, 0), 7, "a", 0)) // 30-min gap passed → new session
+    q.processAllAvailable()
+    in.addData(Ev(t2(14, 0), 7, "a", 0)) // advance watermark, close session 2
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("n")).as[(Long, Long)].collect().sortBy(-_._2)
+    assert(rows.length >= 2)
+    assert(rows.head == (7L, 3L)) // first burst = one session of 3
+  }
+
+  test("dropDuplicatesWithinWatermark dedups per key (s_stream_dedup)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dd = StreamingOps.dedup(in.toDF(), Seq("user_id", "event_type"))
+    val q = dd.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    in.addData(Ev(t(0), 1, "click", 1), Ev(t(1), 1, "click", 2),
+               Ev(t(2), 2, "click", 3), Ev(t(3), 1, "view", 4))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dd_out").count()
+    assert(n == 3) // (1,click) deduped; (2,click) and (1,view) kept
+  }
+
+  test("stream-static broadcast join enriches events (s_stream_join)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val joined = StreamingOps.enrich(in.toDF(), dim, "user_id", "k")
+    val q = joined.writeStream.format("memory").queryName("join_out").start()
+    in.addData(Ev(t(0), 1, "click", 1), Ev(t(1), 9, "click", 1))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("join_out").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(9L).isEmpty) // left outer keeps unmatched stream rows
+  }
+
+  test("file-replay ingest restarts from checkpoint without duplicates (R9/R10)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("sbs1src")
+    val outDir = java.nio.file.Files.createTempDirectory("sbs1out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sbs1ck").toString
+    val mk = (i: Int) =>
+      f"MSG,3,111,$i,HX$i%04d,$i,2026/08/12,14:21:${i % 60}%02d.000,2026/08/12,14:21:${i % 60}%02d.100,,$i,,,1.0,2.0,,,0,0,0,0"
+    java.nio.file.Files.write(srcDir.resolve("a.txt"),
+      (0 until 20).map(mk).mkString("", "\n", "\n").getBytes)
+    def runOnce(): Unit = {
+      val q = StreamingOps.writeParquet(
+        StreamingOps.ingestFiles(spark, srcDir.toString), outDir, ckpt)
+      q.awaitTermination()
+    }
+    runOnce()
+    java.nio.file.Files.write(srcDir.resolve("b.txt"),
+      (20 until 30).map(mk).mkString("", "\n", "\n").getBytes)
+    runOnce() // restart from checkpoint — must process ONLY the new file
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 30)
+    assert(got.select("hex_ident").distinct().count() == 30)
+  }
+}

@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb session/codegen/parquet-reader startup so the first
+    // measured query isn't charged ~5s of JVM warmup
+    try {
+      SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
+      SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

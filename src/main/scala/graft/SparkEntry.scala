@@ -24,7 +24,8 @@ object SparkEntry {
     operators.TextQueries.queries ++
     operators.SimilarityQueries.queries ++
     operators.DedupQueries.queries ++
-    operators.Sbs1Queries.queries
+    operators.Sbs1Queries.queries ++
+    operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     operators.TextQueries.oracles ++
     operators.SimilarityQueries.oracles ++
     operators.DedupQueries.oracles ++
-    operators.Sbs1Queries.oracles
+    operators.Sbs1Queries.oracles ++
+    operators.MultimodalQueries.oracles
 }

@@ -35,4 +35,25 @@ object TextHash {
 
   def duckMd5LongSeeded(expr: String, iExpr: String): String =
     duckMd5Long(s"CAST($iExpr AS VARCHAR) || '_' || $expr")
+
+  /** Affine MinHash family over an already-reduced base hash h ∈ [0, p):
+    * h_i = (A_i·h + B_i) mod p. One md5 per shingle instead of k — the
+    * standard universal-hash construction; A_i·h stays < 2^63 because both
+    * operands are < p ≈ 2^30. Constants are arbitrary fixed odd values.
+    */
+  val AffineA: Seq[Long] = Seq(769121449L, 329914351L, 572926777L, 881914487L,
+                               122949829L, 633085829L, 477970787L, 965519981L)
+  val AffineB: Seq[Long] = Seq(834567811L, 94234417L, 715559219L, 2347561L,
+                               515216911L, 340078571L, 129571601L, 775412383L)
+
+  /** Spark: affine family member i over base-hash column h (< FpPrime). */
+  def affine(h: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      h * AffineA(i) + AffineB(i), org.apache.spark.sql.functions.lit(FpPrime))
+
+  /** DuckDB mirror of `affine` given per-row columns h and i. */
+  def duckAffineCase(hExpr: String, iExpr: String): String =
+    AffineA.indices.map { i =>
+      s"WHEN $iExpr = $i THEN ($hExpr * ${AffineA(i)} + ${AffineB(i)}) % $FpPrime"
+    }.mkString("CASE ", " ", " END")
 }

@@ -50,6 +50,15 @@ object DedupQueries {
           .otherwise(array().cast("array<string>")))).as("sh"))
   }
 
+  /** (doc_id, h): 60-bit shingle hash reduced mod FpPrime — long join keys
+    * instead of strings, one md5 per shingle. Cached: three plan subtrees
+    * (sizes, both join sides) reuse it within a query execution.
+    */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+      .cache()
+
   private val duckShingles =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -72,33 +81,27 @@ object DedupQueries {
     }),
 
     "q_dedup_minhash" -> ((s, d) => {
-      val sh = shingles(s, d)
-      // k minhashes per doc: explode the hash-family index, min per (doc,i)
-      val mh = sh
-        .select(col("doc_id"), col("sh"),
-                explode(sequence(lit(0), lit(K - 1))).as("i"))
-        .select(col("doc_id"), col("i"),
-                md5longSeeded(col("sh"), col("i")).as("h"))
-        .groupBy("doc_id", "i").agg(min("h").as("mh"))
-      // band signatures: 4 bands × 2 rows, deterministic slot aggregation
-      val bands = mh
-        .withColumn("band", (col("i") / Rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(min(when(col("i") % Rows === 0, col("mh"))).as("m0"),
-             min(when(col("i") % Rows === 1, col("mh"))).as("m1"))
-        .select(col("doc_id"),
-                concat_ws(":", col("band"), col("m0"), col("m1")).as("sig"))
+      val sh = shingleHashes(s, d)
+      // k minhashes per doc WITHOUT an explode: one affine family member
+      // per aggregate slot over the single base hash (k× less hashing).
+      val sig = sh.groupBy("doc_id")
+        .agg(min(affine(col("h"), 0)).as("mh0"),
+             (1 until K).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
+      // band signatures: 4 bands × 2 rows
+      val bandSigs = array((0 until K / Rows).map(b =>
+        concat_ws(":", lit(b), col(s"mh${Rows * b}"), col(s"mh${Rows * b + 1}"))): _*)
+      val bands = sig.select(col("doc_id"), explode(bandSigs).as("sig"))
       // candidates: equality join on band signature (never all-pairs)
       val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      // exact Jaccard verification of candidates only
+      // exact Jaccard verification of candidates only, on long hash keys
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("sa"), col("da") === col("sa.doc_id"))
         .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
-                           col("sa.sh") === col("sb.sh"))
+                           col("sa.h") === col("sb.h"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.as("na"), col("da") === col("na.doc_id"))
@@ -112,12 +115,13 @@ object DedupQueries {
     }),
 
     "q_dedup_ngram" -> ((s, d) => {
-      // Exact n-gram Jaccard via inverted-index join: pairs exist only for
-      // docs sharing ≥1 shingle — the scalable exact-dedup pattern.
-      val sh = shingles(s, d)
+      // Exact n-gram Jaccard via inverted-index join on hashed shingles:
+      // pairs exist only for docs sharing ≥1 shingle, and the join key is a
+      // long, not a string — the scalable exact-dedup pattern.
+      val sh = shingleHashes(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
       inter
@@ -181,7 +185,7 @@ object DedupQueries {
     })
   )
 
-  private val duckH = duckMd5LongSeeded("sh", "i")
+  private val duckShingleHash = duckMd5Long("sh")
   private val duckTokH = duckMd5Long("t")
   private val dDot = (a: String, b: String) =>
     s"list_aggregate([$a[i] * $b[i] for i in range(1, 65)], 'sum')"
@@ -195,23 +199,29 @@ object DedupQueries {
 
     "q_dedup_minhash" ->
       s"""WITH $duckShingles,
-         |mh AS (SELECT doc_id, i, min($duckH) AS mh
-         |       FROM sh, unnest([0,1,2,3,4,5,6,7]) AS t(i)
-         |       GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id,
-         |            CAST(i // 2 AS INT) AS band,
-         |            (CAST(i // 2 AS INT) || ':' ||
-         |             min(CASE WHEN i % 2 = 0 THEN mh END) || ':' ||
-         |             min(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
-         |          FROM mh GROUP BY doc_id, i // 2),
+         |shh AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |min((h * 769121449 + 834567811) % 1000000007) AS mh0,
+         min((h * 329914351 + 94234417) % 1000000007) AS mh1,
+         min((h * 572926777 + 715559219) % 1000000007) AS mh2,
+         min((h * 881914487 + 2347561) % 1000000007) AS mh3,
+         min((h * 122949829 + 515216911) % 1000000007) AS mh4,
+         min((h * 633085829 + 340078571) % 1000000007) AS mh5,
+         min((h * 477970787 + 129571601) % 1000000007) AS mh6,
+         min((h * 965519981 + 775412383) % 1000000007) AS mh7
+         |  FROM shh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(['0:' || mh0 || ':' || mh1,
+                    '1:' || mh2 || ':' || mh3,
+                    '2:' || mh4 || ':' || mh5,
+                    '3:' || mh6 || ':' || mh7]) AS sig FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (SELECT c.da, c.db, count(*) AS inter
          |          FROM cand c
-         |          JOIN sh sa ON c.da = sa.doc_id
-         |          JOIN sh sb ON c.db = sb.doc_id AND sa.sh = sb.sh
+         |          JOIN shh sa ON c.da = sa.doc_id
+         |          JOIN shh sb ON c.db = sb.doc_id AND sa.h = sb.h
          |          GROUP BY c.da, c.db)
          |SELECT i.da, i.db, i.inter, na.n AS n_a, nb.n AS n_b,
          |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6) AS BIGINT) AS jac_e6
@@ -223,10 +233,11 @@ object DedupQueries {
 
     "q_dedup_ngram" ->
       s"""WITH $duckShingles,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |          FROM sh a JOIN sh b
-         |            ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY a.doc_id, b.doc_id)
          |SELECT i.da, i.db,
          |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6) AS BIGINT) AS jac_e6

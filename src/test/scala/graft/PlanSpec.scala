@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan audits (SURVEY.md §4.2, the 100 TB posture): not "does it
+  * run" but "is it the plan you'd want on a 1000-executor cluster".
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize THIS dataset so AQE settles on its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin (no shuffle of nation)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount"), p) // the between reaches the scan
+  }
+
+  test("q_scan_project prunes columns at the scan (ReadSchema = 4 cols)") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate"), read)
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject (top-k, not a full sort)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_hash runs two-phase hash aggregation (partial then final)") {
+    val p = plan("q_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_join_semi/anti plan as semi/anti joins, not materializing joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("set ops rewrite to semi/anti joins (Catalyst INTERSECT/EXCEPT)") {
+    assert(plan("q_set_intersect").contains("LeftSemi"))
+    assert(plan("q_set_except").contains("LeftAnti"))
+  }
+
+  test("q_sim_knn broadcasts the query vector (map-only scoring)") {
+    val p = plan("q_sim_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("dot_product"), p) // native codegen expression in play
+  }
+
+  test("whole-stage codegen covers the scalar-function pipelines") {
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple plan form
+    assert(plan("q_math_funcs").contains("*(1)"))
+    assert(plan("q_str_funcs").contains("*(1)"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")
+    }
+  }
+}

@@ -140,17 +140,17 @@ object DedupQueries {
       val tok = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .select(col("doc_id"), md5long(col("t")).as("h"))
-      val bitSums = tok
-        .select(col("doc_id"), col("h"),
-                explode(sequence(lit(0), lit(59))).as("j"))
-        .select(col("doc_id"), col("j"),
-                when(expr("(h >> j) & 1") === 1, 1).otherwise(-1).as("c"))
-        .groupBy("doc_id", "j").agg(sum("c").as("sb"))
-      val sim = bitSums
-        .select(col("doc_id"),
-                when(col("sb") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-                  .otherwise(0L).as("bv"))
-        .groupBy("doc_id").agg(sum("bv").as("simhash"))
+      // 60 aggregate slots instead of a 60× row explode: one pass over the
+      // token rows, map-side partial aggregation, no extra shuffle volume.
+      // (The DuckDB oracle keeps its exploded form — same arithmetic.)
+      val bitSums = tok.groupBy("doc_id").agg(
+        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("sb0"),
+        (1 until 60).map(j =>
+          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"sb$j")): _*)
+      val sim = bitSums.select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       val banded = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))

@@ -1,0 +1,154 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
+import graft.functions.expressions.VectorFunctions.dot_product
+
+/** The engine's user-facing operator library: every north-star operator as
+  * a composable DataFrame transform, independent of the t2 harness.
+  * `import graft.api.implicits._` gives postfix syntax.
+  *
+  * These are the same plans the verified `operators.*Queries` run — generic
+  * over column names so a reference user can point them at their own
+  * tables. All scale rules (single shuffle per keyed op, candidate joins
+  * instead of O(n²) products, broadcast dims) carry over.
+  */
+object GraftOps {
+
+  /** Deterministic first-row-per-key dedup (never dropDuplicates: that is
+    * order-nondeterministic under parallelism).
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and rightTs <= leftTs — union + running last(), one shuffle, linear
+    * (never a range-join explosion on hot keys).
+    *
+    * Returns the left rows with an added `asof_<valueCol>` column.
+    */
+  def asOfJoinPrior(left: DataFrame, right: DataFrame, key: String,
+                    leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__ts", col(leftTs)).withColumn("__v", lit(null).cast(
+        right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+                         col(valueCol).as("__v"))
+      .withColumn("__tag", lit(0))
+    val together = l.select((col(key) +: l.columns.filterNot(_ == key).map(col)): _*)
+      .unionByName(r.select(col(key), col("__ts"), col("__v"), col("__tag")),
+                   allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    together
+      .withColumn(s"asof_$valueCol", last("__v", ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__ts", "__v")
+  }
+
+  /** Gap-based sessionization: (rows + session_id column), one shuffle. */
+  def sessionize(df: DataFrame, key: String, tsMs: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsMs)
+    val newSession = when(
+      tsMs - lag(tsMs, 1).over(w) >= gapMs || lag(tsMs, 1).over(w).isNull, 1
+    ).otherwise(0)
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Distinct n-token shingles (doc exploded), the dedup building block. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val grams = transform(sequence(lit(0), size(ts) - n),
+      j => concat_ws(" ", (0 until n).map(k => element_at(ts, j + k + 1)): _*))
+    df.select(col(idCol),
+      explode(array_distinct(when(size(ts) >= n, grams)
+        .otherwise(array().cast("array<string>")))).as("shingle"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jac_e6). Candidates come from band-signature
+    * equality joins — no all-pairs product at any corpus size.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   jaccardThreshold: Double = 0.7): DataFrame = {
+    val sh = shingles(df, idCol, textCol)
+      .select(col(idCol), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
+    val sig = sh.groupBy(idCol).agg(
+      min(affine(col("h"), 0)).as("mh0"),
+      (1 until 8).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
+    val bandSigs = array((0 until 4).map(b =>
+      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
+    val bands = sig.select(col(idCol), explode(bandSigs).as("sig"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sh.as("sb"), col("id_b") === col(s"sb.$idCol") &&
+                         col("sa.h") === col("sb.h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("id_a") === col(s"na.$idCol"))
+      .join(sizes.as("nb"), col("id_b") === col(s"nb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+              floor(col("inter") / (col("na.n") + col("nb.n") - col("inter")) * 1e6)
+                .cast("long").as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
+  }
+
+  /** Top-k cosine neighbours of a single query vector (broadcast, map-only
+    * scoring via the native codegen'd dot product).
+    */
+  def knn(df: DataFrame, idCol: String, vecCol: String,
+          query: DataFrame, k: Int): DataFrame = {
+    val qv = query.select(col(vecCol).as("__qv"))
+    df.crossJoin(broadcast(qv))
+      .select(col(idCol),
+        (dot_product(col(vecCol), col("__qv")) /
+          (sqrt(dot_product(col(vecCol), col(vecCol))) *
+           sqrt(dot_product(col("__qv"), col("__qv"))))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Salted equi-join for skewed keys: the hot left side is salted into
+    * `salts` sub-keys and the right side replicated across them — the
+    * standard remedy when one key would swamp a single reducer. (AQE's
+    * skew-join handles moderate skew automatically; explicit salting is
+    * for the pathological keys you know about.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r.withColumnRenamed(key, s"__r_$key"),
+           l("__salt") === r("__salt") && l(key) === col(s"__r_$key"))
+      .drop("__salt", s"__r_$key")
+  }
+}
+
+object implicits {
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+    def dedupFirst(keys: Seq[String], order: Seq[Column]): DataFrame =
+      GraftOps.dedupFirst(df, keys, order)
+    def sessionize(key: String, tsMs: Column, gapMs: Long): DataFrame =
+      GraftOps.sessionize(df, key, tsMs, gapMs)
+    def minhashPairs(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
+      GraftOps.minhashPairs(df, idCol, textCol, threshold)
+    def knn(idCol: String, vecCol: String, query: DataFrame, k: Int): DataFrame =
+      GraftOps.knn(df, idCol, vecCol, query, k)
+    def asOfJoinPrior(right: DataFrame, key: String, leftTs: String,
+                      rightTs: String, valueCol: String): DataFrame =
+      GraftOps.asOfJoinPrior(df, right, key, leftTs, rightTs, valueCol)
+    def saltedJoin(right: DataFrame, key: String, salts: Int): DataFrame =
+      GraftOps.saltedJoin(df, right, key, salts)
+  }
+}

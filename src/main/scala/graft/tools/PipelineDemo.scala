@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupQueries, TextQueries}
+import graft.api.implicits._
+import graft.operators.TextQueries
 
 /** Composed LLM training-data pipeline over the engine's operators — the
   * "what this engine is for at 100 TB" demo:
@@ -38,9 +39,9 @@ object PipelineDemo {
     // 1. quality scoring (TextQueries formula) — keep the top band
     val quality = TextQueries.queries("q_text_quality")(spark, sfDir)
       .select(col("doc_id"), col("quality_e6"))
-    // 2. near-dup pairs via MinHash-LSH + exact Jaccard verification
-    val dupPairs = DedupQueries.queries("q_dedup_minhash")(spark, sfDir)
-      .select(col("db").as("drop_id")).distinct() // keep lower id of each pair
+    // 2. near-dup pairs via the library API (MinHash-LSH + exact verify)
+    val dupPairs = docs.minhashPairs("doc_id", "text", threshold = 0.7)
+      .select(col("id_b").as("drop_id")).distinct() // keep lower id of each pair
     // 3. filter + dedup + enrich with token counts
     val tokens = TextQueries.queries("q_text_tokencount")(spark, sfDir)
       .select(col("doc_id"), col("ws_tokens"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.implicits._
+
+/** The user-facing operator library (graft.api) driven as a library user
+  * would: generic column names, composable DataFrames.
+  */
+class GraftOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupFirst keeps the deterministic first row per key") {
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c")).toDF("k", "ts", "v")
+    val got = graft.api.GraftOps.dedupFirst(df, Seq("k"), Seq(col("ts"), col("v")))
+      .orderBy("k").as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((1, 5, "a"), (2, 7, "c")))
+  }
+
+  test("asOfJoinPrior attaches the latest prior right value per key") {
+    val trades = Seq((1L, 100L), (1L, 205L), (2L, 50L)).toDF("k", "t")
+    val quotes = Seq((1L, 90L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0))
+      .toDF("k", "t", "px")
+    val got = trades.asOfJoinPrior(quotes, "k", "t", "t", "px")
+      .select("k", "t", "asof_px").orderBy("k", "t")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, 100L, Some(1.0)), (1L, 205L, Some(2.0)),
+                      (2L, 50L, None)))
+  }
+
+  test("sessionize assigns gap-based session ids") {
+    val df = Seq((1, 0L), (1, 1000L), (1, 10000L), (2, 0L))
+      .toDF("k", "ms")
+    val got = df.sessionize("k", col("ms"), gapMs = 5000)
+      .orderBy("k", "ms").select("k", "ms", "session_id")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 0L, 1L), (1, 1000L, 1L), (1, 10000L, 2L), (2, 0L, 1L)))
+  }
+
+  test("minhashPairs finds the fixture's planted near-duplicates generically") {
+    val pairs = Tables.documents(spark, sf)
+      .minhashPairs("doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(pairs.nonEmpty)
+    // agrees with the verified t2 operator on the same data
+    val t2 = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val lib = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t2.subsetOf(lib) || lib.subsetOf(t2) || (t2 & lib).nonEmpty)
+  }
+
+  test("knn returns the verified q_sim_knn neighbours through the library API") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0)
+    val got = e.filter(col("vec_id") =!= 0).knn("vec_id", "v", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = SparkEntry.queries("q_sim_knn")(spark, sf)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("saltedJoin equals the plain join result") {
+    val left = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
+    val right = Seq((0, "x"), (1, "y"), (2, "z")).toDF("k", "name")
+    val plain = left.join(right, "k").select("k", "v", "name")
+      .orderBy("k", "v").collect().toSeq
+    val salted = left.saltedJoin(right, "k", salts = 4)
+      .select(left("k"), col("v"), col("name"))
+      .orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+  }
+}

@@ -25,7 +25,8 @@ object SparkEntry {
     operators.SimilarityQueries.queries ++
     operators.DedupQueries.queries ++
     operators.Sbs1Queries.queries ++
-    operators.MultimodalQueries.queries
+    operators.MultimodalQueries.queries ++
+    operators.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     operators.SimilarityQueries.oracles ++
     operators.DedupQueries.oracles ++
     operators.Sbs1Queries.oracles ++
-    operators.MultimodalQueries.oracles
+    operators.MultimodalQueries.oracles ++
+    operators.StatsQueries.oracles
 }

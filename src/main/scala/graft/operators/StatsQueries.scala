@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Statistical + collection aggregates (inventory extension): exact
+  * percentiles/median, sample stddev/variance, correlation, and array
+  * collection — the remaining aggregate categories a reference user would
+  * reach for.
+  *
+  * Parity: percentile/median interpolate over sorted exact values with the
+  * same linear formula in both engines — deterministic. stddev/corr are
+  * floating accumulations (order-dependent), so they surface through
+  * floor at 1e-6 — the grid is 10⁴× the worst-case cross-engine delta.
+  * Collected arrays are sorted and joined to strings so ordering is pinned
+  * and the compared value is a scalar.
+  */
+object StatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def floor6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
+
+  def queries: Map[String, Q] = Map(
+    "q_agg_stats" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          median(col("o_totalprice")).as("med_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+          floor6(stddev_samp(col("o_totalprice"))).as("sd_price"),
+          floor6(corr(col("o_totalprice"), col("o_custkey"))).as("corr_pk"))
+        .orderBy("o_orderstatus")),
+
+    "q_agg_collect" -> ((s, d) =>
+      // array_agg with pinned ordering, emitted as a scalar string
+      nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       median(o_totalprice) AS med_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       floor(stddev_samp(o_totalprice) * 1e6) / 1e6 AS sd_price,
+        |       floor(corr(o_totalprice, o_custkey) * 1e6) / 1e6 AS corr_pk
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |       count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  )
+}

@@ -44,6 +44,30 @@ object Sbs1Queries {
              count(col("lat")).as("n_positions"))
         .orderBy(col("hex_ident").asc_nulls_first)),
 
+    // Flight sessionization — the domain's core analytic: a "flight" is a
+    // burst of squitters per aircraft separated by >5 min of silence
+    // (SURVEY.md §2.1 R14 / §2.4 s_session_stream rationale). Batch twin of
+    // StreamingOps.sessionize over the parsed fixture, oracle-checked via
+    // gaps-and-islands on epoch-ms event time.
+    "q_sbs1_flights" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = parsed(s)
+        .withColumn("ems", unix_millis(Sbs1.eventTime))
+        .filter(col("hex_ident").isNotNull)
+      val w = Window.partitionBy("hex_ident").orderBy("ems")
+      val newFlight = when(
+        col("ems") - lag("ems", 1).over(w) >= 300000 ||
+          lag("ems", 1).over(w).isNull, 1).otherwise(0)
+      e.withColumn("fid", sum(newFlight)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("hex_ident", "fid")
+        .agg(min("ems").as("s_ms"), max("ems").as("e_ms"),
+             count(lit(1)).as("n_msgs"),
+             max(col("altitude")).cast("int").as("max_alt"))
+        .select("hex_ident", "fid", "s_ms", "e_ms", "n_msgs", "max_alt")
+        .orderBy("hex_ident", "fid")
+    }),
+
     // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
     "s_ingest_sbs1" -> ((s, _) => parsed(s)),
     "s_watermark_late" -> ((s, d) =>
@@ -90,6 +114,25 @@ object Sbs1Queries {
     "s_stream_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_sbs1_flights" ->
+      s"""WITH p AS (
+         |  SELECT hex_ident, CAST(altitude AS INTEGER) AS altitude,
+         |         epoch_ms(strptime(generated_date || ' ' || generated_time,
+         |                           '%Y/%m/%d %H:%M:%S.%g')) AS ems
+         |  FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |  WHERE hex_ident IS NOT NULL),
+         |g AS (SELECT hex_ident, altitude, ems,
+         |             CASE WHEN ems - lag(ems) OVER w >= 300000
+         |                    OR lag(ems) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+         |      FROM p WINDOW w AS (PARTITION BY hex_ident ORDER BY ems)),
+         |i AS (SELECT hex_ident, altitude, ems,
+         |             CAST(sum(nf) OVER (PARTITION BY hex_ident ORDER BY ems
+         |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fid
+         |      FROM g)
+         |SELECT hex_ident, fid, min(ems) AS s_ms, max(ems) AS e_ms,
+         |       count(*) AS n_msgs, CAST(max(altitude) AS INTEGER) AS max_alt
+         |FROM i GROUP BY hex_ident, fid ORDER BY hex_ident, fid""".stripMargin
   )
 }

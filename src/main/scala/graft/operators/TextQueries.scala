@@ -115,7 +115,7 @@ object TextQueries {
 
   private val duckTokFp = {
     val h = duckMd5Long("t")
-    s"list_aggregate(list_transform(string_split(text, ' '), t -> ($h) % 1000000007), 'sum') % 1000000007"
+    s"CAST(list_aggregate(list_transform(string_split(text, ' '), t -> ($h) % 1000000007), 'sum') % 1000000007 AS BIGINT)"
   }
 
   def oracles: Map[String, String] = Map(

@@ -92,21 +92,26 @@ object DedupQueries {
       val bandSigs = array((0 until K / Rows).map(b =>
         concat_ws(":", lit(b), col(s"mh${Rows * b}"), col(s"mh${Rows * b + 1}"))): _*)
       val bands = sig.select(col("doc_id"), explode(bandSigs).as("sig"))
-      // candidates: equality join on band signature (never all-pairs)
-      val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
+      // candidates: equality join on band signature (never all-pairs);
+      // 4 signature rows per doc — broadcastable far beyond fixture scale
+      val cand = broadcast(bands.as("a")).join(bands.as("b"), Seq("sig"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      // exact Jaccard verification of candidates only, on long hash keys
+      // exact Jaccard verification of candidates only, on long hash keys.
+      // The candidate set and per-doc sizes are orders of magnitude smaller
+      // than the shingle index — broadcast them so verification adds no
+      // shuffles (at extreme scale AQE would pick this up from runtime
+      // stats; the hint removes the planning gamble).
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
+      val inter = broadcast(cand)
         .join(sh.as("sa"), col("da") === col("sa.doc_id"))
         .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
                            col("sa.h") === col("sb.h"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.as("na"), col("da") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+        .join(broadcast(sizes.as("na")), col("da") === col("na.doc_id"))
+        .join(broadcast(sizes.as("nb")), col("db") === col("nb.doc_id"))
         .select(col("da"), col("db"), col("inter"),
                 col("na.n").as("n_a"), col("nb.n").as("n_b"),
                 floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   *  - a line split across read chunks is reassembled, and two complete
   *    lines are never merged (upstream's strip("\n") bug, P:114 / R3).
   */
+/** Typed squitters row (SURVEY.md §1.3): compile-time field checks for the
+  * Scala API; `Sbs1.typed` converts a parsed DataFrame.
+  */
+case class Squitter(
+    message_type: String, transmission_type: Option[Int],
+    session_id: Option[Int], aircraft_id: Option[Int],
+    hex_ident: Option[String], flight_id: Option[Int],
+    generated_date: Option[String], generated_time: Option[String],
+    logged_date: Option[String], logged_time: Option[String],
+    callsign: Option[String], altitude: Option[Int],
+    ground_speed: Option[Int], track: Option[Int],
+    lat: Option[Double], lon: Option[Double],
+    vertical_rate: Option[Int], squawk: Option[String],
+    alert: Option[Int], emergency: Option[Int],
+    spi: Option[Int], is_on_ground: Option[Int])
+
 object Sbs1 {
 
   /** The 22 SBS-1 positional fields: name → engine type. */
@@ -95,6 +111,13 @@ object Sbs1 {
       .select(sbs1Columns(col("value")): _*)
     if (withParsedTime) base.withColumn("parsed_time", current_timestamp())
     else base
+  }
+
+  /** Typed view of a parsed squitters DataFrame. */
+  def typed(parsed: DataFrame): org.apache.spark.sql.Dataset[Squitter] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select(Fields.map(f => col(f._1)): _*).as[Squitter]
   }
 
   /** PERMISSIVE-mode variant: invalid lines survive with the raw text in

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operator (SURVEY.md §2.4 / spark guide):
+  * per-aircraft flight tracking via flatMapGroupsWithState — the state
+  * pattern session_window can't express: arbitrary per-key state (last
+  * position, message count) with emission rules (emit a FlightUpdate only
+  * when the aircraft moved or a gap closed a flight).
+  *
+  * State is evicted via processing-time timeout — the Spark-native analog
+  * of the reference dropping silent aircraft from its working set.
+  */
+object FlightTracker {
+
+  case class Ping(hex_ident: String, ts: Timestamp,
+                  lat: Option[Double], lon: Option[Double],
+                  altitude: Option[Int])
+
+  case class FlightState(firstTs: Long, lastTs: Long, nMsgs: Long,
+                         lastLat: Option[Double], lastLon: Option[Double],
+                         maxAlt: Option[Int])
+
+  case class FlightUpdate(hex_ident: String, event: String, n_msgs: Long,
+                          duration_ms: Long, max_alt: Option[Int])
+
+  val GapMs: Long = 5 * 60 * 1000
+
+  def update(useIdleTimeout: Boolean)(hex: String, pings: Iterator[Ping],
+             state: GroupState[FlightState]): Iterator[FlightUpdate] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(FlightUpdate(hex, "flight_closed", s.nMsgs,
+                                   s.lastTs - s.firstTs, s.maxAlt))
+    }
+    val sorted = pings.toSeq.sortBy(_.ts.getTime)
+    var out = Vector.empty[FlightUpdate]
+    var s = state.getOption.getOrElse {
+      val h = sorted.head
+      out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
+      FlightState(h.ts.getTime, h.ts.getTime, 0, None, None, None)
+    }
+    sorted.foreach { p =>
+      val t = p.ts.getTime
+      if (t - s.lastTs >= GapMs) { // gap ⇒ close previous flight, start new
+        out :+= FlightUpdate(hex, "flight_closed", s.nMsgs, s.lastTs - s.firstTs, s.maxAlt)
+        out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
+        s = FlightState(t, t, 0, None, None, None)
+      }
+      s = s.copy(
+        lastTs = math.max(s.lastTs, t),
+        nMsgs = s.nMsgs + 1,
+        lastLat = p.lat.orElse(s.lastLat),
+        lastLon = p.lon.orElse(s.lastLon),
+        maxAlt = (s.maxAlt ++ p.altitude).reduceOption(_ max _))
+    }
+    state.update(s)
+    if (useIdleTimeout) state.setTimeoutDuration(GapMs)
+    out.iterator
+  }
+
+  /** Wire the tracker over a (streaming or batch) Dataset[Ping].
+    *
+    * `idleTimeout = true` evicts silent aircraft via processing-time
+    * timeouts — production behavior, but timeout evaluation makes the
+    * engine schedule no-data micro-batches continuously, so synchronous
+    * tests (processAllAvailable) use the default NoTimeout.
+    */
+  def track(pings: Dataset[Ping], idleTimeout: Boolean = false): Dataset[FlightUpdate] = {
+    implicit val updEnc = Encoders.product[FlightUpdate]
+    implicit val stEnc = Encoders.product[FlightState]
+    val conf = if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
+    pings.groupByKey(_.hex_ident)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(), conf)(update(idleTimeout))
+  }
+}

@@ -63,6 +63,17 @@ class Sbs1ParserSpec extends SparkSpec {
     assert(t == "2026-08-12 14:21:08.123")
   }
 
+  test("typed Dataset[Squitter] round-trips the parsed rows") {
+    val ds = Sbs1.typed(parse(posLine, identLine))
+    val rows = ds.collect().sortBy(_.transmission_type)
+    assert(rows.length == 2)
+    assert(rows.head.callsign.contains("UAL123  "))
+    assert(rows.last.lat.contains(42.12345))
+    assert(rows.last.callsign.isEmpty) // NULL → None in the typed view
+    // typed filter compiles against fields, not strings
+    assert(ds.filter(_.altitude.exists(_ > 30000)).count() == 1)
+  }
+
   test("parsed_time enrichment appends processing time (R6)") {
     val df = Sbs1.parse(Seq(posLine).toDF("value"))
     assert(df.schema.fieldNames.last == "parsed_time")

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
+  * works anywhere the Scala Column API does.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or: spark.conf spark.sql.extensions=graft.GraftExtensions
+  *   // or on a live session: GraftExtensions.register(spark)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.expressions", name, usage)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(
+          DotProduct(args(0), args(1)),
+          Multiply(Sqrt(DotProduct(args(0), args(0))),
+                   Sqrt(DotProduct(args(1), args(1)))))
+      })
+  )
+
+  /** Register on an already-built session (tests, spark-shell). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -43,6 +43,16 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("native expressions reachable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).first()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

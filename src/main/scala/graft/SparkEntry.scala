@@ -26,7 +26,8 @@ object SparkEntry {
     operators.DedupQueries.queries ++
     operators.Sbs1Queries.queries ++
     operators.MultimodalQueries.queries ++
-    operators.StatsQueries.queries
+    operators.StatsQueries.queries ++
+    operators.RangePivotQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     operators.DedupQueries.oracles ++
     operators.Sbs1Queries.oracles ++
     operators.MultimodalQueries.oracles ++
-    operators.StatsQueries.oracles
+    operators.StatsQueries.oracles ++
+    operators.RangePivotQueries.oracles
 }

@@ -59,6 +59,25 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    "q_sim_knn_batch" -> ((s, d) => {
+      // Batch kNN (similarity join): top-3 neighbours for EACH of 10 query
+      // vectors in one plan — broadcast the query block, score map-side,
+      // rank per query with a window. At scale this is the shape for
+      // "embed a batch, retrieve for all of them at once".
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+                floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     "q_sim_ivf" -> ((s, d) => {
       // IVF probe: assign all vectors to nearest of 8 centroids; probe the
       // query's 2 nearest centroid buckets; exact top-5 within the probes.
@@ -99,6 +118,21 @@ object SimilarityQueries {
          |SELECT e.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
          |FROM e, q WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    "q_sim_knn_batch" -> {
+      val cos = duckCos("e.v", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
+         |  FROM e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
     },
 
     "q_sim_ivf" -> {

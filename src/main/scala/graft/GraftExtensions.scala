@@ -25,13 +25,27 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions.expressions", name, usage)
 
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        requireArity("dot_product", args, 2)
+        DotProduct(args(0), args(1))
+      }),
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => {
+        requireArity("cosine_sim", args, 2)
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
         Divide(
           DotProduct(args(0), args(1)),

@@ -1,0 +1,53 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.VectorFunctions.dot_product
+
+/** IVF (inverted-file) building blocks for similarity search and embedding
+  * near-dup at scale.
+  *
+  * The centroid set is BOUNDED MODEL STATE (k × dim doubles, k ≪ corpus):
+  * it collapses to a single-row DataFrame holding one array of
+  * (cid, cv, cnrm) structs, so broadcasting it is O(k·dim) at any corpus
+  * size. Assignment is then a pure map-side projection — each vector
+  * computes its cosine to all k centroids inside one array expression and
+  * takes the argmax — with ZERO shuffles, versus the naive
+  * crossJoin(centroids) + Window.partitionBy(vec_id) row_number form that
+  * shuffles a k×-expanded corpus just to reduce per-row.
+  *
+  * Cosine arithmetic is the engine's parity form — dot/(sqrt(|a|²)·sqrt(|b|²))
+  * via the native codegen'd dot product, with per-centroid norms
+  * precomputed once in the block (bit-identical to inline evaluation).
+  */
+object IvfOps {
+
+  /** Collapse a (cid, vec) centroid table into the single-row broadcastable
+    * block consumed by [[assign]]. Sorted by cid for determinism
+    * (collect_list order is not).
+    */
+  def centroidBlock(cents: DataFrame, cidCol: String = "cid",
+                    vecCol: String = "v"): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col(cidCol).as("cid"), col(vecCol).as("cv"),
+      sqrt(dot_product(col(vecCol), col(vecCol))).as("cnrm")))).as("__cents"))
+
+  /** Map-side centroid assignment: every input row is emitted once per
+    * probe (its `nProbe` nearest centroids by cosine, ties to the lowest
+    * cid), with an added `cid` column. All input columns pass through.
+    */
+  def assign(vecs: DataFrame, centroidBlock: DataFrame, nProbe: Int,
+             vecCol: String = "v"): DataFrame = {
+    // struct(csim, -cid) sorted ascending then reversed = order by
+    // (csim DESC, cid ASC) — the row_number tiebreak, as one expression.
+    val ranked = reverse(array_sort(transform(col("__cents"), c =>
+      struct((dot_product(col(vecCol), c.getField("cv")) /
+               (col("__nrm") * c.getField("cnrm"))).as("csim"),
+             (-c.getField("cid")).as("negcid")))))
+    vecs.crossJoin(broadcast(centroidBlock))
+      .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
+      .withColumn("__p", explode(slice(ranked, 1, nProbe)))
+      .withColumn("cid", -col("__p.negcid"))
+      .drop("__cents", "__nrm", "__p")
+  }
+}

@@ -53,12 +53,17 @@ object DedupQueries {
   /** (doc_id, h): 60-bit shingle hash reduced mod FpPrime — long join keys
     * instead of strings, one md5 per shingle. Cached: three plan subtrees
     * (sizes, both join sides) reuse it within a query execution — measured
-    * 5× on q_dedup_ngram (9.8 s uncached → 1.7 s).
+    * 5× on q_dedup_ngram (9.8 s uncached → 1.7 s). Memoized per
+    * (session, dir) so repeated invocations (Bench/Verify/specs) reuse ONE
+    * cache entry instead of leaking a new one per call.
     */
+  private val shCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-      .cache()
+    shCache.computeIfAbsent((s, d), _ =>
+      shingles(s, d)
+        .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+        .cache())
 
   private val duckShingles =
     """sh AS (
@@ -92,26 +97,25 @@ object DedupQueries {
       val bandSigs = array((0 until K / Rows).map(b =>
         concat_ws(":", lit(b), col(s"mh${Rows * b}"), col(s"mh${Rows * b + 1}"))): _*)
       val bands = sig.select(col("doc_id"), explode(bandSigs).as("sig"))
-      // candidates: equality join on band signature (never all-pairs);
-      // 4 signature rows per doc — broadcastable far beyond fixture scale
-      val cand = broadcast(bands.as("a")).join(bands.as("b"), Seq("sig"))
+      // candidates: equality join on band signature (never all-pairs).
+      // NO broadcast hints anywhere below: bands/cand/sizes are all
+      // corpus-linear (4 sig rows, O(pairs), 1 size row per doc) — a
+      // mandatory BroadcastExchange would OOM the driver at 10⁹ docs.
+      // AQE broadcasts them from runtime stats when they actually fit.
+      val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       // exact Jaccard verification of candidates only, on long hash keys.
-      // The candidate set and per-doc sizes are orders of magnitude smaller
-      // than the shingle index — broadcast them so verification adds no
-      // shuffles (at extreme scale AQE would pick this up from runtime
-      // stats; the hint removes the planning gamble).
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
+      val inter = cand
         .join(sh.as("sa"), col("da") === col("sa.doc_id"))
         .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
                            col("sa.h") === col("sb.h"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       inter
-        .join(broadcast(sizes.as("na")), col("da") === col("na.doc_id"))
-        .join(broadcast(sizes.as("nb")), col("db") === col("nb.doc_id"))
+        .join(sizes.as("na"), col("da") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
         .select(col("da"), col("db"), col("inter"),
                 col("na.n").as("n_a"), col("nb.n").as("n_b"),
                 floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))

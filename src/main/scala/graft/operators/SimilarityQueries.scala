@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.expressions.VectorFunctions.{cosine_sim, dot_product}
+import graft.api.IvfOps
 
 /** Similarity search over the embedding column (north star): brute-force
   * cosine top-k as the exactness baseline, and an IVF (inverted-file) probe
@@ -81,22 +82,21 @@ object SimilarityQueries {
     "q_sim_ivf" -> ((s, d) => {
       // IVF probe: assign all vectors to nearest of 8 centroids; probe the
       // query's 2 nearest centroid buckets; exact top-5 within the probes.
+      //
+      // Assignment is MAP-SIDE: the k centroids collapse to a single-row
+      // array (bounded model state, broadcastable at any corpus size) and
+      // each vector takes its argmax in one projection — zero shuffles,
+      // unlike the crossJoin + Window.partitionBy(vec_id) row_number form,
+      // which shuffled the k×-expanded corpus just for a per-row argmax.
       val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("v"), col("cv")))
-      // nearest centroid per vector (argmax with cid tiebreak)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-      val assigned = scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-      // the query's 2 nearest centroids
-      val probes = scored.filter(col("vec_id") === 0)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
+      val assigned = IvfOps.assign(
+        e, IvfOps.centroidBlock(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v"))), nProbe = 1)
+      // the query's 2 nearest centroids, exploded to rows for an equi-join
+      val probes = IvfOps.assign(
+        e.filter(col("vec_id") === 0),
+        IvfOps.centroidBlock(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v"))), nProbe = 2)
         .select(col("cid").as("probe_cid"))
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       assigned

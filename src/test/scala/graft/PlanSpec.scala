@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
     assert(!opt.contains("strategy=broadcast"), opt)
   }
 
+  test("q_dedup_embed is sub-quadratic: no BroadcastNestedLoopJoin/cartesian") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")

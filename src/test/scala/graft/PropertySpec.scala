@@ -64,6 +64,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngram df cap drops hot-shingle pairs, keeps rare-shingle dups") {
+    // 150 docs made ONLY of one ultra-common shingle: without the df cap
+    // they would emit 150·149/2 = 11175 jaccard-1.0 pairs (the hot-key
+    // blow-up); with the cap (df=150 > 100) the shingle leaves the
+    // universe and none of them pair. Two docs sharing rare shingles
+    // (df=2) must still be found.
+    val dir = java.nio.file.Files.createTempDirectory("hotshingle").toString
+    val docs = (0 until 150).map(i => (i.toLong, "hot hot hot hot hot")) ++
+      Seq((1000L, "aa bb cc dd ee"), (1001L, "aa bb cc dd ee"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1000L, 1001L, 1000000L)), out.mkString(","))
+  }
+
   test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
     val frame: Seq[String] => Seq[String] = chunks => {
       val all = chunks.mkString

@@ -29,25 +29,32 @@ object GraftOps {
     * and rightTs <= leftTs — union + running last(), one shuffle, linear
     * (never a range-join explosion on hot keys).
     *
+    * Right observations travel as a (ts, v) STRUCT, so a right row whose
+    * value is genuinely NULL is still "the latest observation" (the struct
+    * is non-null) rather than being skipped for an older non-null value.
+    * Determinism without a unique right key: equal-(ts) right rows are
+    * ordered by the struct itself, so the greatest (ts, value) wins the
+    * tie under any parallelism (NULL values sort first and lose ties).
+    *
     * Returns the left rows with an added `asof_<valueCol>` column.
     */
   def asOfJoinPrior(left: DataFrame, right: DataFrame, key: String,
                     leftTs: String, rightTs: String, valueCol: String): DataFrame = {
     val l = left.withColumn("__tag", lit(1))
-      .withColumn("__ts", col(leftTs)).withColumn("__v", lit(null).cast(
-        right.schema(valueCol).dataType))
+      .withColumn("__ts", col(leftTs))
     val r = right.select(col(key), col(rightTs).as("__ts"),
-                         col(valueCol).as("__v"))
+        struct(col(rightTs).as("ts"), col(valueCol).as("v")).as("__s"))
       .withColumn("__tag", lit(0))
     val together = l.select((col(key) +: l.columns.filterNot(_ == key).map(col)): _*)
-      .unionByName(r.select(col(key), col("__ts"), col("__v"), col("__tag")),
-                   allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__tag"), col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     together
-      .withColumn(s"asof_$valueCol", last("__v", ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol",
+        last("__s", ignoreNulls = true).over(w).getField("v"))
       .filter(col("__tag") === 1)
-      .drop("__tag", "__ts", "__v")
+      .drop("__tag", "__ts", "__s")
   }
 
   /** Gap-based sessionization: (rows + session_id column), one shuffle. */

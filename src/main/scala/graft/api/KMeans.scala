@@ -1,0 +1,58 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding column — the IVF centroid trainer.
+  *
+  * Deterministic by construction: initial centroids are the k rows with
+  * the lowest ids, the iteration count is fixed, and assignment ties break
+  * to the lowest centroid id (IvfOps). Each iteration is:
+  *
+  *   1. map-side assignment of every vector to its nearest centroid
+  *      (IvfOps.assign over the scalar-subquery centroid block — zero
+  *      shuffles), then
+  *   2. one groupBy(cid) with `dim` avg slots (map-side partial
+  *      aggregation, a single shuffle of k×dim partial sums per task).
+  *
+  * The k×dim centroid matrix returns to the driver between iterations —
+  * BOUNDED MODEL STATE, not corpus data (the same contract as MLlib's
+  * k-means); the corpus itself is never collected. Per-iteration cost is
+  * one linear pass, so the whole fit is O(iters · n · k · dim) flops and
+  * iters shuffles of k rows.
+  *
+  * Cluster ids are 0..k-1 from the sorted init sample; a cluster that
+  * loses all members drops out (its id disappears) rather than being
+  * re-seeded, keeping the procedure deterministic.
+  *
+  * Returns a (cid: long, cv: array<double>) DataFrame for
+  * [[IvfOps.centroidBlock]].
+  */
+object KMeans {
+
+  def fit(vecs: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+
+    var cents: Seq[(Long, Seq[Double])] = vecs
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    val dim = cents.head._2.length
+
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cid", "cv")
+      val assigned = IvfOps.assign(
+        vecs, IvfOps.centroidBlock(cdf, "cid", "cv"), nProbe = 1, vecCol)
+      cents = assigned.groupBy("cid")
+        .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*)
+          .as("cv"))
+        .orderBy("cid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    }
+    cents.toDF("cid", "cv")
+  }
+}

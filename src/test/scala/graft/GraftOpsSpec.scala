@@ -27,6 +27,20 @@ class GraftOpsSpec extends SparkSpec {
                       (2L, 50L, None)))
   }
 
+  test("asOfJoinPrior: same-ts ties are deterministic; NULL values count") {
+    // two quotes at t=200 — the greater value must win the tie, always
+    val trades = Seq((1L, 205L), (2L, 100L)).toDF("k", "t")
+    val quotes = Seq((1L, 200L, Some(2.0)), (1L, 200L, Some(7.0)),
+                     (2L, 50L, Some(1.0)), (2L, 90L, Option.empty[Double]))
+      .toDF("k", "t", "px")
+    val got = trades.asOfJoinPrior(quotes, "k", "t", "t", "px")
+      .select("k", "t", "asof_px").orderBy("k", "t")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // k=2: the latest observation (t=90) has a NULL px — it must NOT be
+    // skipped for the older non-null 1.0
+    assert(got == Seq((1L, 205L, Some(7.0)), (2L, 100L, None)))
+  }
+
   test("sessionize assigns gap-based session ids") {
     val df = Seq((1, 0L), (1, 1000L), (1, 10000L), (2, 0L))
       .toDF("k", "ms")

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{IvfOps, KMeans}
+import graft.functions.expressions.VectorFunctions.cosine_sim
+
+/** ANN quality gate: IVF with TRAINED (k-means) centroids must recover the
+  * brute-force top-5 neighbours for most probe queries — pinning that the
+  * k-means + bucket-probe path is a usable ANN index, not just a plan
+  * shape (VERDICT r01 item 5).
+  */
+class KMeansIvfSpec extends SparkSpec {
+
+  test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = KMeans.fit(e, "vec_id", "v", k = 8, iters = 5)
+
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+
+    def top5(pairs: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      pairs.filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+                cosine_sim(col("v"), col("qv")).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // brute-force ground truth: all 20 queries in one broadcast block
+    val brute = top5(e.crossJoin(broadcast(qs)))
+
+    // IVF: corpus multi-assigned to its 2 nearest buckets (boundary-vector
+    // remedy, 2x index size), queries probe their 3 nearest
+    val block = IvfOps.centroidBlock(cents, "cid", "cv")
+    val corpus = IvfOps.assign(e, block, nProbe = 2)
+    val qasg = IvfOps.assign(qs, block, nProbe = 3, vecCol = "qv")
+    // a (query, vector) pair sharing several buckets must score ONCE
+    val ivf = top5(corpus.join(qasg, Seq("cid"))
+      .select("q_id", "qv", "vec_id", "v").distinct())
+
+    val recalls = brute.map { case (q, truth) =>
+      q -> ivf.getOrElse(q, Set.empty).count(truth)./(5.0)
+    }
+    val goodShare = recalls.values.count(_ >= 0.8).toDouble / recalls.size
+    assert(recalls.size == 20)
+    assert(goodShare >= 0.8,
+      s"only ${(goodShare * 100).round}% of probes reached recall ≥ 0.8: $recalls")
+  }
+}

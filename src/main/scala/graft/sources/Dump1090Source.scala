@@ -32,11 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unlike Spark's built-in `socket` source (dev-only, non-replayable), this
   * source buffers framed lines against a monotonically increasing line
   * offset: `planInputPartitions(start, end)` can re-serve any uncommitted
-  * range, so checkpoint recovery gives exactly-once into a transactional
-  * (file/parquet) sink. `commit(end)` trims the buffer. The buffer is
-  * driver-side, like the built-ins (rate/socket); at production scale the
-  * same interface would be backed by a replayable log (e.g. Kafka) — the
-  * offset/partition contract here is identical.
+  * range, so WITHIN ONE PROCESS epoch retries are exactly-once into a
+  * transactional sink. `commit(end)` trims the buffer. Across a driver
+  * restart the in-memory buffer is gone and the live socket cannot replay:
+  * a checkpointed range from a previous process is NOT servable, and
+  * `planInputPartitions` fails fast (never silently serves different
+  * lines) — delivery across restarts is therefore at-most-once. At
+  * production scale the same offset/partition contract would be backed by
+  * a replayable log (e.g. Kafka), which upgrades restarts to exactly-once.
+  *
+  * Memory is bounded: at most `maxBufferedLines` framed lines are held;
+  * when full the reader thread blocks, which backpressures the feed via
+  * TCP flow control (the reference behaves identically — it simply stops
+  * recv()ing, P:113). Micro-batches split into partitions of at most
+  * `maxLinesPerPartition` lines so a large catch-up batch parses on all
+  * cores instead of one.
   *
   * Usage: spark.readStream.format("graft.sources.Dump1090TableProvider")
   *          .option("host", ...).option("port", ...).load()
@@ -69,7 +79,9 @@ class Dump1090Table extends Table with SupportsRead {
           bufferSize = options.getInt("bufferSize", 100),
           connectAttemptLimit = options.getInt("connectAttemptLimit", 10),
           connectAttemptDelayMs =
-            (options.getDouble("connectAttemptDelay", 5.14) * 1000).toLong)
+            (options.getDouble("connectAttemptDelay", 5.14) * 1000).toLong,
+          maxLinesPerPartition = options.getInt("maxLinesPerPartition", 5000),
+          maxBufferedLines = options.getInt("maxBufferedLines", 1000000))
     }
 }
 
@@ -80,7 +92,9 @@ case class LineOffset(offset: Long) extends Offset {
 
 class Dump1090MicroBatchStream(
     host: String, port: Int, bufferSize: Int,
-    connectAttemptLimit: Int, connectAttemptDelayMs: Long)
+    connectAttemptLimit: Int, connectAttemptDelayMs: Long,
+    maxLinesPerPartition: Int = 5000,
+    maxBufferedLines: Int = 1000000)
   extends MicroBatchStream {
 
   // lines[i] holds line (trimOffset + i); guarded by `lock`
@@ -148,6 +162,11 @@ class Dump1090MicroBatchStream(
     if (idx < 0) return
     lock.synchronized {
       while (idx >= 0) {
+        // bounded buffer: park the reader until commit() trims space; the
+        // un-recv'd bytes back up in the kernel socket buffer (TCP flow
+        // control), which is how the feed is backpressured.
+        while (lines.length >= maxBufferedLines && !exhausted) lock.wait(100)
+        if (exhausted) return
         val line = partial.substring(0, idx).stripSuffix("\r")
         if (line.nonEmpty) lines += line
         partial.delete(0, idx + 1)
@@ -167,9 +186,22 @@ class Dump1090MicroBatchStream(
     val s = start.asInstanceOf[LineOffset].offset
     val e = end.asInstanceOf[LineOffset].offset
     val slice = lock.synchronized {
+      // fail fast on a range this process never buffered (e.g. a
+      // checkpointed epoch from a previous driver): silently serving
+      // different lines from the new socket would be wrong data.
+      if (s < trimOffset || e > trimOffset + lines.length)
+        throw new IllegalStateException(
+          s"non-replayable offset range [$s, $e): this process buffers " +
+          s"[$trimOffset, ${trimOffset + lines.length}). A live socket " +
+          "cannot replay epochs from before a restart — resume with a " +
+          "fresh checkpoint, or back the source with a replayable log " +
+          "for exactly-once across restarts (see class doc).")
       lines.slice((s - trimOffset).toInt, (e - trimOffset).toInt).toArray
     }
-    Array(Dump1090Partition(slice))
+    // split large catch-up batches so parsing uses every core
+    if (slice.isEmpty) Array(Dump1090Partition(Array.empty))
+    else slice.grouped(maxLinesPerPartition)
+      .map(g => Dump1090Partition(g): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -184,14 +216,21 @@ class Dump1090MicroBatchStream(
       }
     }
 
-  /** Epoch committed — drop replay state below `end` (WAL trim, R9). */
+  /** Epoch committed — drop replay state below `end` (WAL trim, R9) and
+    * wake a reader parked on the buffer bound.
+    */
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[LineOffset].offset
     val drop = (e - trimOffset).toInt
     if (drop > 0) { lines.dropInPlace(drop); trimOffset = e }
+    lock.notifyAll()
   }
 
-  override def stop(): Unit = { exhausted = true; reader.interrupt() }
+  override def stop(): Unit = {
+    exhausted = true
+    lock.synchronized(lock.notifyAll())
+    reader.interrupt()
+  }
 
   /** Test hook: has the retry budget been exhausted (P:98-99)? */
   def isExhausted: Boolean = exhausted

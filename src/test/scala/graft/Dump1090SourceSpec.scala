@@ -83,6 +83,70 @@ class Dump1090SourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a large catch-up batch splits into multiple input partitions") {
+    val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 512)
+    try {
+      val stream = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", server.getLocalPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        maxLinesPerPartition = 20)
+      val deadline = System.currentTimeMillis() + 10000
+      def latest() = stream.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      while (latest() < lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latest() == lines.length)
+      val parts = stream.planInputPartitions(
+        graft.sources.LineOffset(0), graft.sources.LineOffset(latest()))
+      assert(parts.length == 3, s"expected ceil(50/20)=3, got ${parts.length}")
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("buffer is bounded: reader parks at maxBufferedLines until commit") {
+    val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 512)
+    try {
+      val stream = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", server.getLocalPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        maxBufferedLines = 10)
+      def latest() = stream.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      var committed = 0L
+      val deadline = System.currentTimeMillis() + 15000
+      while (committed < lines.length && System.currentTimeMillis() < deadline) {
+        val l = latest()
+        assert(l - committed <= 10, s"buffer exceeded bound: ${l - committed}")
+        if (l > committed) {
+          // consume-then-commit drains the bound and wakes the reader
+          stream.planInputPartitions(
+            graft.sources.LineOffset(committed), graft.sources.LineOffset(l))
+          stream.commit(graft.sources.LineOffset(l))
+          committed = l
+        } else Thread.sleep(20)
+      }
+      assert(committed == lines.length,
+        s"only $committed of ${lines.length} lines drained through the bound")
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("offsets from a previous process fail fast instead of serving wrong data") {
+    val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val stream = new graft.sources.Dump1090MicroBatchStream(
+      "localhost", dead, 100, connectAttemptLimit = 0, connectAttemptDelayMs = 50)
+    // simulate recovery: the checkpoint says epoch [5,10) but this fresh
+    // process never buffered those lines
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.LineOffset(5), graft.sources.LineOffset(10))
+    }
+    assert(e.getMessage.contains("non-replayable"), e.getMessage)
+    stream.stop()
+  }
+
   test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     val stream = new graft.sources.Dump1090MicroBatchStream(

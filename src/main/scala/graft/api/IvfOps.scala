@@ -40,10 +40,14 @@ object IvfOps {
              vecCol: String = "v"): DataFrame = {
     // struct(csim, -cid) sorted ascending then reversed = order by
     // (csim DESC, cid ASC) — the row_number tiebreak, as one expression.
-    val ranked = reverse(array_sort(transform(col("__cents"), c =>
+    // nProbe=1 takes the argmax directly (array_max) instead of sorting.
+    val scored = transform(col("__cents"), c =>
       struct((dot_product(col(vecCol), c.getField("cv")) /
                (col("__nrm") * c.getField("cnrm"))).as("csim"),
-             (-c.getField("cid")).as("negcid")))))
+             (-c.getField("cid")).as("negcid")))
+    val ranked =
+      if (nProbe == 1) array(array_max(scored))
+      else slice(reverse(array_sort(scored)), 1, nProbe)
     // the block is inlined as an uncorrelated scalar subquery — evaluated
     // once, injected into the projection as a literal. No join node (of
     // any kind) appears in the consumer's plan, so assignment is a pure
@@ -52,7 +56,7 @@ object IvfOps {
         org.apache.spark.sql.GraftSqlBridge.scalarSubquery(
           centroidBlock.select("__cents")))
       .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
-      .withColumn("__p", explode(slice(ranked, 1, nProbe)))
+      .withColumn("__p", explode(ranked))
       .withColumn("cid", -col("__p.negcid"))
       .drop("__cents", "__nrm", "__p")
   }

@@ -73,14 +73,21 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     shCache.computeIfAbsent((s, d), _ => {
-      val all = shingles(s, d)
+      // index build (eager, once per dir): raw index → anti-join away the
+      // HOT shingles (df > DfCap) → materialize the capped index, release
+      // the raw one. The hot set is tiny by construction (heavy tail), so
+      // AQE broadcasts it and the cap costs one aggregation, not a shuffle
+      // of the index; the raw cache keeps the md5-explode single-pass.
+      val raw = shingles(s, d)
         .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-      // df cap (see DfCap): the keep-join shuffles on h — the same key the
-      // downstream self-join needs, so its partitioning is reused. No
-      // broadcast hint: the keep set is corpus-dependent; AQE decides.
-      val keep = all.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap).select("h")
-      all.join(keep, Seq("h")).select("doc_id", "h").cache()
+        .cache()
+      val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("h")
+      val capped = raw.join(hot, Seq("h"), "left_anti")
+        .select("doc_id", "h").cache()
+      capped.count()
+      raw.unpersist()
+      capped
     })
 
   private val duckShingles =

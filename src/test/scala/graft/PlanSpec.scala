@@ -80,4 +80,18 @@ class PlanSpec extends SparkSpec {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")
     }
   }
+
+  /** The scale-killer guard: a BroadcastNestedLoopJoin is only acceptable
+    * when its build side is a BOUNDED query block (the 1-row / 10-row
+    * query-vector broadcasts of the kNN family) — never corpus-shaped data.
+    */
+  private val boundedBnljAllowed =
+    Set("q_sim_knn", "q_sim_knn_batch", "q_sim_ivf")
+
+  test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
+    SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name has an unexpected BroadcastNestedLoopJoin")
+    }
+  }
 }

@@ -27,7 +27,8 @@ object SparkEntry {
     operators.Sbs1Queries.queries ++
     operators.MultimodalQueries.queries ++
     operators.StatsQueries.queries ++
-    operators.RangePivotQueries.queries
+    operators.RangePivotQueries.queries ++
+    operators.SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     operators.Sbs1Queries.oracles ++
     operators.MultimodalQueries.oracles ++
     operators.StatsQueries.oracles ++
-    operators.RangePivotQueries.oracles
+    operators.RangePivotQueries.oracles ++
+    operators.SamplingQueries.oracles
 }

@@ -109,13 +109,14 @@ object GraftOps {
       .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
   }
 
-  /** Top-k cosine neighbours of a single query vector (broadcast, map-only
-    * scoring via the native codegen'd dot product).
+  /** Top-k cosine neighbours of a single query vector (inlined as a scalar
+    * subquery — no join node; map-only scoring via the native codegen'd
+    * dot product).
     */
   def knn(df: DataFrame, idCol: String, vecCol: String,
           query: DataFrame, k: Int): DataFrame = {
     val qv = query.select(col(vecCol).as("__qv"))
-    df.crossJoin(broadcast(qv))
+    df.withColumn("__qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
       .select(col(idCol),
         (dot_product(col(vecCol), col("__qv")) /
           (sqrt(dot_product(col(vecCol), col(vecCol))) *

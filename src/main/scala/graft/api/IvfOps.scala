@@ -1,8 +1,9 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.VectorFunctions.dot_product
+import graft.functions.expressions.VectorFunctions.{cosine_sim, dot_product}
 
 /** IVF (inverted-file) building blocks for similarity search and embedding
   * near-dup at scale.
@@ -59,5 +60,37 @@ object IvfOps {
       .withColumn("__p", explode(ranked))
       .withColumn("cid", -col("__p.negcid"))
       .drop("__cents", "__nrm", "__p")
+  }
+
+  /** Approximate top-k neighbours for a batch of queries over an IVF
+    * index (centroids typically from [[KMeans.fit]]): the corpus is
+    * multi-assigned to its `corpusProbes` nearest buckets (boundary-vector
+    * remedy, `corpusProbes`× index size), queries probe their
+    * `queryProbes` nearest, candidate (query, vector) pairs are deduped
+    * (a pair sharing several buckets must score once), and only
+    * candidates get the exact cosine. Per-query cost is the probed
+    * buckets, not the corpus; candidate volume is O(p²·n/k) per query, so
+    * k grows with the corpus at scale.
+    *
+    * Returns (qIdCol, idCol, sim, rnk) with rnk ≤ k per query.
+    */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              centroids: DataFrame, k: Int,
+              corpusProbes: Int = 2, queryProbes: Int = 3): DataFrame = {
+    val block = centroidBlock(centroids, "cid", "cv")
+    val cand = assign(corpus, block, corpusProbes, vecCol)
+      .select(col("cid"), col(idCol), col(vecCol))
+      .join(assign(queries, block, queryProbes, qVecCol)
+              .select(col("cid"), col(qIdCol), col(qVecCol)), Seq("cid"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
+      .distinct()
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(idCol).asc)
+    cand
+      .select(col(qIdCol), col(idCol),
+              cosine_sim(col(vecCol), col(qVecCol)).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextHash._
+
+/** Deterministic sampling for training-data pipelines (north star): at
+  * 100 TB, sampling must be (a) reproducible across runs and engines — so
+  * never `rand()` — and (b) map-side — no shuffle to decide membership.
+  * All three operators hash a stable key (md5-derived, identical in DuckDB)
+  * and decide from the hash alone:
+  *
+  *  - q_sample_hash: Bernoulli p=10% — `bucket(key) < 100 of 1000`. Pure
+  *    filter; composes with any downstream op; pushdown-friendly.
+  *  - q_sample_stratified: k-per-group (balanced classes) — hash-ordered
+  *    row_number within each stratum. One shuffle on the stratum key, the
+  *    minimum possible for per-group quotas.
+  *  - q_split_train_test: disjoint 80/20 split labels from the same
+  *    hash — a row's split never changes as the corpus grows (stable
+  *    holdout), unlike randomSplit.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q_sample_hash" -> ((s, d) => {
+      // deterministic 10% Bernoulli sample: membership is a pure function
+      // of the key — map-side filter, no shuffle, engine-portable.
+      val bucket = pmod(md5long(col("doc_id").cast("string")), lit(1000L))
+      documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .filter(col("bucket") < 100)
+        .orderBy("doc_id")
+    }),
+
+    "q_sample_stratified" -> ((s, d) => {
+      // balanced per-stratum sample: exactly 10 customers per market
+      // segment, chosen by hash order (reproducible "random" without
+      // rand()); c_custkey breaks hash ties deterministically.
+      val h = md5long(col("c_custkey").cast("string"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(h.asc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q_split_train_test" -> ((s, d) => {
+      // stable 80/20 split: a document's split is fixed by its key, so
+      // the holdout never leaks as the corpus grows or repartitions.
+      val bucket = pmod(md5long(col("doc_id").cast("string")), lit(100L))
+      documents(s, d)
+        .select(when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    })
+  )
+
+  private val duckKey = (e: String) => duckMd5Long(s"CAST($e AS VARCHAR)")
+
+  def oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, ${duckKey("doc_id")} % 1000 AS bucket
+         |FROM documents
+         |WHERE ${duckKey("doc_id")} % 1000 < 100
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |       CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |            ORDER BY ${duckKey("c_custkey")} ASC, c_custkey ASC)
+         |            AS BIGINT) AS rn
+         |FROM customer
+         |QUALIFY rn <= 10
+         |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_split_train_test" ->
+      s"""SELECT CASE WHEN ${duckKey("doc_id")} % 100 < 80
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       count(*) AS n
+         |FROM documents
+         |GROUP BY 1 ORDER BY split""".stripMargin
+  )
+}

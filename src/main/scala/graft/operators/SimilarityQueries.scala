@@ -49,12 +49,13 @@ object SimilarityQueries {
 
   def queries: Map[String, Q] = Map(
     "q_sim_knn" -> ((s, d) => {
-      // Brute-force top-5 cosine neighbours of vec 0: broadcast the query
-      // vector, map-side score, TakeOrderedAndProject for the top-k.
+      // Brute-force top-5 cosine neighbours of vec 0: the query vector is
+      // inlined as a scalar subquery (no join node of any kind), scoring
+      // is map-side, TakeOrderedAndProject keeps the top-k.
       val e = emb(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
         .select(col("vec_id"), floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
@@ -102,7 +103,7 @@ object SimilarityQueries {
       assigned
         .join(broadcast(probes), col("cid") === col("probe_cid"))
         .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
         .select(col("vec_id"), col("cid"),
                 floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)

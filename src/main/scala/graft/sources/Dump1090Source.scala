@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,7 +81,9 @@ class Dump1090Table extends Table with SupportsRead {
           connectAttemptDelayMs =
             (options.getDouble("connectAttemptDelay", 5.14) * 1000).toLong,
           maxLinesPerPartition = options.getInt("maxLinesPerPartition", 5000),
-          maxBufferedLines = options.getInt("maxBufferedLines", 1000000))
+          maxBufferedLines = options.getInt("maxBufferedLines", 1000000),
+          maxLinesPerTrigger =
+            Option(options.get("maxLinesPerTrigger")).map(_.toLong))
     }
 }
 
@@ -94,8 +96,9 @@ class Dump1090MicroBatchStream(
     host: String, port: Int, bufferSize: Int,
     connectAttemptLimit: Int, connectAttemptDelayMs: Long,
     maxLinesPerPartition: Int = 5000,
-    maxBufferedLines: Int = 1000000)
-  extends MicroBatchStream {
+    maxBufferedLines: Int = 1000000,
+    maxLinesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   // lines[i] holds line (trimOffset + i); guarded by `lock`
   private val lock = new Object
@@ -180,6 +183,24 @@ class Dump1090MicroBatchStream(
 
   override def latestOffset(): Offset = lock.synchronized {
     LineOffset(trimOffset + lines.length)
+  }
+
+  /** Rate limiting (maxLinesPerTrigger): bounds each micro-batch so a
+    * catch-up backlog drains in sized epochs instead of one giant batch —
+    * the maxOffsetsPerTrigger analog for this source.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LineOffset].offset
+    val avail = lock.synchronized(trimOffset + lines.length)
+    val end = limit match {
+      case mr: ReadMaxRows => math.min(avail, s + mr.maxRows())
+      case _               => avail
+    }
+    LineOffset(math.max(end, s))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -35,14 +35,12 @@ class KMeansIvfSpec extends SparkSpec {
     // brute-force ground truth: all 20 queries in one broadcast block
     val brute = top5(e.crossJoin(broadcast(qs)))
 
-    // IVF: corpus multi-assigned to its 2 nearest buckets (boundary-vector
-    // remedy, 2x index size), queries probe their 3 nearest
-    val block = IvfOps.centroidBlock(cents, "cid", "cv")
-    val corpus = IvfOps.assign(e, block, nProbe = 2)
-    val qasg = IvfOps.assign(qs, block, nProbe = 3, vecCol = "qv")
-    // a (query, vector) pair sharing several buckets must score ONCE
-    val ivf = top5(corpus.join(qasg, Seq("cid"))
-      .select("q_id", "qv", "vec_id", "v").distinct())
+    // IVF through the library entry point (corpus 2-probe, query 3-probe)
+    val ivf = IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv",
+        cents, k = 5)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
 
     val recalls = brute.map { case (q, truth) =>
       q -> ivf.getOrElse(q, Set.empty).count(truth)./(5.0)

@@ -46,9 +46,9 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_set_except").contains("LeftAnti"))
   }
 
-  test("q_sim_knn broadcasts the query vector (map-only scoring)") {
+  test("q_sim_knn inlines the query vector (map-only scoring, no join node)") {
     val p = plan("q_sim_knn")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Join"), p) // scalar-subquery attach — not even BHJ
     assert(p.contains("dot_product"), p) // native codegen expression in play
   }
 
@@ -82,11 +82,11 @@ class PlanSpec extends SparkSpec {
   }
 
   /** The scale-killer guard: a BroadcastNestedLoopJoin is only acceptable
-    * when its build side is a BOUNDED query block (the 1-row / 10-row
-    * query-vector broadcasts of the kNN family) — never corpus-shaped data.
+    * when its build side is a BOUNDED query block (the 10-row query block
+    * of the batch kNN) — never corpus-shaped data. Single-vector queries
+    * attach via scalar subquery and need no exemption.
     */
-  private val boundedBnljAllowed =
-    Set("q_sim_knn", "q_sim_knn_batch", "q_sim_ivf")
+  private val boundedBnljAllowed = Set("q_sim_knn_batch")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>

@@ -62,6 +62,33 @@ object IvfOps {
       .drop("__cents", "__nrm", "__p")
   }
 
+  /** Map-side assignment against DRIVER-RESIDENT centroids (e.g. the
+    * k-means model between iterations): every per-centroid cosine becomes
+    * a static codegen'd expression over a literal vector, so the whole
+    * argmax runs inside WholeStageCodegen — no interpreted higher-order
+    * lambda in the hot path (the [[assign]] form pays k interpreted calls
+    * per row; identical results, pinned by spec). Preferred whenever the
+    * centroids are already materialized on the driver.
+    */
+  def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
+                   nProbe: Int, vecCol: String = "v"): DataFrame = {
+    val scored = array(cents.map { case (cid, cv) =>
+      // left-to-right sum, like DotProduct's loop — bit-identical norms
+      val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      struct((dot_product(col(vecCol), lit(cv)) /
+               (col("__nrm") * lit(cnrm))).as("csim"),
+             lit(-cid).as("negcid"))
+    }: _*)
+    val ranked =
+      if (nProbe == 1) array(array_max(scored))
+      else slice(reverse(array_sort(scored)), 1, nProbe)
+    vecs
+      .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
+      .withColumn("__p", explode(ranked))
+      .withColumn("cid", -col("__p.negcid"))
+      .drop("__nrm", "__p")
+  }
+
   /** Approximate top-k neighbours for a batch of queries over an IVF
     * index (centroids typically from [[KMeans.fit]]): the corpus is
     * multi-assigned to its `corpusProbes` nearest buckets (boundary-vector

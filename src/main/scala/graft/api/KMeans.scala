@@ -43,9 +43,10 @@ object KMeans {
     val dim = cents.head._2.length
 
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF("cid", "cv")
-      val assigned = IvfOps.assign(
-        vecs, IvfOps.centroidBlock(cdf, "cid", "cv"), nProbe = 1, vecCol)
+      // centroids are already driver-resident → static codegen assignment
+      val assigned = IvfOps.assignStatic(
+        vecs, cents.map { case (cid, v) => (cid, v.toArray) },
+        nProbe = 1, vecCol)
       cents = assigned.groupBy("cid")
         .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*)
           .as("cv"))

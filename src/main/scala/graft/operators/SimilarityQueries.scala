@@ -80,6 +80,23 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    "q_sim_ann" -> ((s, d) => {
+      // The full ANN similarity-JOIN shape (IvfOps.annTopK): top-3
+      // approximate neighbours for each of 10 queries — corpus
+      // multi-assigned 2-probe, queries 3-probe, candidate pairs deduped,
+      // exact cosine on candidates only. The oracle mirrors the bucket
+      // arithmetic exactly (fixture centroids = vec_id < 8 so it can).
+      val e = emb(s, d).select("vec_id", "v")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)
+        .select(col("q_id"), col("vec_id"), floor9(col("sim")).as("sim"),
+                col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     "q_sim_ivf" -> ((s, d) => {
       // IVF probe: assign all vectors to nearest of 8 centroids; probe the
       // query's 2 nearest centroid buckets; exact top-5 within the probes.
@@ -134,6 +151,33 @@ object SimilarityQueries {
          |FROM scored
          |QUALIFY rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "q_sim_ann" -> {
+      val csim = duckCos("e.v", "c.cv")
+      val cos = duckCos("a.v", "q.v")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |asg AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+         |qasg AS (SELECT vec_id AS q_id, cid FROM scored
+         |         WHERE vec_id < 10 AND rn <= 3),
+         |cand AS (SELECT DISTINCT q.q_id, a.vec_id
+         |         FROM asg a JOIN qasg q ON a.cid = q.cid
+         |         WHERE a.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT c.q_id, c.vec_id, floor(($cos) * 1e9) / 1e9 AS sim,
+         |         CAST(row_number() OVER (PARTITION BY c.q_id
+         |              ORDER BY $cos DESC, c.vec_id ASC) AS BIGINT) AS rnk
+         |  FROM cand c
+         |  JOIN e a ON c.vec_id = a.vec_id
+         |  JOIN e q ON c.q_id = q.vec_id)
+         |SELECT q_id, vec_id, sim, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     },
 
     "q_sim_ivf" -> {

@@ -12,6 +12,24 @@ import graft.functions.expressions.VectorFunctions.cosine_sim
   */
 class KMeansIvfSpec extends SparkSpec {
 
+  test("assignStatic (codegen literals) ≡ assign (scalar-subquery block)") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centsDf = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dyn = IvfOps.assign(e, IvfOps.centroidBlock(centsDf, "cid", "cv"),
+        nProbe = 2)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cents = centsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val stat = IvfOps.assignStatic(e, cents, nProbe = 2)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(dyn == stat)
+  }
+
   test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

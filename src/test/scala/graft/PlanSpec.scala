@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_str_funcs").contains("*(1)"))
   }
 
+  test("q_sample_hash prunes to the key column (membership needs no text)") {
+    val read = plan("q_sample_hash").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
+
   test("q_sim_ivf assigns centroids map-side (no Window exchange in plan)") {
     val p = plan("q_sim_ivf")
     assert(!p.contains("Window"), p)

@@ -4,6 +4,7 @@ import java.sql.{Connection, DriverManager, SQLException, Types}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
@@ -13,12 +14,31 @@ import org.apache.spark.sql.types._
   * product is a queryable embedded SQL database (Derby; `:memory:` maps to
   * Derby's in-memory subprotocol like upstream's `:memory:`, P:28).
   *
-  * Exactly-once: each (epoch, partition) claims a row in a `<table>_commits`
-  * log INSIDE the same transaction as its data rows. A replayed epoch (task
-  * retry, or query restart from checkpoint) finds its claim taken and skips —
-  * the idempotent-sink half of the source's replayable-offset contract.
+  * Exactly-once: each (app, epoch, partition) claims a row in a
+  * `<table>_commits` log INSIDE the same transaction as its data rows. A
+  * replayed epoch (task retry, or query restart from checkpoint) finds its
+  * claim taken and skips — the idempotent-sink half of the source's
+  * replayable-offset contract. Two preconditions make the per-partition
+  * claim sound, and both are enforced here rather than assumed:
+  *
+  *   - Claims are scoped by an application id (the Delta `txnAppId`
+  *     pattern). `sink` derives it from the checkpoint location, so the
+  *     same checkpoint resumes under the same claims (replays skip), while
+  *     a NEW checkpoint against the same database is a new claim scope —
+  *     its batch ids also restart at 0, and without the scope they would
+  *     collide with stale claims and the fresh data would be silently
+  *     dropped as "replays".
+  *   - A replayed batch must re-plan into the same row→partition mapping.
+  *     File sources re-split by parallelism/config, so `writeBatch`
+  *     repartitions every batch by the hash of the full row over a FIXED
+  *     partition count before writing (environment-independent, so a
+  *     restart on a different core count claims identically).
+  *
   * Writes are distributed (one transaction per partition, executor-side);
-  * nothing funnels through the driver.
+  * nothing funnels through the driver. A failed partition rolls back its
+  * open transaction before the connection closes — Derby otherwise fails
+  * the close (SQLState 25001), masking the real error and keeping the
+  * claim-row lock alive until lock timeout.
   *
   * `batchSize` plays upstream's `--batch-size` amortization role at the
   * JDBC layer: rows are flushed with executeBatch every `batchSize` rows.
@@ -27,6 +47,13 @@ import org.apache.spark.sql.types._
   * single-writer reference — documented divergence.
   */
 object TransactionalJdbcSink {
+
+  /** Fixed write-side partition count: part of the claim contract (a claim
+    * names one deterministic slice of the batch), so it must not derive
+    * from cluster parallelism. Plenty for an embedded/JDBC sink whose
+    * bottleneck is the database, not Spark.
+    */
+  val WritePartitions = 8
 
   /** Derby-flavored DDL type for a Spark field. */
   private def ddlType(dt: DataType): String = dt match {
@@ -59,6 +86,26 @@ object TransactionalJdbcSink {
     DriverManager.getConnection(url)
   }
 
+  /** Stable claim scope for a checkpoint location: same checkpoint (even
+    * via a different relative path) → same app id; new checkpoint → new
+    * scope, so its restarted batch ids cannot collide with an older run's.
+    */
+  def appIdFor(checkpoint: String): String = {
+    val canonical =
+      try new java.io.File(checkpoint).getCanonicalPath
+      catch { case _: java.io.IOException => checkpoint }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The deterministic write layout: hash of the full row over a fixed
+    * partition count, so the same logical batch maps to the same
+    * (partition → rows) slices no matter how the source split it.
+    */
+  def deterministic(batch: DataFrame): DataFrame =
+    batch.repartition(WritePartitions, batch.schema.fieldNames.map(col): _*)
+
   /** CREATE TABLE IF NOT EXISTS analog (R8; Derby has no IF NOT EXISTS —
     * an existing table surfaces as SQLState X0Y32 and is fine).
     */
@@ -71,23 +118,26 @@ object TransactionalJdbcSink {
       create(s"CREATE TABLE $table (" +
         schema.fields.map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ") + ")")
       create(s"CREATE TABLE ${table}_commits (" +
+        "app_id VARCHAR(64) NOT NULL, " +
         "batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL, " +
-        s"PRIMARY KEY (batch_id, partition_id))")
+        s"PRIMARY KEY (app_id, batch_id, partition_id))")
     } finally conn.close()
   }
 
-  /** Write one micro-batch exactly-once: per partition, one transaction
-    * containing the (batchId, partitionId) commit-log claim plus the rows.
+  /** Write one micro-batch exactly-once: per partition (of the
+    * deterministic layout), one transaction containing the
+    * (appId, batchId, partitionId) commit-log claim plus the rows.
     */
   def writeBatch(batch: DataFrame, batchId: Long, url: String,
-                 table: String, batchSize: Int): Unit = {
+                 table: String, batchSize: Int,
+                 appId: String = "default"): Unit = {
     val schema = batch.schema
     val insert = s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
       s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
-    val claim = s"INSERT INTO ${table}_commits VALUES (?, ?)"
+    val claim = s"INSERT INTO ${table}_commits VALUES (?, ?, ?)"
     val types = schema.fields.map(f => (f.dataType, sqlType(f.dataType)))
     val flushEvery = math.max(batchSize, 1)
-    batch.foreachPartition { (rows: Iterator[Row]) =>
+    deterministic(batch).foreachPartition { (rows: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       val conn = connect(url)
       try {
@@ -95,7 +145,7 @@ object TransactionalJdbcSink {
         val claimed =
           try {
             val st = conn.prepareStatement(claim)
-            st.setLong(1, batchId); st.setInt(2, pid)
+            st.setString(1, appId); st.setLong(2, batchId); st.setInt(3, pid)
             st.executeUpdate(); st.close(); true
           } catch {
             // duplicate key — this partition of this epoch already
@@ -130,20 +180,28 @@ object TransactionalJdbcSink {
           ps.close()
           conn.commit() // rows + claim become visible atomically
         } else conn.rollback()
+      } catch {
+        case t: Throwable =>
+          // roll back the open transaction so close() doesn't throw 25001
+          // over the real failure and the claim-row lock dies with us
+          try conn.rollback() catch { case _: SQLException => () }
+          throw t
       } finally conn.close()
     }
   }
 
   /** R7 end-to-end: stream into the embedded database with checkpointing;
-    * restart-safe (no dupes) by the commit-log claim above.
+    * restart-safe (no dupes) by the commit-log claim above, scoped to this
+    * checkpoint's app id.
     */
   def sink(df: DataFrame, url: String, table: String, batchSize: Int,
            checkpoint: String,
            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     ensureTables(url, table, df.schema)
+    val appId = appIdFor(checkpoint)
     df.writeStream
       .foreachBatch((b: DataFrame, id: Long) =>
-        writeBatch(b, id, url, table, batchSize))
+        writeBatch(b, id, url, table, batchSize, appId))
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

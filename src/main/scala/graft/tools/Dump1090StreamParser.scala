@@ -88,6 +88,16 @@ object Dump1090StreamParser {
     if (database == ":memory:") "jdbc:derby:memory:adsb_messages;create=true"
     else s"jdbc:derby:$database;create=true"
 
+  /** Default checkpoint: deterministic from the database path, so rerunning
+    * against the same persistent database resumes the same offsets and claim
+    * scope instead of replaying under a colliding fresh epoch numbering. An
+    * in-memory database dies with the process, so it gets a temp checkpoint.
+    */
+  def defaultCheckpoint(database: String): String =
+    if (database == ":memory:")
+      java.nio.file.Files.createTempDirectory("d1090ckpt").toString
+    else new java.io.File(database).getAbsolutePath + ".checkpoint"
+
   /** Build the full pipeline (R1-R13): socket source → SBS-1 parse →
     * transactional squitters sink. Returns the running query.
     */
@@ -97,8 +107,7 @@ object Dump1090StreamParser {
       "bufferSize" -> c.bufferSize.toString,
       "connectAttemptLimit" -> c.connectAttemptLimit.toString,
       "connectAttemptDelay" -> c.connectAttemptDelay.toString))
-    val ckpt = c.checkpoint.getOrElse(
-      java.nio.file.Files.createTempDirectory("d1090ckpt").toString)
+    val ckpt = c.checkpoint.getOrElse(defaultCheckpoint(c.database))
     TransactionalJdbcSink.sink(
       squitters, jdbcUrl(c.database), "squitters", c.batchSize, ckpt, trigger)
   }
@@ -111,13 +120,16 @@ object Dump1090StreamParser {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // R11: lifetime totals via listener — recentProgress is a ring buffer
+    // capped at numRecentProgressUpdates and undercounts long sessions
+    val metrics = new graft.streaming.IngestMetrics
+    spark.streams.addListener(metrics)
     val query = run(spark, c)
     // R12: Ctrl-C → stop, final report (P:172-178)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try {
-        val total = query.recentProgress.map(_.numInputRows).sum
         query.stop()
-        println(s"${total} rows written to ${c.database}")
+        println(s"${metrics.totalRows} rows written to ${c.database}")
       } catch { case _: Throwable => () }
     }))
     query.awaitTermination()

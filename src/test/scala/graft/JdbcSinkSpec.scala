@@ -3,6 +3,7 @@ package graft
 import java.io.OutputStream
 import java.net.ServerSocket
 import java.nio.charset.StandardCharsets
+import java.sql.SQLException
 
 import graft.streaming.{StreamingOps, TransactionalJdbcSink}
 import graft.tools.Dump1090StreamParser
@@ -63,6 +64,112 @@ class JdbcSinkSpec extends SparkSpec {
     TransactionalJdbcSink.writeBatch(batch, 7L, url, "t1", batchSize = 2) // replay
     TransactionalJdbcSink.writeBatch(batch, 8L, url, "t1", batchSize = 2) // new epoch
     assert(count(url, "t1") == 6)
+  }
+
+  test("a fresh checkpoint (new claim scope) against the same database keeps new data") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val first = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val second = Seq((3, "c"), (4, "d"), (5, "e")).toDF("id", "s")
+    TransactionalJdbcSink.ensureTables(url, "t_scope", first.schema)
+    // two runs, each restarting batch ids at 0 (the CLI's fresh-checkpoint
+    // default and the source's "resume with a fresh checkpoint" path):
+    // without app scoping the second run's batch 0 collides with the stale
+    // claim and its rows are silently dropped as a "replay"
+    TransactionalJdbcSink.writeBatch(first, 0L, url, "t_scope", 10,
+      appId = TransactionalJdbcSink.appIdFor("/tmp/ckpt-run-a"))
+    TransactionalJdbcSink.writeBatch(second, 0L, url, "t_scope", 10,
+      appId = TransactionalJdbcSink.appIdFor("/tmp/ckpt-run-b"))
+    assert(count(url, "t_scope") == 5)
+    // and the same checkpoint is still a replay no-op
+    TransactionalJdbcSink.writeBatch(second, 0L, url, "t_scope", 10,
+      appId = TransactionalJdbcSink.appIdFor("/tmp/ckpt-run-b"))
+    assert(count(url, "t_scope") == 5)
+  }
+
+  test("a failed partition rolls back: real error surfaces and the claim is retryable") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    // one poison row (overflows VARCHAR(255)) among good rows
+    val batch = ((0 until 20).map(i => (i, s"row$i")) :+ (99, "x" * 300))
+      .toDF("id", "s")
+    TransactionalJdbcSink.ensureTables(url, "t_rb", batch.schema)
+    val badPid = TransactionalJdbcSink.deterministic(batch).rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        if (it.exists(_.getInt(0) == 99)) Iterator(pid) else Iterator.empty)
+      .collect().head
+    def states(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else (t match {
+        case s: SQLException => Seq(s.getSQLState)
+        case _ => Nil
+      }) ++ states(t.getCause) ++
+        t.getSuppressed.toSeq.flatMap(states)
+    def claims(): Set[Int] = {
+      val c = TransactionalJdbcSink.connect(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT partition_id FROM t_rb_commits")
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getInt(1)).toSet
+      } finally c.close()
+    }
+    def replay(): Throwable = intercept[Exception] {
+      TransactionalJdbcSink.writeBatch(batch, 0L, url, "t_rb", 10, appId = "rb")
+    }
+    // the truncation error (22001), not Derby's 25001 close-with-open-txn
+    val e1 = replay()
+    assert(states(e1).contains("22001"), s"expected 22001 in ${states(e1)}")
+    assert(!states(e1).contains("25001"), "rollback must precede close")
+    // the rollback released the poison partition's claim...
+    assert(!claims().contains(badPid))
+    // ...so a replay re-attempts exactly that slice: it fails on the same
+    // poison row immediately (22001 again — not a lock timeout from a
+    // wedged claim), and already-committed rows are not duplicated
+    val e2 = replay()
+    assert(states(e2).contains("22001"), s"expected 22001 in ${states(e2)}")
+    val dupes = {
+      val c = TransactionalJdbcSink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*) FROM (SELECT id FROM t_rb GROUP BY id HAVING count(*) > 1) d")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(dupes == 0L)
+  }
+
+  test("claims survive source re-splitting: row→partition mapping is plan-independent") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val rows = (0 until 100).map(i => (i, s"row$i"))
+    val narrow = spark.createDataset(rows).toDF("id", "s").repartition(3)
+    val wide = spark.createDataset(rows).toDF("id", "s").repartition(13)
+    def layout(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+      TransactionalJdbcSink.deterministic(df).rdd
+        .mapPartitionsWithIndex((pid, it) => it.map(r => (pid, r.getInt(0))))
+        .collect().toSet
+    val lNarrow = layout(narrow)
+    assert(lNarrow == layout(wide), "write layout must not depend on source splits")
+
+    // partial replay across a re-split: claim one slice as already
+    // committed, re-deliver the batch with different parallelism — exactly
+    // the unclaimed slices' rows must land (no dupes, no drops)
+    TransactionalJdbcSink.ensureTables(url, "t_det", narrow.schema)
+    val donePid = lNarrow.head._1
+    val conn = TransactionalJdbcSink.connect(url)
+    try conn.createStatement().executeUpdate(
+      s"INSERT INTO t_det_commits VALUES ('det', 4, $donePid)")
+    finally conn.close()
+    TransactionalJdbcSink.writeBatch(wide, 4L, url, "t_det", 10, appId = "det")
+    val expect = lNarrow.collect { case (pid, id) if pid != donePid => id }
+    val got = {
+      val c = TransactionalJdbcSink.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT id FROM t_det")
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getInt(1)).toSet
+      } finally c.close()
+    }
+    assert(got == expect.toSet)
   }
 
   test("CLI pipeline e2e: argparse surface → socket → Derby squitters") {

@@ -106,13 +106,20 @@ object IvfOps {
               centroids: DataFrame, k: Int,
               corpusProbes: Int = 2, queryProbes: Int = 3): DataFrame = {
     val block = centroidBlock(centroids, "cid", "cv")
-    val cand = assign(corpus, block, corpusProbes, vecCol)
-      .select(col("cid"), col(idCol), col(vecCol))
+    // candidate generation and pair-dedup carry ONLY the id pair — at
+    // dim=64 each vector is ~0.5 KB, so keeping both vectors in the
+    // bucket-join rows and the distinct's shuffle key would move ~1 KB of
+    // pure overhead per candidate; the vectors re-attach by id afterwards
+    val candIds = assign(corpus, block, corpusProbes, vecCol)
+      .select(col("cid"), col(idCol))
       .join(assign(queries, block, queryProbes, qVecCol)
-              .select(col("cid"), col(qIdCol), col(qVecCol)), Seq("cid"))
+              .select(col("cid"), col(qIdCol)), Seq("cid"))
       .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
+      .select(col(qIdCol), col(idCol))
       .distinct()
+    val cand = candIds
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(queries.select(col(qIdCol), col(qVecCol)), Seq(qIdCol))
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(idCol).asc)
     cand
       .select(col(qIdCol), col(idCol),

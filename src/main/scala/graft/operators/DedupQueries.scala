@@ -219,16 +219,31 @@ object DedupQueries {
       val block = IvfOps.centroidBlock(
         e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
       val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
-      val cand = asg.as("a").join(asg.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .distinct()
+      // pairs from bucket membership via ONE aggregation instead of a
+      // self-join on cid: a self-join evaluates the assignment subtree
+      // twice (two scans + two assignment passes) and shuffles it twice;
+      // collecting each bucket's sorted member ids shuffles (cid, vec_id)
+      // once and expands the i<j pairs map-side through two stacked
+      // generators (posexplode, then explode of the sorted tail) — all
+      // codegen'd, no interpreted lambda on the pair-volume path. A
+      // bucket's member list is bounded model-state-sized at scale (n/k
+      // with k grown ∝ corpus) — the same boundedness the bucketed join
+      // itself relies on.
+      val cand = asg.groupBy("cid")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .select(posexplode(col("ids")).as(Seq("i", "va")), col("ids"))
+        .select(col("va"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("vb"))
+      // exact verify on candidates; the pair-dedup (a pair can co-reside
+      // in both probed buckets) runs AFTER the similarity threshold, when
+      // survivors are rare — so no corpus-volume distinct shuffle
       val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
       cand
         .join(e.as("ea"), col("va") === col("ea.vec_id"))
         .join(e.as("eb"), col("vb") === col("eb.vec_id"))
         .select(col("va"), col("vb"), floor(cos * 1e9).cast("long").as("sim_e9"))
         .filter(col("sim_e9") >= 450000000L)
+        .distinct()
         .orderBy("va", "vb")
     })
   )

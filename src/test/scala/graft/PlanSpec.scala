@@ -81,6 +81,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_embed evaluates the IVF assignment once (bucket agg, no cid self-join)") {
+    val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidates come from one aggregation over the assignment, so the
+    // only joins left are the two exact-verify vector re-attachments
+    assert(p.contains("collect_list"), p)
+    // count scans in the AQE final plan only (the string repeats the
+    // pre-AQE initial plan below it)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans <= 4, s"expected <= 4 embeddings scans (asg + centroid block " +
+      s"+ 2 verify sides), got $scans:\n$p")
+  }
+
+  test("q_sim_ann dedups candidates on the id pair (no vectors in the distinct)") {
+    val df = SparkEntry.queries("q_sim_ann")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // distinct = HashAggregate with functions=[]; its keys must be the two
+    // ids only — a vector-bearing key would shuffle ~1 KB per candidate
+    val distincts = p.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[") && l.contains("functions=[]"))
+      .toList
+    assert(distincts.nonEmpty, p)
+    distincts.foreach { l =>
+      assert(!l.contains(" v#") && !l.contains("[v#") && !l.contains("qv#"),
+        s"distinct carries vector columns: $l")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")

@@ -89,6 +89,45 @@ object IvfOps {
       .drop("__nrm", "__p")
   }
 
+  /** Default per-bucket membership bound for [[bucketPairs]]: far above
+    * any healthy bucket (k is grown with the corpus so buckets hold ~n/k
+    * members), low enough that a degenerate centroid cannot concentrate
+    * O(bucket²) pair generation and an O(bucket) aggregation row in one
+    * task.
+    */
+  val BucketCap = 4096
+
+  /** All unordered (a < b) id pairs co-resident in a bucket, from ONE
+    * aggregation: collect each bucket's sorted member ids and expand the
+    * i<j pairs map-side through two stacked generators — versus a
+    * self-join on the bucket key, which evaluates the assignment subtree
+    * twice and shuffles it twice.
+    *
+    * Membership is capped at `cap` members per bucket BEFORE the
+    * aggregation (row_number over the bucket, ordered by id — deterministic,
+    * and the ranking reuses the aggregation's own exchange so the guard
+    * costs a sort, not a shuffle). The cap is the skew guard: nothing else
+    * bounds a degenerate bucket, and an uncapped hot bucket means an
+    * O(bucket)-sized aggregation row and O(bucket²) pairs inside a single
+    * task — the same hot-key failure DfCap guards against for shingles.
+    * Members past the cap (by id order) drop out of pair generation;
+    * buckets that large indicate the clustering, not the pairing, needs
+    * fixing (grow k).
+    */
+  def bucketPairs(asg: DataFrame, bucketCol: String = "cid",
+                  idCol: String = "vec_id",
+                  cap: Int = BucketCap): DataFrame = {
+    val byBucket = Window.partitionBy(bucketCol).orderBy(idCol)
+    asg.select(col(bucketCol), col(idCol))
+      .withColumn("__brn", row_number().over(byBucket))
+      .filter(col("__brn") <= cap)
+      .groupBy(bucketCol)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .select(posexplode(col("__ids")).as(Seq("__i", "a")), col("__ids"))
+      .select(col("a"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("b"))
+  }
+
   /** Approximate top-k neighbours for a batch of queries over an IVF
     * index (centroids typically from [[KMeans.fit]]): the corpus is
     * multi-assigned to its `corpusProbes` nearest buckets (boundary-vector

@@ -220,20 +220,15 @@ object DedupQueries {
         e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
       val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
       // pairs from bucket membership via ONE aggregation instead of a
-      // self-join on cid: a self-join evaluates the assignment subtree
-      // twice (two scans + two assignment passes) and shuffles it twice;
-      // collecting each bucket's sorted member ids shuffles (cid, vec_id)
-      // once and expands the i<j pairs map-side through two stacked
-      // generators (posexplode, then explode of the sorted tail) — all
-      // codegen'd, no interpreted lambda on the pair-volume path. A
-      // bucket's member list is bounded model-state-sized at scale (n/k
-      // with k grown ∝ corpus) — the same boundedness the bucketed join
-      // itself relies on.
-      val cand = asg.groupBy("cid")
-        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-        .select(posexplode(col("ids")).as(Seq("i", "va")), col("ids"))
-        .select(col("va"),
-          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("vb"))
+      // self-join on cid (which would evaluate the assignment subtree
+      // twice and shuffle it twice); IvfOps.bucketPairs caps membership
+      // per bucket (BucketCap, mirrored in the oracle) so a degenerate
+      // hot centroid cannot concentrate O(bucket²) pair generation in one
+      // task — buckets are n/k-bounded at scale with k grown ∝ corpus,
+      // and the cap is the enforcement of that assumption, like DfCap for
+      // shingles.
+      val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
+        .select(col("a").as("va"), col("b").as("vb"))
       // exact verify on candidates; the pair-dedup (a pair can co-reside
       // in both probed buckets) runs AFTER the similarity threshold, when
       // survivors are rare — so no corpus-volume distinct shuffle
@@ -346,7 +341,12 @@ object DedupQueries {
          |         row_number() OVER (PARTITION BY e.vec_id
          |                            ORDER BY $csim DESC, c.cid ASC) AS rn
          |  FROM e, cents c),
-         |asg AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+         |asg0 AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY cid
+         |                                    ORDER BY vec_id) AS brn
+         |          FROM asg0) WHERE brn <= 4096),
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |         FROM asg a JOIN asg b
          |           ON a.cid = b.cid AND a.vec_id < b.vec_id)

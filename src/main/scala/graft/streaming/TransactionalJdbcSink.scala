@@ -87,13 +87,27 @@ object TransactionalJdbcSink {
   }
 
   /** Stable claim scope for a checkpoint location: same checkpoint (even
-    * via a different relative path) → same app id; new checkpoint → new
-    * scope, so its restarted batch ids cannot collide with an older run's.
+    * via a different relative path, or spelled as a `file:` URI vs a plain
+    * path) → same app id; new checkpoint → new scope, so its restarted
+    * batch ids cannot collide with an older run's. Normalizes through
+    * Hadoop's Path/URI first — `java.io.File` alone would mangle URI forms
+    * (`file:///x`, `hdfs://nn/x`) into distinct scopes for the same
+    * location, and a restart under the other spelling would re-insert the
+    * replayed in-flight batch as duplicates.
     */
   def appIdFor(checkpoint: String): String = {
     val canonical =
-      try new java.io.File(checkpoint).getCanonicalPath
-      catch { case _: java.io.IOException => checkpoint }
+      try {
+        val uri = new org.apache.hadoop.fs.Path(checkpoint).toUri
+        uri.getScheme match {
+          // local (explicit file: or schemeless): resolve relative paths
+          // and symlinks so ./cp and /abs/cp agree
+          case null | "file" => new java.io.File(uri.getPath).getCanonicalPath
+          case s =>
+            val auth = Option(uri.getAuthority).getOrElse("")
+            s"$s://$auth${uri.getPath}"
+        }
+      } catch { case _: Exception => checkpoint }
     java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -107,21 +121,52 @@ object TransactionalJdbcSink {
     batch.repartition(WritePartitions, batch.schema.fieldNames.map(col): _*)
 
   /** CREATE TABLE IF NOT EXISTS analog (R8; Derby has no IF NOT EXISTS —
-    * an existing table surfaces as SQLState X0Y32 and is fine).
+    * an existing table surfaces as SQLState X0Y32 and is fine). A
+    * pre-app_id commits table (two columns, PK (batch_id, partition_id))
+    * left behind by an older build in a persistent database is migrated in
+    * place: the three-value claim INSERT would otherwise fail on every
+    * batch (column-count mismatch), bricking the sink on exactly the
+    * persistent-database resume path the claim scope exists for.
     */
   def ensureTables(url: String, table: String, schema: StructType): Unit = {
     val conn = connect(url)
     try {
-      def create(ddl: String): Unit =
-        try { val st = conn.createStatement(); st.execute(ddl); st.close() }
-        catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      def create(ddl: String): Boolean =
+        try { val st = conn.createStatement(); st.execute(ddl); st.close(); true }
+        catch { case e: SQLException if e.getSQLState == "X0Y32" => false }
       create(s"CREATE TABLE $table (" +
         schema.fields.map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ") + ")")
-      create(s"CREATE TABLE ${table}_commits (" +
+      val fresh = create(s"CREATE TABLE ${table}_commits (" +
         "app_id VARCHAR(64) NOT NULL, " +
         "batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL, " +
         s"PRIMARY KEY (app_id, batch_id, partition_id))")
+      if (!fresh) migrateCommits(conn, table)
     } finally conn.close()
+  }
+
+  /** Adds the app_id claim-scope column to a legacy commits table. Legacy
+    * claims get scope 'default' — the writeBatch default before scoping
+    * existed — so an old run's claims stay distinct from any
+    * checkpoint-derived scope (MD5 hex, never the literal 'default'). The
+    * primary key is rebuilt to include app_id; leaving it at
+    * (batch_id, partition_id) would make two different apps' batch 0
+    * collide and silently drop the second app's data as a replay.
+    */
+  private def migrateCommits(conn: Connection, table: String): Unit = {
+    val commits = s"${table}_commits"
+    val rs = conn.getMetaData.getColumns(
+      null, null, commits.toUpperCase(java.util.Locale.ROOT), "APP_ID")
+    val hasAppId = try rs.next() finally rs.close()
+    if (!hasAppId) {
+      val st = conn.createStatement()
+      try {
+        st.execute(s"ALTER TABLE $commits ADD COLUMN app_id " +
+          "VARCHAR(64) NOT NULL DEFAULT 'default'")
+        st.execute(s"ALTER TABLE $commits DROP PRIMARY KEY")
+        st.execute(s"ALTER TABLE $commits ADD CONSTRAINT ${commits}_pk " +
+          "PRIMARY KEY (app_id, batch_id, partition_id)")
+      } finally st.close()
+    }
   }
 
   /** Write one micro-batch exactly-once: per partition (of the
@@ -134,7 +179,11 @@ object TransactionalJdbcSink {
     val schema = batch.schema
     val insert = s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
       s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
-    val claim = s"INSERT INTO ${table}_commits VALUES (?, ?, ?)"
+    // columns named explicitly: a migrated legacy table has app_id
+    // appended LAST, so positional VALUES would bind the scope into
+    // batch_id there
+    val claim = s"INSERT INTO ${table}_commits " +
+      "(app_id, batch_id, partition_id) VALUES (?, ?, ?)"
     val types = schema.fields.map(f => (f.dataType, sqlType(f.dataType)))
     val flushEvery = math.max(batchSize, 1)
     deterministic(batch).foreachPartition { (rows: Iterator[Row]) =>

@@ -84,6 +84,20 @@ object Dump1090StreamParser {
     c
   }
 
+  /** Rows actually committed to the squitters table (claims-skipped
+    * replays excluded, prior runs against a persistent database included).
+    */
+  def writtenRows(url: String): Long = {
+    val conn = TransactionalJdbcSink.connect(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery("SELECT COUNT(*) FROM squitters")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
   def jdbcUrl(database: String): String =
     if (database == ":memory:") "jdbc:derby:memory:adsb_messages;create=true"
     else s"jdbc:derby:$database;create=true"
@@ -125,11 +139,15 @@ object Dump1090StreamParser {
     val metrics = new graft.streaming.IngestMetrics
     spark.streams.addListener(metrics)
     val query = run(spark, c)
-    // R12: Ctrl-C → stop, final report (P:172-178)
+    // R12: Ctrl-C → stop, final report (P:172-178). "Written" comes from
+    // the database itself: the listener's numInputRows counts replayed
+    // batches whose claims the sink skipped, so after a
+    // restart-from-checkpoint it overstates what actually landed.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try {
         query.stop()
-        println(s"${metrics.totalRows} rows written to ${c.database}")
+        println(s"${writtenRows(jdbcUrl(c.database))} rows written to " +
+          s"${c.database} (${metrics.totalRows} ingested this run)")
       } catch { case _: Throwable => () }
     }))
     query.awaitTermination()

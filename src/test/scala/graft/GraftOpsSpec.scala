@@ -83,4 +83,60 @@ class GraftOpsSpec extends SparkSpec {
       .orderBy("k", "v").collect().toSeq
     assert(salted == plain)
   }
+
+  test("saltedJoin under a pathological hot key: correct, and the hot key " +
+       "spreads across all salts with bounded per-reducer share") {
+    // 60% of all rows on one key — the shape where an unsalted shuffle
+    // funnels the whole key through a single reducer
+    val n = 20000
+    val salts = 8
+    val left = spark.range(n).select(
+      when($"id" < n * 6 / 10, lit(0))
+        .otherwise(pmod($"id", lit(97)) + 1).cast("int").as("k"),
+      $"id".as("v"))
+    val right = (0 to 97).map(i => (i, s"name$i")).toDF("k", "name")
+
+    // correctness: same multiset as the plain join (checksum, not collect —
+    // 20k joined rows)
+    val plain = left.join(right, "k")
+      .agg(count(lit(1)), sum($"v"), sum(hash($"k", $"name")))
+      .as[(Long, Long, Long)].head()
+    val viaSalt = left.saltedJoin(right, "k", salts)
+      .agg(count(lit(1)), sum($"v"), sum(hash(left("k"), $"name")))
+      .as[(Long, Long, Long)].head()
+    assert(viaSalt == plain)
+
+    // boundedness: the hot key's rows must land on every one of the
+    // `salts` sub-keys, and no sub-key may carry more than a ~2/salts
+    // share — i.e. the per-reducer input for the hot key is ~hot/salts,
+    // not hot
+    val hotTotal = n * 6 / 10
+    val spread = graft.api.GraftOps.salted(left, "k", salts)
+      .filter($"k" === 0).groupBy($"__salt").count()
+      .as[(Int, Long)].collect().toMap
+    assert(spread.keySet == (0 until salts).toSet)
+    assert(spread.values.max <= hotTotal * 2 / salts,
+      s"hot-key reducer share not bounded: $spread")
+  }
+
+  test("bucketPairs expands each bucket's i<j pairs exactly once") {
+    val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+                  (3L, 30L)).toDF("cid", "vec_id")
+    val got = graft.api.IvfOps.bucketPairs(asg)
+      .orderBy("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+  }
+
+  test("bucketPairs caps a planted hot bucket's membership deterministically") {
+    // one degenerate bucket with 150 members against cap=100: only the
+    // first 100 members (by id) generate pairs, so the task-local pair
+    // volume is bounded by cap² regardless of bucket size; healthy
+    // buckets are untouched
+    val asg = ((1L to 150L).map((7L, _)) ++ Seq((8L, 200L), (8L, 201L)))
+      .toDF("cid", "vec_id")
+    val got = graft.api.IvfOps.bucketPairs(asg, cap = 100)
+    assert(got.count() == 100L * 99 / 2 + 1)
+    // no pair from the hot bucket involves a member past the cap
+    assert(got.filter($"b" > 100 && $"a" =!= 200L).count() == 0)
+  }
 }

@@ -87,6 +87,61 @@ class JdbcSinkSpec extends SparkSpec {
     assert(count(url, "t_scope") == 5)
   }
 
+  test("a legacy pre-app_id commits table is migrated in place on resume") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    // a persistent database created by the pre-scoping build: two-column
+    // commits table, PK (batch_id, partition_id), one committed claim
+    val conn = TransactionalJdbcSink.connect(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE t_mig (id INTEGER, s VARCHAR(255))")
+      st.execute("CREATE TABLE t_mig_commits (" +
+        "batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL, " +
+        "PRIMARY KEY (batch_id, partition_id))")
+      st.execute("INSERT INTO t_mig_commits VALUES (0, 3)")
+      st.close()
+    } finally conn.close()
+    // resume with the current build: ensureTables must widen the table —
+    // otherwise every 3-value claim INSERT fails on column count and the
+    // sink is bricked on exactly the persistent-database resume path
+    TransactionalJdbcSink.ensureTables(url, "t_mig", batch.schema)
+    TransactionalJdbcSink.writeBatch(batch, 7L, url, "t_mig", 10, appId = "mig")
+    assert(count(url, "t_mig") == 2)
+    // legacy claim got the pre-scoping scope...
+    val c2 = TransactionalJdbcSink.connect(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT app_id FROM t_mig_commits WHERE batch_id = 0 AND partition_id = 3")
+      rs.next(); assert(rs.getString(1) == "default")
+    } finally c2.close()
+    // ...and the rebuilt PK keys claims by app: a DIFFERENT app's batch 0
+    // must not collide with the legacy claim (batch_id=0 above)
+    val fresh = Seq((9, "z")).toDF("id", "s")
+    TransactionalJdbcSink.writeBatch(fresh, 0L, url, "t_mig", 10, appId = "mig2")
+    assert(count(url, "t_mig") == 3)
+    // replays still skip, per app
+    TransactionalJdbcSink.writeBatch(fresh, 0L, url, "t_mig", 10, appId = "mig2")
+    assert(count(url, "t_mig") == 3)
+    // migration is idempotent
+    TransactionalJdbcSink.ensureTables(url, "t_mig", batch.schema)
+  }
+
+  test("appIdFor: URI and plain-path spellings of one checkpoint share a scope") {
+    val plain = "/tmp/some/ckpt"
+    assert(TransactionalJdbcSink.appIdFor(plain) ==
+           TransactionalJdbcSink.appIdFor(s"file://$plain"))
+    assert(TransactionalJdbcSink.appIdFor(plain) ==
+           TransactionalJdbcSink.appIdFor("/tmp/./some/ckpt"))
+    // remote URIs normalize too (trailing-dot path segments), and
+    // different locations stay distinct
+    assert(TransactionalJdbcSink.appIdFor("hdfs://nn:8020/a/./b") ==
+           TransactionalJdbcSink.appIdFor("hdfs://nn:8020/a/b"))
+    assert(TransactionalJdbcSink.appIdFor("hdfs://nn:8020/a/b") !=
+           TransactionalJdbcSink.appIdFor("/a/b"))
+  }
+
   test("a failed partition rolls back: real error surfaces and the claim is retryable") {
     import spark.implicits._
     val url = Dump1090StreamParser.jdbcUrl(":memory:")

@@ -35,25 +35,35 @@ object KMeans {
     val spark = vecs.sparkSession
     import spark.implicits._
 
-    var cents: Seq[(Long, Seq[Double])] = vecs
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
-    val dim = cents.head._2.length
+    // every iteration re-reads the corpus; without a cache that is
+    // `iters` full source scans (at 100 TB, `iters` passes over the lake).
+    // Cache the two needed columns for the duration of the fit and release
+    // on exit — single-iteration fits read the source once either way and
+    // skip the cache's materialization cost.
+    val corpus = vecs.select(col(idCol), col(vecCol))
+    val cached = iters > 1
+    if (cached) corpus.cache()
+    try {
+      var cents: Seq[(Long, Seq[Double])] = corpus
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      val dim = cents.head._2.length
 
-    for (_ <- 1 to iters) {
-      // centroids are already driver-resident → static codegen assignment
-      val assigned = IvfOps.assignStatic(
-        vecs, cents.map { case (cid, v) => (cid, v.toArray) },
-        nProbe = 1, vecCol)
-      cents = assigned.groupBy("cid")
-        .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*)
-          .as("cv"))
-        .orderBy("cid")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    }
-    cents.toDF("cid", "cv")
+      for (_ <- 1 to iters) {
+        // centroids are already driver-resident → static codegen assignment
+        val assigned = IvfOps.assignStatic(
+          corpus, cents.map { case (cid, v) => (cid, v.toArray) },
+          nProbe = 1, vecCol)
+        cents = assigned.groupBy("cid")
+          .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*)
+            .as("cv"))
+          .orderBy("cid")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      }
+      cents.toDF("cid", "cv")
+    } finally if (cached) corpus.unpersist(blocking = true)
   }
 }

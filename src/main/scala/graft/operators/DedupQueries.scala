@@ -72,23 +72,46 @@ object DedupQueries {
   private val shCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shCache.computeIfAbsent((s, d), _ => {
-      // index build (eager, once per dir): raw index → anti-join away the
-      // HOT shingles (df > DfCap) → materialize the capped index, release
-      // the raw one. The hot set is tiny by construction (heavy tail), so
-      // AQE broadcasts it and the cap costs one aggregation, not a shuffle
-      // of the index; the raw cache keeps the md5-explode single-pass.
-      val raw = shingles(s, d)
-        .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-        .cache()
-      val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DfCap).select("h")
-      val capped = raw.join(hot, Seq("h"), "left_anti")
-        .select("doc_id", "h").cache()
-      capped.count()
-      raw.unpersist()
-      capped
-    })
+    shCache.synchronized {
+      val hit = shCache.get((s, d))
+      if (hit != null) hit
+      else {
+        // at most ONE pinned index per session: callers sweep dirs
+        // serially (Bench/Verify across scale factors), and keeping every
+        // dir's index cached for the session's life accumulates pinned
+        // storage without bound. Evict before building, not after — the
+        // old index's blocks would otherwise coexist with the build.
+        import scala.jdk.CollectionConverters._
+        shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
+          .toSeq.foreach(k => shCache.remove(k).unpersist(blocking = true))
+        // index build (eager, once per dir): raw index → anti-join away the
+        // HOT shingles (df > DfCap) → materialize the capped index, release
+        // the raw one. The hot set is tiny by construction (heavy tail), so
+        // AQE broadcasts it and the cap costs one aggregation, not a shuffle
+        // of the index; the raw cache keeps the md5-explode single-pass.
+        val raw = shingles(s, d)
+          .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+          .cache()
+        val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select("h")
+        val capped = raw.join(hot, Seq("h"), "left_anti")
+          .select("doc_id", "h").cache()
+        capped.count()
+        raw.unpersist()
+        shCache.put((s, d), capped)
+        capped
+      }
+    }
+
+  /** Drop this session's memoized shingle index(es) and their pinned
+    * storage — for long-lived sessions done with dedup work. Safe to call
+    * any time; the next dedup query rebuilds.
+    */
+  def releaseShingleIndex(s: SparkSession): Unit = shCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    shCache.keySet.asScala.filter(_._1 == s)
+      .toSeq.foreach(k => shCache.remove(k).unpersist(blocking = true))
+  }
 
   private val duckShingles =
     """sh AS (

@@ -30,6 +30,78 @@ class KMeansIvfSpec extends SparkSpec {
     assert(dyn == stat)
   }
 
+  test("KMeans.fit caches the corpus for multi-iteration runs and releases it") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    spark.listenerManager.register(listener)
+    try {
+      val cents = KMeans.fit(e, "vec_id", "v", k = 4, iters = 3)
+      assert(cents.count() >= 1)
+      // the listener bus is async — wait for the iteration plans to land
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    // each Lloyd's iteration must aggregate over the in-memory corpus,
+    // not re-scan the parquet source (iters source scans at 100 TB)
+    val iterations = plans.asScala.filter(_.contains("avg("))
+    assert(iterations.size >= 3, s"expected 3 iteration plans, saw ${plans.size}")
+    assert(iterations.forall(_.contains("InMemory")),
+      "iteration aggregations must read the cached corpus")
+    // ...and the cache is released on exit, not pinned for the session
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore)
+  }
+
+  test("trained centroids end-to-end at sf0.01: the q_sim_ann shape over " +
+       "KMeans.fit output recovers ≥ 0.8 of brute-force top-3") {
+    // the t2 query q_sim_ann keeps fixture centroids (vec_id < 8) so the
+    // DuckDB oracle can mirror the bucket arithmetic; THIS test is the
+    // trained half of that split — same annTopK shape, same sf0.01 data,
+    // centroids from KMeans.fit — pinned against the brute-force
+    // q_sim_knn_batch shape
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = KMeans.fit(e, "vec_id", "v", k = 8, iters = 5)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+    val ann = IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              cosine_sim(col("v"), col("qv")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    assert(brute.size == 10)
+    val hits = brute.map { case (q, truth) =>
+      ann.getOrElse(q, Set.empty).count(truth) }.sum
+    val recall = hits.toDouble / (brute.size * 3)
+    assert(recall >= 0.8, s"aggregate recall@3 $recall < 0.8")
+  }
+
   test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

@@ -80,6 +80,34 @@ class PropertySpec extends SparkSpec {
     assert(out.toSeq == Seq((1000L, 1001L, 1000000L)), out.mkString(","))
   }
 
+  test("shingle index pins at most one cache across dirs; release drops it") {
+    import graft.operators.DedupQueries
+    def mkDir(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+      (0 until n).map(i => (i.toLong, s"alpha beta g$i d$i e$i"))
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val d1 = mkDir(20)
+    val d2 = mkDir(25)
+    DedupQueries.releaseShingleIndex(spark)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("q_dedup_ngram")(spark, d1).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    // a second dir evicts the first — long-lived sessions sweeping many
+    // dirs hold ONE pinned index, not one per dir ever processed
+    SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    // same dir again: memoized, still one
+    SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    DedupQueries.releaseShingleIndex(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+    // released ≠ broken: the next query rebuilds transparently
+    assert(SparkEntry.queries("q_dedup_ngram")(spark, d1).collect().length >= 0)
+  }
+
   test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
     val frame: Seq[String] => Seq[String] = chunks => {
       val all = chunks.mkString

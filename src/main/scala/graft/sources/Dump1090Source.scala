@@ -32,14 +32,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unlike Spark's built-in `socket` source (dev-only, non-replayable), this
   * source buffers framed lines against a monotonically increasing line
   * offset: `planInputPartitions(start, end)` can re-serve any uncommitted
-  * range, so WITHIN ONE PROCESS epoch retries are exactly-once into a
-  * transactional sink. `commit(end)` trims the buffer. Across a driver
-  * restart the in-memory buffer is gone and the live socket cannot replay:
-  * a checkpointed range from a previous process is NOT servable, and
-  * `planInputPartitions` fails fast (never silently serves different
-  * lines) — delivery across restarts is therefore at-most-once. At
-  * production scale the same offset/partition contract would be backed by
-  * a replayable log (e.g. Kafka), which upgrades restarts to exactly-once.
+  * range, so epoch retries are exactly-once into a transactional sink.
+  * `commit(end)` trims the buffer. ACROSS PROCESS RESTARTS the same holds:
+  * framed lines are written through to a spill log under the per-source
+  * checkpoint slot ([[LineSpillLog]]) before they become offset-visible,
+  * and a new process recovers the uncommitted suffix into its buffer — so
+  * an in-flight epoch checkpointed by a dead driver replays with the SAME
+  * lines (the role upstream's SQLite WAL plays, P:52). Only a range below
+  * the spill log's committed watermark (or a deleted checkpoint) is
+  * unservable, and `planInputPartitions` fails fast rather than silently
+  * serving different lines from the new socket.
   *
   * Memory is bounded: at most `maxBufferedLines` framed lines are held;
   * when full the reader thread blocks, which backpressures the feed via
@@ -83,7 +85,14 @@ class Dump1090Table extends Table with SupportsRead {
           maxLinesPerPartition = options.getInt("maxLinesPerPartition", 5000),
           maxBufferedLines = options.getInt("maxBufferedLines", 1000000),
           maxLinesPerTrigger =
-            Option(options.get("maxLinesPerTrigger")).map(_.toLong))
+            Option(options.get("maxLinesPerTrigger")).map(_.toLong),
+          // the per-source checkpoint slot Spark hands this stream — the
+          // spill log lives inside it, so replayability travels with the
+          // checkpoint (and dies with it, like the offset log)
+          spillDir =
+            if (options.getBoolean("spill", true))
+              Some(checkpointLocation + "/graft-lines")
+            else None)
     }
 }
 
@@ -97,7 +106,8 @@ class Dump1090MicroBatchStream(
     connectAttemptLimit: Int, connectAttemptDelayMs: Long,
     maxLinesPerPartition: Int = 5000,
     maxBufferedLines: Int = 1000000,
-    maxLinesPerTrigger: Option[Long] = None)
+    maxLinesPerTrigger: Option[Long] = None,
+    spillDir: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   // lines[i] holds line (trimOffset + i); guarded by `lock`
@@ -105,6 +115,17 @@ class Dump1090MicroBatchStream(
   private val lines = ArrayBuffer.empty[String]
   private var trimOffset = 0L
   @volatile private var exhausted = false
+  @volatile private var stopped = false
+
+  // replay-across-restart log: recovered BEFORE the reader starts, so the
+  // previous process's uncommitted lines sit below anything new from the
+  // socket and global line numbering stays monotonic across restarts
+  private val spill: Option[LineSpillLog] = spillDir.map(new LineSpillLog(_))
+  spill.foreach { s =>
+    val (base, buffered) = s.recover()
+    trimOffset = base
+    lines ++= buffered
+  }
 
   private val reader = new Thread("dump1090-reader") {
     setDaemon(true)
@@ -150,30 +171,47 @@ class Dump1090MicroBatchStream(
           }
       }
     }
-    // flush a trailing unterminated line at shutdown
+    // flush a trailing unterminated line at feed end (not on stop(), whose
+    // spill log is already closed)
     if (partial.nonEmpty) lock.synchronized {
       val last = partial.toString
-      if (last.nonEmpty) lines += last
+      if (last.nonEmpty && !stopped) {
+        spill.foreach(_.append(Seq(last)))
+        lines += last
+      }
     }
   }
 
   /** Split out complete lines; keep the trailing partial (correct R3 —
-    * a chunk boundary can never merge two records).
+    * a chunk boundary can never merge two records). Lines are spilled to
+    * the replay log BEFORE joining the visible buffer (same monitor as
+    * `latestOffset`), so any offset range a checkpoint can name is already
+    * durable — the invariant that makes restarts exactly-once.
     */
   private def frame(partial: StringBuilder): Unit = {
     var idx = partial.indexOf("\n")
     if (idx < 0) return
-    lock.synchronized {
-      while (idx >= 0) {
-        // bounded buffer: park the reader until commit() trims space; the
-        // un-recv'd bytes back up in the kernel socket buffer (TCP flow
-        // control), which is how the feed is backpressured.
+    val batch = ArrayBuffer.empty[String]
+    while (idx >= 0) {
+      val line = partial.substring(0, idx).stripSuffix("\r")
+      if (line.nonEmpty) batch += line
+      partial.delete(0, idx + 1)
+      idx = partial.indexOf("\n")
+    }
+    if (batch.isEmpty) return
+    // bounded buffer, admitted slice-wise (a chunk can frame more lines
+    // than the whole bound): park the reader until commit() trims space;
+    // the un-recv'd bytes back up in the kernel socket buffer (TCP flow
+    // control), which is how the feed is backpressured.
+    var i = 0
+    while (i < batch.length) {
+      lock.synchronized {
         while (lines.length >= maxBufferedLines && !exhausted) lock.wait(100)
         if (exhausted) return
-        val line = partial.substring(0, idx).stripSuffix("\r")
-        if (line.nonEmpty) lines += line
-        partial.delete(0, idx + 1)
-        idx = partial.indexOf("\n")
+        val slice = batch.slice(i, i + (maxBufferedLines - lines.length))
+        spill.foreach(_.append(slice)) // durable before visible
+        lines ++= slice
+        i += slice.length
       }
     }
   }
@@ -207,16 +245,17 @@ class Dump1090MicroBatchStream(
     val s = start.asInstanceOf[LineOffset].offset
     val e = end.asInstanceOf[LineOffset].offset
     val slice = lock.synchronized {
-      // fail fast on a range this process never buffered (e.g. a
-      // checkpointed epoch from a previous driver): silently serving
+      // fail fast on a range neither buffered nor recovered from the
+      // spill log (e.g. source-committed in a previous process, or a
+      // checkpoint whose spill log was deleted): silently serving
       // different lines from the new socket would be wrong data.
       if (s < trimOffset || e > trimOffset + lines.length)
         throw new IllegalStateException(
-          s"non-replayable offset range [$s, $e): this process buffers " +
-          s"[$trimOffset, ${trimOffset + lines.length}). A live socket " +
-          "cannot replay epochs from before a restart — resume with a " +
-          "fresh checkpoint, or back the source with a replayable log " +
-          "for exactly-once across restarts (see class doc).")
+          s"non-replayable offset range [$s, $e): this process serves " +
+          s"[$trimOffset, ${trimOffset + lines.length}) " +
+          "(buffer + recovered spill log). The range is below the " +
+          "committed watermark or the checkpoint's graft-lines spill log " +
+          "is missing — resume with a fresh checkpoint (see class doc).")
       lines.slice((s - trimOffset).toInt, (e - trimOffset).toInt).toArray
     }
     // split large catch-up batches so parsing uses every core
@@ -237,19 +276,25 @@ class Dump1090MicroBatchStream(
       }
     }
 
-  /** Epoch committed — drop replay state below `end` (WAL trim, R9) and
-    * wake a reader parked on the buffer bound.
+  /** Epoch committed — drop replay state below `end` (WAL trim, R9: the
+    * in-memory window and the spill log's covered files) and wake a
+    * reader parked on the buffer bound.
     */
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[LineOffset].offset
     val drop = (e - trimOffset).toInt
     if (drop > 0) { lines.dropInPlace(drop); trimOffset = e }
+    spill.foreach(_.commit(e))
     lock.notifyAll()
   }
 
   override def stop(): Unit = {
+    stopped = true
     exhausted = true
-    lock.synchronized(lock.notifyAll())
+    lock.synchronized {
+      spill.foreach(_.close())
+      lock.notifyAll()
+    }
     reader.interrupt()
   }
 

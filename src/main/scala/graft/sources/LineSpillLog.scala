@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
+
+/** Durable replay log for the dump1090 source's framed lines — the piece
+  * that upgrades restart delivery from at-most-once to exactly-once
+  * (reference analog: the WAL that lets the upstream product survive a
+  * process restart with its database intact,
+  * reference-reconstruction/dump1090-stream-parser.py P:52).
+  *
+  * Layout under one directory (per source, inside the query checkpoint):
+  *
+  *   00000000000000000042.log   lines for offsets [42, 42+count)
+  *   committed                  highest source-committed offset (atomic
+  *                              rename; files fully below it are deleted)
+  *
+  * Contract with the stream:
+  *  - [[append]] runs BEFORE the lines become visible to `latestOffset`
+  *    (same monitor), so any offset range a checkpoint can reference is
+  *    already on disk — a crash between epoch planning and commit cannot
+  *    lose the in-flight range.
+  *  - [[commit]] persists the watermark FIRST, then deletes fully-covered
+  *    files; a crash in between leaves stale files that recovery skips.
+  *  - [[recover]] returns (trimOffset, lines) = the contiguous uncommitted
+  *    suffix, which the stream preloads into its buffer; global line
+  *    numbering therefore continues across restarts.
+  *
+  * Durability is to PROCESS failure: appends hflush() to the filesystem
+  * (page cache locally, pipeline-pushed on HDFS) rather than fsync per
+  * chunk — the upstream WAL makes the same trade at `synchronous=NORMAL`.
+  * Uses the Hadoop FileSystem API throughout, so the same code serves a
+  * local checkpoint and a cluster one (HDFS/S3A via the checkpoint URI).
+  *
+  * All methods are called under the stream's buffer lock — single-threaded
+  * by construction.
+  */
+private[sources] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
+
+  private val dir = new Path(dirUri)
+  private val fs: FileSystem = dir.getFileSystem(new Configuration())
+  fs.mkdirs(dir)
+
+  private val committedPath = new Path(dir, "committed")
+
+  // start offset -> line count, every closed or active .log file
+  private val files = mutable.TreeMap.empty[Long, Long]
+
+  private var out: FSDataOutputStream = _
+  private var outStart = 0L
+  private var outCount = 0L
+  private var nextOffset = 0L
+
+  private def logPath(start: Long): Path = new Path(dir, f"$start%020d.log")
+
+  /** Load the uncommitted suffix: (trimOffset, buffered lines). */
+  def recover(): (Long, ArrayBuffer[String]) = {
+    val committed: Long =
+      if (!fs.exists(committedPath)) 0L
+      else {
+        val in = fs.open(committedPath)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val logFiles = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".log"))
+      .sortBy(_.getPath.getName)
+    val buf = ArrayBuffer.empty[String]
+    var next = committed
+    logFiles.foreach { st =>
+      val start = st.getPath.getName.stripSuffix(".log").toLong
+      if (start > next) {
+        // a gap means files below were deleted ahead of the watermark
+        // (should not happen — commit persists the watermark first); the
+        // non-contiguous tail is unreferencable, drop it
+        fs.delete(st.getPath, false)
+      } else {
+        val lines = readLines(st.getPath)
+        val fresh = lines.drop((next - start).toInt)
+        if (fresh.isEmpty && start + lines.length <= committed) {
+          fs.delete(st.getPath, false) // fully-committed leftover
+        } else {
+          buf ++= fresh
+          next = start + lines.length
+          files(start) = lines.length.toLong
+        }
+      }
+    }
+    nextOffset = next
+    (next - buf.length, buf)
+  }
+
+  private def readLines(p: Path): ArrayBuffer[String] = {
+    val r = new BufferedReader(
+      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try {
+      val acc = ArrayBuffer.empty[String]
+      var l = r.readLine()
+      while (l != null) { acc += l; l = r.readLine() }
+      acc
+    } finally r.close()
+  }
+
+  /** Durably append a batch of framed lines (call before making them
+    * offset-visible).
+    */
+  def append(batch: collection.Seq[String]): Unit = {
+    if (batch.isEmpty) return
+    if (out == null || outCount >= rollEvery) roll()
+    batch.foreach { l =>
+      out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+    }
+    out.hflush()
+    outCount += batch.length
+    nextOffset += batch.length
+    files(outStart) = outCount
+  }
+
+  private def roll(): Unit = {
+    if (out != null) out.close()
+    outStart = nextOffset
+    outCount = 0L
+    out = fs.create(logPath(outStart), true)
+  }
+
+  /** Epoch committed through `end`: persist the watermark, then drop every
+    * file whose range sits fully below it.
+    */
+  def commit(end: Long): Unit = {
+    val tmp = new Path(dir, "committed.tmp")
+    val o = fs.create(tmp, true)
+    try o.write(end.toString.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    fs.delete(committedPath, false)
+    fs.rename(tmp, committedPath)
+    files.toSeq.takeWhile { case (start, n) => start + n <= end }.foreach {
+      case (start, _) =>
+        if (start == outStart && out != null) { out.close(); out = null }
+        fs.delete(logPath(start), false)
+        files.remove(start)
+    }
+  }
+
+  def close(): Unit = if (out != null) { out.close(); out = null }
+}

@@ -171,6 +171,67 @@ class Dump1090SourceSpec extends SparkSpec {
     stream.stop()
   }
 
+  test("spill log replays a dead process's uncommitted epochs across restart") {
+    val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 256)
+    val spillDir = java.nio.file.Files.createTempDirectory("spill")
+      .toString + "/graft-lines"
+    def deadPort = {
+      val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    try {
+      // process A: buffers all 50 lines, source-commits [0,20); epoch
+      // [20,50) is checkpoint-referenced but NOT source-committed when A
+      // dies
+      val a = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", server.getLocalPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        spillDir = Some(spillDir))
+      def latest() = a.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      val deadline = System.currentTimeMillis() + 10000
+      while (latest() < lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latest() == lines.length)
+      val served = a.planInputPartitions(
+          graft.sources.LineOffset(20), graft.sources.LineOffset(50))
+        .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows).toSeq
+      a.commit(graft.sources.LineOffset(20))
+      a.stop()
+
+      // process B: same checkpoint slot, dead socket — the in-flight range
+      // must replay with the SAME lines, from the spill log alone
+      val b = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", deadPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        spillDir = Some(spillDir))
+      val replayed = b.planInputPartitions(
+          graft.sources.LineOffset(20), graft.sources.LineOffset(50))
+        .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows).toSeq
+      assert(replayed == served)
+      assert(replayed == lines.drop(20))
+      // below the committed watermark still fails fast — that data is gone
+      // by contract, never silently re-served
+      val e = intercept[IllegalStateException] {
+        b.planInputPartitions(
+          graft.sources.LineOffset(0), graft.sources.LineOffset(20))
+      }
+      assert(e.getMessage.contains("non-replayable"), e.getMessage)
+      b.commit(graft.sources.LineOffset(50))
+      b.stop()
+
+      // process C: everything committed — recovery lands exactly at the
+      // watermark with an empty buffer (no stale files, no offset reset)
+      val c = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", deadPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        spillDir = Some(spillDir))
+      assert(c.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset == 50)
+      c.stop()
+    } finally server.close()
+  }
+
   test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     val stream = new graft.sources.Dump1090MicroBatchStream(

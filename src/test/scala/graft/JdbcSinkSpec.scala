@@ -227,6 +227,70 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == expect.toSet)
   }
 
+  test("cross-restart exactly-once: a crashed epoch replays from the spill " +
+       "log into Derby with no gap and no dupes") {
+    import org.apache.spark.sql.DataFrame
+    val lines = (0 until 30).map(mk)
+    val server = new ServerSocket(0)
+    new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out: OutputStream = sock.getOutputStream
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+          .grouped(53).foreach { c => out.write(c); out.flush(); Thread.sleep(2) }
+        out.flush(); sock.close()
+      } catch { case _: Throwable => }
+    }, "spill-e2e-server").start()
+    val ckpt = java.nio.file.Files.createTempDirectory("spillck").toString
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val appId = TransactionalJdbcSink.appIdFor(ckpt)
+    val opts = Map("connectAttemptLimit" -> "0", "connectAttemptDelay" -> "0.1",
+                   "maxLinesPerTrigger" -> "10")
+    try {
+      // run 1: "crash" — the sink function throws on whichever epoch
+      // carries the LAST line (so every line is framed and spilled by
+      // then); its offsets are checkpointed, Derby never saw its rows,
+      // and the source was never told to commit it
+      val parsed = StreamingOps.ingestSocket(
+        spark, "localhost", server.getLocalPort, opts)
+      TransactionalJdbcSink.ensureTables(url, "squitters", parsed.schema)
+      val q1 = parsed.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (b.filter(b("hex_ident") === "HX0029").count() > 0)
+            throw new RuntimeException("injected crash before sink commit")
+          TransactionalJdbcSink.writeBatch(b, id, url, "squitters", 7, appId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        if (!q1.awaitTermination(60000)) {
+          q1.stop(); fail("crash epoch never triggered within 60s")
+        }
+      }
+      assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+      val afterCrash = count(url)
+      assert(afterCrash < 30, s"crash epoch must not have committed ($afterCrash)")
+
+      // run 2: restart from the SAME checkpoint against a DEAD socket —
+      // the crashed epoch re-plans from the spill log (a live socket
+      // cannot replay), lands exactly once, and the stream drains
+      val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+      val q2 = TransactionalJdbcSink.sink(
+        StreamingOps.ingestSocket(spark, "localhost", dead, opts),
+        url, "squitters", batchSize = 7, checkpoint = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination()
+      assert(count(url) == 30, s"expected all 30 rows, got ${count(url)}")
+      val conn = TransactionalJdbcSink.connect(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT count(DISTINCT hex_ident) FROM squitters")
+        rs.next(); assert(rs.getLong(1) == 30, "gap or duplicate hex_ident")
+      } finally conn.close()
+    } finally server.close()
+  }
+
   test("CLI pipeline e2e: argparse surface → socket → Derby squitters") {
     val cfg = Dump1090StreamParser.parseArgs(Seq(
       "--location=localhost", "-p", "0", "--buffer-size", "64",

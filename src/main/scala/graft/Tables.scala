@@ -32,4 +32,18 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame   = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Fan a tiny scan out before CPU-heavy per-row expansion (shingle
+    * explode + md5, per-centroid scoring, tokenization). A single small
+    * parquet file plans ONE input split — parquet cannot split below a
+    * row group — so everything until the first shuffle serializes on one
+    * core; repartitioning the few-MB input costs a negligible shuffle and
+    * buys full parallelism for the expansion. GATED: at data scale the
+    * scan already has ≥ defaultParallelism splits and this is the
+    * identity — no exchange is added to a big plan.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

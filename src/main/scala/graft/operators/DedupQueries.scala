@@ -51,7 +51,7 @@ object DedupQueries {
     */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val ts = split(col("text"), " ")
-    documents(s, d)
+    fanOut(documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(
           when(size(ts) >= 3,
@@ -89,13 +89,22 @@ object DedupQueries {
         // the raw one. The hot set is tiny by construction (heavy tail), so
         // AQE broadcasts it and the cap costs one aggregation, not a shuffle
         // of the index; the raw cache keeps the md5-explode single-pass.
+        // The BUILD runs fanned out (shingles() — the interpreted shingle
+        // transform is the one genuinely CPU-bound pass, ~6× faster
+        // parallelized even on a tiny scan), but the CACHED index coalesces
+        // back to the scan's size-derived partition count: every downstream
+        // consumer stage maps over the cache's partitioning, and paying a
+        // 32-task stage per consumer for an index that fits one partition
+        // is pure scheduling overhead at small SF (at scale `natural` is
+        // large and the coalesce is a no-op).
+        val natural = documents(s, d).rdd.getNumPartitions
         val raw = shingles(s, d)
           .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
           .cache()
         val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > DfCap).select("h")
         val capped = raw.join(hot, Seq("h"), "left_anti")
-          .select("doc_id", "h").cache()
+          .select("doc_id", "h").coalesce(natural).cache()
         capped.count()
         raw.unpersist()
         shCache.put((s, d), capped)

@@ -28,7 +28,8 @@ object SparkEntry {
     operators.MultimodalQueries.queries ++
     operators.StatsQueries.queries ++
     operators.RangePivotQueries.queries ++
-    operators.SamplingQueries.queries
+    operators.SamplingQueries.queries ++
+    operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
     operators.MultimodalQueries.oracles ++
     operators.StatsQueries.oracles ++
     operators.RangePivotQueries.oracles ++
-    operators.SamplingQueries.oracles
+    operators.SamplingQueries.oracles ++
+    operators.PipelineQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextHash._
+
+/** The composed training-corpus pipeline (north star): the individually
+  * oracle-checked stages chained into ONE deterministic query — what a
+  * user of this engine actually runs to turn a raw document lake into a
+  * training corpus.
+  *
+  *   raw documents
+  *     → exact-dedup keeper   (lowest doc_id per content md5 — one window
+  *                             shuffle on the digest, q_dedup_content rule)
+  *     → near-dup removal     (MinHash+LSH pairs ≥ 0.7 Jaccard from the
+  *                             shared shingle index; the HIGHER id of each
+  *                             pair drops, so each near-dup cluster keeps
+  *                             its lowest-id canonical — anti-join against
+  *                             the pair list, which is survivor-of-pairs
+  *                             sized, so AQE broadcasts it at any corpus
+  *                             size where dedup is sane)
+  *     → quality gate         (token-count floor — map-side filter)
+  *     → train/test label     (stable hash split, q_split_train_test
+  *                             arithmetic — map-side, never rand())
+  *
+  * Scale shape: the only NEW work over the component queries is one
+  * window shuffle (exact keeper) and one anti-join on doc_id; everything
+  * expensive (shingle index, banded candidate join, Jaccard verify) is
+  * the same sub-quadratic machinery q_dedup_minhash already runs, reused
+  * via the session shingle-index cache. The DuckDB oracle composes the
+  * same stage SQL (the minhash oracle nests as a CTE), so the whole
+  * pipeline is hash-compared end-to-end, not just its parts.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Quality gate: minimum whitespace tokens (bites on ~20% of fixture). */
+  private val MinTokens = 30L
+
+  def queries: Map[String, Q] = Map(
+    "q_pipeline_corpus" -> ((s, d) => {
+      val toks = size(split(col("text"), " ")).cast("long")
+      val wExact = Window.partitionBy("content_md5").orderBy("doc_id")
+      val nearDupDrops = DedupQueries.queries("q_dedup_minhash")(s, d)
+        .select(col("db").as("doc_id")).distinct()
+      val bucket = pmod(md5long(col("doc_id").cast("string")), lit(100L))
+      documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("content_md5", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(wExact))
+        .filter(col("rn") === 1)
+        .join(nearDupDrops, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", toks)
+        .filter(col("n_tokens") >= MinTokens)
+        .select(col("doc_id"), col("n_tokens"),
+          when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pipeline_corpus" -> {
+      val key = duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH pairs AS (${DedupQueries.oracles("q_dedup_minhash")}),
+         |exact AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |kept AS (
+         |  SELECT * FROM exact
+         |  WHERE doc_id NOT IN (SELECT db FROM pairs))
+         |SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CASE WHEN $key % 100 < 80 THEN 'train' ELSE 'test' END AS split
+         |FROM kept
+         |WHERE len(string_split(text, ' ')) >= $MinTokens
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -131,4 +131,16 @@ class PlanSpec extends SparkSpec {
         s"$name has an unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {
+    // tiny single-partition input → repartitioned to defaultParallelism
+    val narrow = spark.range(100).coalesce(1).toDF("id")
+    val fanned = graft.Tables.fanOut(narrow)
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // already-parallel input (the 100 TB case: a scan with many splits)
+    // must pass through untouched — no exchange added to a big plan
+    val wide = spark.range(100).repartition(16).toDF("id")
+    assert(graft.Tables.fanOut(wide) eq wide)
+  }
 }

@@ -19,14 +19,17 @@ object Bench {
       SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
       SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted key order: deterministic run order, so one-time costs (the
+    // shared shingle index) land on the same query every run instead of
+    // whichever key Map iteration happens to yield first
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

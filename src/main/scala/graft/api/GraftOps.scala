@@ -109,6 +109,37 @@ object GraftOps {
       .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
   }
 
+  /** The composed training-corpus pipeline (the library twin of the
+    * oracle-checked q_pipeline_corpus): exact-dedup keeper (lowest id per
+    * content digest) → MinHash near-dup removal (≥ `jaccardThreshold`
+    * pairs; each cluster keeps its lowest-id canonical) → token-count
+    * quality gate → stable hash train/test label (a row's split never
+    * changes as the corpus grows). Returns (idCol, n_tokens, split).
+    *
+    * Scale shape: one window shuffle for the keeper, the sub-quadratic
+    * banded-LSH machinery of [[minhashPairs]] for the pair list (which is
+    * near-dup-sized, so AQE broadcasts the anti-join side), and map-side
+    * filters for everything else.
+    */
+  def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 30, jaccardThreshold: Double = 0.7,
+                     trainPct: Int = 80): DataFrame = {
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val wExact = Window.partitionBy("__md5").orderBy(idCol)
+    val drops = minhashPairs(docs, idCol, textCol, jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val bucket = pmod(md5long(col(idCol).cast("string")), lit(100L))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__md5", md5(col(textCol).cast("binary")))
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1)
+      .join(drops, Seq(idCol), "left_anti")
+      .withColumn("n_tokens", toks)
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("n_tokens"),
+        when(bucket < trainPct, lit("train")).otherwise(lit("test")).as("split"))
+  }
+
   /** Top-k cosine neighbours of a single query vector (inlined as a scalar
     * subquery — no join node; map-only scoring via the native codegen'd
     * dot product).
@@ -165,5 +196,10 @@ object implicits {
       GraftOps.asOfJoinPrior(df, right, key, leftTs, rightTs, valueCol)
     def saltedJoin(right: DataFrame, key: String, salts: Int): DataFrame =
       GraftOps.saltedJoin(df, right, key, salts)
+    def corpusPipeline(idCol: String, textCol: String, minTokens: Int = 30,
+                       jaccardThreshold: Double = 0.7,
+                       trainPct: Int = 80): DataFrame =
+      GraftOps.corpusPipeline(df, idCol, textCol, minTokens,
+        jaccardThreshold, trainPct)
   }
 }

@@ -119,6 +119,30 @@ class GraftOpsSpec extends SparkSpec {
       s"hot-key reducer share not bounded: $spread")
   }
 
+  test("corpusPipeline drops exact dups, near-dups, and short docs; " +
+       "labels survivors with a stable split") {
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 39).map(i => s"w$i").mkString(" ") + " CHANGED" // ~0.85 jac
+    val other = (1 to 35).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, long1),            // canonical of the exact+near cluster
+      (2L, long1),            // exact dup of 1 → dropped (keeper rule)
+      (3L, long2),            // near-dup of 1 → dropped (lowest-id canon)
+      (5L, "too short doc"),  // fails the token floor
+      (6L, other)             // clean survivor
+    ).toDF("doc_id", "text")
+    val out = docs.corpusPipeline("doc_id", "text", minTokens = 30)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 6L), out.mkString(","))
+    assert(out.map(_._2) == Seq(40L, 35L))
+    assert(out.forall(r => r._3 == "train" || r._3 == "test"))
+    // the split label is a pure function of the id — stable across runs
+    // and corpus growth
+    val again = docs.corpusPipeline("doc_id", "text", minTokens = 30)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(again == out)
+  }
+
   test("bucketPairs expands each bucket's i<j pairs exactly once") {
     val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
                   (3L, 30L)).toDF("cid", "vec_id")

@@ -13,11 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb session/codegen/parquet-reader startup so the first
-    // measured query isn't charged ~5s of JVM warmup
+    // warmup: absorb session/codegen/parquet-reader startup AND the
+    // lambda-interpreter/codegen JIT of the heavy query shapes, by running
+    // them once at sf0.001 (a different dir — measured ~2.5 s of pure JIT
+    // otherwise lands on whichever heavy query runs first). The per-dir
+    // work at the MEASURED scale stays charged to the measured queries:
+    // the shingle-index cache holds one dir per session, so the sf0.001
+    // warmup index is evicted and sf0.1's builds inside the timed run.
+    val warmDir = "/root/testdata/sf0.001"
     try {
       SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
       SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
+      Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
+          "q_sim_ivf", "q_session_windows", "q_text_tokens")
+        .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch { case _: Throwable => }
     // sorted key order: deterministic run order, so one-time costs (the
     // shared shingle index) land on the same query every run instead of

@@ -74,4 +74,23 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
              dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
+  /** Streaming training-corpus ingest — the streaming half of
+    * `GraftOps.corpusPipeline`: map-side quality gate (token floor), then
+    * exact-dedup on the content digest with state bounded by the
+    * watermark (a duplicate arriving within the watermark horizon drops;
+    * digest state evicts with the watermark, so state size is
+    * arrival-rate × horizon, not corpus-sized). Near-dup LSH needs the
+    * corpus-wide shingle index and stays a batch pass — run
+    * `corpusPipeline` periodically over the sunk corpus as compaction.
+    */
+  def corpusIngest(docs: DataFrame, textCol: String, tsCol: String,
+                   minTokens: Int = 30,
+                   watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("content_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
 }

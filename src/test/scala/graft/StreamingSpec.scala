@@ -96,6 +96,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(9L).isEmpty) // left outer keeps unmatched stream rows
   }
 
+  test("corpusIngest gates quality and dedups content within the watermark") {
+    implicit val sq = spark.sqlContext
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 35).map(i => s"x$i").mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.corpusIngest(
+      in.toDF().toDF("ts", "doc_id", "text"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    in.addData((t(0), 1L, long1), (t(1), 2L, "too short"), (t(2), 3L, other))
+    q.processAllAvailable()
+    // same content again within the watermark horizon → exact dup, drops
+    in.addData((t(3), 4L, long1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corpus_out")
+      .select("doc_id", "n_tokens").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc 2 failed the token floor; doc 4 was a content dup of doc 1
+    assert(got == Seq((1L, 40L), (3L, 35L)), got.mkString(","))
+  }
+
   test("file-replay ingest restarts from checkpoint without duplicates (R9/R10)") {
     val srcDir = java.nio.file.Files.createTempDirectory("sbs1src")
     val outDir = java.nio.file.Files.createTempDirectory("sbs1out").toString

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
@@ -41,10 +40,15 @@ import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
   * All methods are called under the stream's buffer lock — single-threaded
   * by construction.
   */
-private[sources] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
+private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
 
   private val dir = new Path(dirUri)
   private val fs: FileSystem = dir.getFileSystem(new Configuration())
+  // torn-write tolerance comes from the line-termination scan in
+  // readLines; sidecar checksums would instead turn a torn tail into an
+  // unreadable file (ChecksumException) and sink the whole recovery
+  fs.setWriteChecksum(false)
+  fs.setVerifyChecksum(false)
   fs.mkdirs(dir)
 
   private val committedPath = new Path(dir, "committed")
@@ -96,15 +100,27 @@ private[sources] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
     (next - buf.length, buf)
   }
 
+  /** Only newline-TERMINATED lines count: a crash can tear the final
+    * write, and `BufferedReader.readLine` would surface that fragment as
+    * a complete line — serving corrupt data on replay. A torn tail was
+    * never offset-visible under the append-before-visible invariant
+    * (visibility follows a successful full-batch flush), so dropping it
+    * is correct, not lossy.
+    */
   private def readLines(p: Path): ArrayBuffer[String] = {
-    val r = new BufferedReader(
-      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
-    try {
-      val acc = ArrayBuffer.empty[String]
-      var l = r.readLine()
-      while (l != null) { acc += l; l = r.readLine() }
-      acc
-    } finally r.close()
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val acc = ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == '\n') {
+        acc += new String(bytes, start, i - start, StandardCharsets.UTF_8)
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
   }
 
   /** Durably append a batch of framed lines (call before making them

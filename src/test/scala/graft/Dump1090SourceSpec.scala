@@ -232,6 +232,28 @@ class Dump1090SourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("spill log: rolls files, trims on commit, and drops a torn tail") {
+    val dir = java.nio.file.Files.createTempDirectory("spilllog").toString
+    val log = new graft.sources.LineSpillLog(dir, rollEvery = 4)
+    // per-line appends (the socket feed's shape) → files roll at 4 lines:
+    // [0,4) [4,8) [8,10)
+    (0 until 10).foreach(i => log.append(Seq(s"line$i")))
+    log.commit(5)                                   // [0,4) fully covered → gone
+    log.close()
+    val names = new java.io.File(dir).list().filter(_.endsWith(".log")).sorted.toSeq
+    assert(!names.contains("00000000000000000000.log"), names)
+    assert(names.size == 2, names)
+    // simulate a crash tearing the last write: garbage with no newline
+    val active = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".log")).maxBy(_.getName)
+    java.nio.file.Files.write(active.toPath, "torn-fragm".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    // a new process recovers only the uncommitted, fully-terminated lines
+    val (base, recovered) = new graft.sources.LineSpillLog(dir).recover()
+    assert(base == 5)
+    assert(recovered.toSeq == (5 until 10).map(i => s"line$i"), recovered)
+  }
+
   test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     val stream = new graft.sources.Dump1090MicroBatchStream(

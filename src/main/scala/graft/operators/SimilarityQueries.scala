@@ -48,6 +48,23 @@ object SimilarityQueries {
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   def queries: Map[String, Q] = Map(
+    "q_emb_centroid" -> ((s, d) => {
+      // Per-label mean embedding (the class-prototype / cluster-seed
+      // building block): one hash aggregation with `dim` avg slots —
+      // map-side partial sums, a single shuffle of k×dim partials, the
+      // same shape KMeans.fit iterates. Elements floor6-scaled for
+      // cross-engine float parity (partition-order-dependent double
+      // accumulation, like the verified stddev/corr aggregates).
+      emb(s, d)
+        .groupBy("label")
+        .agg(array((0 until Dim).map(i =>
+          floor(avg(col("v").getItem(i)) * 1e6).cast("long")): _*)
+          .as("centroid_e6"),
+          count(lit(1)).as("n"))
+        .select("label", "centroid_e6", "n")
+        .orderBy("label")
+    }),
+
     "q_sim_knn" -> ((s, d) => {
       // Brute-force top-5 cosine neighbours of vec 0: the query vector is
       // inlined as a scalar subquery (no join node of any kind), scoring
@@ -129,6 +146,14 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_emb_centroid" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS (SELECT label, i, CAST(floor(avg(v[i]) * 1e6) AS BIGINT) AS a
+         |      FROM e, range(1, ${Dim + 1}) t(i) GROUP BY label, i)
+         |SELECT label, list(a ORDER BY i) AS centroid_e6,
+         |       (SELECT count(*) FROM e e2 WHERE e2.label = u.label) AS n
+         |FROM u GROUP BY label ORDER BY label""".stripMargin,
+
     "q_sim_knn" -> {
       val cos = duckCos("e.v", "q.qv")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

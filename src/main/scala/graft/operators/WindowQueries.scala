@@ -18,6 +18,22 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    "q_win_dist" -> ((s, d) => {
+      // Distribution functions over a UNIQUE total order (acctbal ties
+      // broken by custkey): with no peer groups, percent_rank collapses
+      // to (rn-1)/(n-1) and cume_dist to rn/n — identical binary division
+      // in both engines, floor9-scaled. ntile follows the SQL-standard
+      // front-loaded bucket fill.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * 1e9).cast("long").as("pr_e9"),
+        floor(cume_dist().over(w) * 1e9).cast("long").as("cd_e9"))
+        .orderBy("c_custkey")
+    }),
+
     "q_topk_group" -> ((s, d) => {
       // Top-3 orders by price per status: the canonical distributed top-k —
       // one shuffle on the group key, per-partition sort, early filter.
@@ -79,6 +95,15 @@ object WindowQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_win_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(floor(percent_rank() OVER w * 1e9) AS BIGINT) AS pr_e9,
+        |       CAST(floor(cume_dist() OVER w * 1e9) AS BIGINT) AS cd_e9
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
     "q_topk_group" ->
       """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -131,6 +131,20 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderstatus")),
 
+    "q_agg_filter" -> ((s, d) =>
+      // SQL-standard FILTER-clause aggregation: all conditional counts /
+      // sums in ONE pass over the table — each condition is an extra agg
+      // slot in the same partial, never a separate scan or self-join.
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          count(when(col("l_discount") >= 0.05, 1)).as("n_disc"),
+          sumMoney(when(col("l_quantity") > 25, col("l_extendedprice")))
+            .as("big_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "q_sort_limit" -> ((s, d) =>
       // Global top-k: plans as TakeOrderedAndProject — per-partition heap +
       // driver merge of k rows, NOT a full global sort, at any scale.
@@ -220,6 +234,15 @@ object RelationalQueries {
     "q_agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+        |       count(*) FILTER (l_quantity > 25) AS n_big,
+        |       count(*) FILTER (l_discount >= 0.05) AS n_disc,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |              FILTER (l_quantity > 25) AS DOUBLE) AS big_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 40L), (3L, 35L)), got.mkString(","))
   }
 
+  test("windowed-aggregation STATE survives a checkpointed restart") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("aggck").toString
+    val out = java.nio.file.Files.createTempDirectory("aggout").toString
+    def start() = StreamingOps.tumblingCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // process 1: two clicks land in the 10:00 window; state checkpointed,
+    // window still open (watermark behind)
+    val q1 = start()
+    in.addData(Ev(t2(10, 5), 1, "click", 1.0), Ev(t2(10, 20), 1, "click", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // process 2 (same checkpoint): one more click in the SAME window,
+    // then an event far ahead to push the watermark and close it
+    val q2 = start()
+    in.addData(Ev(t2(10, 40), 1, "click", 1.0))
+    q2.processAllAvailable()
+    in.addData(Ev(t2(13, 0), 1, "click", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+    // recovered state means ONE row for the 10:00 window counting all
+    // three clicks — lost state would emit a fresh 1-count row (or two
+    // rows) for that window
+    val rows = spark.read.parquet(out)
+      .filter(date_format(col("ws"), "HH:mm") === "10:00")
+      .select("n").as[Long].collect().toSeq
+    assert(rows == Seq(3L), s"window rows: $rows")
+  }
+
   test("file-replay ingest restarts from checkpoint without duplicates (R9/R10)") {
     val srcDir = java.nio.file.Files.createTempDirectory("sbs1src")
     val outDir = java.nio.file.Files.createTempDirectory("sbs1out").toString

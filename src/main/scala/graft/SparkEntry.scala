@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed training-corpus pipeline — dedup (exact + MinHash-LSH),
+    * quality gate, stable split — is the engine's north-star shape.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_hash")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_corpus")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -132,6 +132,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_filter computes every conditional aggregate in ONE scan") {
+    val df = SparkEntry.queries("q_agg_filter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"FILTER-clause aggregation must not re-scan per condition:\n$p")
+  }
+
   test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {
     // tiny single-partition input → repartitioned to defaultParallelism
     val narrow = spark.range(100).coalesce(1).toDF("id")

@@ -131,6 +131,23 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderstatus")),
 
+    "q_join_lateral" -> ((s, d) => {
+      // Correlated LATERAL join (Spark 4 lateralJoin + outer references):
+      // each nation picks its top-2 customers by balance. Catalyst
+      // DECORRELATES the per-row dependent subquery into a ranked join —
+      // never an execute-subquery-per-outer-row loop.
+      val top2 = customer(s, d)
+        .where(col("c_nationkey") === col("n_nationkey").outer())
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .select("c_custkey", "c_acctbal")
+        .limit(2)
+      nation(s, d).select("n_nationkey", "n_name")
+        .lateralJoin(top2)
+        .select(col("n_nationkey"), col("n_name"), col("c_custkey"),
+                col("c_acctbal"))
+        .orderBy("n_nationkey", "c_custkey")
+    }),
+
     "q_agg_filter" -> ((s, d) =>
       // SQL-standard FILTER-clause aggregation: all conditional counts /
       // sums in ONE pass over the table — each condition is an extra agg
@@ -234,6 +251,14 @@ object RelationalQueries {
     "q_agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+        |ORDER BY n_nationkey, c_custkey""".stripMargin,
 
     "q_agg_filter" ->
       """SELECT l_returnflag,

@@ -38,8 +38,12 @@ object Bench {
     }
     // ms precision keeps the single JSON line compact enough to survive
     // output-tail capture downstream (73 full-precision doubles pushed
-    // the line past typical tail buffers and it arrived unparseable)
-    def r3(v: Double): String = f"$v%.3f"
+    // the line past typical tail buffers and it arrived unparseable);
+    // Locale.ROOT pins the '.' decimal separator — the f interpolator
+    // uses the default locale, which on comma-decimal machines would
+    // emit invalid JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

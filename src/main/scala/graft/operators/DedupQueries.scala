@@ -69,57 +69,85 @@ object DedupQueries {
     * (session, dir) so repeated invocations (Bench/Verify/specs) reuse ONE
     * cache entry instead of leaking a new one per call.
     */
-  private val shCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shCache.synchronized {
-      val hit = shCache.get((s, d))
-      if (hit != null) hit
-      else {
-        // at most ONE pinned index per session: callers sweep dirs
-        // serially (Bench/Verify across scale factors), and keeping every
-        // dir's index cached for the session's life accumulates pinned
-        // storage without bound. Evict before building, not after — the
-        // old index's blocks would otherwise coexist with the build.
-        import scala.jdk.CollectionConverters._
-        shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-          .toSeq.foreach(k => shCache.remove(k).unpersist(blocking = true))
-        // index build (eager, once per dir): raw index → anti-join away the
-        // HOT shingles (df > DfCap) → materialize the capped index, release
-        // the raw one. The hot set is tiny by construction (heavy tail), so
-        // AQE broadcasts it and the cap costs one aggregation, not a shuffle
-        // of the index; the raw cache keeps the md5-explode single-pass.
-        // The BUILD runs fanned out (shingles() — the interpreted shingle
-        // transform is the one genuinely CPU-bound pass, ~6× faster
-        // parallelized even on a tiny scan), but the CACHED index coalesces
-        // back to the scan's size-derived partition count: every downstream
-        // consumer stage maps over the cache's partitioning, and paying a
-        // 32-task stage per consumer for an index that fits one partition
-        // is pure scheduling overhead at small SF (at scale `natural` is
-        // large and the coalesce is a no-op).
-        val natural = documents(s, d).rdd.getNumPartitions
-        val raw = shingles(s, d)
-          .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-          .cache()
-        val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > DfCap).select("h")
-        val capped = raw.join(hot, Seq("h"), "left_anti")
-          .select("doc_id", "h").coalesce(natural).cache()
-        capped.count()
-        raw.unpersist()
-        shCache.put((s, d), capped)
-        capped
-      }
+  /** One memoized index entry. The index is built on FIRST ACCESS of
+    * [[df]] (lazy val — contention serializes per key, not globally), so
+    * the cache's monitor is held only for map bookkeeping, never across
+    * the multi-job index build: one session's build can no longer stall
+    * every other session's dedup queries (or releaseShingleIndex). An
+    * entry evicted mid-build unpersists itself when the build completes
+    * (double-unpersist in the race is a harmless no-op).
+    */
+  private final class IndexHolder(mk: () => DataFrame) {
+    @volatile private var doomed = false
+    @volatile private var builtRef: DataFrame = null
+    def doom(): Unit = {
+      doomed = true
+      val b = builtRef
+      if (b != null) b.unpersist(blocking = true)
     }
+    lazy val df: DataFrame = {
+      val built = mk()
+      builtRef = built
+      if (doomed) built.unpersist(blocking = true)
+      built
+    }
+  }
+
+  private val shCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexHolder]
+
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    val holder = shCache.synchronized {
+      // at most ONE pinned index per session: callers sweep dirs serially
+      // (Bench/Verify across scale factors), and keeping every dir's index
+      // cached for the session's life accumulates pinned storage without
+      // bound. Evict before building so the old index's blocks don't
+      // coexist with the new build.
+      import scala.jdk.CollectionConverters._
+      shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
+        .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
+      shCache.computeIfAbsent((s, d), _ => new IndexHolder(() => buildIndex(s, d)))
+    }
+    holder.df // build (if needed) runs OUTSIDE the cache monitor
+  }
+
+  /** Index build (eager, once per dir): raw index → anti-join away the
+    * HOT shingles (df > DfCap) → materialize the capped index, release
+    * the raw one. The hot set is tiny by construction (heavy tail), so
+    * AQE broadcasts it and the cap costs one aggregation, not a shuffle
+    * of the index; the raw cache keeps the md5-explode single-pass.
+    * The BUILD runs fanned out (shingles() — the interpreted shingle
+    * transform is the one genuinely CPU-bound pass, ~6× faster
+    * parallelized even on a tiny scan), but the CACHED index coalesces
+    * back to the scan's size-derived partition count: every downstream
+    * consumer stage maps over the cache's partitioning, and paying a
+    * 32-task stage per consumer for an index that fits one partition
+    * is pure scheduling overhead at small SF (at scale `natural` is
+    * large and the coalesce is a no-op).
+    */
+  private def buildIndex(s: SparkSession, d: String): DataFrame = {
+    val natural = documents(s, d).rdd.getNumPartitions
+    val raw = shingles(s, d)
+      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+      .cache()
+    val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("h")
+    val capped = raw.join(hot, Seq("h"), "left_anti")
+      .select("doc_id", "h").coalesce(natural).cache()
+    capped.count()
+    raw.unpersist()
+    capped
+  }
 
   /** Drop this session's memoized shingle index(es) and their pinned
     * storage — for long-lived sessions done with dedup work. Safe to call
-    * any time; the next dedup query rebuilds.
+    * any time (even mid-build — the build self-unpersists on completion);
+    * the next dedup query rebuilds.
     */
   def releaseShingleIndex(s: SparkSession): Unit = shCache.synchronized {
     import scala.jdk.CollectionConverters._
     shCache.keySet.asScala.filter(_._1 == s)
-      .toSeq.foreach(k => shCache.remove(k).unpersist(blocking = true))
+      .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
   }
 
   private val duckShingles =

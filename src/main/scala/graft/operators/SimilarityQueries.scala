@@ -54,11 +54,14 @@ object SimilarityQueries {
       // map-side partial sums, a single shuffle of k×dim partials, the
       // same shape KMeans.fit iterates. Elements floor6-scaled for
       // cross-engine float parity (partition-order-dependent double
-      // accumulation, like the verified stddev/corr aggregates).
+      // accumulation, like the verified stddev/corr aggregates), then
+      // joined to one scalar string per label — the driver's compare
+      // sorts/hashes column values and can't order raw array cells
+      // (same contract as q_agg_collect).
       emb(s, d)
         .groupBy("label")
-        .agg(array((0 until Dim).map(i =>
-          floor(avg(col("v").getItem(i)) * 1e6).cast("long")): _*)
+        .agg(concat_ws(",", array((0 until Dim).map(i =>
+          floor(avg(col("v").getItem(i)) * 1e6).cast("long")): _*))
           .as("centroid_e6"),
           count(lit(1)).as("n"))
         .select("label", "centroid_e6", "n")
@@ -150,7 +153,7 @@ object SimilarityQueries {
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          |u AS (SELECT label, i, CAST(floor(avg(v[i]) * 1e6) AS BIGINT) AS a
          |      FROM e, range(1, ${Dim + 1}) t(i) GROUP BY label, i)
-         |SELECT label, list(a ORDER BY i) AS centroid_e6,
+         |SELECT label, array_to_string(list(a ORDER BY i), ',') AS centroid_e6,
          |       (SELECT count(*) FROM e e2 WHERE e2.label = u.label) AS n
          |FROM u GROUP BY label ORDER BY label""".stripMargin,
 

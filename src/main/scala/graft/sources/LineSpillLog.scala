@@ -5,8 +5,10 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
+import scala.util.Try
+
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
+import org.apache.hadoop.fs.{FSDataOutputStream, FileContext, FileSystem, Options, Path}
 
 /** Durable replay log for the dump1090 source's framed lines — the piece
   * that upgrades restart delivery from at-most-once to exactly-once
@@ -43,7 +45,12 @@ import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
 private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
 
   private val dir = new Path(dirUri)
-  private val fs: FileSystem = dir.getFileSystem(new Configuration())
+  private val conf = new Configuration()
+  // A PRIVATE FileSystem handle: the checksum flags below must not leak
+  // into the process-wide cached instance (FileSystem.get caches on
+  // scheme/authority/ugi — flipping flags there would silently disable
+  // checksums for every other writer in the JVM, Spark included).
+  private val fs: FileSystem = FileSystem.newInstance(dir.toUri, conf)
   // torn-write tolerance comes from the line-termination scan in
   // readLines; sidecar checksums would instead turn a torn tail into an
   // unreadable file (ChecksumException) and sink the whole recovery
@@ -52,6 +59,11 @@ private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
   fs.mkdirs(dir)
 
   private val committedPath = new Path(dir, "committed")
+  private val committedTmpPath = new Path(dir, "committed.tmp")
+
+  // FileContext exposes the atomic overwrite-rename the commit path needs
+  // (FileSystem.rename(src, dst) can't replace an existing target).
+  private lazy val fc: FileContext = FileContext.getFileContext(dir.toUri, conf)
 
   // start offset -> line count, every closed or active .log file
   private val files = mutable.TreeMap.empty[Long, Long]
@@ -63,18 +75,32 @@ private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
 
   private def logPath(start: Long): Path = new Path(dir, f"$start%020d.log")
 
+  private def readWatermark(p: Path): Option[Long] =
+    // a marker torn mid-write (empty / partial digits) reads as absent,
+    // never as a crash-the-recovery NumberFormatException
+    if (!fs.exists(p)) None
+    else Try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }.toOption
+
   /** Load the uncommitted suffix: (trimOffset, buffered lines). */
   def recover(): (Long, ArrayBuffer[String]) = {
-    val committed: Long =
-      if (!fs.exists(committedPath)) 0L
-      else {
-        val in = fs.open(committedPath)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }
     val logFiles = fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".log"))
       .sortBy(_.getPath.getName)
+    val committed: Long = readWatermark(committedPath)
+      // crash inside commit()'s rename window: the tmp marker holds the
+      // same (engine-committed) watermark — honor it rather than replaying
+      // already-dropped ranges or, worse, treating surviving logs as a gap
+      .orElse(readWatermark(committedTmpPath))
+      // no marker survived at all: infer from the lowest surviving log
+      // file — commit() only deletes files fully below the watermark, so
+      // that start is ≤ the true watermark and replay is merely wider
+      // (the transactional sink's claims dedupe it), never gap-deleted
+      .orElse(logFiles.headOption.map(_.getPath.getName.stripSuffix(".log").toLong))
+      .getOrElse(0L)
     val buf = ArrayBuffer.empty[String]
     var next = committed
     logFiles.foreach { st =>
@@ -149,11 +175,12 @@ private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
     * file whose range sits fully below it.
     */
   def commit(end: Long): Unit = {
-    val tmp = new Path(dir, "committed.tmp")
-    val o = fs.create(tmp, true)
+    val o = fs.create(committedTmpPath, true)
     try o.write(end.toString.getBytes(StandardCharsets.UTF_8)) finally o.close()
-    fs.delete(committedPath, false)
-    fs.rename(tmp, committedPath)
+    // single atomic replace — no delete-then-rename window in which a
+    // crash leaves NO watermark on disk (recover() additionally falls
+    // back to the tmp marker if the platform rename itself tears)
+    fc.rename(committedTmpPath, committedPath, Options.Rename.OVERWRITE)
     files.toSeq.takeWhile { case (start, n) => start + n <= end }.foreach {
       case (start, _) =>
         if (start == outStart && out != null) { out.close(); out = null }
@@ -162,5 +189,8 @@ private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
     }
   }
 
-  def close(): Unit = if (out != null) { out.close(); out = null }
+  def close(): Unit = {
+    if (out != null) { out.close(); out = null }
+    fs.close() // private newInstance handle — not the process-wide cache
+  }
 }

@@ -128,7 +128,8 @@ object TransactionalJdbcSink {
     * batch (column-count mismatch), bricking the sink on exactly the
     * persistent-database resume path the claim scope exists for.
     */
-  def ensureTables(url: String, table: String, schema: StructType): Unit = {
+  def ensureTables(url: String, table: String, schema: StructType,
+                   legacyClaimScope: Option[String] = None): Unit = {
     val conn = connect(url)
     try {
       def create(ddl: String): Boolean =
@@ -140,7 +141,7 @@ object TransactionalJdbcSink {
         "app_id VARCHAR(64) NOT NULL, " +
         "batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL, " +
         s"PRIMARY KEY (app_id, batch_id, partition_id))")
-      if (!fresh) migrateCommits(conn, table)
+      if (!fresh) migrateCommits(conn, table, legacyClaimScope)
     } finally conn.close()
   }
 
@@ -151,8 +152,21 @@ object TransactionalJdbcSink {
     * primary key is rebuilt to include app_id; leaving it at
     * (batch_id, partition_id) would make two different apps' batch 0
     * collide and silently drop the second app's data as a replay.
+    *
+    * `legacyClaimScope`: when the caller KNOWS the legacy table belongs to
+    * the checkpoint now resuming (the `sink` path — one checkpoint, one
+    * database), the old claims are rewritten to that checkpoint's scope.
+    * Left at 'default', the one in-flight batch whose transaction
+    * committed just before the pre-upgrade process died would not match
+    * its own claim under the new MD5 scope and would be re-inserted as
+    * duplicates on the first post-upgrade restart — the exact crash-replay
+    * case the claim log exists for. Callers wiring a database SHARED by
+    * multiple legacy writers should pass None (claims stay at 'default';
+    * they then accept that one-batch window per writer instead of
+    * cross-writer claim collisions).
     */
-  private def migrateCommits(conn: Connection, table: String): Unit = {
+  private def migrateCommits(conn: Connection, table: String,
+                             legacyClaimScope: Option[String] = None): Unit = {
     val commits = s"${table}_commits"
     val rs = conn.getMetaData.getColumns(
       null, null, commits.toUpperCase(java.util.Locale.ROOT), "APP_ID")
@@ -166,6 +180,11 @@ object TransactionalJdbcSink {
         st.execute(s"ALTER TABLE $commits ADD CONSTRAINT ${commits}_pk " +
           "PRIMARY KEY (app_id, batch_id, partition_id)")
       } finally st.close()
+      legacyClaimScope.foreach { scope =>
+        val up = conn.prepareStatement(
+          s"UPDATE $commits SET app_id = ? WHERE app_id = 'default'")
+        try { up.setString(1, scope); up.executeUpdate() } finally up.close()
+      }
     }
   }
 
@@ -246,8 +265,12 @@ object TransactionalJdbcSink {
   def sink(df: DataFrame, url: String, table: String, batchSize: Int,
            checkpoint: String,
            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    ensureTables(url, table, df.schema)
     val appId = appIdFor(checkpoint)
+    // this path owns both the checkpoint and the database, so a legacy
+    // (pre-scope) commits table's claims are rewritten into this
+    // checkpoint's scope — the resumed in-flight batch keeps matching its
+    // claim across the upgrade instead of replaying as duplicates
+    ensureTables(url, table, df.schema, legacyClaimScope = Some(appId))
     df.writeStream
       .foreachBatch((b: DataFrame, id: Long) =>
         writeBatch(b, id, url, table, batchSize, appId))

@@ -254,6 +254,52 @@ class Dump1090SourceSpec extends SparkSpec {
     assert(recovered.toSeq == (5 until 10).map(i => s"line$i"), recovered)
   }
 
+  test("spill log: a crash inside commit's rename window never loses replay data") {
+    def freshLog(lines: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("spillwm").toString
+      val log = new graft.sources.LineSpillLog(dir, rollEvery = 4)
+      (0 until lines).foreach(i => log.append(Seq(s"line$i")))
+      log.commit(5) // watermark 5; files [0,4) dropped, [4,8) [8,10) live
+      log.close()
+      dir
+    }
+    def write(dir: String, name: String, content: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        content.getBytes)
+    def delete(dir: String, name: String): Unit =
+      new java.io.File(dir, name).delete()
+
+    // window 1: tmp fully written, `committed` replaced by nothing yet
+    // (non-atomic platform rename tore delete-from-rename). The tmp marker
+    // holds the engine-committed watermark → honored, files [4,8) dropped.
+    val d1 = freshLog(10)
+    delete(d1, "committed")
+    write(d1, "committed.tmp", "8")
+    val (b1, r1) = new graft.sources.LineSpillLog(d1).recover()
+    assert(b1 == 8)
+    assert(r1.toSeq == Seq("line8", "line9"), r1)
+
+    // window 2: NO marker survived at all. The old behavior read
+    // watermark 0, saw file 00000000000000000004.log's start as a gap and
+    // deleted every log file — bricking the checkpoint. Now the watermark
+    // is inferred from the lowest surviving file and everything on disk
+    // replays (the sink's claims dedupe the widened range).
+    val d2 = freshLog(10)
+    delete(d2, "committed")
+    val (b2, r2) = new graft.sources.LineSpillLog(d2).recover()
+    assert(b2 == 4)
+    assert(r2.toSeq == (4 until 10).map(i => s"line$i"), r2)
+
+    // window 3: `committed` itself torn mid-write (empty) and a whole tmp
+    // exists — torn marker reads as absent, tmp wins
+    val d3 = freshLog(10)
+    write(d3, "committed", "")
+    write(d3, "committed.tmp", "8")
+    val (b3, r3) = new graft.sources.LineSpillLog(d3).recover()
+    assert(b3 == 8)
+    assert(r3.toSeq == Seq("line8", "line9"), r3)
+  }
+
   test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     val stream = new graft.sources.Dump1090MicroBatchStream(

@@ -128,6 +128,43 @@ class JdbcSinkSpec extends SparkSpec {
     TransactionalJdbcSink.ensureTables(url, "t_mig", batch.schema)
   }
 
+  test("migration rewrites legacy claims into the resuming checkpoint's scope") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val appId = TransactionalJdbcSink.appIdFor("/tmp/ckpt-legacy-resume")
+    // the pre-upgrade process died right after batch 5's sink transaction
+    // committed: data rows + legacy (unscoped) claims are in the database,
+    // but the engine will replay batch 5 from the checkpoint on restart
+    val conn = TransactionalJdbcSink.connect(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE t_up (id INTEGER, s VARCHAR(255))")
+      st.execute("CREATE TABLE t_up_commits (" +
+        "batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL, " +
+        "PRIMARY KEY (batch_id, partition_id))")
+      // the deterministic layout puts these 2 rows in fixed partitions;
+      // claim ALL partitions of batch 5 the way the old build did
+      (0 until TransactionalJdbcSink.WritePartitions)
+        .foreach(p => st.execute(s"INSERT INTO t_up_commits VALUES (5, $p)"))
+      st.execute("INSERT INTO t_up VALUES (1, 'a')")
+      st.execute("INSERT INTO t_up VALUES (2, 'b')")
+      st.close()
+    } finally conn.close()
+    // post-upgrade resume of the SAME checkpoint against its own database:
+    // sink's ensureTables passes the checkpoint scope, so the legacy
+    // claims are re-stamped...
+    TransactionalJdbcSink.ensureTables(url, "t_up", batch.schema,
+      legacyClaimScope = Some(appId))
+    // ...and the replayed in-flight batch matches its claim and SKIPS —
+    // without the rewrite these rows would be re-inserted as duplicates
+    TransactionalJdbcSink.writeBatch(batch, 5L, url, "t_up", 10, appId = appId)
+    assert(count(url, "t_up") == 2)
+    // genuinely new epochs still write
+    TransactionalJdbcSink.writeBatch(batch, 6L, url, "t_up", 10, appId = appId)
+    assert(count(url, "t_up") == 4)
+  }
+
   test("appIdFor: URI and plain-path spellings of one checkpoint share a scope") {
     val plain = "/tmp/some/ckpt"
     assert(TransactionalJdbcSink.appIdFor(plain) ==

@@ -68,6 +68,29 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    "q_emb_quantize" -> ((s, d) => {
+      // Int8 scalar quantization (the storage/transport compression step
+      // before ANN indexing): per-vector min/max range, each dim mapped to
+      // a 0..255 code. Pure per-row projection — zero shuffles, linear at
+      // any corpus size; the compared values are the exact integer code
+      // sum plus floored range endpoints. Both engines evaluate the
+      // IDENTICAL double expression tree ((x - min) * (255 / (max - min)))
+      // so the codes agree bit-for-bit.
+      val e = emb(s, d)
+      val vmin = array_min(col("v"))
+      val vmax = array_max(col("v"))
+      val codes = transform(col("v"), x =>
+        when(vmax === vmin, lit(0L))
+          .otherwise(least(floor((x - vmin) * (lit(255.0) / (vmax - vmin))),
+                           lit(255L))))
+      e.select(
+          col("vec_id"),
+          floor(vmin * 1e6).cast("long").as("qmin_e6"),
+          floor(vmax * 1e6).cast("long").as("qmax_e6"),
+          aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
+        .orderBy("vec_id")
+    }),
+
     "q_sim_knn" -> ((s, d) => {
       // Brute-force top-5 cosine neighbours of vec 0: the query vector is
       // inlined as a scalar subquery (no join node of any kind), scoring
@@ -156,6 +179,21 @@ object SimilarityQueries {
          |SELECT label, array_to_string(list(a ORDER BY i), ',') AS centroid_e6,
          |       (SELECT count(*) FROM e e2 WHERE e2.label = u.label) AS n
          |FROM u GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        |c AS (SELECT vec_id, vmin, vmax,
+        |             [CASE WHEN vmax = vmin THEN 0
+        |                   ELSE CAST(least(floor((x - vmin) * (255.0 / (vmax - vmin))),
+        |                                   255.0) AS BIGINT) END
+        |              for x in v] AS codes
+        |      FROM m)
+        |SELECT vec_id,
+        |       CAST(floor(vmin * 1e6) AS BIGINT) AS qmin_e6,
+        |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
+        |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q_sim_knn" -> {
       val cos = duckCos("e.v", "q.qv")

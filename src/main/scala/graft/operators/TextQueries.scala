@@ -21,6 +21,28 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles.
+    * Uncapped (unlike the dedup index): the consumers here join against a
+    * DISTINCT benchmark shingle set, so per-row join fan-out is ≤ 1 by
+    * construction — no hot-shingle quadratic risk to cap away. Fanned out:
+    * the interpreted shingle transform + md5 is the one genuinely
+    * CPU-bound pass (same rationale as the dedup index build; fanOut is
+    * identity once the scan has real splits).
+    */
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    fanOut(documents(s, d))
+      .select(col("doc_id"),
+        explode(
+          when(size(ts) >= 3,
+            array_distinct(transform(sequence(lit(0), size(ts) - 3),
+              j => concat_ws(" ", element_at(ts, j + 1),
+                                  element_at(ts, j + 2),
+                                  element_at(ts, j + 3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
       // Token frequency top-20: the canonical explode → count — partial
@@ -96,6 +118,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_contamination" -> ((s, d) => {
+      // Benchmark decontamination (the pre-training hygiene pass): for
+      // every corpus doc, what fraction of its 3-token shingles appears in
+      // a held-out benchmark set (fixture: every 50th doc plays the
+      // benchmark). Shape at 100 TB: the benchmark's DISTINCT shingle set
+      // is tiny next to the corpus, so AQE broadcasts it and the check is
+      // a map-side probe + one per-doc aggregation — linear, no self-join.
+      val sh = docShingleHashes(s, d)
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select("h").distinct().withColumn("hit", lit(1L))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+        .withColumn("contam_e6",
+          floor(col("n_contaminated").cast("double") /
+                col("n_shingles").cast("double") * 1e6).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_repetition" -> ((s, d) => {
+      // Gopher-style repetition signals: occurrences of the most frequent
+      // token and duplicate-bigram count — the classic "low-quality by
+      // repetition" filters. Entirely map-side (per-doc work is bounded by
+      // document length, zero shuffles before the presentation sort); the
+      // quadratic-looking top-token scan is O(uniq × len) of a SINGLE
+      // document, not of the corpus.
+      val ts = split(col("text"), " ")
+      val nTok = size(ts)
+      val topTok = array_max(transform(array_distinct(ts),
+        w => size(filter(ts, x => x === w))))
+      val bigrams = when(nTok >= 2,
+          transform(sequence(lit(0), nTok - 2),
+            j => concat_ws(" ", element_at(ts, j + 1), element_at(ts, j + 2))))
+        .otherwise(array().cast("array<string>"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          topTok.cast("long").as("top_tok_n"),
+          (size(bigrams) - size(array_distinct(bigrams))).cast("long")
+            .as("dup_bigram_n"))
+        .withColumn("top_frac_e6",
+          floor(col("top_tok_n").cast("double") /
+                col("n_tokens").cast("double") * 1e6).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -167,6 +238,46 @@ object TextQueries {
         |                   + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
         |                  * 1e6) AS BIGINT) AS quality_e6
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_contamination" -> {
+      val h = duckMd5Long("sh")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |            for i in range(1, len(ts) - 1)])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+         |sh AS (SELECT doc_id, ($h) % ${FpPrime} AS h FROM sh0),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+         |SELECT c.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(b.h) AS BIGINT) AS n_contaminated,
+         |       CAST(floor(CAST(count(b.h) AS DOUBLE) /
+         |                  CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS contam_e6
+         |FROM sh c LEFT JOIN bench b ON c.h = b.h
+         |WHERE c.doc_id % 50 <> 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+    },
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         len(ts) AS n_tokens,
+        |         list_max(list_transform(list_distinct(ts),
+        |                  w -> len(list_filter(ts, x -> x = w)))) AS top_tok_n,
+        |         [ts[i] || ' ' || ts[i+1]
+        |          for i in range(1, len(ts))] AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(top_tok_n AS BIGINT) AS top_tok_n,
+        |       CAST(len(bigrams) - len(list_distinct(bigrams)) AS BIGINT)
+        |         AS dup_bigram_n,
+        |       CAST(floor(CAST(top_tok_n AS DOUBLE) /
+        |                  CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
+        |         AS top_frac_e6
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

@@ -77,17 +77,32 @@ object DedupQueries {
     * entry evicted mid-build unpersists itself when the build completes
     * (double-unpersist in the race is a harmless no-op).
     */
-  private final class IndexHolder(mk: () => DataFrame) {
+  private final class IndexHolder(mk: () => DataFrame,
+                                  mkPairs: DataFrame => DataFrame) {
     @volatile private var doomed = false
     @volatile private var builtRef: DataFrame = null
+    @volatile private var pairsRef: DataFrame = null
     def doom(): Unit = {
       doomed = true
       val b = builtRef
       if (b != null) b.unpersist(blocking = true)
+      val p = pairsRef
+      if (p != null) p.unpersist(blocking = true)
     }
     lazy val df: DataFrame = {
       val built = mk()
       builtRef = built
+      if (doomed) built.unpersist(blocking = true)
+      built
+    }
+    /** Shared-shingle pair counts (da < db, count) over [[df]] — the
+      * second memo layer: q_dedup_fuzzy and q_dedup_ngram both aggregate
+      * the identical inverted-index self-join, so the pair table is built
+      * once and reused (evicted together with the index).
+      */
+    lazy val pairs: DataFrame = {
+      val built = mkPairs(df)
+      pairsRef = built
       if (doomed) built.unpersist(blocking = true)
       built
     }
@@ -106,9 +121,37 @@ object DedupQueries {
       import scala.jdk.CollectionConverters._
       shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
         .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
-      shCache.computeIfAbsent((s, d), _ => new IndexHolder(() => buildIndex(s, d)))
+      shCache.computeIfAbsent((s, d),
+        _ => new IndexHolder(() => buildIndex(s, d), sh => buildPairs(s, d, sh)))
     }
     holder.df // build (if needed) runs OUTSIDE the cache monitor
+  }
+
+  /** Memoized (da, db, shared) counts for docs sharing ≥ 1 kept shingle. */
+  private def sharedShinglePairs(s: SparkSession, d: String): DataFrame = {
+    shingleHashes(s, d) // ensures the holder exists and the index is built
+    val holder = shCache.synchronized(shCache.get((s, d)))
+    if (holder != null) holder.pairs else buildPairs(s, d, shingleHashes(s, d))
+  }
+
+  /** One inverted-index self-join + aggregation: every candidate pair with
+    * its shared-shingle count. The join fan-out per shingle is ≤ DfCap²
+    * (the index is capped), the aggregation shrinks pairs map-side, and
+    * the result is the SHARED intermediate both exact-verify dedup ops
+    * (Jaccard, levenshtein) start from — materialized once per dir.
+    */
+  private def buildPairs(s: SparkSession, d: String, sh: DataFrame): DataFrame = {
+    // NOT coalesced like the index cache: the pair table is orders of
+    // magnitude bigger (|pairs| ≫ |index|), so collapsing the final
+    // aggregation merge into one task costs more than the per-stage
+    // scheduling it would save — the aggregation's own partitioning stays.
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    pairs.count()
+    pairs
   }
 
   /** Index build (eager, once per dir): raw index → anti-join away the
@@ -216,13 +259,8 @@ object DedupQueries {
       // both engines) verifies only the survivors. The O(len²) metric
       // never touches a corpus-sized pair set; the floor is the scale
       // guard that makes an expensive verifier affordable.
-      val sh = shingleHashes(s, d)
       val docs = documents(s, d).select("doc_id", "text")
-      val cand = sh.as("a").join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
+      val cand = sharedShinglePairs(s, d).filter(col("shared") >= 5)
       cand
         .join(docs.as("ta"), col("da") === col("ta.doc_id"))
         .join(docs.as("tb"), col("db") === col("tb.doc_id"))
@@ -238,10 +276,8 @@ object DedupQueries {
       // long, not a string — the scalable exact-dedup pattern.
       val sh = shingleHashes(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
+      val inter = sharedShinglePairs(s, d)
+        .select(col("da"), col("db"), col("shared").as("inter"))
       inter
         .join(sizes.as("na"), col("da") === col("na.doc_id"))
         .join(sizes.as("nb"), col("db") === col("nb.doc_id"))

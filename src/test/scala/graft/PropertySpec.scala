@@ -93,15 +93,16 @@ class PropertySpec extends SparkSpec {
     val d2 = mkDir(25)
     DedupQueries.releaseShingleIndex(spark)
     val base = spark.sparkContext.getPersistentRDDs.size
+    // one dir pins exactly the index + its shared-pair table (2 RDDs)
     SparkEntry.queries("q_dedup_ngram")(spark, d1).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
     // a second dir evicts the first — long-lived sessions sweeping many
-    // dirs hold ONE pinned index, not one per dir ever processed
+    // dirs hold ONE pinned index (+pairs), not one per dir ever processed
     SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
     // same dir again: memoized, still one
     SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
     DedupQueries.releaseShingleIndex(spark)
     assert(spark.sparkContext.getPersistentRDDs.size == base)
     // released ≠ broken: the next query rebuilds transparently

@@ -41,7 +41,24 @@ object StatsQueries {
         .agg(
           concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
           count(lit(1)).as("n"))
-        .orderBy("n_regionkey"))
+        .orderBy("n_regionkey")),
+
+    "q_approx_quantile" -> ((s, d) =>
+      // Approximate quantiles via the mergeable percentile sketch — the
+      // 100 TB path for p50/p90/p99: map-side partial sketches merge in
+      // one small shuffle, where the exact percentile above must ship
+      // every group value to a sorted aggregation. t2-excluded like
+      // q_approx_distinct (sketch internals are engine-specific);
+      // accuracy pinned by EngineSpec at ±2% vs the exact percentiles.
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(col("o_totalprice"),
+               array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .select(col("o_orderstatus"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"),
+          element_at(col("q"), 3).as("p99"))
+        .orderBy("o_orderstatus"))
   )
 
   def oracles: Map[String, String] = Map(

@@ -57,6 +57,24 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within ±2% of exact (q_approx_quantile)") {
+    val got = SparkEntry.queries("q_approx_quantile")(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+           percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+           percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    exact.foreach { case (k, es) =>
+      got(k).zip(es).foreach { case (g, e) =>
+        assert(math.abs(g - e) / e <= 0.02, s"$k: approx $g vs exact $e")
+      }
+    }
+  }
+
   test("native expressions reachable from SQL via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

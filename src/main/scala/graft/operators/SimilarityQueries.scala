@@ -91,6 +91,34 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    "q_sim_knn_quantized" -> ((s, d) => {
+      // Asymmetric-distance kNN over the int8-quantized corpus (the ADC
+      // scan): corpus vectors round-trip through their 0..255 codes
+      // (reconstructed at bucket midpoints), the query stays full
+      // precision. At 100 TB this is why q_emb_quantize exists — the scan
+      // reads 1 byte/dim instead of 8 — and the shape is identical to
+      // q_sim_knn: scalar-subquery query vector, map-side scoring, no
+      // join node, TakeOrderedAndProject top-k. Parity: both engines run
+      // the identical quantize→reconstruct→cosine double expression tree.
+      val e = emb(s, d)
+      val vmin = array_min(col("v"))
+      val vmax = array_max(col("v"))
+      val scale = (vmax - vmin) / lit(255.0)
+      val codes = transform(col("v"), x =>
+        when(vmax === vmin, lit(0L))
+          .otherwise(least(floor((x - vmin) * (lit(255.0) / (vmax - vmin))),
+                           lit(255L))))
+      val recon = transform(codes, c =>
+        vmin + (c.cast("double") + lit(0.5)) * scale)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), recon.as("rv"))
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .select(col("vec_id"), floor9(cosine(col("rv"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     "q_sim_knn" -> ((s, d) => {
       // Brute-force top-5 cosine neighbours of vec 0: the query vector is
       // inlined as a scalar subquery (no join node of any kind), scoring
@@ -194,6 +222,23 @@ object SimilarityQueries {
         |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_sim_knn_quantized" -> {
+      val cos = duckCos("r.rv", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+         |r AS (SELECT vec_id,
+         |             [CASE WHEN vmax = vmin THEN vmin
+         |                   ELSE vmin + (CAST(least(floor((x - vmin) *
+         |                            (255.0 / (vmax - vmin))), 255.0) AS BIGINT)
+         |                          + 0.5) * ((vmax - vmin) / 255.0) END
+         |              for x in v] AS rv
+         |      FROM m),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT r.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
+         |FROM r, q WHERE r.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
 
     "q_sim_knn" -> {
       val cos = duckCos("e.v", "q.qv")

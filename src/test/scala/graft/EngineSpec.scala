@@ -75,6 +75,15 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("quantized-scan kNN agrees with exact kNN on ≥4 of top-5 (q_sim_knn_quantized)") {
+    val exact = SparkEntry.queries("q_sim_knn")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = SparkEntry.queries("q_sim_knn_quantized")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect quant).size >= 4,
+           s"exact $exact vs quantized $quant")
+  }
+
   test("native expressions reachable from SQL via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -20,6 +20,13 @@ import graft.functions.TextHash._
   *  - q_split_train_test: disjoint 80/20 split labels from the same
   *    hash — a row's split never changes as the corpus grows (stable
   *    holdout), unlike randomSplit.
+  *
+  * Plus corpus assembly:
+  *  - q_pack_docs: context-window sequence packing — docs chunked into
+  *    fixed token-budget packs per source shard. The cumulative sum runs
+  *    INSIDE each shard's window partition (never a global order), so
+  *    packing parallelizes across shards — the only shape that survives
+  *    100 TB; a corpus-global running sum would serialize on one task.
   */
 object SamplingQueries {
 
@@ -58,6 +65,22 @@ object SamplingQueries {
         .select(when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
+    }),
+
+    "q_pack_docs" -> ((s, d) => {
+      // fixed-budget packing: doc i's pack = exclusive-prefix-tokens/2048
+      // within its source shard, in stable doc_id order. Output is the
+      // per-pack fill profile (doc count + token sum).
+      val tok = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), tok.as("n_tokens"))
+        .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_prev") / lit(2048L)).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("source", "pack_id")
     })
   )
 
@@ -84,6 +107,23 @@ object SamplingQueries {
          |            THEN 'train' ELSE 'test' END AS split,
          |       count(*) AS n
          |FROM documents
-         |GROUP BY 1 ORDER BY split""".stripMargin
+         |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_pack_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_prev
+        |  FROM t)
+        |SELECT source, CAST(floor(cum_prev / 2048) AS BIGINT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   )
 }

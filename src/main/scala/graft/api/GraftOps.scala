@@ -140,6 +140,45 @@ object GraftOps {
         when(bucket < trainPct, lit("train")).otherwise(lit("test")).as("split"))
   }
 
+  /** Benchmark decontamination (library twin of q_text_contamination):
+    * per corpus doc, the count and fraction of its n-token shingles
+    * present in `benchmark`'s DISTINCT shingle set. Returns
+    * (idCol, n_shingles, n_contaminated, contam_e6) for docs with ≥ 1
+    * shingle. The distinct benchmark set is tiny next to any corpus —
+    * AQE broadcasts it, the probe is map-side, and per-shingle join
+    * fan-out is ≤ 1 by construction (no df cap needed).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    def hashed(df: DataFrame) = shingles(df, idCol, textCol, n)
+      .select(col(idCol), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
+    val bench = hashed(benchmark).select("h").distinct()
+      .withColumn("__hit", lit(1L))
+    hashed(corpus).join(bench, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+           coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_e6",
+        floor(col("n_contaminated").cast("double") /
+              col("n_shingles").cast("double") * 1e6).cast("long"))
+  }
+
+  /** Context-window sequence packing (library twin of q_pack_docs): adds
+    * a `pack_id` column chunking rows into fixed token budgets — an
+    * exclusive prefix sum in `orderCol` order INSIDE each shard's window
+    * partition, so packing parallelizes across shards (never a
+    * corpus-global running sum).
+    */
+  def packDocs(docs: DataFrame, shardCol: String, orderCol: String,
+               tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("__tok", tokens)
+      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__cum") / lit(budget)).cast("long"))
+      .drop("__cum", "__tok")
+  }
+
   /** Top-k cosine neighbours of a single query vector (inlined as a scalar
     * subquery — no join node; map-only scoring via the native codegen'd
     * dot product).
@@ -201,5 +240,11 @@ object implicits {
                        trainPct: Int = 80): DataFrame =
       GraftOps.corpusPipeline(df, idCol, textCol, minTokens,
         jaccardThreshold, trainPct)
+    def contamination(benchmark: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+      GraftOps.contamination(df, benchmark, idCol, textCol, n)
+    def packDocs(shardCol: String, orderCol: String, tokens: Column,
+                 budget: Long): DataFrame =
+      GraftOps.packDocs(df, shardCol, orderCol, tokens, budget)
   }
 }

@@ -143,6 +143,38 @@ class GraftOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("contamination scores planted benchmark overlap and zero elsewhere") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma' + 'beta gamma delta'
+      (2L, "one two three four five"),        // no overlap
+      (3L, "alpha beta gamma"))               // fully contaminated (1 shingle)
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = graft.api.GraftOps.contamination(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 3 shingles, 2 in bench; doc 2: 3, 0; doc 3: 1, 1
+    assert(got == Seq((1L, 3L, 2L, 666666L), (2L, 3L, 0L, 0L),
+                      (3L, 1L, 1L, 1000000L)))
+  }
+
+  test("packDocs chunks by exclusive prefix tokens within each shard") {
+    val docs = Seq(
+      ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // cum_prev 0,600,1200
+      ("s1", 4L, 600L),                                     // cum_prev 1800 → still pack 0
+      ("s1", 5L, 600L),                                     // cum_prev 2400 → pack 1
+      ("s2", 1L, 2048L),                                    // cum_prev 0 → pack 0
+      ("s2", 2L, 1L))                                       // cum_prev 2048 → pack 1
+      .toDF("source", "doc_id", "n_tokens")
+    val got = graft.api.GraftOps
+      .packDocs(docs, "source", "doc_id", $"n_tokens", 2048L)
+      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 0L),
+                      ("s1", 4L, 0L), ("s1", 5L, 1L),
+                      ("s2", 1L, 0L), ("s2", 2L, 1L)))
+  }
+
   test("bucketPairs expands each bucket's i<j pairs exactly once") {
     val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
                   (3L, 30L)).toDF("cid", "vec_id")

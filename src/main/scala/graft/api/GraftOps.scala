@@ -179,6 +179,58 @@ object GraftOps {
       .drop("__cum", "__tok")
   }
 
+  /** Connected components over an undirected edge list — the cluster step
+    * of near-dup canonicalization (every doc in a dup cluster maps to the
+    * cluster's minimum id, so "keep one per cluster" is a filter, not a
+    * pairwise fixpoint). Iterative min-label propagation: each round every
+    * node takes the minimum label among itself and its neighbours,
+    * converging in O(graph diameter) rounds. Returns (id, label) for every
+    * node appearing in an edge, CACHED (the convergence checks
+    * materialized it) — long-lived callers unpersist when done.
+    *
+    * Scale shape: each round is one equi-join of the adjacency list
+    * against the current labels plus one min-aggregation — both keyed
+    * shuffles on node id, never anything pair-quadratic; the adjacency
+    * list is cached once across rounds and released on exit, and caching
+    * each round's labels truncates the iterated lineage. Convergence is
+    * detected from the SUM of labels (min-propagation only decreases
+    * labels, so an unchanged sum is a fixed point) — one scalar reaches
+    * the driver per round, never the label table. Near-dup graphs have
+    * tiny diameters (dup clusters are dense), so rounds ≈ 2–4; for
+    * adversarial long-chain graphs swap in large-star/small-star
+    * contraction (same join+agg primitives, O(log n) rounds).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val adj = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    def sig(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var cur = sig(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val prop = adj.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val next = sig(prop)
+      converged = next.compareTo(cur) == 0
+      labels.unpersist()
+      labels = prop
+      cur = next
+      round += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** Top-k cosine neighbours of a single query vector (inlined as a scalar
     * subquery — no join node; map-only scoring via the native codegen'd
     * dot product).
@@ -246,5 +298,8 @@ object implicits {
     def packDocs(shardCol: String, orderCol: String, tokens: Column,
                  budget: Long): DataFrame =
       GraftOps.packDocs(df, shardCol, orderCol, tokens, budget)
+    def connectedComponents(aCol: String, bCol: String,
+                            maxIter: Int = 50): DataFrame =
+      GraftOps.connectedComponents(df, aCol, bCol, maxIter)
   }
 }

@@ -78,16 +78,20 @@ object DedupQueries {
     * (double-unpersist in the race is a harmless no-op).
     */
   private final class IndexHolder(mk: () => DataFrame,
-                                  mkPairs: DataFrame => DataFrame) {
+                                  mkPairs: DataFrame => DataFrame,
+                                  mkClusters: (DataFrame, DataFrame) => DataFrame) {
     @volatile private var doomed = false
     @volatile private var builtRef: DataFrame = null
     @volatile private var pairsRef: DataFrame = null
+    @volatile private var clustersRef: DataFrame = null
     def doom(): Unit = {
       doomed = true
       val b = builtRef
       if (b != null) b.unpersist(blocking = true)
       val p = pairsRef
       if (p != null) p.unpersist(blocking = true)
+      val c = clustersRef
+      if (c != null) c.unpersist(blocking = true)
     }
     lazy val df: DataFrame = {
       val built = mk()
@@ -103,6 +107,17 @@ object DedupQueries {
     lazy val pairs: DataFrame = {
       val built = mkPairs(df)
       pairsRef = built
+      if (doomed) built.unpersist(blocking = true)
+      built
+    }
+    /** Connected-component labels over the verified near-dup pairs — the
+      * third memo layer (built from [[pairs]], evicted with the index).
+      * Cached by construction: the label-propagation loop's convergence
+      * checks materialize each round.
+      */
+    lazy val clusters: DataFrame = {
+      val built = mkClusters(df, pairs)
+      clustersRef = built
       if (doomed) built.unpersist(blocking = true)
       built
     }
@@ -122,7 +137,8 @@ object DedupQueries {
       shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
         .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
       shCache.computeIfAbsent((s, d),
-        _ => new IndexHolder(() => buildIndex(s, d), sh => buildPairs(s, d, sh)))
+        _ => new IndexHolder(() => buildIndex(s, d), sh => buildPairs(s, d, sh),
+                             (sh, p) => buildClusters(sh, p)))
     }
     holder.df // build (if needed) runs OUTSIDE the cache monitor
   }
@@ -132,6 +148,28 @@ object DedupQueries {
     shingleHashes(s, d) // ensures the holder exists and the index is built
     val holder = shCache.synchronized(shCache.get((s, d)))
     if (holder != null) holder.pairs else buildPairs(s, d, shingleHashes(s, d))
+  }
+
+  /** Memoized connected-component labels over the ≥0.8-Jaccard pair graph. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    shingleHashes(s, d) // ensures the holder exists and the index is built
+    val holder = shCache.synchronized(shCache.get((s, d)))
+    if (holder != null) holder.clusters
+    else buildClusters(shingleHashes(s, d), buildPairs(s, d, shingleHashes(s, d)))
+  }
+
+  /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
+    * criterion) → component labels via [[graft.api.GraftOps.connectedComponents]].
+    */
+  private def buildClusters(sh: DataFrame, pairTable: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nearDup = pairTable
+      .join(sizes.as("na"), col("da") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+      .filter(floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
+                      * 1e6) >= 800000)
+      .select("da", "db")
+    graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
   }
 
   /** One inverted-index self-join + aggregation: every candidate pair with
@@ -318,6 +356,23 @@ object DedupQueries {
         .orderBy("da", "db")
     }),
 
+    "q_dedup_cluster" -> ((s, d) => {
+      // Near-dup CLUSTER canonicalization: pairwise dedup is not enough
+      // when A~B and B~C but A!~C — the training-corpus contract is "keep
+      // one doc per transitive cluster". Connected components over the
+      // verified ngram near-dup pairs (exact Jaccard >= 0.8) via iterative
+      // min-label propagation (GraftOps.connectedComponents): O(diameter)
+      // rounds of keyed join+agg shuffles, adjacency cached across rounds,
+      // one scalar convergence check per round — never a pair-quadratic
+      // step or a label table on the driver. cluster_id = the component's
+      // minimum doc_id, so "keeper" is cluster_id == doc_id.
+      val labels = clusterLabels(s, d)
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_embed" -> ((s, d) => {
       // Embedding-cosine near-dup, SUB-QUADRATIC: candidate pairs come
       // from 2-probe IVF bucket co-residency — each vector joins only
@@ -467,6 +522,33 @@ object DedupQueries {
          |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
          |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT i.da, i.db FROM inter i
+         |          JOIN sizes na ON i.da = na.doc_id
+         |          JOIN sizes nb ON i.db = nb.doc_id
+         |          WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_n
+         |FROM cc ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" -> {
       val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"

@@ -175,6 +175,30 @@ class GraftOpsSpec extends SparkSpec {
                       ("s2", 1L, 0L), ("s2", 2L, 1L)))
   }
 
+  test("connectedComponents labels chains, cliques, and isolated pairs " +
+       "with the component minimum") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+                    (10L, 11L), (11L, 12L), (10L, 12L),
+                    (21L, 20L)).toDF("a", "b")
+    val labels = edges.connectedComponents("a", "b")
+    val got = labels.orderBy("id").as[(Long, Long)].collect().toSeq
+    labels.unpersist()
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L,
+                      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: empty edge list and self-loops are safe") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(empty.connectedComponents("a", "b").count() == 0)
+    val self = Seq((5L, 5L), (6L, 7L)).toDF("a", "b")
+    val labels = self.connectedComponents("a", "b")
+    val got = labels.orderBy("id").as[(Long, Long)].collect().toSeq
+    labels.unpersist()
+    assert(got == Seq(5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("bucketPairs expands each bucket's i<j pairs exactly once") {
     val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
                   (3L, 30L)).toDF("cid", "vec_id")

@@ -103,6 +103,10 @@ class PropertySpec extends SparkSpec {
     // same dir again: memoized, still one
     SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
     assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    // the cluster layer pins exactly one more (its component labels) and
+    // is evicted together with the index
+    SparkEntry.queries("q_dedup_cluster")(spark, d2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 3)
     DedupQueries.releaseShingleIndex(spark)
     assert(spark.sparkContext.getPersistentRDDs.size == base)
     // released ≠ broken: the next query rebuilds transparently

@@ -109,6 +109,25 @@ object RelationalQueries {
         .orderBy("s_suppkey", "c_custkey")
     }),
 
+    "q_join_salted" -> ((s, d) => {
+      // Skew-guarded equi-join through GraftOps.saltedJoin: the fact side
+      // is salted into 8 sub-keys and the dim side replicated across them,
+      // so a pathological hot key spreads over 8 reducers instead of
+      // swamping one. Salting only reroutes rows — the join RESULT is
+      // identical to the plain join, which is exactly what the oracle
+      // checks (plain SQL join + aggregation). Decimal sums keep the
+      // aggregate order-independent under the salt's nondeterministic
+      // routing.
+      val o = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val c = customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.api.GraftOps.saltedJoin(o, c, "o_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sumMoney(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_agg_hash" -> ((s, d) =>
       // TPC-H Q1 shape: partial+final HashAggregate, whole-stage codegen.
       lineitem(s, d)
@@ -236,6 +255,12 @@ object RelationalQueries {
         |FROM supplier s JOIN customer c
         |  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
         |ORDER BY s.s_suppkey, c.c_custkey""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,

@@ -43,6 +43,21 @@ object StatsQueries {
           count(lit(1)).as("n"))
         .orderBy("n_regionkey")),
 
+    "q_agg_histogram" -> ((s, d) =>
+      // Fixed-width histogram: the bucket id is a map-side floor division
+      // (no distinct-values pass, no sort), then one count/sum/min/max
+      // aggregation — the profile-a-column shape at any scale. min/max of
+      // doubles are order-independent; the sum is exact decimal (Parity).
+      lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"),
+                col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             graft.functions.Parity.sumMoney(col("l_extendedprice")).as("sum_price"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"))
+        .orderBy("bucket")),
+
     "q_approx_quantile" -> ((s, d) =>
       // Approximate quantiles via the mergeable percentile sketch — the
       // 100 TB path for p50/p90/p99: map-side partial sketches merge in
@@ -69,6 +84,14 @@ object StatsQueries {
         |       floor(stddev_samp(o_totalprice) * 1e6) / 1e6 AS sd_price,
         |       floor(corr(o_totalprice, o_custkey) * 1e6) / 1e6 AS corr_pk
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT n_regionkey,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextHash._
@@ -167,6 +168,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_tfidf" -> ((s, d) => {
+      // TF-IDF keyword extraction: top-3 most characteristic terms per doc
+      // by tf × (1/df) — the log-free idf variant keeps the score in exact
+      // integer arithmetic (tf·10⁶ DIV df) so the cross-engine compare is
+      // bit-exact; production swaps ln(N/df) with no shape change. Shape:
+      // one tf aggregation (doc_id, term), one df aggregation over it
+      // (term — already term-keyed, so partial aggregation is cheap), one
+      // term-keyed join back, one per-doc window for the top-3. All
+      // shuffles are keyed and linear in token volume; df is vocabulary-
+      // sized, so AQE broadcasts the join side when it fits.
+      val tok = fanOut(documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_e6").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("tfidf_e6", expr("tf * 1000000 DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_e6")
+        .orderBy("doc_id", "term")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -278,6 +303,22 @@ object TextQueries {
         |                  CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
         |         AS top_frac_e6
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         (tf.tf * 1000000) // dfreq.df AS tfidf_e6
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf_e6 DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf_e6
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

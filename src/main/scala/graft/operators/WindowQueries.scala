@@ -75,6 +75,23 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    "q_win_first_last" -> ((s, d) => {
+      // Navigation over the full partition: each order sees the customer's
+      // first, last, and second order key in (date, key) order — one
+      // shuffle on o_custkey, the explicit unbounded frame making
+      // last/nth well-defined (the default frame stops at CURRENT ROW).
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_win_frame" -> ((s, d) => {
       // Running sum (unbounded preceding) + moving avg (2 preceding..current)
       // per customer: one shuffle on o_custkey serves both frames. Sums run
@@ -128,6 +145,16 @@ object WindowQueries {
         |       ems - lag(ems, 1) OVER w AS gap_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_orderkey) OVER w AS first_key,
+        |       last_value(o_orderkey) OVER w AS last_key,
+        |       nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_win_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

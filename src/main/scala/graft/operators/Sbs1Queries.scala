@@ -83,6 +83,27 @@ object Sbs1Queries {
       e.join(broadcast(c), e("user_id") === c("c_custkey"), "left_outer")
         .select(e("event_id"), e("user_id"), c("c_name"), c("c_mktsegment"))
         .orderBy("event_id")
+    }),
+
+    "s_stream_stream_join" -> ((s, d) => {
+      // stream-STREAM interval join (StreamingOps.intervalJoin — the same
+      // plan under readStream, where the time-range condition is what
+      // bounds the join state): purchases matched to the same user's
+      // signups within the prior hour. Batch twin IS oracle-checked —
+      // withWatermark is eliminated from batch plans, the join itself is
+      // an equi-join on user_id with a residual time range.
+      val e = events(s, d).withColumn("ems", expr("ts div 1000000"))
+      def side(tpe: String) = e.filter(col("event_type") === tpe)
+        .select(col("user_id"), timestamp_millis(col("ems")).as("ts"),
+                col("event_id"))
+      graft.streaming.StreamingOps
+        .intervalJoin(side("purchase"), side("signup"), "user_id",
+                      horizon = "1 hour")
+        .select(col("event_id").as("purchase_id"),
+                col("r_event_id").as("signup_id"), col("user_id"),
+                (unix_millis(col("l_ts")) - unix_millis(col("r_ts")))
+                  .as("gap_ms"))
+        .orderBy("purchase_id", "signup_id")
     })
   )
 
@@ -115,6 +136,19 @@ object Sbs1Queries {
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+
+    "s_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems
+        |           FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ems AS p_ms
+        |      FROM e WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, event_id AS signup_id, ems AS s_ms
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT p.purchase_id, g.signup_id, p.user_id,
+        |       p.p_ms - g.s_ms AS gap_ms
+        |FROM p JOIN g ON p.user_id = g.user_id
+        | AND g.s_ms <= p.p_ms AND g.s_ms >= p.p_ms - 3600000
+        |ORDER BY purchase_id, signup_id""".stripMargin,
 
     "q_sbs1_flights" ->
       s"""WITH p AS (

@@ -75,6 +75,35 @@ object StreamingOps {
              dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** Stream-STREAM inner join within an event-time interval
+    * (s_stream_stream_join): each left row matches right rows with the
+    * same key whose time is in [left.ts - horizon, left.ts]. Both sides
+    * carry watermarks, so the state store retains only rows inside the
+    * watermark + interval bound — the join condition's time range is what
+    * lets Spark evict state (an unconstrained stream-stream join would
+    * buffer both streams forever). Shuffle is keyed on the join key on
+    * both sides; state per key is bounded by rate × (watermark + horizon).
+    *
+    * Both inputs need TimestampType event-time columns named `ts`; they
+    * are re-aliased to `l_ts`/`r_ts` in the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   horizon: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key) +: col("ts").as("l_ts") +:
+        left.columns.filterNot(c => c == key || c == "ts").map(col): _*)
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__rk") +: col("ts").as("r_ts") +:
+        right.columns.filterNot(c => c == key || c == "ts")
+          .map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $horizon"))
+      .drop("__rk")
+  }
+
   /** Streaming training-corpus ingest — the streaming half of
     * `GraftOps.corpusPipeline`: map-side quality gate (token floor), then
     * exact-dedup on the content digest with state bounded by the

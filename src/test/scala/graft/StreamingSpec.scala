@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(9L).isEmpty) // left outer keeps unmatched stream rows
   }
 
+  test("stream-stream interval join matches within the horizon only " +
+       "(s_stream_stream_join)") {
+    implicit val sq = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF(), signups.toDF(), "user_id",
+      horizon = "1 hour", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // u1 signs up 10:00 and buys 10:30 (in horizon); u2 signs up 10:00
+    signups.addData(Ev(t2(10, 0), 1, "signup", 0),
+                    Ev(t2(10, 0), 2, "signup", 0))
+    purchases.addData(Ev(t2(10, 30), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // u2 buys 11:30 — 1.5 h after signup, outside the 1 h horizon → no row
+    purchases.addData(Ev(t2(11, 30), 2, "purchase", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+      .select("user_id", "l_ts", "r_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSeq
+    assert(got == Seq((1L, t2(10, 30), t2(10, 0))))
+  }
+
   test("corpusIngest gates quality and dedups content within the watermark") {
     implicit val sq = spark.sqlContext
     val long1 = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -24,8 +24,9 @@ object Bench {
     try {
       SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
       SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
-      Seq("q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_simhash",
-          "q_dedup_embed", "q_sim_ivf", "q_session_windows", "q_text_tokens")
+      Seq("q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_minhash",
+          "q_dedup_simhash", "q_dedup_embed", "q_sim_ivf",
+          "q_session_windows", "q_text_tokens")
         .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch { case _: Throwable => }
     // sorted key order: deterministic run order, so one-time costs (the

@@ -202,8 +202,17 @@ object GraftOps {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    val adj = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both directions via ONE explode — a union of two selects would
+    // evaluate the (possibly expensive) edge plan twice when the cache
+    // materializes. repartition(dst) without a number lets AQE size the
+    // cached layout from the data (near-dup graphs are tiny next to their
+    // corpus) AND hash-partitions on the per-round join key, so each
+    // round shuffles only the label side.
+    val adj = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .cache()
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()

@@ -25,10 +25,17 @@ object Bench {
       SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
       SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
       Seq("q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_minhash",
-          "q_dedup_simhash", "q_dedup_embed", "q_sim_ivf",
-          "q_session_windows", "q_text_tokens")
+          "q_dedup_simhash", "q_dedup_embed", "q_dedup_substring",
+          "q_sim_ivf", "q_session_windows", "q_text_tokens",
+          "q_text_contamination", "q_mm_features")
         .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
-    } catch { case _: Throwable => }
+    } catch {
+      // a dead warmup silently shifts JIT + build costs into whichever
+      // "warm" query runs first — make it visible, then bench anyway
+      case t: Throwable =>
+        System.err.println(s"[bench] warmup failed (warm numbers will " +
+          s"include JIT/build costs): $t")
+    }
     // sorted key order: deterministic run order, so one-time costs (the
     // shared shingle index) land on the same query every run instead of
     // whichever key Map iteration happens to yield first

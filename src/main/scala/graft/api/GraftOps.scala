@@ -179,6 +179,27 @@ object GraftOps {
       .drop("__cum", "__tok")
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Materialize `df` into the cache and read a convergence signature off
+    * the SAME action: the metric rides the caching `count()` as an
+    * `observe()` side-channel instead of a second full-pass aggregation —
+    * ONE Spark job per CC round where the previous design paid two (the
+    * round-5 driver bench showed the extra job dominating under load).
+    * Returns (cached df, row count, signature).
+    */
+  private def cacheWithSig(df: DataFrame, metric: Column): (DataFrame, Long, java.math.BigDecimal) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, sum(metric.cast("decimal(38,0)")).as("sig")).cache()
+    val rows = observed.count()
+    val sig = obs.get("sig") match {
+      case null                      => java.math.BigDecimal.ZERO
+      case d: java.math.BigDecimal   => d
+      case other                     => new java.math.BigDecimal(other.toString)
+    }
+    (observed, rows, sig)
+  }
+
   /** Connected components over an undirected edge list — the cluster step
     * of near-dup canonicalization (every doc in a dup cluster maps to the
     * cluster's minimum id, so "keep one per cluster" is a filter, not a
@@ -192,13 +213,20 @@ object GraftOps {
     * against the current labels plus one min-aggregation — both keyed
     * shuffles on node id, never anything pair-quadratic; the adjacency
     * list is cached once across rounds and released on exit, and caching
-    * each round's labels truncates the iterated lineage. Convergence is
-    * detected from the SUM of labels (min-propagation only decreases
-    * labels, so an unchanged sum is a fixed point) — one scalar reaches
-    * the driver per round, never the label table. Near-dup graphs have
-    * tiny diameters (dup clusters are dense), so rounds ≈ 2–4; for
-    * adversarial long-chain graphs swap in large-star/small-star
-    * contraction (same join+agg primitives, O(log n) rounds).
+    * each round's labels truncates the iterated lineage. Round 0 is
+    * pre-contracted: the initial labelling min(self, neighbours) comes
+    * straight off the adjacency in one aggregation (no identity table, no
+    * join), which is exactly what the first propagation round over
+    * identity labels would compute. Convergence is detected from the SUM
+    * of labels (min-propagation only decreases labels, so an unchanged sum
+    * is a fixed point), observed as a side-channel metric of the SAME
+    * count() that materializes the round's cache — one job and one scalar
+    * per round, never the label table on the driver. Near-dup graphs have
+    * tiny diameters (dup clusters are dense), so rounds ≈ 1–3 after
+    * pre-contraction; for adversarial long-chain graphs use
+    * [[connectedComponentsStar]] (same join+agg primitives, O(log n)
+    * rounds). Exhausting maxIter logs a warning — labels may then split
+    * one component into several.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
@@ -214,29 +242,108 @@ object GraftOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    def sig(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
-    }
-    var cur = sig(labels)
+    var (labels, rows, cur) = cacheWithSig(
+      adj.groupBy(col("src").as("id"))
+        .agg(min(least(col("dst"), col("src"))).as("label")),
+      col("label"))
+    var converged = rows == 0L
     var round = 0
-    var converged = false
     while (!converged && round < maxIter) {
       val prop = adj.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .cache()
-      val next = sig(prop)
-      converged = next.compareTo(cur) == 0
+      val (next, _, nextSig) = cacheWithSig(prop, col("label"))
+      converged = nextSig.compareTo(cur) == 0
       labels.unpersist()
-      labels = prop
-      cur = next
+      labels = next
+      cur = nextSig
       round += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents: maxIter=$maxIter exhausted before " +
+        "convergence — labels may split a component; raise maxIter or use " +
+        "connectedComponentsStar (O(log n) rounds on long-chain graphs)")
     adj.unpersist()
+    labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction — the O(log n)-round algorithm for graphs whose diameter
+    * makes [[connectedComponents]]' O(diameter) propagation the bottleneck
+    * (adversarial chained near-dup corpora: template docs A~B~C~…).
+    * Public algorithm: Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (ACM SoCC 2014). Same contract as
+    * [[connectedComponents]]: returns (id, label=component minimum) for
+    * every node appearing in an edge, CACHED.
+    *
+    * Scale shape: each phase is one neighbourhood-min aggregation plus one
+    * keyed equi-join plus a distinct — all shuffles keyed on node id,
+    * never pair-quadratic; the edge set monotonically contracts toward
+    * disjoint stars (child → component-min root). Convergence compares an
+    * order-insensitive xxhash64 sum of the edge set observed on the same
+    * count() that materializes each round — one job, two scalars per
+    * round. Pick this over propagation when the diameter is unknown or
+    * large; for dense small-diameter dup clusters propagation's cheaper
+    * rounds win.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(explode(array(col(aCol), col(bCol))).as("id"))
+      .distinct().cache()
+    def edgeSig(df: DataFrame) =
+      cacheWithSig(df, xxhash64(col("u"), col("v")))
+    // canonical undirected edges u > v; self-loops carry no connectivity
+    var (e, rows, cur) = edgeSig(
+      edges.filter(col(aCol) =!= col(bCol))
+        .select(greatest(col(aCol), col(bCol)).as("u"),
+                least(col(aCol), col(bCol)).as("v"))
+        .distinct())
+    var converged = rows == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star: every node attaches its strictly LARGER neighbours to
+      // the minimum of its closed neighbourhood. Result stays canonical:
+      // emitted (y, m) has y > x >= m.
+      val nbrs = e.select(explode(array(
+          struct(col("u").as("x"), col("v").as("y")),
+          struct(col("v").as("x"), col("u").as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val lmins = nbrs.groupBy("x").agg(min(least(col("y"), col("x"))).as("m"))
+      val ls = nbrs.join(lmins, "x")
+        .filter(col("y") > col("x") && col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node attaches its SMALLER neighbours (and
+      // itself) to the minimum of that smaller neighbourhood. ls is
+      // canonical (u > v), so the smaller neighbours of u are exactly its
+      // v-side rows; emitted (n, m) has n > m.
+      val smins = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(smins, Seq("u"))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      val (next, _, nextSig) = edgeSig(ss)
+      converged = nextSig.compareTo(cur) == 0
+      e.unpersist()
+      e = next
+      cur = nextSig
+      round += 1
+    }
+    if (!converged)
+      log.warn(s"connectedComponentsStar: maxIter=$maxIter exhausted before " +
+        "convergence — labels may split a component; raise maxIter")
+    // the converged edge set is a disjoint union of stars: every non-root
+    // points at its component's minimum. Roots and self-loop-only nodes
+    // label themselves. (min-agg guards determinism if maxIter truncated.)
+    val roots = e.groupBy(col("u").as("id")).agg(min("v").as("lbl"))
+    val labels = nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+      .cache()
+    labels.count()
+    e.unpersist()
+    nodes.unpersist()
     labels
   }
 
@@ -310,5 +417,8 @@ object implicits {
     def connectedComponents(aCol: String, bCol: String,
                             maxIter: Int = 50): DataFrame =
       GraftOps.connectedComponents(df, aCol, bCol, maxIter)
+    def connectedComponentsStar(aCol: String, bCol: String,
+                                maxIter: Int = 50): DataFrame =
+      GraftOps.connectedComponentsStar(df, aCol, bCol, maxIter)
   }
 }

@@ -69,32 +69,46 @@ object DedupQueries {
     * (session, dir) so repeated invocations (Bench/Verify/specs) reuse ONE
     * cache entry instead of leaking a new one per call.
     */
-  /** One memoized index entry. The index is built on FIRST ACCESS of
-    * [[df]] (lazy val — contention serializes per key, not globally), so
-    * the cache's monitor is held only for map bookkeeping, never across
-    * the multi-job index build: one session's build can no longer stall
-    * every other session's dedup queries (or releaseShingleIndex). An
-    * entry evicted mid-build unpersists itself when the build completes
-    * (double-unpersist in the race is a harmless no-op).
+  /** One memoized index entry. Each layer is built on FIRST ACCESS (lazy
+    * val — contention serializes per key, not globally), so the cache's
+    * monitor is held only for map bookkeeping, never across a multi-job
+    * build: one session's build can no longer stall every other session's
+    * dedup queries (or releaseShingleIndex). An entry evicted mid-build
+    * unpersists itself when the build completes (double-unpersist in the
+    * race is a harmless no-op).
     */
-  private final class IndexHolder(mk: () => DataFrame,
+  private final class IndexHolder(mkRaw: () => DataFrame,
+                                  mkCapped: DataFrame => DataFrame,
                                   mkPairs: DataFrame => DataFrame,
                                   mkClusters: (DataFrame, DataFrame) => DataFrame) {
     @volatile private var doomed = false
+    @volatile private var rawRef: DataFrame = null
     @volatile private var builtRef: DataFrame = null
     @volatile private var pairsRef: DataFrame = null
     @volatile private var clustersRef: DataFrame = null
     def doom(): Unit = {
       doomed = true
-      val b = builtRef
-      if (b != null) b.unpersist(blocking = true)
-      val p = pairsRef
-      if (p != null) p.unpersist(blocking = true)
-      val c = clustersRef
-      if (c != null) c.unpersist(blocking = true)
+      Seq(rawRef, builtRef, pairsRef, clustersRef)
+        .foreach(df => if (df != null) df.unpersist(blocking = true))
     }
+    /** UNCAPPED (doc_id, h) — the raw hashed-shingle pass, kept pinned as
+      * its own layer: q_text_contamination probes the benchmark's DISTINCT
+      * shingle set, so its per-row join fan-out is ≤ 1 by construction and
+      * it needs the uncapped universe (no hot-key risk to cap away).
+      * Sharing the layer removes the second interpreted shingle+md5 pass
+      * the round-5 bench paid (4.5 s rebuilt per call).
+      */
+    lazy val raw: DataFrame = {
+      val built = mkRaw()
+      rawRef = built
+      if (doomed) built.unpersist(blocking = true)
+      built
+    }
+    /** DfCap-capped index over [[raw]] — what every pair-enumerating dedup
+      * query joins on.
+      */
     lazy val df: DataFrame = {
-      val built = mk()
+      val built = mkCapped(raw)
       builtRef = built
       if (doomed) built.unpersist(blocking = true)
       built
@@ -112,8 +126,8 @@ object DedupQueries {
     }
     /** Connected-component labels over the verified near-dup pairs — the
       * third memo layer (built from [[pairs]], evicted with the index).
-      * Cached by construction: the label-propagation loop's convergence
-      * checks materialize each round.
+      * Cached by construction: connectedComponents returns its final
+      * materialized round.
       */
     lazy val clusters: DataFrame = {
       val built = mkClusters(df, pairs)
@@ -126,8 +140,13 @@ object DedupQueries {
   private val shCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexHolder]
 
-  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    val holder = shCache.synchronized {
+  /** The ONLY way to a holder: evict-then-computeIfAbsent under the map
+    * monitor, so every caller gets a tracked entry (a racing eviction
+    * dooms the entry, whose layers then self-unpersist on build
+    * completion — no untracked throwaway caches can leak).
+    */
+  private def holderFor(s: SparkSession, d: String): IndexHolder =
+    shCache.synchronized {
       // at most ONE pinned index per session: callers sweep dirs serially
       // (Bench/Verify across scale factors), and keeping every dir's index
       // cached for the session's life accumulates pinned storage without
@@ -137,26 +156,29 @@ object DedupQueries {
       shCache.keySet.asScala.filter(k => k._1 == s && k._2 != d)
         .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
       shCache.computeIfAbsent((s, d),
-        _ => new IndexHolder(() => buildIndex(s, d), sh => buildPairs(s, d, sh),
+        _ => new IndexHolder(() => buildRaw(s, d), raw => buildCapped(s, d, raw),
+                             sh => buildPairs(s, d, sh),
                              (sh, p) => buildClusters(sh, p)))
     }
-    holder.df // build (if needed) runs OUTSIDE the cache monitor
-  }
+
+  // builds (if needed) run OUTSIDE the cache monitor (lazy vals)
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    holderFor(s, d).df
+
+  /** Memoized UNCAPPED (doc_id, h) — shared with TextQueries'
+    * decontamination probe (same arithmetic as the dedup index before the
+    * DfCap anti-join).
+    */
+  private[operators] def uncappedShingleHashes(s: SparkSession, d: String): DataFrame =
+    holderFor(s, d).raw
 
   /** Memoized (da, db, shared) counts for docs sharing ≥ 1 kept shingle. */
-  private def sharedShinglePairs(s: SparkSession, d: String): DataFrame = {
-    shingleHashes(s, d) // ensures the holder exists and the index is built
-    val holder = shCache.synchronized(shCache.get((s, d)))
-    if (holder != null) holder.pairs else buildPairs(s, d, shingleHashes(s, d))
-  }
+  private def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
+    holderFor(s, d).pairs
 
   /** Memoized connected-component labels over the ≥0.8-Jaccard pair graph. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    shingleHashes(s, d) // ensures the holder exists and the index is built
-    val holder = shCache.synchronized(shCache.get((s, d)))
-    if (holder != null) holder.clusters
-    else buildClusters(shingleHashes(s, d), buildPairs(s, d, shingleHashes(s, d)))
-  }
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    holderFor(s, d).clusters
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
     * criterion) → component labels via [[graft.api.GraftOps.connectedComponents]].
@@ -192,31 +214,40 @@ object DedupQueries {
     pairs
   }
 
-  /** Index build (eager, once per dir): raw index → anti-join away the
-    * HOT shingles (df > DfCap) → materialize the capped index, release
-    * the raw one. The hot set is tiny by construction (heavy tail), so
-    * AQE broadcasts it and the cap costs one aggregation, not a shuffle
-    * of the index; the raw cache keeps the md5-explode single-pass.
-    * The BUILD runs fanned out (shingles() — the interpreted shingle
-    * transform is the one genuinely CPU-bound pass, ~6× faster
-    * parallelized even on a tiny scan), but the CACHED index coalesces
-    * back to the scan's size-derived partition count: every downstream
-    * consumer stage maps over the cache's partitioning, and paying a
-    * 32-task stage per consumer for an index that fits one partition
-    * is pure scheduling overhead at small SF (at scale `natural` is
-    * large and the coalesce is a no-op).
+  /** Raw (uncapped) index build (eager, once per dir): one hashed-shingle
+    * pass, cached and materialized. The BUILD runs fanned out (shingles()
+    * — the interpreted shingle transform + md5 is the one genuinely
+    * CPU-bound pass, ~6× faster parallelized even on a tiny scan). This
+    * layer stays pinned for the holder's lifetime: it IS the uncapped
+    * shingle universe the decontamination probe needs, and the capped
+    * index derives from it with one aggregation instead of a second
+    * md5-explode pass.
     */
-  private def buildIndex(s: SparkSession, d: String): DataFrame = {
-    val natural = documents(s, d).rdd.getNumPartitions
+  private def buildRaw(s: SparkSession, d: String): DataFrame = {
     val raw = shingles(s, d)
       .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
       .cache()
+    raw.count()
+    raw
+  }
+
+  /** Capped index over the raw layer: anti-join away the HOT shingles
+    * (df > DfCap) and materialize. The hot set is tiny by construction
+    * (heavy tail), so AQE broadcasts it and the cap costs one aggregation,
+    * not a shuffle of the index. The CACHED result coalesces back to the
+    * scan's size-derived partition count: every downstream consumer stage
+    * maps over the cache's partitioning, and paying a 32-task stage per
+    * consumer for an index that fits one partition is pure scheduling
+    * overhead at small SF (at scale `natural` is large and the coalesce
+    * is a no-op).
+    */
+  private def buildCapped(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
+    val natural = documents(s, d).rdd.getNumPartitions
     val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("h")
     val capped = raw.join(hot, Seq("h"), "left_anti")
       .select("doc_id", "h").coalesce(natural).cache()
     capped.count()
-    raw.unpersist()
     capped
   }
 
@@ -361,15 +392,51 @@ object DedupQueries {
       // when A~B and B~C but A!~C — the training-corpus contract is "keep
       // one doc per transitive cluster". Connected components over the
       // verified ngram near-dup pairs (exact Jaccard >= 0.8) via iterative
-      // min-label propagation (GraftOps.connectedComponents): O(diameter)
-      // rounds of keyed join+agg shuffles, adjacency cached across rounds,
-      // one scalar convergence check per round — never a pair-quadratic
-      // step or a label table on the driver. cluster_id = the component's
-      // minimum doc_id, so "keeper" is cluster_id == doc_id.
+      // min-label propagation (GraftOps.connectedComponents): pre-contracted
+      // round 0 plus O(diameter) rounds of ONE keyed join+agg job each (the
+      // convergence scalar rides the materializing count as an observe()
+      // metric), adjacency cached across rounds — never a pair-quadratic
+      // step or a label table on the driver. Dup clusters are dense, so
+      // diameter stays tiny; GraftOps.connectedComponentsStar is the
+      // O(log n) fallback for adversarial chain-shaped graphs.
+      // cluster_id = the component's minimum doc_id, so "keeper" is
+      // cluster_id == doc_id.
       val labels = clusterLabels(s, d)
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .withColumn("cluster_n",
           count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_substring" -> ((s, d) => {
+      // Passage-level exact dedup (the suffix-array-style pass real
+      // pretraining pipelines run besides whole-document dedup): POSITIONAL
+      // 8-token shingles — NOT distinct, so a passage repeated within one
+      // doc counts every occurrence — hashed to longs; a passage is
+      // "duplicated" when its hash occurs ≥ 2 times corpus-wide (within or
+      // across docs). Per-doc output: passage count, duplicated-passage
+      // count, dup fraction. Shape at 100 TB: one map-side explode, one
+      // h-keyed count aggregation, one h-keyed join back (per-row fan-out
+      // exactly 1 — the counts table has one row per hash), one doc-keyed
+      // aggregation — all linear, no pair enumeration at any scale
+      // (contrast q_dedup_ngram, which scores document PAIRS).
+      val K = 8
+      val ts = split(col("text"), " ")
+      val pos = fanOut(documents(s, d))
+        .select(col("doc_id"),
+          explode(when(size(ts) >= K,
+            transform(sequence(lit(0), size(ts) - K),
+              j => concat_ws(" ", (0 until K).map(k => element_at(ts, j + k + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+        .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
+      val occ = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+      pos.join(occ, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+             sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+        .withColumn("dup_frac_e6",
+          floor(col("n_dup_passages").cast("double") /
+                col("n_passages").cast("double") * 1e6).cast("long"))
         .orderBy("doc_id")
     }),
 
@@ -523,6 +590,29 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
          |ORDER BY da, db""".stripMargin,
 
+    "q_dedup_substring" -> {
+      val gram8 = (1 to 7).foldLeft("ts[i]")((acc, k) => s"$acc || ' ' || ts[i+$k]")
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest([$gram8 for i in range(1, len(ts) - 6)]) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+         |  WHERE len(ts) >= 8),
+         |h AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM p),
+         |occ AS (SELECT h, count(*) AS occ FROM h GROUP BY h)
+         |SELECT t.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_passages,
+         |       CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_passages,
+         |       CAST(floor(CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |                  / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_frac_e6
+         |FROM h t JOIN occ o USING (h)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
+
+    // NOTE (oracle-only scale bound): the recursive `reach` CTE below
+    // materializes O(|component|²) (node, label) tuples — fine at fixture
+    // scale (components are small dup clusters) but it would blow up on
+    // large clusters at sf0.1+; the ENGINE side never does this (min-label
+    // propagation keeps one label per node per round).
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $duckShingles,
          |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),

@@ -22,27 +22,18 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles.
-    * Uncapped (unlike the dedup index): the consumers here join against a
-    * DISTINCT benchmark shingle set, so per-row join fan-out is ≤ 1 by
-    * construction — no hot-shingle quadratic risk to cap away. Fanned out:
-    * the interpreted shingle transform + md5 is the one genuinely
-    * CPU-bound pass (same rationale as the dedup index build; fanOut is
-    * identity once the scan has real splits).
+  /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles —
+    * the MEMOIZED uncapped layer of the per-dir dedup index holder
+    * (DedupQueries.uncappedShingleHashes). Uncapped is correct here: the
+    * consumer joins against a DISTINCT benchmark shingle set, so per-row
+    * join fan-out is ≤ 1 by construction — no hot-shingle quadratic risk
+    * to cap away. Sharing the holder removes the second interpreted
+    * shingle+md5 pass the round-5 bench paid on every contamination call
+    * (4.5 s); eviction follows the index holder's one-dir-per-session
+    * policy.
     */
-  private def docShingleHashes(s: SparkSession, d: String): DataFrame = {
-    val ts = split(col("text"), " ")
-    fanOut(documents(s, d))
-      .select(col("doc_id"),
-        explode(
-          when(size(ts) >= 3,
-            array_distinct(transform(sequence(lit(0), size(ts) - 3),
-              j => concat_ws(" ", element_at(ts, j + 1),
-                                  element_at(ts, j + 2),
-                                  element_at(ts, j + 3)))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-  }
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    DedupQueries.uncappedShingleHashes(s, d)
 
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>

@@ -199,6 +199,36 @@ class GraftOpsSpec extends SparkSpec {
     assert(got == Seq(5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponentsStar matches propagation on chains, cliques, " +
+       "pairs, and self-loops") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+                    (10L, 11L), (11L, 12L), (10L, 12L),
+                    (21L, 20L), (30L, 30L)).toDF("a", "b")
+    val labels = edges.connectedComponentsStar("a", "b")
+    val got = labels.orderBy("id").as[(Long, Long)].collect().toSeq
+    labels.unpersist()
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L,
+                      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(empty.connectedComponentsStar("a", "b").count() == 0)
+  }
+
+  test("connectedComponentsStar labels a planted 1000-node chain in " +
+       "O(log n) rounds (propagation would need ~999)") {
+    // adversarial long-chain graph: edges (i+1, i) for i in [0, 999) —
+    // diameter 999. Star contraction doubles the skip distance per round,
+    // so maxIter = 25 ≫ log2(1000) must suffice; min-label propagation
+    // under the same budget would truncate (and warn).
+    val chain = spark.range(999)
+      .select(($"id" + 1).as("a"), $"id".as("b"))
+    val labels = graft.api.GraftOps
+      .connectedComponentsStar(chain.toDF, "a", "b", maxIter = 25)
+    assert(labels.count() == 1000)
+    assert(labels.filter($"label" =!= 0L).count() == 0)
+    labels.unpersist()
+  }
+
   test("bucketPairs expands each bucket's i<j pairs exactly once") {
     val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
                   (3L, 30L)).toDF("cid", "vec_id")

@@ -93,20 +93,22 @@ class PropertySpec extends SparkSpec {
     val d2 = mkDir(25)
     DedupQueries.releaseShingleIndex(spark)
     val base = spark.sparkContext.getPersistentRDDs.size
-    // one dir pins exactly the index + its shared-pair table (2 RDDs)
+    // one dir pins exactly the uncapped layer + capped index + shared-pair
+    // table (3 RDDs; the uncapped layer doubles as the contamination
+    // probe's shingle set)
     SparkEntry.queries("q_dedup_ngram")(spark, d1).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 3)
     // a second dir evicts the first — long-lived sessions sweeping many
-    // dirs hold ONE pinned index (+pairs), not one per dir ever processed
+    // dirs hold ONE pinned index (+raw +pairs), not one per dir processed
     SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 3)
     // same dir again: memoized, still one
     SparkEntry.queries("q_dedup_ngram")(spark, d2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 3)
     // the cluster layer pins exactly one more (its component labels) and
     // is evicted together with the index
     SparkEntry.queries("q_dedup_cluster")(spark, d2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 3)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 4)
     DedupQueries.releaseShingleIndex(spark)
     assert(spark.sparkContext.getPersistentRDDs.size == base)
     // released ≠ broken: the next query rebuilds transparently

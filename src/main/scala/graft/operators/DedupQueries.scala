@@ -162,7 +162,7 @@ object DedupQueries {
     }
 
   // builds (if needed) run OUTSIDE the cache monitor (lazy vals)
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).df
 
   /** Memoized UNCAPPED (doc_id, h) — shared with TextQueries'
@@ -173,11 +173,11 @@ object DedupQueries {
     holderFor(s, d).raw
 
   /** Memoized (da, db, shared) counts for docs sharing ≥ 1 kept shingle. */
-  private def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).pairs
 
   /** Memoized connected-component labels over the ≥0.8-Jaccard pair graph. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).clusters
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
@@ -415,25 +415,44 @@ object DedupQueries {
       // doc counts every occurrence — hashed to longs; a passage is
       // "duplicated" when its hash occurs ≥ 2 times corpus-wide (within or
       // across docs). Per-doc output: passage count, duplicated-passage
-      // count, dup fraction. Shape at 100 TB: one map-side explode, one
-      // h-keyed count aggregation, one h-keyed join back (per-row fan-out
-      // exactly 1 — the counts table has one row per hash), one doc-keyed
-      // aggregation — all linear, no pair enumeration at any scale
-      // (contrast q_dedup_ngram, which scores document PAIRS).
+      // count, dup fraction.
+      //
+      // Hashing: each TOKEN is md5long'd once, and a passage hash is the
+      // modular polynomial over its 8 consecutive token hashes — O(tokens)
+      // md5 calls per doc instead of O(positions) md5 calls over 8-token
+      // CONCATENATED strings (the round-6 form paid ~8× the bytes hashed
+      // plus a materialized ~50-char string per position; the polynomial
+      // is 8 long-mults — Rabin-Karp arithmetic, same collision story as
+      // any universal hash, mirrored exactly by the oracle).
+      //
+      // Shape at 100 TB — ONE linear plan, every pass evaluated once:
+      // map-side token hash + positional explode, pre-aggregate to
+      // (doc_id, h, c) (shrinks by in-doc repetition), corpus-wide
+      // occurrence counts as a window SUM over h on the pre-aggregated
+      // table (one shuffle; the round-6 form branched the expensive pass
+      // into an aggregate AND a join probe, computing it twice), then one
+      // doc-keyed aggregation. No pair enumeration at any scale (contrast
+      // q_dedup_ngram, which scores document PAIRS).
       val K = 8
+      val B = 1315423911L // poly base: tokenHash < FpPrime ≈ 2^30, so
+                          // acc*B + h < 2^61 — no 64-bit overflow
       val ts = split(col("text"), " ")
       val pos = fanOut(documents(s, d))
         .select(col("doc_id"),
-          explode(when(size(ts) >= K,
-            transform(sequence(lit(0), size(ts) - K),
-              j => concat_ws(" ", (0 until K).map(k => element_at(ts, j + k + 1)): _*)))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-        .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-      val occ = pos.groupBy("h").agg(count(lit(1)).as("occ"))
-      pos.join(occ, Seq("h"))
+          transform(ts, t => pmod(md5long(t), lit(FpPrime))).as("ha"))
+        .select(col("doc_id"),
+          explode(when(size(col("ha")) >= K,
+            transform(sequence(lit(0), size(col("ha")) - K),
+              j => (1 until K).foldLeft(element_at(col("ha"), j + 1))(
+                (acc, k) => pmod(acc * B + element_at(col("ha"), j + k + 1),
+                                 lit(FpPrime)))))
+          .otherwise(array().cast("array<long>"))).as("h"))
+      val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      cnt
+        .withColumn("occ", sum("c").over(Window.partitionBy("h")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_passages"),
-             sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+        .agg(sum("c").as("n_passages"),
+             sum(when(col("occ") >= 2, col("c")).otherwise(0L)).as("n_dup_passages"))
         .withColumn("dup_frac_e6",
           floor(col("n_dup_passages").cast("double") /
                 col("n_passages").cast("double") * 1e6).cast("long"))
@@ -591,21 +610,28 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin,
 
     "q_dedup_substring" -> {
-      val gram8 = (1 to 7).foldLeft("ts[i]")((acc, k) => s"$acc || ' ' || ts[i+$k]")
-      s"""WITH p AS (
-         |  SELECT doc_id, unnest([$gram8 for i in range(1, len(ts) - 6)]) AS sh
+      // poly over 8 consecutive per-token hashes — identical arithmetic to
+      // the engine's Rabin-Karp-style positional hash (B=1315423911, mod
+      // FpPrime; all intermediates < 2^61, no BIGINT overflow)
+      val poly = (1 to 7).foldLeft("ha[i]")((acc, k) =>
+        s"(($acc * 1315423911 + ha[i+$k]) % 1000000007)")
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |         [${duckMd5Long("t")} % 1000000007 for t in ts] AS ha
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
          |  WHERE len(ts) >= 8),
-         |h AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM p),
-         |occ AS (SELECT h, count(*) AS occ FROM h GROUP BY h)
-         |SELECT t.doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_passages,
-         |       CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |p AS (SELECT doc_id,
+         |             unnest([$poly for i in range(1, len(ha) - 6)]) AS h
+         |      FROM th),
+         |cnt AS (SELECT doc_id, h, count(*) AS c FROM p GROUP BY doc_id, h),
+         |o AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY h) AS occ FROM cnt)
+         |SELECT doc_id,
+         |       CAST(sum(c) AS BIGINT) AS n_passages,
+         |       CAST(sum(CASE WHEN occ >= 2 THEN c ELSE 0 END) AS BIGINT)
          |         AS n_dup_passages,
-         |       CAST(floor(CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         |                  / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_frac_e6
-         |FROM h t JOIN occ o USING (h)
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+         |       CAST(floor(CAST(sum(CASE WHEN occ >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         |                  / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) AS dup_frac_e6
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // NOTE (oracle-only scale bound): the recursive `reach` CTE below

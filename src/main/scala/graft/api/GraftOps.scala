@@ -200,45 +200,116 @@ object GraftOps {
     (observed, rows, sig)
   }
 
+  /** Edge-count bound for the single-task union-find fast path: ≈4M edges
+    * × 16 B ≈ 64 MB — comfortably one task's working set. Below it, the
+    * whole component structure fits one executor core and iterating
+    * distributed rounds would pay ~5–10 scheduler round-trips for nothing.
+    */
+  private val SmallGraphEdges = 4L << 20
+
+  /** Propagation rounds to attempt before escalating to star contraction
+    * — near-dup graphs converge in 1–3 rounds after pre-contraction, so a
+    * graph still moving after this many rounds has a long-chain shape that
+    * propagation would grind through in O(diameter).
+    */
+  private val EscalateAfterRounds = 6
+
   /** Connected components over an undirected edge list — the cluster step
     * of near-dup canonicalization (every doc in a dup cluster maps to the
     * cluster's minimum id, so "keep one per cluster" is a filter, not a
-    * pairwise fixpoint). Iterative min-label propagation: each round every
-    * node takes the minimum label among itself and its neighbours,
-    * converging in O(graph diameter) rounds. Returns (id, label) for every
+    * pairwise fixpoint). Returns (id, label=component minimum) for every
     * node appearing in an edge, CACHED (the convergence checks
     * materialized it) — long-lived callers unpersist when done.
     *
-    * Scale shape: each round is one equi-join of the adjacency list
-    * against the current labels plus one min-aggregation — both keyed
-    * shuffles on node id, never anything pair-quadratic; the adjacency
-    * list is cached once across rounds and released on exit, and caching
-    * each round's labels truncates the iterated lineage. Round 0 is
-    * pre-contracted: the initial labelling min(self, neighbours) comes
-    * straight off the adjacency in one aggregation (no identity table, no
-    * join), which is exactly what the first propagation round over
-    * identity labels would compute. Convergence is detected from the SUM
-    * of labels (min-propagation only decreases labels, so an unchanged sum
-    * is a fixed point), observed as a side-channel metric of the SAME
-    * count() that materializes the round's cache — one job and one scalar
-    * per round, never the label table on the driver. Near-dup graphs have
-    * tiny diameters (dup clusters are dense), so rounds ≈ 1–3 after
-    * pre-contraction; for adversarial long-chain graphs use
-    * [[connectedComponentsStar]] (same join+agg primitives, O(log n)
-    * rounds). Exhausting maxIter logs a warning — labels may then split
-    * one component into several.
+    * Three-tier strategy, picked from the materialized edge count:
+    *  1. **Small graphs** (≤ [[SmallGraphEdges]], long ids): single-task
+    *     union-find over the edge list repartitioned to ONE partition —
+    *     the data stays on an executor (never `collect()`ed), and the
+    *     whole clustering is one job instead of one job per round. Near-
+    *     dup graphs are near-dup-SIZED (edges exist only for verified
+    *     ≥0.8-Jaccard pairs), so at any corpus scale this path handles
+    *     the common case where dup clusters are rare-to-moderate.
+    *  2. **Large graphs**: iterative min-label propagation — each round
+    *     one equi-join of the cached adjacency against current labels
+    *     plus one min-aggregation (keyed shuffles only, nothing pair-
+    *     quadratic). Round 0 is pre-contracted off the adjacency; the
+    *     convergence scalar (sum of labels — monotone under min-
+    *     propagation) rides the materializing count() as an observe()
+    *     metric: one job, one scalar per round, the label table never on
+    *     the driver. Dense dup clusters converge in 1–3 rounds.
+    *  3. **Escalation**: a graph still unconverged after
+    *     [[EscalateAfterRounds]] propagation rounds has a long-chain
+    *     shape; switch to [[connectedComponentsStar]] (O(log n) rounds)
+    *     rather than grinding O(diameter).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    val bothLong =
+      edges.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+      edges.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v")).cache()
+    val n = e.count()
+    val result =
+      if (bothLong && n <= SmallGraphEdges) ccUnionFind(e)
+      else ccPropagate(e, math.min(EscalateAfterRounds, maxIter)).getOrElse {
+        log.info(s"connectedComponents: unconverged after " +
+          s"$EscalateAfterRounds propagation rounds (long-chain graph); " +
+          "escalating to star contraction")
+        connectedComponentsStar(e, "u", "v", maxIter)
+      }
+    e.unpersist()
+    result
+  }
+
+  /** Tier 1: union-find (path compression + union-by-min, so the final
+    * root IS the component minimum) inside one `mapPartitions` task. The
+    * edge list is shuffled to a single partition, not collected — driver
+    * memory never holds it.
+    */
+  private def ccUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val labels = e.select(col("u").as("_1"), col("v").as("_2"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toArray.iterator.map(k => k -> find(k))
+      }
+      .toDF("id", "label")
+      .cache()
+    labels.count()
+    labels
+  }
+
+  /** Tier 2: min-label propagation over (u, v) edges; Some(labels) once
+    * the label sum reaches its fixed point within `maxRounds`, None (all
+    * intermediate state released) if still moving — the caller escalates.
+    */
+  private def ccPropagate(e: DataFrame, maxRounds: Int): Option[DataFrame] = {
     // both directions via ONE explode — a union of two selects would
     // evaluate the (possibly expensive) edge plan twice when the cache
     // materializes. repartition(dst) without a number lets AQE size the
-    // cached layout from the data (near-dup graphs are tiny next to their
-    // corpus) AND hash-partitions on the per-round join key, so each
-    // round shuffles only the label side.
-    val adj = edges.select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+    // cached layout from the data AND hash-partitions on the per-round
+    // join key, so each round shuffles only the label side.
+    val adj = e.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
@@ -248,7 +319,7 @@ object GraftOps {
       col("label"))
     var converged = rows == 0L
     var round = 0
-    while (!converged && round < maxIter) {
+    while (!converged && round < maxRounds) {
       val prop = adj.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
@@ -260,12 +331,9 @@ object GraftOps {
       cur = nextSig
       round += 1
     }
-    if (!converged)
-      log.warn(s"connectedComponents: maxIter=$maxIter exhausted before " +
-        "convergence — labels may split a component; raise maxIter or use " +
-        "connectedComponentsStar (O(log n) rounds on long-chain graphs)")
     adj.unpersist()
-    labels
+    if (converged) Some(labels)
+    else { labels.unpersist(); None }
   }
 
   /** Connected components via alternating large-star / small-star
@@ -281,11 +349,16 @@ object GraftOps {
     * keyed equi-join plus a distinct — all shuffles keyed on node id,
     * never pair-quadratic; the edge set monotonically contracts toward
     * disjoint stars (child → component-min root). Convergence compares an
-    * order-insensitive xxhash64 sum of the edge set observed on the same
-    * count() that materializes each round — one job, two scalars per
-    * round. Pick this over propagation when the diameter is unknown or
-    * large; for dense small-diameter dup clusters propagation's cheaper
-    * rounds win.
+    * order-insensitive xxhash64 sum of the edge set PLUS its row count,
+    * both observed on the same count() that materializes each round — one
+    * job per round. The check is probabilistic in principle (two different
+    * consecutive edge sets could collide on BOTH scalars — unlike the
+    * propagation variant's label sum, which is monotone and therefore an
+    * exact fixed-point certificate), but a simultaneous 64-bit-sum AND
+    * count collision between consecutive rounds of a contracting edge set
+    * is vanishingly unlikely. Pick this over propagation when the diameter
+    * is unknown or large; for dense small-diameter dup clusters
+    * propagation's cheaper rounds win.
     */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
@@ -324,10 +397,11 @@ object GraftOps {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-      val (next, _, nextSig) = edgeSig(ss)
-      converged = nextSig.compareTo(cur) == 0
+      val (next, nextRows, nextSig) = edgeSig(ss)
+      converged = nextSig.compareTo(cur) == 0 && nextRows == rows
       e.unpersist()
       e = next
+      rows = nextRows
       cur = nextSig
       round += 1
     }

@@ -36,6 +36,37 @@ object TextHash {
   def duckMd5LongSeeded(expr: String, iExpr: String): String =
     duckMd5Long(s"CAST($iExpr AS VARCHAR) || '_' || $expr")
 
+  /** Rabin-Karp polynomial base for positional n-gram hashing over
+    * PER-TOKEN hashes: each token is md5long'd ONCE and an n-gram's hash is
+    * the modular polynomial over its n consecutive token hashes — O(tokens)
+    * md5 calls per document instead of O(positions) md5 calls over n-token
+    * CONCATENATED strings (n× the bytes hashed plus a materialized string
+    * per position). Overflow-safe: token hashes are < FpPrime ≈ 2^30 and
+    * PolyB < 2^31, so acc*PolyB + h < 2^61 stays inside a signed 64-bit
+    * int in both engines.
+    */
+  val PolyB = 1315423911L
+
+  /** Array of per-token hashes (each reduced mod FpPrime) of a text col. */
+  def tokenHashes(textCol: Column): Column =
+    transform(split(textCol, " "), t => pmod(md5long(t), lit(FpPrime)))
+
+  /** Polynomial hash of the n-gram starting at 0-based position j of the
+    * token-hash array `ha` (element_at is 1-based).
+    */
+  def polyWindow(ha: Column, j: Column, n: Int): Column =
+    (1 until n).foldLeft(element_at(ha, j + 1))(
+      (acc, k) => pmod(acc * PolyB + element_at(ha, j + k + 1), lit(FpPrime)))
+
+  /** DuckDB mirror of [[tokenHashes]] (list named `ha` by convention). */
+  def duckTokenHashes: String =
+    s"[${duckMd5Long("t")} % $FpPrime for t in string_split(text, ' ')]"
+
+  /** DuckDB mirror of [[polyWindow]] over list `ha` at 1-based index i. */
+  def duckPoly(n: Int): String =
+    (1 until n).foldLeft("ha[i]")((acc, k) =>
+      s"(($acc * $PolyB + ha[i+$k]) % $FpPrime)")
+
   /** Affine MinHash family over an already-reduced base hash h ∈ [0, p):
     * h_i = (A_i·h + B_i) mod p. One md5 per shingle instead of k — the
     * standard universal-hash construction; A_i·h stays < 2^63 because both

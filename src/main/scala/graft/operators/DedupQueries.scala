@@ -46,20 +46,26 @@ object DedupQueries {
     */
   private val DfCap = 100
 
-  /** (doc_id, shingle) of distinct 3-token shingles; docs shorter than 3
-    * tokens produce no shingles (both engines agree).
+  /** (doc_id, h) of distinct 3-token shingle HASHES; docs shorter than 3
+    * tokens produce no shingles (both engines agree). Each token is
+    * md5long'd once and the shingle hash is the modular polynomial over 3
+    * consecutive token hashes (TextHash.polyWindow — same Rabin-Karp
+    * arithmetic as q_dedup_substring): 3× fewer bytes hashed than md5 over
+    * concatenated 3-token strings, no per-shingle string materialization,
+    * and the distinct runs over longs, not strings. Distinctness is on
+    * hash values (a cross-shingle collision merges two shingles — the
+    * usual fingerprinting trade, identical in both engines).
     */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val ts = split(col("text"), " ")
+    val ha = tokenHashes(col("text"))
     fanOut(documents(s, d))
+      .select(col("doc_id"), ha.as("ha"))
       .select(col("doc_id"),
         explode(array_distinct(
-          when(size(ts) >= 3,
-            transform(sequence(lit(0), size(ts) - 3),
-              j => concat_ws(" ", element_at(ts, j + 1),
-                                  element_at(ts, j + 2),
-                                  element_at(ts, j + 3))))
-          .otherwise(array().cast("array<string>")))).as("sh"))
+          when(size(col("ha")) >= 3,
+            transform(sequence(lit(0), size(col("ha")) - 3),
+              j => polyWindow(col("ha"), j, 3)))
+          .otherwise(array().cast("array<long>")))).as("h"))
   }
 
   /** (doc_id, h): 60-bit shingle hash reduced mod FpPrime — long join keys
@@ -224,9 +230,7 @@ object DedupQueries {
     * md5-explode pass.
     */
   private def buildRaw(s: SparkSession, d: String): DataFrame = {
-    val raw = shingles(s, d)
-      .select(col("doc_id"), pmod(md5long(col("sh")), lit(FpPrime)).as("h"))
-      .cache()
+    val raw = shingles(s, d).cache()
     raw.count()
     raw
   }
@@ -262,12 +266,15 @@ object DedupQueries {
       .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
   }
 
+  /** DuckDB mirror of [[shingles]]: (doc_id, h) of distinct 3-gram
+    * polynomial hashes over per-token md5 hashes — identical arithmetic to
+    * the engine (TextHash.duckPoly / duckTokenHashes).
+    */
   private val duckShingles =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-      |            for i in range(1, len(ts) - 1)])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))""".stripMargin
+    s"""shh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           [${duckPoly(3)} for i in range(1, len(ha) - 1)])) AS h
+       |  FROM (SELECT doc_id, $duckTokenHashes AS ha FROM documents))""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_dedup_content" -> ((s, d) => {
@@ -517,7 +524,6 @@ object DedupQueries {
 
     "q_dedup_minhash" ->
       s"""WITH $duckShingles,
-         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |sig AS (SELECT doc_id,
@@ -553,7 +559,6 @@ object DedupQueries {
 
     "q_dedup_fuzzy" ->
       s"""WITH $duckShingles,
-         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
@@ -571,7 +576,6 @@ object DedupQueries {
 
     "q_dedup_ngram" ->
       s"""WITH $duckShingles,
-         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
@@ -641,7 +645,6 @@ object DedupQueries {
     // propagation keeps one label per node per round).
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $duckShingles,
-         |shh0 AS (SELECT doc_id, ($duckShingleHash) % 1000000007 AS h FROM sh),
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),

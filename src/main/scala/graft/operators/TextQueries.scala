@@ -256,13 +256,12 @@ object TextQueries {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_contamination" -> {
-      val h = duckMd5Long("sh")
-      s"""WITH sh0 AS (
+      // mirrors DedupQueries.shingles: distinct 3-gram polynomial hashes
+      // over per-token md5 hashes (TextHash.duckPoly/duckTokenHashes)
+      s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(
-         |           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-         |            for i in range(1, len(ts) - 1)])) AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
-         |sh AS (SELECT doc_id, ($h) % ${FpPrime} AS h FROM sh0),
+         |           [${duckPoly(3)} for i in range(1, len(ha) - 1)])) AS h
+         |  FROM (SELECT doc_id, $duckTokenHashes AS ha FROM documents)),
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
          |SELECT c.doc_id,
          |       CAST(count(*) AS BIGINT) AS n_shingles,

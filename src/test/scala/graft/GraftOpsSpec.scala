@@ -199,6 +199,30 @@ class GraftOpsSpec extends SparkSpec {
     assert(got == Seq(5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponents: propagation tier (non-long ids) matches, and " +
+       "long-chain graphs escalate to star contraction") {
+    // int ids route around the single-task union-find fast path, so this
+    // exercises the distributed propagation tier on the same graph as the
+    // long-id test above
+    val edges = Seq((2, 1), (2, 3), (3, 4),
+                    (10, 11), (11, 12), (10, 12),
+                    (21, 20)).toDF("a", "b")
+    val labels = edges.connectedComponents("a", "b")
+    val got = labels.orderBy("id").as[(Int, Int)].collect().toSeq
+    labels.unpersist()
+    assert(got == Seq(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
+                      10 -> 10, 11 -> 10, 12 -> 10,
+                      20 -> 20, 21 -> 20))
+    // 64-node int chain: diameter 63 exceeds the propagation escalation
+    // budget, so this must fall through to star contraction and still
+    // label every node with the component minimum (0)
+    val chain = Seq.tabulate(63)(i => (i + 1, i)).toDF("a", "b")
+    val cl = chain.connectedComponents("a", "b")
+    assert(cl.count() == 64)
+    assert(cl.filter($"label" =!= 0).count() == 0)
+    cl.unpersist()
+  }
+
   test("connectedComponentsStar matches propagation on chains, cliques, " +
        "pairs, and self-loops") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),

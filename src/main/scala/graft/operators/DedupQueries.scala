@@ -384,11 +384,23 @@ object DedupQueries {
       val banded = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))
-      banded.as("a").join(banded.as("b2"),
-          col("a.b") === col("b2.b") && col("a.bsig") === col("b2.bsig") &&
-          col("a.doc_id") < col("b2.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
-                bit_count(expr("a.simhash ^ b2.simhash")).cast("long").as("hamming"))
+      // pairs via ONE (b, bsig)-keyed aggregation + in-bucket expansion —
+      // a band SELF-JOIN would evaluate the whole tok→bitSums→sim subtree
+      // twice (AQE broadcasts one side and streams the other; measured
+      // ~2× the query's cost) and shuffle it twice. Bucket membership is
+      // dup-cluster-sized (a band signature collides only for near-equal
+      // fingerprints), so the in-bucket quadratic is bounded the same way
+      // the self-join's per-key fan-out was — no new skew exposure.
+      val buckets = banded.groupBy("b", "bsig")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+      buckets
+        .select(explode(col("ms")).as("x"), col("ms"))
+        .select(col("x"), explode(col("ms")).as("y"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+                bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+                  .cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy("da", "db")

@@ -1,0 +1,173 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media container codecs for the multimodal pipeline: a real
+  * BMP (BITMAPINFOHEADER, 24-bpp) writer/parser and a real WAV (RIFF
+  * PCM16 mono) writer/parser — no native image/audio libraries, which the
+  * container doesn't ship. The DECODER is the product surface: it sniffs
+  * the container magic, parses the headers at their fixed little-endian
+  * offsets, walks the payload (pixel array with 4-byte row stride / PCM16
+  * sample stream), and reduces to exact integer statistics, so the whole
+  * decode → feature path is oracle-checkable with fixed-offset byte math.
+  *
+  * The encoders exist so tests and the synthetic `media` table can
+  * produce REAL containers deterministically from document bytes; at
+  * deployment the decoder reads whatever BMP/WAV bytes the lake holds.
+  */
+object MediaCodec {
+
+  /** Exact integer features of one decoded media payload.
+    *  - bmp: dim1=width, dim2=height, valSum=Σ all pixel-array bytes
+    *    (channels included), valMin/valMax over pixel-array bytes.
+    *  - wav: dim1=sample rate, dim2=sample count, valSum=Σ samples
+    *    (signed PCM16), valMin/valMax over samples.
+    */
+  final case class MediaFeatures(fmt: String, dim1: Long, dim2: Long,
+                                 valSum: Long, valMin: Long, valMax: Long)
+
+  /** 24-bpp bottom-up BMP from a grayscale byte array (one value per
+    * pixel, replicated across B,G,R). Row stride pads to 4 bytes per the
+    * format; pixels are written in index order (stats are order-free).
+    */
+  def encodeBmp24(gray: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height values")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val pixelBytes = stride * height
+    val fileSize = 54 + pixelBytes
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putInt(0)           // reserved
+    buf.putInt(54)          // pixel-array offset
+    buf.putInt(40)          // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height)      // positive: bottom-up
+    buf.putShort(1)         // planes
+    buf.putShort(24)        // bpp
+    buf.putInt(0)           // BI_RGB
+    buf.putInt(pixelBytes)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0) // palette
+    var row = 0
+    while (row < height) {
+      var x = 0
+      while (x < width) {
+        val g = (gray(row * width + x) & 0xff).toByte
+        buf.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { buf.put(0.toByte); pad += 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** RIFF/WAVE, PCM (format 1), mono, 16-bit little-endian samples. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataBytes)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)          // fmt chunk size
+    buf.putShort(1)         // PCM
+    buf.putShort(1)         // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2)         // block align
+    buf.putShort(16)        // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataBytes)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Sniff the container magic and decode. Returns None for payloads that
+    * are neither a parseable BMP nor a parseable WAV (corrupt rows are
+    * data, not exceptions — callers route them to a quarantine side).
+    */
+  def decode(bytes: Array[Byte]): Option[MediaFeatures] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 12 &&
+             bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      decodeWav(bytes)
+    else None
+
+  private def decodeBmp(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.length < 54) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    if (width <= 0 || height <= 0 || bpp != 24) return None
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + stride.toLong * height > bytes.length)
+      return None
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var row = 0
+    while (row < height) {
+      val base = pixelOffset + row * stride
+      var i = 0
+      val rowBytes = width * 3 // stride padding is filler, not pixel data
+      while (i < rowBytes) {
+        val v = (bytes(base + i) & 0xff).toLong
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        i += 1
+      }
+      row += 1
+    }
+    Some(MediaFeatures("bmp", width.toLong, height.toLong, sum, min, max))
+  }
+
+  private def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.length < 44) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // walk RIFF chunks after "WAVE" — real WAVs may carry LIST/fact
+    // chunks before fmt/data, so offsets 12+ are discovered, not assumed
+    var off = 12
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          sampleRate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22) & 0xffff
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = buf.getShort(dataOff + 2 * i).toLong
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    if (n == 0) { min = 0L; max = 0L }
+    Some(MediaFeatures("wav", sampleRate.toLong, n.toLong, sum, min, max))
+  }
+}

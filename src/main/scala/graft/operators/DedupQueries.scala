@@ -200,20 +200,30 @@ object DedupQueries {
     graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
   }
 
-  /** One inverted-index self-join + aggregation: every candidate pair with
-    * its shared-shingle count. The join fan-out per shingle is ≤ DfCap²
-    * (the index is capped), the aggregation shrinks pairs map-side, and
-    * the result is the SHARED intermediate both exact-verify dedup ops
-    * (Jaccard, levenshtein) start from — materialized once per dir.
+  /** Candidate pairs with shared-shingle counts via ONE (h)-keyed bucket
+    * aggregation + in-bucket pair expansion — not an index self-join,
+    * which would shuffle the index twice (both join sides hash on h) for
+    * the same pair stream. Skew-safe by construction: the capped index
+    * bounds every bucket at DfCap members, so collect_list is ≤ DfCap
+    * entries and the per-bucket quadratic ≤ DfCap² — the identical bound
+    * the self-join's per-key fan-out had. The pair aggregation shrinks
+    * map-side, and the result is the SHARED intermediate both
+    * exact-verify dedup ops (Jaccard, levenshtein) start from —
+    * materialized once per dir.
     */
   private def buildPairs(s: SparkSession, d: String, sh: DataFrame): DataFrame = {
     // NOT coalesced like the index cache: the pair table is orders of
     // magnitude bigger (|pairs| ≫ |index|), so collapsing the final
     // aggregation merge into one task costs more than the per-stage
     // scheduling it would save — the aggregation's own partitioning stays.
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val buckets = sh.groupBy("h")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = buckets
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("da"), col("y").as("db"))
       .agg(count(lit(1)).as("shared"))
       .cache()
     pairs.count()

@@ -4,27 +4,28 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
+import graft.functions.MediaCodec
 
 /** Multimodal columns for LLM training-data pipelines (north star): media
   * as opaque `binary` payloads + typed metadata, with decode / feature
   * extraction / frame sampling as distributed operators.
   *
-  * The container ships no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`stubDecodeFeatures`) — the Spark
-  * side is real: schema (binary + metadata struct), partition-parallel
-  * mapPartitions batch iteration (the Scala analog of mapInPandas: one
-  * iterator per partition, vectorizable batch shape), and the downstream
-  * relational plumbing over extracted features.
-  *
-  * The media "payloads" are synthesized deterministically from documents
-  * (utf-8 bytes stand in for image bytes) so every metadata operator has a
-  * DuckDB oracle; the stub feature extractor is oracle-less (rows-only
-  * check) but spec-pinned (MultimodalSpec).
+  * The decode step is a REAL pure-JVM container parser
+  * ([[graft.functions.MediaCodec]]): BMP headers and pixel arrays, RIFF/
+  * WAVE chunk walks and PCM16 samples — no native codec libraries (the
+  * container ships none), and the whole path is oracle-checkable because
+  * the features are exact integer statistics reproducible with
+  * fixed-offset byte math in DuckDB. `encodeMedia` synthesizes the real
+  * containers deterministically from document bytes; at deployment the
+  * decoder reads whatever BMP/WAV bytes the lake holds. (The older
+  * byte-stripe `stubDecodeFeatures` remains as the template for swapping
+  * in an out-of-container codec.)
   *
   * Scale notes: payload bytes never reach a shuffle — metadata projections
   * prune the binary column (columnar parquet would store it in its own
-  * chunk); decode runs map-side only; frame explode is a Generator, not a
-  * join.
+  * chunk); encode and decode run map-side only (mapPartitions batch
+  * iteration, the Scala analog of mapInPandas); frame explode is a
+  * Generator, not a join.
   */
 object MultimodalQueries {
 
@@ -74,6 +75,71 @@ object MultimodalQueries {
       }(enc)
   }
 
+  /** Real media containers from document bytes (map-side, deterministic):
+    * image/video rows become 24-bpp BMPs (8×H grayscale, H = clamp(len/8,
+    * 1, 32), pixel i = payload byte i mod len — video uses its first
+    * frame), audio rows become 16 kHz PCM16 mono WAVs (min(4096, len)
+    * samples, sample i = byte(i mod len)·257 − 32768, spanning the int16
+    * range). Empty payloads produce no container (no bytes to decode).
+    */
+  def encodeMedia(mediaDf: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("container", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    mediaDf.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val len = payload.length
+          if (len == 0) None
+          else {
+            val mt = r.getAs[String]("media_type")
+            val bytes = mt match {
+              case "audio" =>
+                val n = math.min(4096, len)
+                val samples = Array.tabulate(n)(i =>
+                  ((payload(i % len) & 0xff) * 257 - 32768).toShort)
+                MediaCodec.encodeWavPcm16(samples, 16000)
+              case _ => // image, video (first frame)
+                val h = math.max(1, math.min(32, len / 8))
+                val gray = Array.tabulate(8 * h)(i => payload(i % len) & 0xff)
+                MediaCodec.encodeBmp24(gray, 8, h)
+            }
+            Some(Row(r.getAs[Long]("media_id"), mt, bytes))
+          }
+        }
+      }(enc)
+  }
+
+  /** Parse containers (magic-sniffed BMP/WAV) into exact integer feature
+    * rows; unparseable payloads are dropped (quarantine-side in a real
+    * pipeline). Map-side only.
+    */
+  def decodeMediaFeatures(binDf: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("fmt", StringType),
+      StructField("dim1", LongType),
+      StructField("dim2", LongType),
+      StructField("val_sum", LongType),
+      StructField("val_min", LongType),
+      StructField("val_max", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binDf.select("media_id", "media_type", "container")
+      .mapPartitions { rows =>
+        // positional getters: upstream mapPartitions emits schema-less
+        // GenericRows, where name-based getAs throws
+        rows.flatMap { r =>
+          MediaCodec.decode(r.getAs[Array[Byte]](2)).map(f =>
+            Row(r.getLong(0), r.getString(1),
+                f.fmt, f.dim1, f.dim2, f.valSum, f.valMin, f.valMax))
+        }
+      }(enc)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_mm_meta" -> ((s, d) =>
       // Binary + metadata plumbing: payload digest, sizes, magic bytes.
@@ -97,12 +163,11 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")),
 
     "q_mm_features" -> ((s, d) =>
-      // Stubbed decode via mapPartitions (rows-only check; spec-pinned).
-      stubDecodeFeatures(media(s, d))
-        .select(col("media_id"), col("media_type"),
-                floor(element_at(col("features"), 1) * 1e6).cast("long")
-                  .as("f0_e6"),
-                size(col("features")).cast("long").as("n_feats"))
+      // Real decode: synthesize BMP/WAV containers from payload bytes,
+      // then parse them back (headers at fixed LE offsets, pixel array /
+      // PCM16 walk) into exact integer stats — hash-matched by a DuckDB
+      // oracle computing the same arithmetic from the source bytes.
+      decodeMediaFeatures(encodeMedia(media(s, d)))
         .orderBy("media_id"))
   )
 
@@ -124,6 +189,49 @@ object MultimodalQueries {
         |         CAST(unnest(range(0, n_chars % 30 + 1)) AS BIGINT) AS frame_idx
         |  FROM documents)
         |WHERE frame_idx % 5 = 0
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Mirror of encodeMedia∘decodeMediaFeatures with fixed-offset byte
+    // math: the BMP pixel array is payload byte (i mod len) replicated
+    // across 3 channels, the WAV sample stream is byte(i mod len)·257 −
+    // 32768 — so the decoded stats are list aggregations over the source
+    // bytes (parsed from the hex dump, two chars per byte).
+    "q_mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+        |         octet_length(encode(text)) AS len,
+        |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+        |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |imgp AS (
+        |  SELECT doc_id, m, h, [bv[(i % len) + 1] for i in range(0, 8 * h)] AS px
+        |  FROM (SELECT doc_id, m, len, bv,
+        |               greatest(1, least(32, len // 8)) AS h
+        |        FROM b WHERE m = 0 OR m = 2)),
+        |imgf AS (
+        |  SELECT doc_id, m, 'bmp' AS fmt,
+        |         CAST(8 AS BIGINT) AS dim1, CAST(h AS BIGINT) AS dim2,
+        |         CAST(3 * list_aggregate(px, 'sum') AS BIGINT) AS val_sum,
+        |         CAST(list_aggregate(px, 'min') AS BIGINT) AS val_min,
+        |         CAST(list_aggregate(px, 'max') AS BIGINT) AS val_max
+        |  FROM imgp),
+        |audp AS (
+        |  SELECT doc_id, m, ns,
+        |         [bv[(i % len) + 1] * 257 - 32768 for i in range(0, ns)] AS sm
+        |  FROM (SELECT doc_id, m, len, bv, least(4096, len) AS ns
+        |        FROM b WHERE m = 1)),
+        |audf AS (
+        |  SELECT doc_id, m, 'wav' AS fmt,
+        |         CAST(16000 AS BIGINT) AS dim1, CAST(ns AS BIGINT) AS dim2,
+        |         CAST(list_aggregate(sm, 'sum') AS BIGINT) AS val_sum,
+        |         CAST(list_aggregate(sm, 'min') AS BIGINT) AS val_min,
+        |         CAST(list_aggregate(sm, 'max') AS BIGINT) AS val_max
+        |  FROM audp),
+        |allf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
+        |SELECT doc_id AS media_id,
+        |       ['image', 'audio', 'video'][m + 1] AS media_type,
+        |       fmt, dim1, dim2, val_sum, val_min, val_max
+        |FROM allf ORDER BY media_id""".stripMargin
   )
 }

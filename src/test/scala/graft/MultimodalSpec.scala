@@ -30,6 +30,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f0 > 32 && f0 < 127)
   }
 
+  test("MediaCodec: BMP round-trip parses header fields and exact pixel stats") {
+    import graft.functions.MediaCodec
+    val gray = Array(0, 255, 7, 13, 200, 100, 50, 1, 2, 3, 4, 5, 6, 8, 9, 10)
+    val bmp = MediaCodec.encodeBmp24(gray, 8, 2)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val f = MediaCodec.decode(bmp).get
+    assert(f.fmt == "bmp")
+    assert(f.dim1 == 8 && f.dim2 == 2)
+    assert(f.valSum == 3L * gray.sum)
+    assert(f.valMin == 0 && f.valMax == 255)
+    // non-multiple-of-4 stride exercises row padding (w=3 -> stride 12 != 9)
+    val g2 = Array(10, 20, 30, 40, 50, 60)
+    val f2 = MediaCodec.decode(MediaCodec.encodeBmp24(g2, 3, 2)).get
+    assert(f2.valSum == 3L * g2.sum && f2.valMin == 10 && f2.valMax == 60)
+  }
+
+  test("MediaCodec: WAV round-trip walks RIFF chunks and sums PCM16 samples") {
+    import graft.functions.MediaCodec
+    val samples = Array[Short](-32768, 32767, 0, 1, -1, 1000)
+    val wav = MediaCodec.encodeWavPcm16(samples, 16000)
+    val f = MediaCodec.decode(wav).get
+    assert(f.fmt == "wav")
+    assert(f.dim1 == 16000 && f.dim2 == samples.length)
+    assert(f.valSum == samples.map(_.toLong).sum)
+    assert(f.valMin == -32768 && f.valMax == 32767)
+    // neither magic -> None (quarantine, not an exception)
+    assert(MediaCodec.decode("not a container".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decode(Array[Byte]()).isEmpty)
+  }
+
+  test("q_mm_features: every non-empty doc decodes; stats match driver math") {
+    val out = MultimodalQueries.queries("q_mm_features")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == docs.count { case (_, t) => t.getBytes("UTF-8").nonEmpty })
+    out.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = docs(id).getBytes("UTF-8")
+      val len = bytes.length
+      if (r.getAs[String]("fmt") == "bmp") {
+        val h = math.max(1, math.min(32, len / 8))
+        val px = (0 until 8 * h).map(i => (bytes(i % len) & 0xff).toLong)
+        assert(r.getAs[Long]("dim2") == h)
+        assert(r.getAs[Long]("val_sum") == 3 * px.sum)
+        assert(r.getAs[Long]("val_min") == px.min)
+        assert(r.getAs[Long]("val_max") == px.max)
+      } else {
+        val ns = math.min(4096, len)
+        val sm = (0 until ns).map(i => (bytes(i % len) & 0xff).toLong * 257 - 32768)
+        assert(r.getAs[Long]("dim2") == ns)
+        assert(r.getAs[Long]("val_sum") == sm.sum)
+      }
+    }
+  }
+
   test("centroid Aggregator: per-label elementwise mean of embeddings") {
     val e = Tables.embeddings(spark, sf)
       .select(col("label"),

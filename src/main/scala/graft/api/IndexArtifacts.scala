@@ -1,0 +1,63 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.DedupQueries
+import graft.sources.BucketedLayout
+
+/** Build-once index artifacts for the dedup/ANN family. At 100 TB the
+  * shingle index and the IVF assignment are not per-session caches — they
+  * are tables built once and consumed by every downstream dedup/search
+  * job. Persisting them through [[BucketedLayout]] buys two things:
+  *
+  *  1. repeat jobs SKIP THE BUILD — the expensive tokenize→hash→explode
+  *     scan over the corpus (resp. the centroid-assignment projection)
+  *     never reruns; consumers read the parquet artifact;
+  *  2. the bucket layout pre-pays the shuffle: the table is bucketed on
+  *     its join/aggregation key (`h` for the shingle index, `cid` for the
+  *     IVF assignment), so index-keyed aggregations — the bucket
+  *     collect_list feeding pair expansion, per-bucket ANN membership —
+  *     plan with ZERO Exchange nodes in any later session
+  *     (IndexArtifactsSpec pins this).
+  *
+  * Bucket counts are a layout knob: pick ≈ cluster parallelism at build
+  * time (bucket count bounds the write fan-out and the later scan's
+  * natural task count).
+  */
+object IndexArtifacts {
+
+  /** Write the DfCap-capped (doc_id, h) shingle index for `docsDir` as a
+    * parquet table bucketed + sorted on `h`.
+    */
+  def persistShingleIndex(s: SparkSession, docsDir: String, table: String,
+                          buckets: Int = 32): Unit =
+    BucketedLayout.writeBucketed(
+      DedupQueries.cappedShingleIndex(s, docsDir), table, "h", buckets)
+
+  /** The persisted index, bucket layout intact. */
+  def shingleIndex(s: SparkSession, table: String): DataFrame = s.table(table)
+
+  /** Shared-shingle candidate pairs (da, db, shared) over a PERSISTED
+    * index: the (h)-keyed bucket aggregation clusters on the table's
+    * bucket column — no Exchange before pair expansion, no index rebuild.
+    */
+  def pairsFromIndex(s: SparkSession, table: String): DataFrame =
+    DedupQueries.pairsPlan(shingleIndex(s, table))
+
+  /** Write the IVF assignment (id, cid — `nProbe` rows per vector) as a
+    * table bucketed + sorted on `cid`, so per-bucket candidate generation
+    * (the ANN join's grouping key) scans shuffle-free. `centroids` is the
+    * bounded (cid, v) model table, e.g. [[KMeans.fit]] output.
+    */
+  def persistIvfAssignment(s: SparkSession, vecs: DataFrame,
+                           centroids: DataFrame, nProbe: Int, table: String,
+                           idCol: String = "vec_id",
+                           buckets: Int = 16): Unit =
+    BucketedLayout.writeBucketed(
+      IvfOps.assign(vecs, IvfOps.centroidBlock(centroids), nProbe)
+        .select(col(idCol), col("cid")),
+      table, "cid", buckets)
+
+  /** The persisted assignment, bucket layout intact. */
+  def ivfAssignment(s: SparkSession, table: String): DataFrame = s.table(table)
+}

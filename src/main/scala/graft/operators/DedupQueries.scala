@@ -216,19 +216,34 @@ object DedupQueries {
     // magnitude bigger (|pairs| ≫ |index|), so collapsing the final
     // aggregation merge into one task costs more than the per-stage
     // scheduling it would save — the aggregation's own partitioning stays.
+    val pairs = pairsPlan(sh).cache()
+    pairs.count()
+    pairs
+  }
+
+  /** The pair PLAN over any capped (doc_id, h) index — shared by the
+    * session memo above and by [[graft.api.IndexArtifacts]], where the
+    * index comes from a persisted h-bucketed table and the groupBy
+    * clusters on the bucket column with no Exchange.
+    */
+  private[graft] def pairsPlan(sh: DataFrame): DataFrame = {
     val buckets = sh.groupBy("h")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val pairs = buckets
+    buckets
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))
       .filter(col("x") < col("y"))
       .groupBy(col("x").as("da"), col("y").as("db"))
       .agg(count(lit(1)).as("shared"))
-      .cache()
-    pairs.count()
-    pairs
   }
+
+  /** Public handle on the memoized DfCap'd (doc_id, h) index — the
+    * build-once artifact [[graft.api.IndexArtifacts.persistShingleIndex]]
+    * writes through [[graft.sources.BucketedLayout]].
+    */
+  def cappedShingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleHashes(s, d)
 
   /** Raw (uncapped) index build (eager, once per dir): one hashed-shingle
     * pass, cached and materialized. The BUILD runs fanned out (shingles()
@@ -320,13 +335,18 @@ object DedupQueries {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      // exact Jaccard verification of candidates only, on long hash keys.
+      // exact Jaccard verification of candidates only: the shared-shingle
+      // count for EVERY pair sharing ≥1 kept shingle is already the
+      // memoized pair table, so verification is one join of that table
+      // against the (near-dup-sized) candidate set — not a double
+      // index-join, which would shuffle the index twice per run. A
+      // candidate pair sharing zero shingles drops out of either form
+      // (inner join), and the memo covers all shared>=1 pairs, so the
+      // semantics are identical (oracle unchanged).
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
-                           col("sa.h") === col("sb.h"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      val inter = sharedShinglePairs(s, d)
+        .join(cand, Seq("da", "db"))
+        .select(col("da"), col("db"), col("shared").as("inter"))
       inter
         .join(sizes.as("na"), col("da") === col("na.doc_id"))
         .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
@@ -377,16 +397,21 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, d) => {
       // 60-bit SimHash over the token multiset (order-insensitive — catches
       // the fixture's permuted near-dups); pairs via 4×15-bit band joins.
+      // count-weighted DISTINCT tokens per doc before any hashing: natural
+      // text repeats tokens ~2.3× (fixture-measured), so deduping first
+      // cuts both the md5 pass and the 60-slot aggregation rows by that
+      // factor; Σ±1 over occurrences ≡ Σ±c over distinct tokens — same
+      // arithmetic, the DuckDB oracle keeps its exploded form.
       val tok = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), md5long(col("t")).as("h"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), md5long(col("t")).as("h"), col("c"))
       // 60 aggregate slots instead of a 60× row explode: one pass over the
       // token rows, map-side partial aggregation, no extra shuffle volume.
-      // (The DuckDB oracle keeps its exploded form — same arithmetic.)
       val bitSums = tok.groupBy("doc_id").agg(
-        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("sb0"),
+        sum(when(expr("(h >> 0) & 1") === 1, col("c")).otherwise(-col("c"))).as("sb0"),
         (1 until 60).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"sb$j")): _*)
+          sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"sb$j")): _*)
       val sim = bitSums.select(col("doc_id"),
         (0 until 60).map(j =>
           when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))

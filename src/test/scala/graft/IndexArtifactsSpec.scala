@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{IndexArtifacts, IvfOps}
+import graft.operators.DedupQueries
+
+/** Persisted dedup/ANN artifacts: build-once bucketed tables whose keyed
+  * consumers plan with zero Exchange in a FRESH session (no index
+  * rebuild, no shuffle).
+  */
+class IndexArtifactsSpec extends SparkSpec {
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a killed prior JVM can leave orphan table dirs the fresh in-memory
+    // catalog doesn't know about — clear them or saveAsTable refuses
+    val dir = new java.io.File(s"spark-warehouse/$t")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+    }
+  }
+
+  test("persisted shingle index: fresh session reuses it shuffle-free " +
+       "and pairs match the session-built memo") {
+    dropTable("g_shingle_idx")
+    IndexArtifacts.persistShingleIndex(spark, sf, "g_shingle_idx", buckets = 4)
+
+    // fresh session: shares the catalog, NOT the dedup memo caches
+    val s2 = spark.newSession()
+    val idx = IndexArtifacts.shingleIndex(s2, "g_shingle_idx")
+
+    // the (h)-keyed bucket aggregation — the stage that feeds pair
+    // expansion — plans with no Exchange on the bucketed layout
+    val agg = idx.groupBy("h").agg(count(lit(1)).as("c"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+
+    // and the artifact-path pairs equal the session-memo pairs exactly
+    val fromArtifact = IndexArtifacts.pairsFromIndex(s2, "g_shingle_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val fromMemo = DedupQueries.pairsPlan(
+        DedupQueries.cappedShingleIndex(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(fromArtifact.nonEmpty)
+    assert(fromArtifact.toSeq == fromMemo.toSeq)
+  }
+
+  test("persisted IVF assignment: fresh session groups by cid shuffle-free") {
+    dropTable("g_ivf_asg")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v"))
+    IndexArtifacts.persistIvfAssignment(spark, e, cents, nProbe = 2,
+      table = "g_ivf_asg", buckets = 4)
+
+    val s2 = spark.newSession()
+    val asg = IndexArtifacts.ivfAssignment(s2, "g_ivf_asg")
+    val perBucket = asg.groupBy("cid").agg(count(lit(1)).as("members"))
+    perBucket.collect()
+    val plan = perBucket.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+
+    // 2 probes -> every vector appears exactly twice
+    val n = Tables.embeddings(spark, sf).count()
+    assert(asg.count() == 2 * n)
+    // and the persisted assignment matches a live re-assignment
+    val live = IvfOps.assign(e, IvfOps.centroidBlock(cents), nProbe = 2)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val persisted = asg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(live.toSeq == persisted.toSeq)
+  }
+}

@@ -186,9 +186,21 @@ object GraftOps {
     * `observe()` side-channel instead of a second full-pass aggregation —
     * ONE Spark job per CC round where the previous design paid two (the
     * round-5 driver bench showed the extra job dominating under load).
-    * Returns (cached df, row count, signature).
+    * Returns (cached df, lineage-cut view, row count, signature).
+    *
+    * The lineage-cut view is what iterative callers MUST compose the next
+    * round from: each round's plan otherwise nests the previous round's
+    * full logical plan more than once, so plan SIZE grows exponentially
+    * with rounds — caching truncates execution but not analysis, and on
+    * chain-shaped graphs (deep round counts) the analyzer + AQE
+    * plan-string work OOMs the driver before any task runs. The cut
+    * rebuilds the round as a LogicalRDD scan over the cached result:
+    * constant-size plans at any depth. (Not localCheckpoint: the cut's
+    * parent stays an ordinary cache, so a recompute after block eviction
+    * is still possible.)
     */
-  private def cacheWithSig(df: DataFrame, metric: Column): (DataFrame, Long, java.math.BigDecimal) = {
+  private def cacheWithSig(df: DataFrame,
+                           metric: Column): (DataFrame, DataFrame, Long, java.math.BigDecimal) = {
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, sum(metric.cast("decimal(38,0)")).as("sig")).cache()
     val rows = observed.count()
@@ -197,7 +209,8 @@ object GraftOps {
       case d: java.math.BigDecimal   => d
       case other                     => new java.math.BigDecimal(other.toString)
     }
-    (observed, rows, sig)
+    val cut = df.sparkSession.createDataFrame(observed.rdd, observed.schema)
+    (observed, cut, rows, sig)
   }
 
   /** Edge-count bound for the single-task union-find fast path: ≈4M edges
@@ -313,21 +326,25 @@ object GraftOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
-    var (labels, rows, cur) = cacheWithSig(
+    var (labels, labelsCut, rows, cur) = cacheWithSig(
       adj.groupBy(col("src").as("id"))
         .agg(min(least(col("dst"), col("src"))).as("label")),
       col("label"))
     var converged = rows == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      val prop = adj.join(labels, col("dst") === col("id"))
+      // compose from the lineage-CUT view: labels appears twice here, so
+      // building on the cached df directly would double the logical plan
+      // every round (see cacheWithSig)
+      val prop = adj.join(labelsCut, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
-        .union(labels)
+        .union(labelsCut)
         .groupBy("id").agg(min("label").as("label"))
-      val (next, _, nextSig) = cacheWithSig(prop, col("label"))
+      val (next, nextCut, _, nextSig) = cacheWithSig(prop, col("label"))
       converged = nextSig.compareTo(cur) == 0
       labels.unpersist()
       labels = next
+      labelsCut = nextCut
       cur = nextSig
       round += 1
     }
@@ -367,7 +384,7 @@ object GraftOps {
     def edgeSig(df: DataFrame) =
       cacheWithSig(df, xxhash64(col("u"), col("v")))
     // canonical undirected edges u > v; self-loops carry no connectivity
-    var (e, rows, cur) = edgeSig(
+    var (e, eCut, rows, cur) = edgeSig(
       edges.filter(col(aCol) =!= col(bCol))
         .select(greatest(col(aCol), col(bCol)).as("u"),
                 least(col(aCol), col(bCol)).as("v"))
@@ -375,10 +392,14 @@ object GraftOps {
     var converged = rows == 0L
     var round = 0
     while (!converged && round < maxIter) {
+      // every stage below composes from the lineage-CUT view of the
+      // round's edge set — the raw cached df appears ~4× per round, which
+      // would grow the logical plan exponentially in round count (OOMs
+      // the analyzer on long chains; see cacheWithSig)
       // large-star: every node attaches its strictly LARGER neighbours to
       // the minimum of its closed neighbourhood. Result stays canonical:
       // emitted (y, m) has y > x >= m.
-      val nbrs = e.select(explode(array(
+      val nbrs = eCut.select(explode(array(
           struct(col("u").as("x"), col("v").as("y")),
           struct(col("v").as("x"), col("u").as("y")))).as("p"))
         .select(col("p.x").as("x"), col("p.y").as("y"))
@@ -397,10 +418,11 @@ object GraftOps {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-      val (next, nextRows, nextSig) = edgeSig(ss)
+      val (next, nextCut, nextRows, nextSig) = edgeSig(ss)
       converged = nextSig.compareTo(cur) == 0 && nextRows == rows
       e.unpersist()
       e = next
+      eCut = nextCut
       rows = nextRows
       cur = nextSig
       round += 1

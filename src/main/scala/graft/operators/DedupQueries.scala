@@ -151,7 +151,12 @@ object DedupQueries {
     * dooms the entry, whose layers then self-unpersist on build
     * completion — no untracked throwaway caches can leak).
     */
-  private def holderFor(s: SparkSession, d: String): IndexHolder =
+  private def holderFor(s: SparkSession, d: String): IndexHolder = {
+    // fast path: steady-state repeat access (every query of a Bench/Verify
+    // sweep after the first) — no eviction scan, no work under the monitor
+    // beyond the map read
+    val hit = shCache.get((s, d))
+    if (hit != null) return hit
     shCache.synchronized {
       // at most ONE pinned index per session: callers sweep dirs serially
       // (Bench/Verify across scale factors), and keeping every dir's index
@@ -166,6 +171,7 @@ object DedupQueries {
                              sh => buildPairs(s, d, sh),
                              (sh, p) => buildClusters(sh, p)))
     }
+  }
 
   // builds (if needed) run OUTSIDE the cache monitor (lazy vals)
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =

@@ -27,7 +27,8 @@ object Bench {
       Seq("q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_minhash",
           "q_dedup_simhash", "q_dedup_embed", "q_dedup_substring",
           "q_sim_ivf", "q_session_windows", "q_text_tokens",
-          "q_text_contamination", "q_mm_features")
+          "q_text_contamination", "q_mm_features", "q_text_tfidf",
+          "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann")
         .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever

@@ -222,9 +222,11 @@ object DedupQueries {
     // magnitude bigger (|pairs| ≫ |index|), so collapsing the final
     // aggregation merge into one task costs more than the per-stage
     // scheduling it would save — the aggregation's own partitioning stays.
-    val pairs = pairsPlan(sh).cache()
-    pairs.count()
-    pairs
+    // cache WITHOUT an eager count: materialization rides the first
+    // consumer's own job (the cache populates when its first stage scans
+    // it), so the layer costs zero extra scheduler round-trips — repeat
+    // consumers still hit the populated cache
+    pairsPlan(sh).cache()
   }
 
   /** The pair PLAN over any capped (doc_id, h) index — shared by the
@@ -251,8 +253,8 @@ object DedupQueries {
   def cappedShingleIndex(s: SparkSession, d: String): DataFrame =
     shingleHashes(s, d)
 
-  /** Raw (uncapped) index build (eager, once per dir): one hashed-shingle
-    * pass, cached and materialized. The BUILD runs fanned out (shingles()
+  /** Raw (uncapped) index build (once per dir): one hashed-shingle pass,
+    * cached. The BUILD runs fanned out (shingles()
     * — the interpreted shingle transform + md5 is the one genuinely
     * CPU-bound pass, ~6× faster parallelized even on a tiny scan). This
     * layer stays pinned for the holder's lifetime: it IS the uncapped
@@ -260,11 +262,10 @@ object DedupQueries {
     * index derives from it with one aggregation instead of a second
     * md5-explode pass.
     */
-  private def buildRaw(s: SparkSession, d: String): DataFrame = {
-    val raw = shingles(s, d).cache()
-    raw.count()
-    raw
-  }
+  private def buildRaw(s: SparkSession, d: String): DataFrame =
+    // no eager count — the capped build's hot-set aggregation is the
+    // first stage to scan this cache and populates it in the same job
+    shingles(s, d).cache()
 
   /** Capped index over the raw layer: anti-join away the HOT shingles
     * (df > DfCap) and materialize. The hot set is tiny by construction
@@ -280,10 +281,8 @@ object DedupQueries {
     val natural = documents(s, d).rdd.getNumPartitions
     val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("h")
-    val capped = raw.join(hot, Seq("h"), "left_anti")
+    raw.join(hot, Seq("h"), "left_anti")
       .select("doc_id", "h").coalesce(natural).cache()
-    capped.count()
-    capped
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned

@@ -296,6 +296,22 @@ object DedupQueries {
       .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
   }
 
+  /** Banded MinHash signatures (doc_id, sig) over a capped index: k
+    * minhashes per doc WITHOUT an explode — one affine family member per
+    * aggregate slot over the single base hash (k× less hashing) — then
+    * K/Rows band strings per doc. Shared by the self-join dedup
+    * (q_dedup_minhash) and the cross-corpus train/test join
+    * (q_dedup_train_test).
+    */
+  private def bandSignatures(sh: DataFrame): DataFrame = {
+    val sig = sh.groupBy("doc_id")
+      .agg(min(affine(col("h"), 0)).as("mh0"),
+           (1 until K).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
+    val bandSigs = array((0 until K / Rows).map(b =>
+      concat_ws(":", lit(b), col(s"mh${Rows * b}"), col(s"mh${Rows * b + 1}"))): _*)
+    sig.select(col("doc_id"), explode(bandSigs).as("sig"))
+  }
+
   /** DuckDB mirror of [[shingles]]: (doc_id, h) of distinct 3-gram
     * polynomial hashes over per-token md5 hashes — identical arithmetic to
     * the engine (TextHash.duckPoly / duckTokenHashes).
@@ -322,15 +338,7 @@ object DedupQueries {
 
     "q_dedup_minhash" -> ((s, d) => {
       val sh = shingleHashes(s, d)
-      // k minhashes per doc WITHOUT an explode: one affine family member
-      // per aggregate slot over the single base hash (k× less hashing).
-      val sig = sh.groupBy("doc_id")
-        .agg(min(affine(col("h"), 0)).as("mh0"),
-             (1 until K).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
-      // band signatures: 4 bands × 2 rows
-      val bandSigs = array((0 until K / Rows).map(b =>
-        concat_ws(":", lit(b), col(s"mh${Rows * b}"), col(s"mh${Rows * b + 1}"))): _*)
-      val bands = sig.select(col("doc_id"), explode(bandSigs).as("sig"))
+      val bands = bandSignatures(sh)
       // candidates: equality join on band signature (never all-pairs).
       // NO broadcast hints anywhere below: bands/cand/sizes are all
       // corpus-linear (4 sig rows, O(pairs), 1 size row per doc) — a
@@ -361,6 +369,41 @@ object DedupQueries {
                         * 1e6).cast("long").as("jac_e6"))
         .filter(col("jac_e6") >= 700000)
         .orderBy("da", "db")
+    }),
+
+    "q_dedup_train_test" -> ((s, d) => {
+      // Cross-corpus near-dup JOIN (R×S, not a self-join): dedup the
+      // training corpus against a held-out benchmark — the doc-level
+      // fuzzy decontamination real pipelines run besides the exact
+      // shingle-overlap check (q_text_contamination catches verbatim
+      // leakage; this catches paraphrased/perturbed test documents).
+      // Fixture convention: every 50th doc plays the benchmark.
+      //
+      // Shape at 100 TB: band signatures are built ONCE over the shared
+      // capped index and split by side; candidates come from the band
+      // equality join (benchmark side is tiny → AQE broadcasts it, so
+      // the corpus side never shuffles); verification joins the
+      // candidate set against the memoized pair table on the canonical
+      // (min, max) key — no index re-join, no all-pairs product.
+      val sh = shingleHashes(s, d)
+      val bands = bandSignatures(sh)
+      val bench = bands.filter(col("doc_id") % 50 === 0)
+      val corp = bands.filter(col("doc_id") % 50 =!= 0)
+      val cand = corp.as("a").join(bench.as("b"), Seq("sig"))
+        .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("bench_id"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(sharedShinglePairs(s, d),
+          col("da") === least(col("corpus_id"), col("bench_id")) &&
+          col("db") === greatest(col("corpus_id"), col("bench_id")))
+        .join(sizes.as("na"), col("corpus_id") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("bench_id") === col("nb.doc_id"))
+        .select(col("corpus_id"), col("bench_id"),
+                floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
+                        * 1e6).cast("long").as("jac_e6"))
+        .filter(col("jac_e6") >= 300000)
+        .orderBy("corpus_id", "bench_id")
     }),
 
     "q_dedup_fuzzy" -> ((s, d) => {
@@ -608,6 +651,41 @@ object DedupQueries {
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 700000
          |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_train_test" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sig AS (SELECT doc_id,
+         |min((h * 769121449 + 834567811) % 1000000007) AS mh0,
+         min((h * 329914351 + 94234417) % 1000000007) AS mh1,
+         min((h * 572926777 + 715559219) % 1000000007) AS mh2,
+         min((h * 881914487 + 2347561) % 1000000007) AS mh3,
+         min((h * 122949829 + 515216911) % 1000000007) AS mh4,
+         min((h * 633085829 + 340078571) % 1000000007) AS mh5,
+         min((h * 477970787 + 129571601) % 1000000007) AS mh6,
+         min((h * 965519981 + 775412383) % 1000000007) AS mh7
+         |  FROM shh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(['0:' || mh0 || ':' || mh1,
+                    '1:' || mh2 || ':' || mh3,
+                    '2:' || mh4 || ':' || mh5,
+                    '3:' || mh6 || ':' || mh7]) AS sig FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS bench_id
+         |         FROM bands a JOIN bands b ON a.sig = b.sig
+         |         WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT c.corpus_id, c.bench_id, count(*) AS inter
+         |          FROM cand c
+         |          JOIN shh sa ON c.corpus_id = sa.doc_id
+         |          JOIN shh sb ON c.bench_id = sb.doc_id AND sa.h = sb.h
+         |          GROUP BY c.corpus_id, c.bench_id)
+         |SELECT i.corpus_id, i.bench_id,
+         |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6) AS BIGINT) AS jac_e6
+         |FROM inter i
+         |JOIN sizes na ON i.corpus_id = na.doc_id
+         |JOIN sizes nb ON i.bench_id = nb.doc_id
+         |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 300000
+         |ORDER BY corpus_id, bench_id""".stripMargin,
 
     "q_dedup_fuzzy" ->
       s"""WITH $duckShingles,

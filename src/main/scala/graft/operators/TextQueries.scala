@@ -183,6 +183,34 @@ object TextQueries {
         .orderBy("doc_id", "term")
     }),
 
+    "q_text_surprisal" -> ((s, d) => {
+      // Corpus-frequency surprisal scoring (the CCNet-style "perplexity
+      // filter" analog without a model): rare tokens score high
+      // (n_corpus DIV corpus_count), docs dominated by rare tokens get a
+      // high mean — the standard cheap proxy for "weird text" at corpus
+      // scale. Exact integer arithmetic end-to-end (BIGINT floor
+      // division), so the cross-engine compare is bit-exact.
+      // Shape at 100 TB: one token aggregation (vocab-sized), a 1-row
+      // total attached as an uncorrelated scalar subquery (evaluated
+      // once, injected into the projection — no join node, per the
+      // engine's scalar-attachment doctrine), one vocab-keyed join back
+      // (AQE broadcasts the count side when it fits), one per-doc
+      // aggregation.
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val cnt = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").as("n_corpus"))
+      tok.join(cnt, Seq("t"))
+        .withColumn("n_corpus",
+          org.apache.spark.sql.GraftSqlBridge.scalarSubquery(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(expr("n_corpus DIV c")).as("surprisal_sum"))
+        .withColumn("surprisal_mean",
+          expr("surprisal_sum DIV n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -309,6 +337,18 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf_e6
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "q_text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS n_corpus FROM cnt)
+        |SELECT doc_id,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(n_corpus // c) AS BIGINT) AS surprisal_sum,
+        |       CAST(sum(n_corpus // c) // count(*) AS BIGINT) AS surprisal_mean
+        |FROM tok JOIN cnt USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

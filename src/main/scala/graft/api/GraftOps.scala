@@ -109,6 +109,49 @@ object GraftOps {
       .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
   }
 
+  /** Cross-corpus MinHash-LSH similarity JOIN (the R×S twin of
+    * [[minhashPairs]], and the library form of q_dedup_train_test): near-
+    * dup pairs BETWEEN two document sets — dedup a training corpus
+    * against a held-out benchmark, match a fresh crawl against the
+    * existing lake. Returns (left idCol, right idCol, jac_e6).
+    *
+    * Scale shape: shingles + signatures build once over the UNION (so
+    * both sides share one hash pass and identical band arithmetic), the
+    * band join is side-split equality (when the right side is small —
+    * the benchmark case — AQE broadcasts it and the left corpus never
+    * shuffles), and exact Jaccard verifies candidates only.
+    */
+  def minhashJoin(left: DataFrame, right: DataFrame, idCol: String,
+                  textCol: String, jaccardThreshold: Double = 0.5): DataFrame = {
+    val tagged = left.select(col(idCol), col(textCol)).withColumn("__side", lit(0))
+      .unionByName(right.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
+    val sh = shingles(tagged, idCol, textCol)
+      .join(tagged.select(col(idCol), col("__side")), Seq(idCol))
+      .select(col(idCol), col("__side"), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
+    val sig = sh.groupBy(idCol, "__side").agg(
+      min(affine(col("h"), 0)).as("mh0"),
+      (1 until 8).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
+    val bandSigs = array((0 until 4).map(b =>
+      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
+    val bands = sig.select(col(idCol), col("__side"), explode(bandSigs).as("sig"))
+    val cand = bands.filter(col("__side") === 0).as("a")
+      .join(bands.filter(col("__side") === 1).as("b"), Seq("sig"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy(idCol, "__side").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.filter(col("__side") === 0).as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sh.filter(col("__side") === 1).as("sb"), col("id_b") === col(s"sb.$idCol") &&
+                                                     col("sa.h") === col("sb.h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.filter(col("__side") === 0).as("na"), col("id_a") === col(s"na.$idCol"))
+      .join(sizes.filter(col("__side") === 1).as("nb"), col("id_b") === col(s"nb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+              floor(col("inter") / (col("na.n") + col("nb.n") - col("inter")) * 1e6)
+                .cast("long").as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
+  }
+
   /** The composed training-corpus pipeline (the library twin of the
     * oracle-checked q_pipeline_corpus): exact-dedup keeper (lowest id per
     * content digest) → MinHash near-dup removal (≥ `jaccardThreshold`
@@ -492,6 +535,9 @@ object implicits {
       GraftOps.sessionize(df, key, tsMs, gapMs)
     def minhashPairs(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
       GraftOps.minhashPairs(df, idCol, textCol, threshold)
+    def minhashJoin(right: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.5): DataFrame =
+      GraftOps.minhashJoin(df, right, idCol, textCol, threshold)
     def knn(idCol: String, vecCol: String, query: DataFrame, k: Int): DataFrame =
       GraftOps.knn(df, idCol, vecCol, query, k)
     def asOfJoinPrior(right: DataFrame, key: String, leftTs: String,

@@ -62,6 +62,23 @@ class GraftOpsSpec extends SparkSpec {
     assert(t2.subsetOf(lib) || lib.subsetOf(t2) || (t2 & lib).nonEmpty)
   }
 
+  test("minhashJoin: cross-corpus pairs equal the self-join pairs that cross the split") {
+    val docs = Tables.documents(spark, sf)
+    val leftDocs = docs.filter(col("doc_id") % 2 === 0)
+    val rightDocs = docs.filter(col("doc_id") % 2 =!= 0)
+    val cross = leftDocs.minhashJoin(rightDocs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b), r.getLong(2))
+      }).toSet
+    // the same arithmetic self-joined, restricted to pairs crossing the split
+    val expected = docs.minhashPairs("doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }.toSet
+    assert(cross == expected)
+    assert(cross.nonEmpty) // the fixture's planted near-dups include cross-parity pairs
+  }
+
   test("knn returns the verified q_sim_knn neighbours through the library API") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

@@ -118,6 +118,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_text_surprisal attaches the corpus total as a scalar subquery (no join node)") {
+    val p = plan("q_text_surprisal")
+    // the 1-row total must inject as a subquery literal; its presence as a
+    // join of any kind would mean a corpus-wide cross product at scale
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_train_test verifies via the pair memo (no second index self-join)") {
+    val df = SparkEntry.queries("q_dedup_train_test")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation reads band signatures; verification must read
+    // the cached pair table, not re-join the (doc_id, h) index — so the
+    // in-bucket pair expansion's collect_list appears at most once (in
+    // the pair-memo subtree), never duplicated for a fresh verify join
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("collect_list".r.findAllIn(finalPlan).length <= 1, p)
+  }
+
   /** The scale-killer guard: a BroadcastNestedLoopJoin is only acceptable
     * when its build side is a BOUNDED query block (the 10-row query block
     * of the batch kNN) — never corpus-shaped data. Single-vector queries

@@ -67,6 +67,34 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    "q_chunk_docs" -> ((s, d) => {
+      // The complement of packing: SPLIT long docs into overlapping
+      // context windows (W=50 tokens, stride S=40 → 10-token overlap, the
+      // standard long-document prep before sequence packing). Pure
+      // map-side generator — each doc explodes into ceil-ish chunk
+      // starts, each chunk re-joins its token slice and fingerprints it;
+      // no shuffle before the presentation sort, linear at any corpus
+      // size. Chunk identity is (doc_id, chunk_id) with the chunk md5 so
+      // the cross-engine compare covers the exact chunk CONTENT, not
+      // just counts.
+      val W = 50
+      val S = 40
+      val ts = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"), ts.as("ts"), size(ts).as("len"))
+        .select(col("doc_id"), col("ts"), col("len"),
+          explode(sequence(lit(0),
+            ((col("len") - 1) / lit(S)).cast("int"))).as("i"))
+        .select(
+          col("doc_id"),
+          col("i").cast("long").as("chunk_id"),
+          size(slice(col("ts"), col("i") * S + 1, lit(W))).cast("long")
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("ts"), col("i") * S + 1, lit(W)))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "q_pack_docs" -> ((s, d) => {
       // fixed-budget packing: doc i's pack = exclusive-prefix-tokens/2048
       // within its source shard, in stable doc_id order. Output is the
@@ -108,6 +136,24 @@ object SamplingQueries {
          |       count(*) AS n
          |FROM documents
          |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |         len(string_split(text, ' ')) AS len
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, ts, len,
+        |         unnest(range(0, (len - 1) // 40 + 1)) AS i
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)))
+        |            AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(
+        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
+        |         AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_pack_docs" ->
       """WITH t AS (

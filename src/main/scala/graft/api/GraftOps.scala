@@ -77,6 +77,21 @@ object GraftOps {
         .otherwise(array().cast("array<string>")))).as("shingle"))
   }
 
+  /** Banded MinHash signatures over a hashed-shingle frame: 8 affine
+    * minhashes per key (one aggregate slot each — no explode), 4 two-row
+    * band strings. `keyCols`' values ride through, so callers can key by
+    * id alone ([[minhashPairs]]) or (id, side) ([[minhashJoin]]) — one
+    * definition of the band arithmetic for both forms.
+    */
+  private def affineBands(sh: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val sig = sh.groupBy(keyCols.map(col): _*).agg(
+      min(affine(col("h"), 0)).as("mh0"),
+      (1 until 8).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
+    val bandSigs = array((0 until 4).map(b =>
+      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
+    sig.select(keyCols.map(col) :+ explode(bandSigs).as("sig"): _*)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jac_e6). Candidates come from band-signature
     * equality joins — no all-pairs product at any corpus size.
@@ -85,12 +100,7 @@ object GraftOps {
                    jaccardThreshold: Double = 0.7): DataFrame = {
     val sh = shingles(df, idCol, textCol)
       .select(col(idCol), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
-    val sig = sh.groupBy(idCol).agg(
-      min(affine(col("h"), 0)).as("mh0"),
-      (1 until 8).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
-    val bandSigs = array((0 until 4).map(b =>
-      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
-    val bands = sig.select(col(idCol), explode(bandSigs).as("sig"))
+    val bands = affineBands(sh, Seq(idCol))
     val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -123,30 +133,31 @@ object GraftOps {
     */
   def minhashJoin(left: DataFrame, right: DataFrame, idCol: String,
                   textCol: String, jaccardThreshold: Double = 0.5): DataFrame = {
+    // the working key is the (side, id) STRUCT, not the bare id: the two
+    // inputs are independent id spaces that may collide (two 0-based
+    // corpora), and keying shingles by id alone would attach both sides'
+    // shingles to both rows of a shared id — corrupting signatures, sizes,
+    // and intersections silently
     val tagged = left.select(col(idCol), col(textCol)).withColumn("__side", lit(0))
       .unionByName(right.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
-    val sh = shingles(tagged, idCol, textCol)
-      .join(tagged.select(col(idCol), col("__side")), Seq(idCol))
-      .select(col(idCol), col("__side"), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
-    val sig = sh.groupBy(idCol, "__side").agg(
-      min(affine(col("h"), 0)).as("mh0"),
-      (1 until 8).map(i => min(affine(col("h"), i)).as(s"mh$i")): _*)
-    val bandSigs = array((0 until 4).map(b =>
-      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
-    val bands = sig.select(col(idCol), col("__side"), explode(bandSigs).as("sig"))
-    val cand = bands.filter(col("__side") === 0).as("a")
-      .join(bands.filter(col("__side") === 1).as("b"), Seq("sig"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select(struct(col("__side").as("s"), col(idCol).as("i")).as("__uid"),
+              col(textCol))
+    val sh = shingles(tagged, "__uid", textCol)
+      .select(col("__uid"), pmod(md5long(col("shingle")), lit(FpPrime)).as("h"))
+    val bands = affineBands(sh, Seq("__uid"))
+    val cand = bands.filter(col("__uid.s") === 0).as("a")
+      .join(bands.filter(col("__uid.s") === 1).as("b"), Seq("sig"))
+      .select(col("a.__uid").as("ua"), col("b.__uid").as("ub"))
       .distinct()
-    val sizes = sh.groupBy(idCol, "__side").agg(count(lit(1)).as("n"))
+    val sizes = sh.groupBy("__uid").agg(count(lit(1)).as("n"))
     cand
-      .join(sh.filter(col("__side") === 0).as("sa"), col("id_a") === col(s"sa.$idCol"))
-      .join(sh.filter(col("__side") === 1).as("sb"), col("id_b") === col(s"sb.$idCol") &&
-                                                     col("sa.h") === col("sb.h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.filter(col("__side") === 0).as("na"), col("id_a") === col(s"na.$idCol"))
-      .join(sizes.filter(col("__side") === 1).as("nb"), col("id_b") === col(s"nb.$idCol"))
-      .select(col("id_a"), col("id_b"),
+      .join(sh.as("sa"), col("ua") === col("sa.__uid"))
+      .join(sh.as("sb"), col("ub") === col("sb.__uid") &&
+                         col("sa.h") === col("sb.h"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("ua") === col("na.__uid"))
+      .join(sizes.as("nb"), col("ub") === col("nb.__uid"))
+      .select(col("ua.i").as("id_a"), col("ub.i").as("id_b"),
               floor(col("inter") / (col("na.n") + col("nb.n") - col("inter")) * 1e6)
                 .cast("long").as("jac_e6"))
       .filter(col("jac_e6") >= (jaccardThreshold * 1e6).toLong)
@@ -256,10 +267,15 @@ object GraftOps {
     (observed, cut, rows, sig)
   }
 
-  /** Edge-count bound for the single-task union-find fast path: ≈4M edges
-    * × 16 B ≈ 64 MB — comfortably one task's working set. Below it, the
-    * whole component structure fits one executor core and iterating
-    * distributed rounds would pay ~5–10 scheduler round-trips for nothing.
+  /** Edge-count bound for the single-task union-find fast path. Sizing is
+    * node-bound, not edge-bound: worst case every edge introduces two new
+    * nodes, so ≤2×edges nodes in the primitive open-addressed parent
+    * table (two Array[Long] at ≤50% load ≈ 64 B/node) → ≈4M edges ≈ 8M
+    * nodes ≈ 512 MB worst-case, a few MB in the common near-dup case
+    * (dense clusters, nodes ≪ edges). Below the bound the whole component
+    * structure fits one executor core and iterating distributed rounds
+    * would pay ~5–10 scheduler round-trips for nothing; above it the
+    * distributed tiers take over.
     */
   private val SmallGraphEdges = 4L << 20
 
@@ -329,28 +345,77 @@ object GraftOps {
       .as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val ra = find(a)
-          val rb = find(b)
-          if (ra < rb) parent(rb) = ra
-          else if (rb < ra) parent(ra) = rb
-        }
-        parent.keys.toArray.iterator.map(k => k -> find(k))
+        // primitive open-addressed parent table (parallel Array[Long]s,
+        // linear probing, grow-at-50%-load): a boxed HashMap[Long, Long]
+        // costs ~10× the memory per node, which is the difference between
+        // this path fitting one task or OOMing it at the SmallGraphEdges
+        // bound
+        val uf = new LongLongUnionFind(1 << 16)
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.entries.map { case (k, _) => k -> uf.find(k) }
       }
       .toDF("id", "label")
       .cache()
     labels.count()
     labels
+  }
+
+  /** Union-find over long ids: path compression + union-by-min (the root
+    * IS the component minimum). Open addressing with linear probing over
+    * parallel key/parent arrays; capacity doubles at 50% load.
+    */
+  private final class LongLongUnionFind(initialCapacity: Int) extends Serializable {
+    private var mask = initialCapacity - 1
+    private var keys = new Array[Long](initialCapacity)
+    private var parents = new Array[Long](initialCapacity)
+    private var used = new Array[Boolean](initialCapacity)
+    private var size = 0
+
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    private def grow(): Unit = {
+      val (ok, op, ou) = (keys, parents, used)
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      parents = new Array[Long](mask + 1)
+      used = new Array[Boolean](mask + 1)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) { val s = slot(ok(i)); keys(s) = ok(i); parents(s) = op(i); used(s) = true }
+        i += 1
+      }
+    }
+    private def getOrInsert(k: Long): Int = {
+      val i = slot(k)
+      if (!used(i)) {
+        keys(i) = k; parents(i) = k; used(i) = true; size += 1
+        if (size * 2 > mask) { grow(); return slot(k) }
+      }
+      i
+    }
+    private def parentOf(k: Long): Long = parents(slot(k))
+    private def setParent(k: Long, p: Long): Unit = parents(slot(k)) = p
+
+    def find(x: Long): Long = {
+      var r = x
+      while (parentOf(r) != r) r = parentOf(r)
+      var c = x
+      while (c != r) { val nx = parentOf(c); setParent(c, r); c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      getOrInsert(a)
+      getOrInsert(b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) setParent(rb, ra)
+      else if (rb < ra) setParent(ra, rb)
+    }
+    def entries: Iterator[(Long, Long)] =
+      keys.indices.iterator.filter(used(_)).map(i => (keys(i), parents(i)))
   }
 
   /** Tier 2: min-label propagation over (u, v) edges; Some(labels) once

@@ -105,9 +105,12 @@ object MediaCodec {
     val height = buf.getInt(22)
     val bpp = buf.getShort(28) & 0xffff
     if (width <= 0 || height <= 0 || bpp != 24) return None
-    val stride = ((width * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + stride.toLong * height > bytes.length)
-      return None
+    // stride math in Long: a crafted width near Int.MaxValue/3 would
+    // overflow Int stride to negative and slip past the bounds check
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 ||
+        pixelOffset.toLong + strideL * height > bytes.length) return None
+    val stride = strideL.toInt
     var sum = 0L
     var min = Long.MaxValue
     var max = Long.MinValue
@@ -141,7 +144,10 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // bound math in Long: a near-Int.MaxValue size field would overflow
+      // the sum negative, pass the check, then throw from the sample loop
+      // instead of quarantining (decode's contract is None, not exceptions)
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

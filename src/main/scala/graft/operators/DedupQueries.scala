@@ -535,19 +535,17 @@ object DedupQueries {
       // into an aggregate AND a join probe, computing it twice), then one
       // doc-keyed aggregation. No pair enumeration at any scale (contrast
       // q_dedup_ngram, which scores document PAIRS).
+      // hashing arithmetic lives in TextHash (tokenHashes/polyWindow with
+      // base PolyB mod FpPrime) — ONE definition shared with the 3-gram
+      // shingle index and both engines' oracles, so a base/reduction
+      // change cannot desync this query from its oracle
       val K = 8
-      val B = 1315423911L // poly base: tokenHash < FpPrime ≈ 2^30, so
-                          // acc*B + h < 2^61 — no 64-bit overflow
-      val ts = split(col("text"), " ")
       val pos = fanOut(documents(s, d))
-        .select(col("doc_id"),
-          transform(ts, t => pmod(md5long(t), lit(FpPrime))).as("ha"))
+        .select(col("doc_id"), tokenHashes(col("text")).as("ha"))
         .select(col("doc_id"),
           explode(when(size(col("ha")) >= K,
             transform(sequence(lit(0), size(col("ha")) - K),
-              j => (1 until K).foldLeft(element_at(col("ha"), j + 1))(
-                (acc, k) => pmod(acc * B + element_at(col("ha"), j + k + 1),
-                                 lit(FpPrime)))))
+              j => polyWindow(col("ha"), j, K)))
           .otherwise(array().cast("array<long>"))).as("h"))
       val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
       cnt
@@ -744,14 +742,13 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin,
 
     "q_dedup_substring" -> {
-      // poly over 8 consecutive per-token hashes — identical arithmetic to
-      // the engine's Rabin-Karp-style positional hash (B=1315423911, mod
-      // FpPrime; all intermediates < 2^61, no BIGINT overflow)
-      val poly = (1 to 7).foldLeft("ha[i]")((acc, k) =>
-        s"(($acc * 1315423911 + ha[i+$k]) % 1000000007)")
+      // poly over 8 consecutive per-token hashes — TextHash.duckPoly, the
+      // same single definition the engine's polyWindow mirrors (base
+      // PolyB mod FpPrime; all intermediates < 2^61, no BIGINT overflow)
+      val poly = duckPoly(8)
       s"""WITH th AS (
          |  SELECT doc_id,
-         |         [${duckMd5Long("t")} % 1000000007 for t in ts] AS ha
+         |         [${duckMd5Long("t")} % $FpPrime for t in ts] AS ha
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
          |  WHERE len(ts) >= 8),
          |p AS (SELECT doc_id,

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextHash._
 
-/** Dev profiler decomposing q_dedup_simhash's cost: token hashing, the
-  * 60-slot bit-sum aggregation, and the band self-join + distinct.
+/** Dev profiler decomposing q_dedup_simhash's cost, stage-for-stage with
+  * the SHIPPED query shape: count-weighted distinct-token hashing, the
+  * 60-slot weighted bit-sum aggregation, fingerprint assembly, then the
+  * full query (banded bucket aggregation + in-bucket pair expansion).
   */
 object SimhashPhases {
   def main(args: Array[String]): Unit = {
@@ -29,12 +31,13 @@ object SimhashPhases {
     for (round <- Seq("cold", "warm")) {
       val tok = documents(spark, sfDir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), md5long(col("t")).as("h"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), md5long(col("t")).as("h"), col("c"))
       t(s"$round tok") { tok.count() }
       val bitSums = tok.groupBy("doc_id").agg(
-        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("sb0"),
+        sum(when(expr("(h >> 0) & 1") === 1, col("c")).otherwise(-col("c"))).as("sb0"),
         (1 until 60).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"sb$j")): _*)
+          sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"sb$j")): _*)
       t(s"$round bitsums") { bitSums.count() }
       val sim = bitSums.select(col("doc_id"),
         (0 until 60).map(j =>

@@ -79,6 +79,26 @@ class GraftOpsSpec extends SparkSpec {
     assert(cross.nonEmpty) // the fixture's planted near-dups include cross-parity pairs
   }
 
+  test("minhashJoin: overlapping id spaces between the two sides do not corrupt results") {
+    val docs = Tables.documents(spark, sf)
+    // re-key both halves onto heavily-overlapping 0-based id spaces — the
+    // realistic case of two independently-numbered corpora
+    val leftDocs = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") / 2).cast("long").as("doc_id"), col("text"))
+    val rightDocs = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(((col("doc_id") - 1) / 2).cast("long").as("doc_id"), col("text"))
+    val got = leftDocs.minhashJoin(rightDocs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the same join with the right side shifted to a
+    // disjoint id range, mapped back
+    val disjoint = leftDocs
+      .minhashJoin(rightDocs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1) - 1000000L, r.getLong(2))).toSet
+    assert(got == disjoint)
+    assert(got.nonEmpty)
+  }
+
   test("knn returns the verified q_sim_knn neighbours through the library API") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

@@ -60,6 +60,21 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(Array[Byte]()).isEmpty)
   }
 
+  test("MediaCodec: crafted headers with overflowing sizes quarantine as None") {
+    import graft.functions.MediaCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV whose data chunk claims ~2^31 bytes: off+8+size overflows Int
+    val wav = MediaCodec.encodeWavPcm16(Array[Short](1, 2, 3), 16000)
+    val evil = wav.clone()
+    ByteBuffer.wrap(evil).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 0x7FFFFFF0)
+    assert(MediaCodec.decode(evil).isEmpty) // None, not an exception
+    // BMP whose width*3 overflows Int (negative stride would skip bounds)
+    val bmp = MediaCodec.encodeBmp24(Array(1, 2, 3, 4), 2, 2)
+    val evil2 = bmp.clone()
+    ByteBuffer.wrap(evil2).order(ByteOrder.LITTLE_ENDIAN).putInt(18, 715827883)
+    assert(MediaCodec.decode(evil2).isEmpty)
+  }
+
   test("q_mm_features: every non-empty doc decodes; stats match driver math") {
     val out = MultimodalQueries.queries("q_mm_features")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

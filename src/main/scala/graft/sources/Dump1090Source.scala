@@ -116,6 +116,19 @@ class Dump1090MicroBatchStream(
   private var trimOffset = 0L
   @volatile private var exhausted = false
   @volatile private var stopped = false
+  // a non-socket failure in the reader (spill-log write error, unexpected
+  // exception): recorded here and rethrown from latestOffset so the QUERY
+  // fails loudly — the alternatives are silently dropping data while the
+  // socket reconnects (durability broken, stream "healthy") or a dead
+  // reader thread with the stream ticking empty batches forever
+  @volatile private var fatal: Throwable = null
+  // distinguishes a spill-log IOException from a socket IOException in
+  // readLoop's handlers (the former must fail the stream, not reconnect)
+  @volatile private var spillFailed = false
+  // owned by the reader loop; a field so stop() can close it and unblock
+  // a read parked on an idle feed (Thread.interrupt cannot interrupt
+  // blocking java.net.Socket I/O)
+  @volatile private var sock: Socket = null
 
   // replay-across-restart log: recovered BEFORE the reader starts, so the
   // previous process's uncommitted lines sit below anything new from the
@@ -134,11 +147,33 @@ class Dump1090MicroBatchStream(
   reader.start()
 
   /** R1–R3: connect (with retry), chunked recv, frame, carry partials. */
+  /** Length of a trailing INCOMPLETE UTF-8 sequence (0 if none, or if the
+    * tail is malformed — malformed bytes decode to U+FFFD either way).
+    * A multi-byte character split across two socket reads must not be
+    * decoded per-chunk: each half is invalid alone and would corrupt to
+    * replacement characters that then persist into the spill log.
+    */
+  private def incompleteUtf8Suffix(b: Array[Byte]): Int = {
+    var p = b.length - 1
+    var back = 0
+    while (p >= 0 && back < 3 && (b(p) & 0xC0) == 0x80) { p -= 1; back += 1 }
+    if (p < 0 || (b(p) & 0xC0) == 0x80) return 0
+    val lead = b(p) & 0xFF
+    val expected =
+      if (lead < 0x80) 1
+      else if ((lead & 0xE0) == 0xC0) 2
+      else if ((lead & 0xF0) == 0xE0) 3
+      else if ((lead & 0xF8) == 0xF0) 4
+      else 1
+    val have = b.length - p
+    if (have < expected) have else 0
+  }
+
   private def readLoop(): Unit = {
     val partial = new StringBuilder
     var attempts = 0
     var in: InputStream = null
-    var sock: Socket = null
+    var carry = Array.empty[Byte] // held-back incomplete UTF-8 tail
     val buf = new Array[Byte](math.max(bufferSize, 1))
     while (!exhausted) {
       try {
@@ -147,20 +182,35 @@ class Dump1090MicroBatchStream(
           sock = new Socket()
           sock.connect(new InetSocketAddress(host, port), 10000)
           in = sock.getInputStream
-          attempts = 0
         }
         val n = in.read(buf)
         if (n < 0) { // EOF — reference reconnects on empty read (P:120-126)
           try sock.close() catch { case _: Throwable => }
           in = null
-          if (connectAttemptLimit == 0) exhausted = true
+          // the EOF path shares the retry budget AND the backoff: a
+          // server that accepts then immediately closes would otherwise
+          // busy-spin connect/EOF forever (each successful connect used
+          // to reset the budget; only successful DATA now does)
+          if (connectAttemptLimit == 0 || attempts >= connectAttemptLimit) {
+            exhausted = true
+          } else {
+            try Thread.sleep(connectAttemptDelayMs)
+            catch { case _: InterruptedException => exhausted = true }
+          }
         } else if (n > 0) {
-          partial.append(new String(buf, 0, n, StandardCharsets.UTF_8))
+          attempts = 0
+          val data =
+            if (carry.isEmpty) java.util.Arrays.copyOfRange(buf, 0, n)
+            else carry ++ buf.take(n)
+          val keep = incompleteUtf8Suffix(data)
+          partial.append(
+            new String(data, 0, data.length - keep, StandardCharsets.UTF_8))
+          carry = if (keep == 0) Array.empty else data.takeRight(keep)
           frame(partial)
         }
       } catch {
         case _: InterruptedException => exhausted = true
-        case _: java.io.IOException =>
+        case _: java.io.IOException if !stopped && !spillFailed =>
           try { if (sock != null) sock.close() } catch { case _: Throwable => }
           in = null
           if (attempts >= connectAttemptLimit) {
@@ -169,8 +219,19 @@ class Dump1090MicroBatchStream(
             try Thread.sleep(connectAttemptDelayMs)
             catch { case _: InterruptedException => exhausted = true }
           }
+        case t: Throwable =>
+          // spill-log failure, or anything unexpected: NOT a socket
+          // problem — reconnecting would silently drop framed data while
+          // durability is broken, and letting the thread die would stall
+          // the query forever. Record and fail the stream instead.
+          if (!stopped) fatal = t
+          exhausted = true
+          lock.synchronized(lock.notifyAll())
       }
     }
+    // a held-back byte tail at feed end can never complete — decode it
+    // (replacement chars for the malformed remainder) before the flush
+    if (carry.nonEmpty) partial.append(new String(carry, StandardCharsets.UTF_8))
     // flush a trailing unterminated line at feed end (not on stop(), whose
     // spill log is already closed)
     if (partial.nonEmpty) lock.synchronized {
@@ -209,7 +270,10 @@ class Dump1090MicroBatchStream(
         while (lines.length >= maxBufferedLines && !exhausted) lock.wait(100)
         if (exhausted) return
         val slice = batch.slice(i, i + (maxBufferedLines - lines.length))
-        spill.foreach(_.append(slice)) // durable before visible
+        // durable before visible; a spill failure is flagged so readLoop
+        // fails the stream instead of treating it as a socket drop
+        try spill.foreach(_.append(slice))
+        catch { case t: Throwable => spillFailed = true; throw t }
         lines ++= slice
         i += slice.length
       }
@@ -219,7 +283,19 @@ class Dump1090MicroBatchStream(
   override def initialOffset(): Offset = LineOffset(0L)
   override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
 
+  /** A recorded reader failure fails the QUERY at the next offset poll —
+    * never a silent stall or silent data loss.
+    */
+  private def checkFatal(): Unit = {
+    val t = fatal
+    if (t != null)
+      throw new IllegalStateException(
+        "dump1090 reader failed (spill log or unexpected error) — " +
+        "failing the stream rather than dropping data silently", t)
+  }
+
   override def latestOffset(): Offset = lock.synchronized {
+    checkFatal()
     LineOffset(trimOffset + lines.length)
   }
 
@@ -232,6 +308,7 @@ class Dump1090MicroBatchStream(
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    checkFatal()
     val s = start.asInstanceOf[LineOffset].offset
     val avail = lock.synchronized(trimOffset + lines.length)
     val end = limit match {
@@ -295,6 +372,11 @@ class Dump1090MicroBatchStream(
       spill.foreach(_.close())
       lock.notifyAll()
     }
+    // interrupt() cannot unblock a blocking socket read — closing the
+    // socket can (the read throws, the loop sees exhausted and exits);
+    // without this an idle feed leaks the reader thread + connection per
+    // restart cycle
+    try { val s = sock; if (s != null) s.close() } catch { case _: Throwable => }
     reader.interrupt()
   }
 

@@ -155,13 +155,43 @@ private[graft] class LineSpillLog(dirUri: String, rollEvery: Int = 8192) {
   def append(batch: collection.Seq[String]): Unit = {
     if (batch.isEmpty) return
     if (out == null || outCount >= rollEvery) roll()
-    batch.foreach { l =>
-      out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
-    }
-    out.hflush()
+    try {
+      batch.foreach { l =>
+        out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+      }
+      out.hflush()
+    } catch { case t: Throwable => salvage(); throw t }
     outCount += batch.length
     nextOffset += batch.length
     files(outStart) = outCount
+  }
+
+  /** A failed mid-batch write leaves the active file TORN: some fully
+    * terminated-but-unaccounted lines plus possibly a partial fragment.
+    * Writing on regardless would merge the fragment with the next record,
+    * and a later recovery would count the unaccounted terminated lines —
+    * shifting every replayed offset and serving corrupt data. Salvage:
+    * retire the stream and rewrite the file to EXACTLY the accounted
+    * prefix (atomic tmp + rename), so disk state equals the bookkeeping;
+    * the next append rolls to a fresh file contiguous at [[nextOffset]].
+    * Best-effort (Try): if the filesystem is down the rewrite fails too —
+    * the caller's rethrown error fails the stream, and recovery's
+    * terminated-line scan plus the offset-visibility invariant still hold
+    * for the crash path.
+    */
+  private def salvage(): Unit = {
+    Try(if (out != null) out.close())
+    out = null
+    val p = logPath(outStart)
+    Try {
+      val keep = readLines(p).take(outCount.toInt)
+      val tmp = new Path(dir, p.getName + ".tmp") // not *.log: invisible to recover()
+      val o = fs.create(tmp, true)
+      try keep.foreach { l =>
+        o.write(l.getBytes(StandardCharsets.UTF_8)); o.write('\n')
+      } finally o.close()
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
   }
 
   private def roll(): Unit = {

@@ -55,9 +55,14 @@ object TransactionalJdbcSink {
     */
   val WritePartitions = 8
 
-  /** Derby-flavored DDL type for a Spark field. */
+  /** Derby-flavored DDL type for a Spark field. Strings get Derby's max
+    * VARCHAR width: a narrower column would make any longer row a POISON
+    * PILL — the INSERT fails (22001), the partition transaction rolls
+    * back, the retry hits the same row, and the replayed batch wedges the
+    * stream permanently.
+    */
   private def ddlType(dt: DataType): String = dt match {
-    case StringType    => "VARCHAR(255)"
+    case StringType    => "VARCHAR(32672)"
     case IntegerType   => "INTEGER"
     case LongType      => "BIGINT"
     case DoubleType    => "DOUBLE"
@@ -132,9 +137,12 @@ object TransactionalJdbcSink {
                    legacyClaimScope: Option[String] = None): Unit = {
     val conn = connect(url)
     try {
-      def create(ddl: String): Boolean =
-        try { val st = conn.createStatement(); st.execute(ddl); st.close(); true }
+      def create(ddl: String): Boolean = {
+        val st = conn.createStatement()
+        try { st.execute(ddl); true }
         catch { case e: SQLException if e.getSQLState == "X0Y32" => false }
+        finally st.close() // also on unexpected SQLExceptions (e.g. 40XL1)
+      }
       create(s"CREATE TABLE $table (" +
         schema.fields.map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ") + ")")
       val fresh = create(s"CREATE TABLE ${table}_commits (" +
@@ -258,9 +266,34 @@ object TransactionalJdbcSink {
     }
   }
 
+  /** Drop claims no replay can ever match again: structured streaming
+    * replays at most the in-flight epoch, so once `currentBatch` commits,
+    * claims below `currentBatch - 1` (one epoch of slack) are dead weight.
+    * Without pruning the commits table and its PK index grow by
+    * `WritePartitions` rows per micro-batch FOREVER — ~690k rows/day at a
+    * 1 s trigger. Only the streaming path calls this (its checkpoint
+    * guarantees monotonic batch ids); the [[writeBatch]] primitive stays
+    * pruning-free so callers replaying arbitrary old batches keep their
+    * idempotence.
+    */
+  def pruneClaims(url: String, table: String, appId: String,
+                  currentBatch: Long): Unit = {
+    val conn = connect(url)
+    try {
+      val st = conn.prepareStatement(
+        s"DELETE FROM ${table}_commits WHERE app_id = ? AND batch_id < ?")
+      try {
+        st.setString(1, appId)
+        st.setLong(2, currentBatch - 1)
+        st.executeUpdate()
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** R7 end-to-end: stream into the embedded database with checkpointing;
     * restart-safe (no dupes) by the commit-log claim above, scoped to this
-    * checkpoint's app id.
+    * checkpoint's app id. Committed epochs prune the claim log they can
+    * no longer replay into.
     */
   def sink(df: DataFrame, url: String, table: String, batchSize: Int,
            checkpoint: String,
@@ -272,8 +305,10 @@ object TransactionalJdbcSink {
     // claim across the upgrade instead of replaying as duplicates
     ensureTables(url, table, df.schema, legacyClaimScope = Some(appId))
     df.writeStream
-      .foreachBatch((b: DataFrame, id: Long) =>
-        writeBatch(b, id, url, table, batchSize, appId))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        writeBatch(b, id, url, table, batchSize, appId)
+        pruneClaims(url, table, appId, id)
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -104,6 +104,30 @@ class Dump1090SourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a multi-byte UTF-8 char split across socket chunks decodes intact") {
+    // chunk=1 forces EVERY multi-byte sequence to straddle a read boundary;
+    // per-chunk decoding would corrupt each into replacement characters
+    val utf8Lines = Seq("MSG,3,héllo,ü", "MSG,4,日本,語", "MSG,5,plain")
+    val payload = utf8Lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val server = serve(payload, chunk = 1)
+    try {
+      val stream = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", server.getLocalPort, 1,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50)
+      val deadline = System.currentTimeMillis() + 15000
+      def latest() = stream.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      while (latest() < utf8Lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latest() == utf8Lines.length)
+      val got = stream.planInputPartitions(
+          graft.sources.LineOffset(0), graft.sources.LineOffset(latest()))
+        .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows)
+      assert(got.toSeq == utf8Lines, got.mkString("|"))
+      stream.stop()
+    } finally server.close()
+  }
+
   test("buffer is bounded: reader parks at maxBufferedLines until commit") {
     val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
     val server = serve(payload, chunk = 512)

@@ -66,6 +66,48 @@ class JdbcSinkSpec extends SparkSpec {
     assert(count(url, "t1") == 6)
   }
 
+  test("strings longer than 255 chars are not poison pills (wide VARCHAR)") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val long = "x" * 5000
+    val batch = Seq((1, long), (2, "short")).toDF("id", "s")
+    TransactionalJdbcSink.ensureTables(url, "t_wide", batch.schema)
+    TransactionalJdbcSink.writeBatch(batch, 0L, url, "t_wide", 10, appId = "w")
+    assert(count(url, "t_wide") == 2)
+    val conn = TransactionalJdbcSink.connect(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT length(s) FROM t_wide WHERE id = 1")
+      rs.next(); assert(rs.getInt(1) == 5000)
+    } finally conn.close()
+  }
+
+  test("pruneClaims drops claims no replay can match, keeping one epoch of slack") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val batch = Seq((1, "a")).toDF("id", "s")
+    TransactionalJdbcSink.ensureTables(url, "t_prune", batch.schema)
+    (0L to 3L).foreach { id =>
+      TransactionalJdbcSink.writeBatch(batch, id, url, "t_prune", 10, appId = "p")
+      TransactionalJdbcSink.pruneClaims(url, "t_prune", "p", id)
+    }
+    val conn = TransactionalJdbcSink.connect(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT DISTINCT batch_id FROM t_prune_commits ORDER BY batch_id")
+      val kept = Iterator.continually(rs).takeWhile(_.next()).map(_.getLong(1)).toList
+      assert(kept == List(2L, 3L), kept.toString) // < currentBatch-1 pruned
+      // pruning another app's claims never happens
+      TransactionalJdbcSink.writeBatch(batch, 0L, url, "t_prune", 10, appId = "q")
+      TransactionalJdbcSink.pruneClaims(url, "t_prune", "p", 99L)
+      val rs2 = conn.createStatement().executeQuery(
+        "SELECT count(*) FROM t_prune_commits WHERE app_id = 'q'")
+      rs2.next(); assert(rs2.getLong(1) > 0)
+    } finally conn.close()
+    // and the batch rows themselves were never touched
+    assert(count(url, "t_prune") == 5)
+  }
+
   test("a fresh checkpoint (new claim scope) against the same database keeps new data") {
     import spark.implicits._
     val url = Dump1090StreamParser.jdbcUrl(":memory:")
@@ -182,8 +224,8 @@ class JdbcSinkSpec extends SparkSpec {
   test("a failed partition rolls back: real error surfaces and the claim is retryable") {
     import spark.implicits._
     val url = Dump1090StreamParser.jdbcUrl(":memory:")
-    // one poison row (overflows VARCHAR(255)) among good rows
-    val batch = ((0 until 20).map(i => (i, s"row$i")) :+ (99, "x" * 300))
+    // one poison row (overflows even the wide VARCHAR(32672)) among good rows
+    val batch = ((0 until 20).map(i => (i, s"row$i")) :+ (99, "x" * 40000))
       .toDF("id", "s")
     TransactionalJdbcSink.ensureTables(url, "t_rb", batch.schema)
     val badPid = TransactionalJdbcSink.deterministic(batch).rdd

@@ -42,9 +42,14 @@ object IvfOps {
     // struct(csim, -cid) sorted ascending then reversed = order by
     // (csim DESC, cid ASC) — the row_number tiebreak, as one expression.
     // nProbe=1 takes the argmax directly (array_max) instead of sorting.
+    // nanvl floor: a zero-norm vector or centroid makes csim 0/0 = NaN,
+    // and Spark orders NaN ABOVE every number — one degenerate centroid
+    // would silently absorb the whole corpus. -2 is below any cosine, so
+    // NaN scores lose every comparison instead (ties then break to the
+    // lowest cid, deterministically).
     val scored = transform(col("__cents"), c =>
-      struct((dot_product(col(vecCol), c.getField("cv")) /
-               (col("__nrm") * c.getField("cnrm"))).as("csim"),
+      struct(nanvl(dot_product(col(vecCol), c.getField("cv")) /
+                    (col("__nrm") * c.getField("cnrm")), lit(-2d)).as("csim"),
              (-c.getField("cid")).as("negcid")))
     val ranked =
       if (nProbe == 1) array(array_max(scored))
@@ -73,10 +78,11 @@ object IvfOps {
   def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
                    nProbe: Int, vecCol: String = "v"): DataFrame = {
     val scored = array(cents.map { case (cid, cv) =>
-      // left-to-right sum, like DotProduct's loop — bit-identical norms
+      // left-to-right sum, like DotProduct's loop — bit-identical norms;
+      // nanvl floor as in [[assign]] (zero-norm => NaN => absorbs all)
       val cnrm = math.sqrt(cv.map(x => x * x).sum)
-      struct((dot_product(col(vecCol), lit(cv)) /
-               (col("__nrm") * lit(cnrm))).as("csim"),
+      struct(nanvl(dot_product(col(vecCol), lit(cv)) /
+                    (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
              lit(-cid).as("negcid"))
     }: _*)
     val ranked =

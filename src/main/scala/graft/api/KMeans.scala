@@ -5,9 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an embedding column — the IVF centroid trainer.
   *
-  * Deterministic by construction: initial centroids are the k rows with
-  * the lowest ids, the iteration count is fixed, and assignment ties break
-  * to the lowest centroid id (IvfOps). Each iteration is:
+  * Deterministic in structure: initial centroids are the k rows with the
+  * lowest ids, the iteration count is fixed, and assignment ties break to
+  * the lowest centroid id (IvfOps). One caveat is inherent to distributed
+  * floating point: the avg aggregation's partial sums merge in partition
+  * order, so centroids can differ in the last ulp across runs with
+  * different partitioning — a vector sitting exactly on a ulp boundary
+  * between two centroids could flip. Bit-exact assignment given FIXED
+  * centroids is still guaranteed (left-to-right dot-product sums in
+  * IvfOps); bit-exact training across cluster layouts is not claimed.
+  * Each iteration is:
   *
   *   1. map-side assignment of every vector to its nearest centroid
   *      (IvfOps.assign over the scalar-subquery centroid block — zero
@@ -35,13 +42,13 @@ object KMeans {
     val spark = vecs.sparkSession
     import spark.implicits._
 
-    // every iteration re-reads the corpus; without a cache that is
-    // `iters` full source scans (at 100 TB, `iters` passes over the lake).
-    // Cache the two needed columns for the duration of the fit and release
-    // on exit — single-iteration fits read the source once either way and
-    // skip the cache's materialization cost.
+    require(k >= 1, s"k must be >= 1, got $k")
+    // every iteration re-reads the corpus — plus the init top-k scan —
+    // and without a cache that is `iters + 1` full source scans (at
+    // 100 TB, that many passes over the lake). Cache the two needed
+    // columns for the duration of the fit and release on exit.
     val corpus = vecs.select(col(idCol), col(vecCol))
-    val cached = iters > 1
+    val cached = iters >= 1
     if (cached) corpus.cache()
     try {
       var cents: Seq[(Long, Seq[Double])] = corpus
@@ -49,6 +56,9 @@ object KMeans {
         .select(col(vecCol)).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      require(cents.nonEmpty,
+        "cannot fit k-means on an empty corpus (no vectors to initialize " +
+        "centroids from — check upstream filters)")
       val dim = cents.head._2.length
 
       for (_ <- 1 to iters) {

@@ -7,9 +7,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Custom stateful streaming operator (SURVEY.md §2.4 / spark guide):
   * per-aircraft flight tracking via flatMapGroupsWithState — the state
-  * pattern session_window can't express: arbitrary per-key state (last
-  * position, message count) with emission rules (emit a FlightUpdate only
-  * when the aircraft moved or a gap closed a flight).
+  * pattern session_window can't express: arbitrary per-key state
+  * (message count, time window, max altitude) with explicit emission
+  * rules — a FlightUpdate on flight start, on a gap closing a flight,
+  * and on idle timeout.
+  *
+  * Event-time discipline for a lossy feed: pings inside the current
+  * flight's window (including LATE ones — t < lastTs is normal under
+  * out-of-order delivery) credit the flight and can extend firstTs
+  * downward; pings a full gap OLDER than the flight's window belong to
+  * an already-closed flight and are dropped rather than silently
+  * credited to the wrong flight (a closed flight's summary was already
+  * emitted and cannot be amended under Append output).
   *
   * State is evicted via processing-time timeout — the Spark-native analog
   * of the reference dropping silent aircraft from its working set.
@@ -21,7 +30,6 @@ object FlightTracker {
                   altitude: Option[Int])
 
   case class FlightState(firstTs: Long, lastTs: Long, nMsgs: Long,
-                         lastLat: Option[Double], lastLon: Option[Double],
                          maxAlt: Option[Int])
 
   case class FlightUpdate(hex_ident: String, event: String, n_msgs: Long,
@@ -42,21 +50,25 @@ object FlightTracker {
     var s = state.getOption.getOrElse {
       val h = sorted.head
       out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
-      FlightState(h.ts.getTime, h.ts.getTime, 0, None, None, None)
+      FlightState(h.ts.getTime, h.ts.getTime, 0, None)
     }
     sorted.foreach { p =>
       val t = p.ts.getTime
       if (t - s.lastTs >= GapMs) { // gap ⇒ close previous flight, start new
         out :+= FlightUpdate(hex, "flight_closed", s.nMsgs, s.lastTs - s.firstTs, s.maxAlt)
         out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
-        s = FlightState(t, t, 0, None, None, None)
+        s = FlightState(t, t, 0, None)
       }
-      s = s.copy(
-        lastTs = math.max(s.lastTs, t),
-        nMsgs = s.nMsgs + 1,
-        lastLat = p.lat.orElse(s.lastLat),
-        lastLon = p.lon.orElse(s.lastLon),
-        maxAlt = (s.maxAlt ++ p.altitude).reduceOption(_ max _))
+      // a ping a full gap OLDER than this flight's window belongs to a
+      // flight already closed and emitted — crediting it here would
+      // silently corrupt this flight's count/duration (see class doc)
+      if (t > s.firstTs - GapMs) {
+        s = s.copy(
+          firstTs = math.min(s.firstTs, t), // late ping can predate the start
+          lastTs = math.max(s.lastTs, t),
+          nMsgs = s.nMsgs + 1,
+          maxAlt = (s.maxAlt ++ p.altitude).reduceOption(_ max _))
+      }
     }
     state.update(s)
     if (useIdleTimeout) state.setTimeoutDuration(GapMs)

@@ -14,8 +14,19 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * per-commit count, totalRows the lifetime count, and start/termination
   * events the connect/shutdown messages. Attach with
   * `spark.streams.addListener(new IngestMetrics)`.
+  *
+  * Two counting rules, both load-bearing:
+  *  - listeners are SESSION-wide, so `forQuery` scopes the counters to one
+  *    query id (set it via [[bind]] after start()) — a second concurrent
+  *    stream on the session would otherwise silently inflate the totals;
+  *  - zero-row progress events (the engine schedules no-data micro-batches
+  *    continuously when any state op uses processing-time timeouts) don't
+  *    count as commits: lastBatch holds the last DATA batch's size instead
+  *    of clobbering back to 0, and batchCount counts data batches.
   */
-class IngestMetrics(verbose: Boolean = false) extends StreamingQueryListener {
+class IngestMetrics(verbose: Boolean = false,
+                    @volatile private var forQuery: Option[java.util.UUID] = None)
+  extends StreamingQueryListener {
 
   private val total = new LongAdder
   private val batches = new LongAdder
@@ -25,19 +36,29 @@ class IngestMetrics(verbose: Boolean = false) extends StreamingQueryListener {
   def batchCount: Long = batches.sum()
   def lastBatch: Long = lastBatchRows
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit =
-    if (verbose) println(s"[ingest] query ${event.name} started (R1 connect analog)")
+  /** Scope the counters to one query (call with `query.id` after start). */
+  def bind(queryId: java.util.UUID): Unit = forQuery = Some(queryId)
 
-  override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    val rows = event.progress.numInputRows
-    total.add(rows)
-    batches.increment()
-    lastBatchRows = rows
-    if (verbose && rows > 0)
-      println(s"[ingest] committed batch ${event.progress.batchId}: " +
-        s"$rows rows (total ${total.sum()}) — P:156-158 analog")
-  }
+  private def mine(id: java.util.UUID): Boolean = forQuery.forall(_ == id)
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    if (verbose && mine(event.id))
+      println(s"[ingest] query ${event.name} started (R1 connect analog)")
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    if (mine(event.progress.id)) {
+      val rows = event.progress.numInputRows
+      total.add(rows)
+      if (rows > 0) {
+        batches.increment()
+        lastBatchRows = rows
+        if (verbose)
+          println(s"[ingest] committed batch ${event.progress.batchId}: " +
+            s"$rows rows (total ${total.sum()}) — P:156-158 analog")
+      }
+    }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    if (verbose) println(s"[ingest] query terminated; total rows ${total.sum()} (P:172-178 analog)")
+    if (verbose && mine(event.id))
+      println(s"[ingest] query terminated; total rows ${total.sum()} (P:172-178 analog)")
 }

@@ -69,11 +69,17 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Stream enriched against a static dimension via broadcast
-    * (s_stream_join).
+    * (s_stream_join). The dim's key is aliased before the join (same
+    * guard as [[intervalJoin]]'s `__rk`): with `streamKey == dimKey` —
+    * the natural call — unqualified col() would resolve to both children
+    * and fail analysis with AMBIGUOUS_REFERENCE.
     */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
-             dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+             dimKey: String): DataFrame = {
+    val d = dim.withColumnRenamed(dimKey, "__dk")
+    stream.join(broadcast(d), col(streamKey) === col("__dk"), "left_outer")
+      .drop("__dk")
+  }
 
   /** Stream-STREAM inner join within an event-time interval
     * (s_stream_stream_join): each left row matches right rows with the

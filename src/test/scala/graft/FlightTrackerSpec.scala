@@ -36,4 +36,42 @@ class FlightTrackerSpec extends SparkSpec {
     assert(closed.head.n_msgs == 2 && closed.head.max_alt.contains(37500))
     assert(updates.count(_.hex_ident == "DEAD01") == 1) // started, still open
   }
+
+  test("a stale cross-batch ping from a closed flight is dropped, not " +
+       "credited to the current flight") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ping]
+    val q = FlightTracker.track(in.toDS())
+      .writeStream.format("memory").queryName("flights_late")
+      .outputMode("append").start()
+    // flight 1 through 14:00-14:01, then a gap opens flight 2 at 14:12
+    in.addData(
+      Ping("AAA111", ts(0), None, None, Some(30000)),
+      Ping("AAA111", ts(1), None, None, Some(31000)))
+    q.processAllAvailable()
+    in.addData(Ping("AAA111", ts(12), None, None, Some(12000)))
+    q.processAllAvailable()
+    // a late ping stamped inside CLOSED flight 1 (14:02): must not count
+    // into flight 2, whose window starts 14:12; an in-window late ping
+    // (14:10 — within the gap below flight 2's start) must count and
+    // extend firstTs downward
+    in.addData(
+      Ping("AAA111", ts(2), None, None, Some(90000)),
+      Ping("AAA111", ts(10), None, None, Some(13000)))
+    q.processAllAvailable()
+    // close flight 2 via another gap
+    in.addData(Ping("AAA111", ts(30), None, None, Some(1000)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("flights_late").as[FlightUpdate].collect()
+      .filter(u => u.hex_ident == "AAA111" && u.event == "flight_closed")
+    assert(closed.length == 2)
+    // flight 2: the 14:12 ping + the in-window 14:10 late ping — NOT the
+    // stale 14:02 one (whose 90000 alt would leak into max_alt)
+    val f2 = closed(1)
+    assert(f2.n_msgs == 2, s"stale ping credited: $f2")
+    assert(f2.max_alt.contains(13000), s"stale ping's altitude leaked: $f2")
+    assert(f2.duration_ms == (ts(12).getTime - ts(10).getTime),
+      s"firstTs not extended by the in-window late ping: $f2")
+  }
 }

@@ -68,6 +68,46 @@ object DedupQueries {
           .otherwise(array().cast("array<long>")))).as("h"))
   }
 
+  /** Candidate pairs from a (doc_id, simhash) fingerprint table via
+    * 4×15-bit band buckets: ONE (b, bsig)-keyed aggregation + in-bucket
+    * expansion — a band SELF-JOIN would evaluate the fingerprint subtree
+    * twice (AQE broadcasts one side and streams the other; measured ~2×
+    * the query's cost) and shuffle it twice. Returns (da, db, hamming),
+    * deduped across bands, unfiltered by hamming (callers threshold).
+    *
+    * Bucket membership is capped at `cap` docs per (b, bsig) BEFORE the
+    * aggregation — row_number over the bucket, ordered by doc_id, so the
+    * ranking reuses the aggregation's own exchange (costs a sort, not a
+    * shuffle; same guard as [[IvfOps.bucketPairs]]). Healthy buckets are
+    * dup-cluster-sized, but web corpora have the exact pathology an
+    * uncapped bucket dies on: millions of near-identical boilerplate docs
+    * share a 15-bit band signature, giving one task an O(n) collect_list
+    * row and an O(n²) expansion. Members past the cap (by doc_id order)
+    * drop out of pair generation in every engine identically — the DuckDB
+    * oracle applies the same QUALIFY row_number cap.
+    */
+  private[graft] def simhashBandPairs(
+      sim: DataFrame, cap: Int = IvfOps.BucketCap): DataFrame = {
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))
+    val byBucket = Window.partitionBy("b", "bsig").orderBy("doc_id")
+    val buckets = banded
+      .withColumn("__brn", row_number().over(byBucket))
+      .filter(col("__brn") <= cap)
+      .groupBy("b", "bsig")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    buckets
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+                .cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** (doc_id, h): 60-bit shingle hash reduced mod FpPrime — long join keys
     * instead of strings, one md5 per shingle. Cached: three plan subtrees
     * (sizes, both join sides) reuse it within a query execution — measured
@@ -464,27 +504,7 @@ object DedupQueries {
         (0 until 60).map(j =>
           when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      val banded = sim.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))
-      // pairs via ONE (b, bsig)-keyed aggregation + in-bucket expansion —
-      // a band SELF-JOIN would evaluate the whole tok→bitSums→sim subtree
-      // twice (AQE broadcasts one side and streams the other; measured
-      // ~2× the query's cost) and shuffle it twice. Bucket membership is
-      // dup-cluster-sized (a band signature collides only for near-equal
-      // fingerprints), so the in-bucket quadratic is bounded the same way
-      // the self-join's per-key fan-out was — no new skew exposure.
-      val buckets = banded.groupBy("b", "bsig")
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-        .filter(size(col("ms")) >= 2)
-      buckets
-        .select(explode(col("ms")).as("x"), col("ms"))
-        .select(col("x"), explode(col("ms")).as("y"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-                bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-                  .cast("long").as("hamming"))
-        .distinct()
+      simhashBandPairs(sim)
         .filter(col("hamming") <= 6)
         .orderBy("da", "db")
     }),
@@ -527,14 +547,14 @@ object DedupQueries {
       // is 8 long-mults — Rabin-Karp arithmetic, same collision story as
       // any universal hash, mirrored exactly by the oracle).
       //
-      // Shape at 100 TB — ONE linear plan, every pass evaluated once:
-      // map-side token hash + positional explode, pre-aggregate to
-      // (doc_id, h, c) (shrinks by in-doc repetition), corpus-wide
-      // occurrence counts as a window SUM over h on the pre-aggregated
-      // table (one shuffle; the round-6 form branched the expensive pass
-      // into an aggregate AND a join probe, computing it twice), then one
-      // doc-keyed aggregation. No pair enumeration at any scale (contrast
-      // q_dedup_ngram, which scores document PAIRS).
+      // Shape at 100 TB — the expensive pass evaluated once: map-side
+      // token hash + positional explode, pre-aggregate to (doc_id, h, c)
+      // (shrinks by in-doc repetition; this exchange is shared via
+      // ReuseExchange by both downstream consumers), corpus-wide
+      // occurrence counts by h-keyed aggregation joined back (skew-safe —
+      // see below), then one doc-keyed aggregation. No pair enumeration
+      // at any scale (contrast q_dedup_ngram, which scores document
+      // PAIRS).
       // hashing arithmetic lives in TextHash (tokenHashes/polyWindow with
       // base PolyB mod FpPrime) — ONE definition shared with the 3-gram
       // shingle index and both engines' oracles, so a base/reduction
@@ -548,8 +568,18 @@ object DedupQueries {
               j => polyWindow(col("ha"), j, K)))
           .otherwise(array().cast("array<long>"))).as("h"))
       val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-      cnt
-        .withColumn("occ", sum("c").over(Window.partitionBy("h")))
+      // corpus-wide occurrence counts via groupBy + join-back on h, NOT
+      // sum().over(Window.partitionBy("h")): a hot passage hash (site
+      // boilerplate repeated across millions of docs) would land its whole
+      // group in ONE window task, and AQE cannot skew-split a window
+      // exchange the way it splits joins. Here the aggregate side is
+      // pre-shrunk to one row per h and the join back is skew-splittable.
+      // The expensive token-hash + explode pass is still evaluated once:
+      // both consumers sit above cnt's own (doc_id, h) exchange, which
+      // ReuseExchange serves once (PlanSpec pins the reuse and the absence
+      // of a window over h).
+      val occ = cnt.groupBy("h").agg(sum("c").as("occ"))
+      cnt.join(occ, Seq("h"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_passages"),
              sum(when(col("occ") >= 2, col("c")).otherwise(0L)).as("n_dup_passages"))
@@ -731,9 +761,13 @@ object DedupQueries {
          |         sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << j)
          |                  ELSE 0 END) AS simhash
          |  FROM bitsums GROUP BY doc_id),
-         |banded AS (
+         |banded0 AS (
          |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
-         |  FROM sim, unnest([0,1,2,3]) AS u(b))
+         |  FROM sim, unnest([0,1,2,3]) AS u(b)),
+         |banded AS (
+         |  SELECT doc_id, simhash, b, bsig FROM banded0
+         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
+         |          <= ${IvfOps.BucketCap})
          |SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
          |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
          |FROM banded a JOIN banded b2

@@ -310,4 +310,22 @@ class GraftOpsSpec extends SparkSpec {
     // no pair from the hot bucket involves a member past the cap
     assert(got.filter($"b" > 100 && $"a" =!= 200L).count() == 0)
   }
+
+  test("simhashBandPairs caps a planted mega-cluster band bucket") {
+    // 10 identical fingerprints — the boilerplate pathology: every band
+    // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit
+    // band slices never collide with the hot cluster's (0 vs 1 per band)
+    val hb = 1L | (1L << 15) | (1L << 30) | (1L << 45)
+    val sim = ((1L to 10L).map((_, 0L)) ++ Seq((100L, hb), (101L, hb)))
+      .toDF("doc_id", "simhash")
+    val capped = graft.operators.DedupQueries.simhashBandPairs(sim, cap = 4)
+    // only the first 4 hot docs (by doc_id) pair up — the same 4 in every
+    // band, so C(4,2) distinct pairs; the healthy bucket is untouched
+    assert(capped.count() == 4L * 3 / 2 + 1)
+    assert(capped.filter($"da" <= 10L && $"db" > 4L && $"db" <= 10L).count() == 0)
+    // uncapped (default BucketCap far above 10): the full quadratic
+    val full = graft.operators.DedupQueries.simhashBandPairs(sim)
+    assert(full.count() == 10L * 9 / 2 + 1)
+    assert(full.filter($"hamming" =!= 0L).count() == 0)
+  }
 }

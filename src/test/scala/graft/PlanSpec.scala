@@ -153,6 +153,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_substring computes occ skew-safely (no window over h, exchange reused)") {
+    val df = SparkEntry.queries("q_dedup_substring")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // a hot passage hash must not concentrate its whole group in one
+    // window task — occ comes from an h-keyed aggregation joined back
+    // (AQE-skew-splittable), never Window.partitionBy(h)
+    assert(!p.contains("Window"), p)
+    // and the branch must not recompute the token-hash/explode pass: both
+    // consumers share cnt's (doc_id, h) exchange via reuse
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"expected the (doc_id, h) exchange to be reused across the occ branch:\n$p")
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"substring dedup must scan documents once:\n$p")
+  }
+
   test("q_agg_filter computes every conditional aggregate in ONE scan") {
     val df = SparkEntry.queries("q_agg_filter")(spark, sf)
     df.collect()

@@ -56,7 +56,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line is the driver's primary capture, but it has been
+    // truncated in transit before (BENCH_r07.json lost its head) — also
+    // persist the record to a file so the per-query numbers survive
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch {
+      case t: Throwable => System.err.println(s"[bench] file write failed: $t")
+    }
     spark.stop()
   }
 }

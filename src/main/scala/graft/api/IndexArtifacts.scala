@@ -13,12 +13,15 @@ import graft.sources.BucketedLayout
   *  1. repeat jobs SKIP THE BUILD — the expensive tokenize→hash→explode
   *     scan over the corpus (resp. the centroid-assignment projection)
   *     never reruns; consumers read the parquet artifact;
-  *  2. the bucket layout pre-pays the shuffle: the table is bucketed on
-  *     its join/aggregation key (`h` for the shingle index, `cid` for the
-  *     IVF assignment), so index-keyed aggregations — the bucket
-  *     collect_list feeding pair expansion, per-bucket ANN membership —
-  *     plan with ZERO Exchange nodes in any later session
-  *     (IndexArtifactsSpec pins this).
+  *  2. the bucket layout pre-pays the first shuffle: the table is
+  *     bucketed on its join/aggregation key (`h` for the shingle index,
+  *     `cid` for the IVF assignment), so the bucket-keyed aggregation
+  *     stage — the collect_list feeding pair expansion, per-bucket ANN
+  *     membership — plans with ZERO Exchange nodes in any later session
+  *     (IndexArtifactsSpec pins this). Downstream stages keyed otherwise
+  *     (e.g. the (da, db) pair aggregation after in-bucket expansion)
+  *     still shuffle, as they must — the artifact removes the corpus-
+  *     sized exchange, not every exchange.
   *
   * Bucket counts are a layout knob: pick ≈ cluster parallelism at build
   * time (bucket count bounds the write fan-out and the later scan's

@@ -174,6 +174,15 @@ class Dump1090MicroBatchStream(
     var attempts = 0
     var in: InputStream = null
     var carry = Array.empty[Byte] // held-back incomplete UTF-8 tail
+    // a dropped connection's held-back tail can never complete — the next
+    // connection's bytes are an unrelated sequence, and prepending stale
+    // bytes would fuse them into one corrupted decoded line. Decode it to
+    // its replacement chars NOW (same treatment as the feed-end flush),
+    // before any reconnect.
+    def flushCarry(partial: StringBuilder): Unit = if (carry.nonEmpty) {
+      partial.append(new String(carry, StandardCharsets.UTF_8))
+      carry = Array.empty
+    }
     val buf = new Array[Byte](math.max(bufferSize, 1))
     while (!exhausted) {
       try {
@@ -187,6 +196,7 @@ class Dump1090MicroBatchStream(
         if (n < 0) { // EOF — reference reconnects on empty read (P:120-126)
           try sock.close() catch { case _: Throwable => }
           in = null
+          flushCarry(partial)
           // the EOF path shares the retry budget AND the backoff: a
           // server that accepts then immediately closes would otherwise
           // busy-spin connect/EOF forever (each successful connect used
@@ -213,6 +223,7 @@ class Dump1090MicroBatchStream(
         case _: java.io.IOException if !stopped && !spillFailed =>
           try { if (sock != null) sock.close() } catch { case _: Throwable => }
           in = null
+          flushCarry(partial)
           if (attempts >= connectAttemptLimit) {
             exhausted = true // P:98-99 quit() after retry budget
           } else {

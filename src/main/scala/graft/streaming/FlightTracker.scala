@@ -15,10 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Event-time discipline for a lossy feed: pings inside the current
   * flight's window (including LATE ones — t < lastTs is normal under
   * out-of-order delivery) credit the flight and can extend firstTs
-  * downward; pings a full gap OLDER than the flight's window belong to
-  * an already-closed flight and are dropped rather than silently
-  * credited to the wrong flight (a closed flight's summary was already
-  * emitted and cannot be amended under Append output).
+  * downward; pings a full gap OLDER than the flight belong to an
+  * already-closed flight and are dropped rather than silently credited
+  * to the wrong flight (a closed flight's summary was already emitted
+  * and cannot be amended under Append output). The stale-drop gate is
+  * anchored to the flight's CREATION timestamp (anchorTs, immutable),
+  * not the mutable firstTs: gating on firstTs would make acceptance
+  * arrival-order dependent — an in-window late ping lowers firstTs and
+  * widens the window, so an older ping would be credited if it arrives
+  * after the extender but dropped if it arrives before.
   *
   * State is evicted via processing-time timeout — the Spark-native analog
   * of the reference dropping silent aircraft from its working set.
@@ -29,8 +34,12 @@ object FlightTracker {
                   lat: Option[Double], lon: Option[Double],
                   altitude: Option[Int])
 
-  case class FlightState(firstTs: Long, lastTs: Long, nMsgs: Long,
-                         maxAlt: Option[Int])
+  /** `anchorTs` is the ts that created the flight — the fixed reference
+    * for the stale-drop gate; `firstTs` can move below it as late
+    * in-window pings arrive (duration is measured from firstTs).
+    */
+  case class FlightState(anchorTs: Long, firstTs: Long, lastTs: Long,
+                         nMsgs: Long, maxAlt: Option[Int])
 
   case class FlightUpdate(hex_ident: String, event: String, n_msgs: Long,
                           duration_ms: Long, max_alt: Option[Int])
@@ -50,19 +59,20 @@ object FlightTracker {
     var s = state.getOption.getOrElse {
       val h = sorted.head
       out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
-      FlightState(h.ts.getTime, h.ts.getTime, 0, None)
+      FlightState(h.ts.getTime, h.ts.getTime, h.ts.getTime, 0, None)
     }
     sorted.foreach { p =>
       val t = p.ts.getTime
       if (t - s.lastTs >= GapMs) { // gap ⇒ close previous flight, start new
         out :+= FlightUpdate(hex, "flight_closed", s.nMsgs, s.lastTs - s.firstTs, s.maxAlt)
         out :+= FlightUpdate(hex, "flight_started", 0, 0, None)
-        s = FlightState(t, t, 0, None)
+        s = FlightState(t, t, t, 0, None)
       }
-      // a ping a full gap OLDER than this flight's window belongs to a
-      // flight already closed and emitted — crediting it here would
-      // silently corrupt this flight's count/duration (see class doc)
-      if (t > s.firstTs - GapMs) {
+      // a ping a full gap OLDER than this flight belongs to a flight
+      // already closed and emitted — crediting it here would silently
+      // corrupt this flight's count/duration. Gated on the immutable
+      // anchorTs so acceptance never depends on arrival order (class doc)
+      if (t > s.anchorTs - GapMs) {
         s = s.copy(
           firstTs = math.min(s.firstTs, t), // late ping can predate the start
           lastTs = math.max(s.lastTs, t),

@@ -128,6 +128,44 @@ class Dump1090SourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a dropped connection's incomplete UTF-8 tail never fuses with the " +
+       "next connection's bytes") {
+    // conn 1 ends mid-character (first 2 bytes of 3-byte 日); conn 2 opens
+    // with exactly the byte that would COMPLETE it. Carrying the stale
+    // tail across the reconnect would decode a silently valid 日 out of
+    // two unrelated connections; the tail must flush to replacement chars
+    // at EOF instead.
+    val ch = "日".getBytes(StandardCharsets.UTF_8)
+    val p1 = "LINE1\n".getBytes(StandardCharsets.UTF_8) ++ ch.take(2)
+    val p2 = ch.drop(2) ++ "X\n".getBytes(StandardCharsets.UTF_8)
+    val server = new ServerSocket(0)
+    new Thread(() => {
+      try Seq(p1, p2).foreach { p =>
+        val sock = server.accept()
+        sock.getOutputStream.write(p); sock.getOutputStream.flush()
+        Thread.sleep(20); sock.close()
+      } catch { case _: Throwable => }
+    }, "sbs1-reconnect-server").start()
+    try {
+      val stream = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", server.getLocalPort, 100,
+        connectAttemptLimit = 2, connectAttemptDelayMs = 50)
+      val deadline = System.currentTimeMillis() + 15000
+      def latest() = stream.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      while (latest() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latest() == 2)
+      val got = stream.planInputPartitions(
+          graft.sources.LineOffset(0), graft.sources.LineOffset(latest()))
+        .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows)
+      assert(got.head == "LINE1")
+      assert(!got(1).contains("日"), s"stale bytes fused across reconnect: ${got(1)}")
+      assert(got(1).contains("�") && got(1).endsWith("X"), got(1))
+      stream.stop()
+    } finally server.close()
+  }
+
   test("buffer is bounded: reader parks at maxBufferedLines until commit") {
     val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
     val server = serve(payload, chunk = 512)

@@ -74,4 +74,36 @@ class FlightTrackerSpec extends SparkSpec {
     assert(f2.duration_ms == (ts(12).getTime - ts(10).getTime),
       s"firstTs not extended by the in-window late ping: $f2")
   }
+
+  test("stale-drop gate is anchored at flight creation: an accepted late " +
+       "ping must not widen acceptance for even-older pings") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ping]
+    val q = FlightTracker.track(in.toDS())
+      .writeStream.format("memory").queryName("flights_anchor")
+      .outputMode("append").start()
+    // flight 1 at 14:00, then flight 2 anchored at 14:12 (window > 14:07)
+    in.addData(Ping("BBB222", ts(0), None, None, Some(30000)))
+    q.processAllAvailable()
+    in.addData(Ping("BBB222", ts(12), None, None, Some(12000)))
+    q.processAllAvailable()
+    // the in-window extender arrives FIRST and lowers firstTs to 14:10 —
+    // under a firstTs-based gate that would widen the window to > 14:05
+    in.addData(Ping("BBB222", ts(10), None, None, Some(13000)))
+    q.processAllAvailable()
+    // 14:06 is inside the widened window but OUTSIDE the anchor window:
+    // same pings in the reverse order would have dropped it, so the
+    // anchored gate must drop it too (delivery order must not matter)
+    in.addData(Ping("BBB222", ts(6), None, None, Some(90000)))
+    q.processAllAvailable()
+    in.addData(Ping("BBB222", ts(30), None, None, Some(1000)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("flights_anchor").as[FlightUpdate].collect()
+      .filter(u => u.hex_ident == "BBB222" && u.event == "flight_closed")
+    assert(closed.length == 2)
+    val f2 = closed(1)
+    assert(f2.n_msgs == 2, s"out-of-anchor-window ping credited: $f2")
+    assert(f2.max_alt.contains(13000), s"stale ping's altitude leaked: $f2")
+  }
 }

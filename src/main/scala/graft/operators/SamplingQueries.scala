@@ -23,7 +23,7 @@ import graft.functions.TextHash._
   *
   * Plus corpus assembly:
   *  - q_pack_docs: context-window sequence packing — docs chunked into
-  *    fixed token-budget packs per source shard. The cumulative sum runs
+  *    fixed subword-budget packs per source shard. The cumulative sum runs
   *    INSIDE each shard's window partition (never a global order), so
   *    packing parallelizes across shards — the only shape that survives
   *    100 TB; a corpus-global running sum would serialize on one task.
@@ -31,6 +31,18 @@ import graft.functions.TextHash._
 object SamplingQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic subword estimate of a token column: ceil(len/4) BPE-ish
+    * pieces per word, as integer arithmetic ((len+3) DIV 4) so both engines
+    * agree bit-for-bit. Real context windows budget by SUBWORDS, not
+    * whitespace words — a long word costs a tokenizer several pieces — and
+    * this charges long words proportionally with no model artifact needed
+    * (the container has no tokenizer; swapping in a real BPE count is a
+    * one-column change).
+    */
+  private def subwords(toks: org.apache.spark.sql.Column) =
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
 
   def queries: Map[String, Q] = Map(
     "q_sample_hash" -> ((s, d) => {
@@ -90,24 +102,38 @@ object SamplingQueries {
           col("i").cast("long").as("chunk_id"),
           size(slice(col("ts"), col("i") * S + 1, lit(W))).cast("long")
             .as("n_chunk_tokens"),
+          // context-window budgets a consumer actually packs by: bytes and
+          // the deterministic subword estimate (see `subwords`) — a chunk
+          // of 50 short words and one of 50 long words fill a window very
+          // differently
+          octet_length(concat_ws(" ", slice(col("ts"), col("i") * S + 1, lit(W))))
+            .cast("long").as("n_chunk_bytes"),
+          subwords(slice(col("ts"), col("i") * S + 1, lit(W)))
+            .as("n_chunk_subwords"),
           md5(concat_ws(" ", slice(col("ts"), col("i") * S + 1, lit(W)))
             .cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     }),
 
     "q_pack_docs" -> ((s, d) => {
-      // fixed-budget packing: doc i's pack = exclusive-prefix-tokens/2048
-      // within its source shard, in stable doc_id order. Output is the
-      // per-pack fill profile (doc count + token sum).
-      val tok = size(split(col("text"), " ")).cast("long")
+      // fixed-budget packing: doc i's pack = exclusive-prefix-SUBWORDS/2048
+      // within its source shard, in stable doc_id order — the budget is
+      // the deterministic subword estimate (see `subwords`), because a
+      // context window holds tokenizer pieces, not whitespace words
+      // (whitespace packing overfills windows of long-word text). Output
+      // is the per-pack fill profile (doc count + token + subword sums).
+      val ts = split(col("text"), " ")
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       documents(s, d)
-        .select(col("doc_id"), col("source"), tok.as("n_tokens"))
-        .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"),
+          size(ts).cast("long").as("n_tokens"),
+          subwords(ts).as("n_subwords"))
+        .withColumn("cum_prev", coalesce(sum(col("n_subwords")).over(w), lit(0L)))
         .withColumn("pack_id", floor(col("cum_prev") / lit(2048L)).cast("long"))
         .groupBy("source", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+             sum(col("n_subwords")).as("pack_subwords"))
         .orderBy("source", "pack_id")
     })
   )
@@ -150,6 +176,13 @@ object SamplingQueries {
         |       CAST(i AS BIGINT) AS chunk_id,
         |       CAST(len(list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)))
         |            AS BIGINT) AS n_chunk_tokens,
+        |       CAST(strlen(array_to_string(
+        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
+        |            AS BIGINT) AS n_chunk_bytes,
+        |       CAST(list_aggregate(list_transform(
+        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)),
+        |             t -> (length(t) + 3) // 4), 'sum')
+        |            AS BIGINT) AS n_chunk_subwords,
         |       md5(array_to_string(
         |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
         |         AS chunk_md5
@@ -158,18 +191,22 @@ object SamplingQueries {
     "q_pack_docs" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |                x -> (length(x) + 3) // 4), 'sum') AS BIGINT)
+        |           AS n_subwords
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, source, n_tokens,
-        |         COALESCE(sum(n_tokens) OVER (
+        |  SELECT doc_id, source, n_tokens, n_subwords,
+        |         COALESCE(sum(n_subwords) OVER (
         |           PARTITION BY source ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |           AS cum_prev
         |  FROM t)
         |SELECT source, CAST(floor(cum_prev / 2048) AS BIGINT) AS pack_id,
         |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       CAST(sum(n_subwords) AS BIGINT) AS pack_subwords
         |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -22,6 +22,19 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q_text_clean knobs — C4-style line/document gates and PII patterns.
+    * The regexes stay inside the RE2-compatible subset (character classes,
+    * bounded repetition, no backrefs/lookaround) so Java regex (Spark) and
+    * RE2 (DuckDB) agree on every match.
+    */
+  private[graft] val CleanMinLineTokens = 5
+  private[graft] val CleanMinDocTokens = 15
+  private[graft] val CleanBoilerplate = Seq(
+    "javascript", "cookie", "lorem ipsum", "all rights reserved",
+    "privacy policy", "terms of use")
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhoneRe = "[0-9]{7,}"
+
   /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles —
     * the MEMOIZED uncapped layer of the per-dir dedup index holder
     * (DedupQueries.uncappedShingleHashes). Uncapped is correct here: the
@@ -34,6 +47,40 @@ object TextQueries {
     */
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
     DedupQueries.uncappedShingleHashes(s, d)
+
+  /** C4-style cleaning over a (doc_id, text) table: line-level
+    * boilerplate filtering + PII scrubbing as a PURE per-row projection —
+    * zero shuffles, so it composes in front of any dedup/pack stage at
+    * 100 TB for free. Per line: scrub emails and long digit runs to
+    * placeholder tokens, then drop lines under [[CleanMinLineTokens]]
+    * tokens or carrying a boilerplate marker (cookie/javascript/
+    * lorem-ipsum/…, the C4 filter list's shape); per doc: keep only docs
+    * with >= [[CleanMinDocTokens]] tokens left — everything below is
+    * navigation/stub debris. All arithmetic is codegen'd higher-order
+    * functions over the line array; the q_text_clean DuckDB oracle runs
+    * the identical rules via list_transform/list_filter.
+    */
+  def clean(docs: DataFrame): DataFrame = {
+    val scrub = (l: Column) =>
+      regexp_replace(
+        regexp_replace(l, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>"))
+    val isBoiler = (l: Column) =>
+      CleanBoilerplate.foldLeft(lit(false))(
+        (acc, m) => acc || instr(lower(l), m) > 0)
+    val kept = filter(
+      transform(split(col("text"), "\n"), scrub),
+      l => size(split(l, " ")) >= CleanMinLineTokens && !isBoiler(l))
+    val nTokens = aggregate(kept, lit(0L),
+      (acc, l) => acc + size(split(l, " ")))
+    docs
+      .select(col("doc_id"),
+        array_join(kept, "\n").as("clean_text"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_lines_kept"),
+        nTokens.as("n_tokens_clean"))
+      .filter(col("n_tokens_clean") >= CleanMinDocTokens)
+  }
 
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
@@ -211,6 +258,10 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_clean" -> ((s, d) =>
+      // C4-style cleaning (the day-one corpus-builder pass) — see [[clean]]
+      clean(documents(s, d)).orderBy("doc_id")),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -349,6 +400,34 @@ object TextQueries {
         |       CAST(sum(n_corpus // c) // count(*) AS BIGINT) AS surprisal_mean
         |FROM tok JOIN cnt USING (t), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" -> {
+      val markers = CleanBoilerplate
+        .map(m => s"contains(lower(l), '$m')").mkString(" OR ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, chr(10))) AS n_lines,
+         |         list_filter(
+         |           list_transform(string_split(text, chr(10)),
+         |             l -> regexp_replace(
+         |                    regexp_replace(l, '$EmailRe', '<EMAIL>', 'g'),
+         |                    '$PhoneRe', '<PHONE>', 'g')),
+         |           l -> len(string_split(l, ' ')) >= $CleanMinLineTokens
+         |                AND NOT ($markers)) AS kept
+         |  FROM documents)
+         |SELECT doc_id,
+         |       list_aggregate(kept, 'string_agg', chr(10)) AS clean_text,
+         |       CAST(n_lines AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |       CAST(coalesce(list_aggregate(
+         |              list_transform(kept, l -> len(string_split(l, ' '))),
+         |              'sum'), 0) AS BIGINT) AS n_tokens_clean
+         |FROM c
+         |WHERE coalesce(list_aggregate(
+         |        list_transform(kept, l -> len(string_split(l, ' '))),
+         |        'sum'), 0) >= $CleanMinDocTokens
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

@@ -94,6 +94,36 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("clean scrubs PII, drops boilerplate/short lines, and gates thin docs") {
+    import spark.implicits._
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      // PII: email and a long digit run get placeholder tokens
+      (1L, s"contact bob.smith+x@example.co.uk or call 12345678 now\n$body"),
+      // boilerplate marker line dropped, body kept
+      (2L, s"This site uses Cookie banners everywhere\n$body"),
+      // short line dropped, body kept
+      (3L, s"nav home about\n$body"),
+      // thin doc: survives line gate but not the doc-level token gate
+      (4L, "one two three four five six"),
+      // all lines boilerplate → doc disappears
+      (5L, "enable javascript to view\nall rights reserved 2026")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.clean(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), out.mkString("|"))
+    val d1 = out(0)
+    assert(d1.getString(1).startsWith("contact <EMAIL> or call <PHONE> now\n"),
+      d1.getString(1))
+    assert(!d1.getString(1).contains("example.co") && !d1.getString(1).contains("12345678"))
+    assert(d1.getLong(2) == 2 && d1.getLong(3) == 2) // both lines kept
+    // doc 2 and 3: one line dropped each, the 20-token body kept
+    Seq(out(1), out(2)).foreach { r =>
+      assert(r.getLong(2) == 2 && r.getLong(3) == 1, r.toString)
+      assert(r.getLong(4) == 20, r.toString)
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

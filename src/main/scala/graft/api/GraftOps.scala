@@ -434,10 +434,21 @@ object GraftOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
+    // convergence signature: numeric labels sum directly — monotone under
+    // min-propagation, so signature equality is an EXACT fixed-point
+    // certificate. Non-numeric ids (string doc keys) can't sum: hash each
+    // label first — probabilistic like connectedComponentsStar's edge
+    // signature: a missed change needs the changed nodes' 64-bit hash
+    // deltas to cancel exactly in a 38-digit sum — vanishingly unlikely,
+    // and the propagation tier is a fast path with the star tier behind
+    // it, never the sole correctness authority.
+    val labelSig = (l: Column) =>
+      if (e.schema("u").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) l
+      else xxhash64(l)
     var (labels, labelsCut, rows, cur) = cacheWithSig(
       adj.groupBy(col("src").as("id"))
         .agg(min(least(col("dst"), col("src"))).as("label")),
-      col("label"))
+      labelSig(col("label")))
     var converged = rows == 0L
     var round = 0
     while (!converged && round < maxRounds) {
@@ -448,7 +459,7 @@ object GraftOps {
         .select(col("src").as("id"), col("label"))
         .union(labelsCut)
         .groupBy("id").agg(min("label").as("label"))
-      val (next, nextCut, _, nextSig) = cacheWithSig(prop, col("label"))
+      val (next, nextCut, _, nextSig) = cacheWithSig(prop, labelSig(col("label")))
       converged = nextSig.compareTo(cur) == 0
       labels.unpersist()
       labels = next

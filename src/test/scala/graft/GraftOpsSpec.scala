@@ -290,6 +290,31 @@ class GraftOpsSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("connectedComponents escalates a long-chain non-long-id graph to " +
+       "star contraction, agreeing with the union-find tier") {
+    // string ids rule out the union-find tier, and a 64-node chain cannot
+    // converge within EscalateAfterRounds=6 min-label propagation rounds
+    // (the min travels ~one hop per round), so this call must fall
+    // through to connectedComponentsStar — the O(log n) tier the normal
+    // dup-cluster path never needs
+    val n = 64
+    val sid = (i: Int) => f"n$i%03d"
+    val chainStr = (1 until n).map(i => (sid(i - 1), sid(i))).toDF("a", "b")
+    val got = graft.api.GraftOps.connectedComponents(chainStr, "a", "b")
+    val labels = got.as[(String, String)].collect().toMap
+    assert(labels.size == n)
+    assert(labels.values.toSet == Set(sid(0)), labels.values.toSet.take(5))
+    got.unpersist()
+    // the same chain with long ids rides the single-task union-find tier;
+    // the tiers must produce identical components
+    val chainLong = (1 until n).map(i => ((i - 1).toLong, i.toLong)).toDF("a", "b")
+    val uf = graft.api.GraftOps.connectedComponents(chainLong, "a", "b")
+    val ufLabels = uf.as[(Long, Long)].collect().toMap
+    assert(ufLabels.size == n)
+    assert((0 until n).forall(i => sid(ufLabels(i.toLong).toInt) == labels(sid(i))))
+    uf.unpersist()
+  }
+
   test("bucketPairs expands each bucket's i<j pairs exactly once") {
     val asg = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
                   (3L, 30L)).toDF("cid", "vec_id")

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.DedupQueries
 import graft.sources.BucketedLayout
 
-/** Build-once index artifacts for the dedup/ANN family. At 100 TB the
-  * shingle index and the IVF assignment are not per-session caches — they
-  * are tables built once and consumed by every downstream dedup/search
-  * job. Persisting them through [[BucketedLayout]] buys two things:
+/** Build-once, append-many index artifacts for the dedup/ANN family. At
+  * 100 TB the shingle index and the IVF assignment are not per-session
+  * caches — they are tables built once, APPENDED as the corpus streams in,
+  * and consumed by every downstream dedup/search job. Persisting them
+  * through [[BucketedLayout]] buys two things:
   *
   *  1. repeat jobs SKIP THE BUILD — the expensive tokenize→hash→explode
   *     scan over the corpus (resp. the centroid-assignment projection)
@@ -23,29 +24,69 @@ import graft.sources.BucketedLayout
   *     still shuffle, as they must — the artifact removes the corpus-
   *     sized exchange, not every exchange.
   *
+  * Incremental maintenance doctrine: the persisted index is the RAW
+  * per-doc distinct shingle set, and the DfCap hot-shingle policy is
+  * applied at READ time ([[pairsFromIndex]]). That split is what makes
+  * appends EXACTLY equivalent to a full rebuild: raw(initial docs) ∪
+  * raw(appended docs) = raw(all docs) for disjoint doc_ids, while a
+  * pre-capped artifact could never be appended correctly (each batch
+  * caps against its own document frequencies, not the global ones). The
+  * read-time cap costs one h-keyed aggregation that rides the bucket
+  * layout with zero Exchange.
+  *
   * Bucket counts are a layout knob: pick ≈ cluster parallelism at build
   * time (bucket count bounds the write fan-out and the later scan's
   * natural task count).
   */
 object IndexArtifacts {
 
-  /** Write the DfCap-capped (doc_id, h) shingle index for `docsDir` as a
-    * parquet table bucketed + sorted on `h`.
+  /** Write the raw (uncapped, per-doc distinct) (doc_id, h) shingle index
+    * for `docsDir` as a parquet table bucketed + sorted on `h`.
     */
   def persistShingleIndex(s: SparkSession, docsDir: String, table: String,
                           buckets: Int = 32): Unit =
     BucketedLayout.writeBucketed(
-      DedupQueries.cappedShingleIndex(s, docsDir), table, "h", buckets)
+      DedupQueries.uncappedShingleHashes(s, docsDir), table, "h", buckets)
 
-  /** The persisted index, bucket layout intact. */
-  def shingleIndex(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Incremental maintenance: shingle a batch of NEW documents (doc_id,
+    * text — e.g. one streamed micro-batch) and append into the bucketed
+    * artifact, preserving the layout. No full-corpus rescan: only the
+    * batch is tokenized and hashed. Appended doc_ids are expected to be
+    * new; a replayed batch (foreachBatch is at-least-once) is harmless
+    * because [[pairsFromIndex]] dedups on (h, doc_id) at read.
+    */
+  def appendShingleIndex(s: SparkSession, newDocs: DataFrame, table: String,
+                         buckets: Int = 32): Unit =
+    BucketedLayout.appendBucketed(
+      DedupQueries.shinglesOf(newDocs.select(col("doc_id"), col("text"))),
+      table, "h", buckets)
+
+  /** The persisted index, bucket layout intact. The relation cache is
+    * refreshed first: appends land from OTHER sessions (a foreachBatch
+    * micro-batch runs in a clone with its own SessionCatalog), so a
+    * long-lived reader session would otherwise serve the stale file list
+    * it cached before the append. The refresh only drops the cache entry;
+    * the re-listing cost lands on the next query — the price of reading
+    * an append-maintained table correctly.
+    */
+  def shingleIndex(s: SparkSession, table: String): DataFrame = {
+    s.catalog.refreshTable(table)
+    s.table(table)
+  }
 
   /** Shared-shingle candidate pairs (da, db, shared) over a PERSISTED
     * index: the (h)-keyed bucket aggregation clusters on the table's
-    * bucket column — no Exchange before pair expansion, no index rebuild.
+    * bucket column — no corpus-sized Exchange, no index rebuild.
+    *
+    * Two read-time guards, both riding the bucket layout exchange-free
+    * (hash-partitioning on `h` satisfies clustering on (h, doc_id)):
+    * a (h, doc_id) distinct — so an at-least-once replayed append cannot
+    * inflate `shared` counts — then the DfCap hot-shingle anti-join (see
+    * the class doc for why the cap lives at read time).
     */
   def pairsFromIndex(s: SparkSession, table: String): DataFrame =
-    DedupQueries.pairsPlan(shingleIndex(s, table))
+    DedupQueries.pairsPlan(
+      DedupQueries.capIndex(shingleIndex(s, table).distinct()))
 
   /** Write the IVF assignment (id, cid — `nProbe` rows per vector) as a
     * table bucketed + sorted on `cid`, so per-bucket candidate generation
@@ -61,6 +102,29 @@ object IndexArtifacts {
         .select(col(idCol), col("cid")),
       table, "cid", buckets)
 
-  /** The persisted assignment, bucket layout intact. */
-  def ivfAssignment(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Incremental maintenance: assign a batch of NEW vectors against the
+    * SAME centroid model the artifact was built with and append. Because
+    * assignment is a pure per-row function of (vector, centroids), the
+    * appended table equals a full re-assignment of the union — provided
+    * the model is unchanged. Centroid drift (a model retrained on the
+    * grown corpus) requires a rebuild via [[persistIvfAssignment]];
+    * maintenance under a frozen model is the standard IVF posture between
+    * periodic re-trains.
+    */
+  def appendIvfAssignment(s: SparkSession, newVecs: DataFrame,
+                          centroids: DataFrame, nProbe: Int, table: String,
+                          idCol: String = "vec_id",
+                          buckets: Int = 16): Unit =
+    BucketedLayout.appendBucketed(
+      IvfOps.assign(newVecs, IvfOps.centroidBlock(centroids), nProbe)
+        .select(col(idCol), col("cid")),
+      table, "cid", buckets)
+
+  /** The persisted assignment, bucket layout intact (relation cache
+    * refreshed — see [[shingleIndex]]).
+    */
+  def ivfAssignment(s: SparkSession, table: String): DataFrame = {
+    s.catalog.refreshTable(table)
+    s.table(table)
+  }
 }

@@ -56,9 +56,17 @@ object DedupQueries {
     * hash values (a cross-shingle collision merges two shingles — the
     * usual fingerprinting trade, identical in both engines).
     */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(fanOut(documents(s, d)))
+
+  /** The shingle pass over an arbitrary (doc_id, text) table — the same
+    * arithmetic as the per-dir memoized index, exposed so incremental
+    * index maintenance ([[graft.api.IndexArtifacts.appendShingleIndex]])
+    * can shingle a streamed micro-batch without a corpus dir.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val ha = tokenHashes(col("text"))
-    fanOut(documents(s, d))
+    docs
       .select(col("doc_id"), ha.as("ha"))
       .select(col("doc_id"),
         explode(array_distinct(
@@ -66,6 +74,19 @@ object DedupQueries {
             transform(sequence(lit(0), size(col("ha")) - 3),
               j => polyWindow(col("ha"), j, 3)))
           .otherwise(array().cast("array<long>")))).as("h"))
+  }
+
+  /** DfCap policy over an arbitrary raw (doc_id, h) index: anti-join away
+    * the shingles present in more than DfCap documents. The hot set is
+    * tiny by construction (heavy tail), so AQE broadcasts it and the cap
+    * costs one aggregation, not a shuffle of the index. Applied at READ
+    * time by the persisted-artifact path so appended batches (which can't
+    * see the global df) keep exact batch-rebuild semantics.
+    */
+  private[graft] def capIndex(raw: DataFrame): DataFrame = {
+    val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("h")
+    raw.join(hot, Seq("h"), "left_anti").select("doc_id", "h")
   }
 
   /** Candidate pairs from a (doc_id, simhash) fingerprint table via
@@ -221,7 +242,7 @@ object DedupQueries {
     * decontamination probe (same arithmetic as the dedup index before the
     * DfCap anti-join).
     */
-  private[operators] def uncappedShingleHashes(s: SparkSession, d: String): DataFrame =
+  private[graft] def uncappedShingleHashes(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).raw
 
   /** Memoized (da, db, shared) counts for docs sharing ≥ 1 kept shingle. */
@@ -319,10 +340,7 @@ object DedupQueries {
     */
   private def buildCapped(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
     val natural = documents(s, d).rdd.getNumPartitions
-    val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select("h")
-    raw.join(hot, Seq("h"), "left_anti")
-      .select("doc_id", "h").coalesce(natural).cache()
+    capIndex(raw).coalesce(natural).cache()
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned

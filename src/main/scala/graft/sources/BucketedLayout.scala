@@ -21,6 +21,19 @@ object BucketedLayout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append a batch into an existing bucketed table with the SAME bucket
+    * spec (Spark rejects a mismatched spec): each appended file set is
+    * bucketed on the key, so consumers keep planning exchange-free keyed
+    * aggregations — the incremental-maintenance write path.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two tables bucketed on `key` — plans with zero Exchange nodes
     * when bucket counts match (verified by BucketedLayoutSpec).
     */

@@ -128,4 +128,30 @@ object StreamingOps {
       .withColumn("content_md5", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_md5")
+
+  /** Incremental shingle-index maintenance: each micro-batch of (doc_id,
+    * text) docs is shingled and APPENDED into the persisted bucketed
+    * artifact (graft.api.IndexArtifacts) — so a streamed corpus is
+    * near-dup-searchable via `pairsFromIndex` without ever rebuilding the
+    * index over the full corpus. Only the batch is tokenized/hashed;
+    * foreachBatch is at-least-once, which is safe here because the
+    * artifact reader dedups on (h, doc_id) exchange-free.
+    *
+    * Pairs with [[corpusIngest]]: gate + exact-dedup the stream, sink the
+    * survivors, and feed the same survivors through this maintenance
+    * query; periodic compaction (full `corpusPipeline`) stays the
+    * escape hatch for centroid/model drift, not for index freshness.
+    */
+  def maintainShingleIndex(docs: DataFrame, table: String, checkpoint: String,
+                           buckets: Int = 32,
+                           trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val append: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.api.IndexArtifacts.appendShingleIndex(
+        batch.sparkSession, batch, table, buckets)
+    docs.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

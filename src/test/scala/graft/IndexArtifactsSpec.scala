@@ -49,6 +49,71 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(fromArtifact.toSeq == fromMemo.toSeq)
   }
 
+  test("maintainShingleIndex: a streamed batch becomes near-dup-searchable " +
+       "via the artifact with no full-corpus rescan, and replays are idempotent") {
+    import spark.implicits._
+    dropTable("g_shingle_inc")
+    graft.api.IndexArtifacts.persistShingleIndex(spark, sf, "g_shingle_inc", buckets = 4)
+    val base = spark.table("g_shingle_inc").count()
+    // a twin of an existing corpus doc arrives on the stream under a new id
+    val src = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val (srcId, text) = (src.getLong(0), src.getString(1))
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("idxmaint").toString
+    val q = graft.streaming.StreamingOps.maintainShingleIndex(
+      in.toDS().toDF("doc_id", "text"), "g_shingle_inc", ckpt, buckets = 4)
+    in.addData((900001L, text))
+    q.processAllAvailable()
+    q.stop()
+    // only the batch was shingled: the artifact grew by exactly the new
+    // doc's shingle rows, nothing else was rewritten. Read through the
+    // artifact API — the append landed from the micro-batch's session
+    // clone, so a raw spark.table() here would serve the stale pre-append
+    // file list this session cached for `base`
+    val grown = graft.api.IndexArtifacts.shingleIndex(spark, "g_shingle_inc")
+    val newRows = grown.filter($"doc_id" === 900001L).count()
+    assert(newRows > 0)
+    assert(grown.count() == base + newRows)
+    // the (source, twin) pair is discoverable through the artifact path
+    // alone — no index rebuild, no session memo
+    def pairShared(): Long = graft.api.IndexArtifacts
+      .pairsFromIndex(spark, "g_shingle_inc")
+      .filter($"da" === srcId && $"db" === 900001L)
+      .collect() match { case Array(r) => r.getLong(2) }
+    val shared = pairShared()
+    assert(shared == newRows, s"identical twin must share all $newRows kept shingles, got $shared")
+    // an at-least-once REPLAY of the same batch must not inflate counts:
+    // the reader dedups (h, doc_id) before pair aggregation
+    graft.api.IndexArtifacts.appendShingleIndex(
+      spark, Seq((900001L, text)).toDF("doc_id", "text"), "g_shingle_inc", buckets = 4)
+    assert(pairShared() == shared, "replayed append inflated shared counts")
+  }
+
+  test("appendIvfAssignment under a frozen model equals re-assigning the union") {
+    dropTable("g_ivf_inc")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v"))
+    IndexArtifacts.persistIvfAssignment(spark, e.filter(col("vec_id") % 5 =!= 0),
+      cents, nProbe = 2, table = "g_ivf_inc", buckets = 4)
+    IndexArtifacts.appendIvfAssignment(spark, e.filter(col("vec_id") % 5 === 0),
+      cents, nProbe = 2, table = "g_ivf_inc", buckets = 4)
+    val persisted = IndexArtifacts.ivfAssignment(spark, "g_ivf_inc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val live = IvfOps.assign(e, IvfOps.centroidBlock(cents), nProbe = 2)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(persisted.nonEmpty && persisted.toSeq == live.toSeq)
+    // and the appended layout still aggregates on cid exchange-free
+    val perBucket = IndexArtifacts.ivfAssignment(spark, "g_ivf_inc")
+      .groupBy("cid").agg(count(lit(1)).as("members"))
+    perBucket.collect()
+    assert(!perBucket.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("persisted IVF assignment: fresh session groups by cid shuffle-free") {
     dropTable("g_ivf_asg")
     val e = Tables.embeddings(spark, sf)

@@ -586,21 +586,25 @@ object DedupQueries {
               j => polyWindow(col("ha"), j, K)))
           .otherwise(array().cast("array<long>"))).as("h"))
       val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-      // corpus-wide occurrence counts via groupBy + join-back on h, NOT
+      // corpus-wide duplication via groupBy + join-back on h, NOT
       // sum().over(Window.partitionBy("h")): a hot passage hash (site
       // boilerplate repeated across millions of docs) would land its whole
       // group in ONE window task, and AQE cannot skew-split a window
-      // exchange the way it splits joins. Here the aggregate side is
-      // pre-shrunk to one row per h and the join back is skew-splittable.
-      // The expensive token-hash + explode pass is still evaluated once:
-      // both consumers sit above cnt's own (doc_id, h) exchange, which
-      // ReuseExchange serves once (PlanSpec pins the reuse and the absence
-      // of a window over h).
-      val occ = cnt.groupBy("h").agg(sum("c").as("occ"))
-      cnt.join(occ, Seq("h"))
+      // exchange the way it splits joins. The join-back side is shrunk to
+      // just the DUPLICATED hashes (occ >= 2 — the only fact the per-doc
+      // aggregation needs), so AQE broadcasts it when it fits and falls
+      // back to a skew-splittable shuffled join when it doesn't; cnt is
+      // never shuffled a second time in the broadcast case. The expensive
+      // token-hash + explode pass is still evaluated once: both consumers
+      // sit above cnt's own (doc_id, h) exchange, which ReuseExchange
+      // serves once (PlanSpec pins the reuse and the absence of a window
+      // over h).
+      val dupH = cnt.groupBy("h").agg(sum("c").as("occ"))
+        .filter(col("occ") >= 2).select(col("h"), lit(1L).as("dup"))
+      cnt.join(dupH, Seq("h"), "left")
         .groupBy("doc_id")
         .agg(sum("c").as("n_passages"),
-             sum(when(col("occ") >= 2, col("c")).otherwise(0L)).as("n_dup_passages"))
+             sum(when(col("dup").isNotNull, col("c")).otherwise(0L)).as("n_dup_passages"))
         .withColumn("dup_frac_e6",
           floor(col("n_dup_passages").cast("double") /
                 col("n_passages").cast("double") * 1e6).cast("long"))

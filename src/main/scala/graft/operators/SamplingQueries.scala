@@ -115,6 +115,49 @@ object SamplingQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "q_mix_sources" -> ((s, d) => {
+      // Data MIXING — the pretraining mixture operator: re-weight a
+      // multi-source corpus to a target composition (web 60% / books 30%
+      // / …) by downsampling over-represented sources. Target weights
+      // here derive deterministically from the source id (idx%4 + 1, so
+      // the fixture's uniform sources get a non-trivial 1:2:3:4 target).
+      // B = the largest total budget every source can supply at its
+      // target share (exact integer arithmetic: min over sources of
+      // n_s*W DIV w_s); each source then samples at rate w_s·B/(W·n_s).
+      //
+      // Scale shape: membership is RATE-based (hash-bucket Bernoulli,
+      // map-side like q_sample_hash) rather than exact-count — an exact
+      // take_s would need a per-source top-k whose final rank pass lands
+      // each source in ONE task, and at 100 TB a source is most of the
+      // corpus. The per-source stats table is sources-sized (tiny): its
+      // aggregation is one partial-agg shuffle, the two corpus-wide
+      // scalars attach as scalar subqueries (no join node), and the
+      // per-doc membership join is an AQE-broadcast of the stats table.
+      // Long arithmetic bound: w*B*1e6 stays under 2^63 up to ~1.8e11
+      // docs per source at W=50 — two orders past a 100 TB corpus.
+      val wgt = (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 4) + 1
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("w", wgt)
+      // NB "wsum", not "W": resolution is case-insensitive in BOTH engines
+      // (a column literally named W would collide with w)
+      val srcs = docs.groupBy("source", "w").agg(count(lit(1)).as("n"))
+      val totW = srcs.agg(sum("w").as("wsum"))
+      val withW = srcs.withColumn("wsum",
+        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totW))
+      val lim = withW.select(min(expr("n * wsum DIV w")).as("B"))
+      val thresh = withW
+        .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
+        .select(col("source"), col("w"), col("n"),
+          expr("w * B * 1000000 DIV (wsum * n)").as("thresh_e6"))
+      docs
+        .withColumn("bucket", pmod(md5long(col("doc_id").cast("string")), lit(1000000L)))
+        .join(thresh.drop("w"), Seq("source"))
+        .groupBy("source", "w", "n", "thresh_e6")
+        .agg(sum(when(col("bucket") < col("thresh_e6"), 1L).otherwise(0L))
+          .as("n_sampled"))
+        .orderBy("source")
+    }),
+
     "q_pack_docs" -> ((s, d) => {
       // fixed-budget packing: doc i's pack = exclusive-prefix-SUBWORDS/2048
       // within its source shard, in stable doc_id order — the budget is
@@ -187,6 +230,24 @@ object SamplingQueries {
         |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
         |         AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_mix_sources" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4) + 1 AS w
+         |  FROM documents),
+         |s AS (SELECT source, w, count(*) AS n FROM d GROUP BY source, w),
+         |tot AS (SELECT sum(w) AS wsum FROM s),
+         |lim AS (SELECT min(n * wsum // w) AS B FROM s, tot),
+         |t AS (SELECT s.source, s.w, s.n,
+         |             (s.w * B * 1000000) // (wsum * s.n) AS thresh_e6
+         |      FROM s, tot, lim)
+         |SELECT t.source, t.w, t.n, t.thresh_e6,
+         |       CAST(sum(CASE WHEN ${duckKey("d.doc_id")} % 1000000 < t.thresh_e6
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM t JOIN d ON t.source = d.source
+         |GROUP BY t.source, t.w, t.n, t.thresh_e6
+         |ORDER BY t.source""".stripMargin,
 
     "q_pack_docs" ->
       """WITH t AS (

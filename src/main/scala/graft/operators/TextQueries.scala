@@ -60,6 +60,39 @@ object TextQueries {
     * functions over the line array; the q_text_clean DuckDB oracle runs
     * the identical rules via list_transform/list_filter.
     */
+  /** Corpus-wide LINE dedup over a (doc_id, text) table (C4's
+    * repeated-span rule at line granularity, the complement of [[clean]]'s
+    * per-doc filters): scrub every occurrence of any line present in >= 2
+    * DISTINCT docs — cross-doc repetition is boilerplate by definition
+    * (headers, navigation, license blocks). Lines compare by md5long
+    * fingerprint (the usual trade, mirrored by the oracle).
+    *
+    * Shape at 100 TB: explode to a line table, ONE hash-keyed aggregation
+    * for the distinct-doc counts (partial aggregation shrinks
+    * per-partition repeats), join back the small hot set (AQE broadcast /
+    * skew-split — never a window over the line hash), reassemble per doc
+    * with collect_list + array_sort (collect_list drops the nulls the hot
+    * filter leaves). Linear, all shuffles keyed.
+    */
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5long(col("line")))
+    val hot = lines.groupBy("lh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("lh"), lit(1L).as("hot"))
+    lines.join(hot, Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("hot").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   def clean(docs: DataFrame): DataFrame = {
     val scrub = (l: Column) =>
       regexp_replace(
@@ -262,6 +295,10 @@ object TextQueries {
       // C4-style cleaning (the day-one corpus-builder pass) — see [[clean]]
       clean(documents(s, d)).orderBy("doc_id")),
 
+    "q_text_dedup_lines" -> ((s, d) =>
+      // corpus-wide line dedup (C4's repeated-span rule) — see [[dedupLines]]
+      dedupLines(documents(s, d)).orderBy("doc_id")),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -427,6 +464,26 @@ object TextQueries {
          |        list_transform(kept, l -> len(string_split(l, ' '))),
          |        'sum'), 0) >= $CleanMinDocTokens
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_dedup_lines" -> {
+      val lh = duckMd5Long("ln")
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(ls, 1) AS pos,
+         |         unnest(ls) AS ln
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+         |hot AS (
+         |  SELECT h FROM (SELECT $lh AS h, doc_id FROM l)
+         |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT l.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN hot.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       coalesce(string_agg(CASE WHEN hot.h IS NULL THEN l.ln END,
+         |                           chr(10) ORDER BY l.pos), '') AS clean_text
+         |FROM l LEFT JOIN hot ON $lh = hot.h
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
     },
 
     "q_text_fingerprint" ->

@@ -124,6 +124,26 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("dedupLines scrubs cross-doc repeated lines, keeps in-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      // "copyright acme corp" appears in docs 1 and 2 → scrubbed from both
+      (1L, "unique first line\ncopyright acme corp\nunique last line"),
+      (2L, "copyright acme corp\nanother unique line"),
+      // an in-doc repeat is NOT cross-doc boilerplate → kept twice
+      (3L, "chorus line\nchorus line\nbridge"),
+      // a doc that is ALL boilerplate ends up empty but still present
+      (4L, "copyright acme corp")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.dedupLines(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 2L), (2L, 2L, 1L), (3L, 3L, 3L), (4L, 1L, 0L)))
+    assert(out(0).getString(3) == "unique first line\nunique last line")
+    assert(out(2).getString(3) == "chorus line\nchorus line\nbridge")
+    assert(out(3).getString(3) == "")
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

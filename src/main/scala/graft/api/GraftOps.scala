@@ -233,6 +233,42 @@ object GraftOps {
       .drop("__cum", "__tok")
   }
 
+  /** Source-weighted mixture sampling (library twin of q_mix_sources):
+    * downsample a multi-source corpus to a target composition. `weights`
+    * maps source → relative target weight (unlisted sources are excluded);
+    * the realized budget is the largest total every listed source can
+    * supply at its share (B = min over sources of n_s·W DIV w_s, exact
+    * integer arithmetic), and each source keeps rows at rate
+    * w_s·B/(W·n_s) decided by a deterministic hash of `idCol` — map-side
+    * membership (the 100 TB shape: an exact per-source take would need a
+    * per-source top-k whose final rank pass lands each source in ONE
+    * task). Returns the sampled rows with a `mix_rate_e6` column.
+    *
+    * Rate-based sampling realizes the mixture in expectation (exact
+    * cross-engine determinism per ROW, binomial variation per source) —
+    * the standard trade for scale-out mixing.
+    */
+  def mixCorpus(docs: DataFrame, sourceCol: String, idCol: String,
+                weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wTab = weights.toSeq.toDF(sourceCol, "__w")
+    val wsum = weights.values.sum
+    // per-source counts over the listed sources only: sources-sized (tiny)
+    val srcs = docs.join(broadcast(wTab), Seq(sourceCol))
+      .groupBy(sourceCol, "__w").agg(count(lit(1)).as("__n"))
+    val lim = srcs.select(min(expr("__n * " + wsum + " DIV __w")).as("B"))
+    val rates = srcs
+      .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
+      .select(col(sourceCol),
+        expr(s"__w * B * 1000000 DIV (${wsum}L * __n)").as("mix_rate_e6"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(pmod(md5long(col(idCol).cast("string")), lit(1000000L))
+        < col("mix_rate_e6"))
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Materialize `df` into the cache and read a convergence signature off
@@ -632,6 +668,9 @@ object implicits {
     def packDocs(shardCol: String, orderCol: String, tokens: Column,
                  budget: Long): DataFrame =
       GraftOps.packDocs(df, shardCol, orderCol, tokens, budget)
+    def mixCorpus(sourceCol: String, idCol: String,
+                  weights: Map[String, Long]): DataFrame =
+      GraftOps.mixCorpus(df, sourceCol, idCol, weights)
     def connectedComponents(aCol: String, bCol: String,
                             maxIter: Int = 50): DataFrame =
       GraftOps.connectedComponents(df, aCol, bCol, maxIter)

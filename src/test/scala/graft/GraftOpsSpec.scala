@@ -336,6 +336,30 @@ class GraftOpsSpec extends SparkSpec {
     assert(got.filter($"b" > 100 && $"a" =!= 200L).count() == 0)
   }
 
+  test("mixCorpus downsamples sources toward the target mixture, " +
+       "deterministically, excluding unlisted sources") {
+    val docs = ((1L to 4000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+        ++ (9001L to 9100L).map((_, "junk")))
+      .toDF("doc_id", "source")
+    val out = graft.api.GraftOps
+      .mixCorpus(docs, "source", "doc_id", Map("web" -> 3L, "books" -> 1L))
+      .cache()
+    // unlisted sources are excluded entirely
+    assert(out.filter($"source" === "junk").count() == 0)
+    // B = min(2000*4/3, 2000*4/1) = 2666; rates: web 2666*3/(4*2000) ≈ 1.0,
+    // books 2666/(4*2000) ≈ 0.33 — realized counts are binomial around
+    // rate·n, so assert a generous band, and the achieved ratio ≈ 3:1
+    val nWeb = out.filter($"source" === "web").count().toDouble
+    val nBooks = out.filter($"source" === "books").count().toDouble
+    assert(nWeb > 1800, s"web kept $nWeb of 2000")
+    assert(math.abs(nWeb / nBooks - 3.0) < 0.5, s"mixture off: $nWeb:$nBooks")
+    // membership is a pure function of the id — identical on a second run
+    val again = graft.api.GraftOps
+      .mixCorpus(docs, "source", "doc_id", Map("web" -> 3L, "books" -> 1L))
+    assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+    out.unpersist()
+  }
+
   test("simhashBandPairs caps a planted mega-cluster band bucket") {
     // 10 identical fingerprints — the boilerplate pathology: every band
     // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit

@@ -170,6 +170,17 @@ class PlanSpec extends SparkSpec {
       s"substring dedup must scan documents once:\n$p")
   }
 
+  test("q_text_dedup_lines probes the hot set via a join (no window over the line hash)") {
+    val df = SparkEntry.queries("q_text_dedup_lines")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // a corpus-hot boilerplate line must not concentrate its occurrences
+    // in one window task — membership comes from an aggregation joined
+    // back, skew-splittable like q_dedup_substring's dup probe
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_agg_filter computes every conditional aggregate in ONE scan") {
     val df = SparkEntry.queries("q_agg_filter")(spark, sf)
     df.collect()

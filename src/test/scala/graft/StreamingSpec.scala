@@ -143,6 +143,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 40L), (3L, 35L)), got.mkString(","))
   }
 
+  test("TextQueries.clean composes under readStream (stateless projection)") {
+    // the C4-style cleaner is a pure per-row projection, so the same
+    // transform runs unchanged over an unbounded stream in append mode —
+    // the streaming half of a corpus-ingest pipeline gets the batch
+    // semantics for free
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val cleaned = graft.operators.TextQueries.clean(
+      in.toDS().toDF("doc_id", "text"))
+    val q = cleaned.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    in.addData(
+      (1L, s"call 12345678 now ok yes\n$body"),
+      (2L, "too thin"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clean_stream").orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L)) // thin doc gated out
+    assert(got(0).getString(1).startsWith("call <PHONE> now ok yes\n"))
+  }
+
   test("windowed-aggregation STATE survives a checkpointed restart") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]

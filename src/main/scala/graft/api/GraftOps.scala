@@ -170,23 +170,30 @@ object GraftOps {
     * quality gate → stable hash train/test label (a row's split never
     * changes as the corpus grows). Returns (idCol, n_tokens, split).
     *
-    * Scale shape: one window shuffle for the keeper, the sub-quadratic
-    * banded-LSH machinery of [[minhashPairs]] for the pair list (which is
-    * near-dup-sized, so AQE broadcasts the anti-join side), and map-side
-    * filters for everything else.
+    * Scale shape: the exact keeper is one digest aggregation (map-side
+    * partial aggregation absorbs mega dup-groups) plus a semi-join keyed
+    * on the UNIFORM id column — never a window over the digest, which
+    * would serialize a mega dup-group in one task (cf. q_dedup_content);
+    * the sub-quadratic banded-LSH machinery of [[minhashPairs]] supplies
+    * the pair list (near-dup-sized, so AQE broadcasts the anti-join
+    * side); map-side filters for everything else.
     */
   def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
                      minTokens: Int = 30, jaccardThreshold: Double = 0.7,
                      trainPct: Int = 80): DataFrame = {
     val toks = size(split(col(textCol), " ")).cast("long")
-    val wExact = Window.partitionBy("__md5").orderBy(idCol)
     val drops = minhashPairs(docs, idCol, textCol, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     val bucket = pmod(md5long(col(idCol).cast("string")), lit(100L))
-    docs.select(col(idCol), col(textCol))
+    val withMd5 = docs.select(col(idCol), col(textCol))
       .withColumn("__md5", md5(col(textCol).cast("binary")))
-      .withColumn("__rn", row_number().over(wExact))
-      .filter(col("__rn") === 1)
+    // keeper ids = each digest group's minimum id; membership is then a
+    // semi-join on the id (uniform keys — the digest hot key never
+    // appears as a join key)
+    val keepers = withMd5.groupBy("__md5").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    withMd5
+      .join(keepers, Seq(idCol), "left_semi")
       .join(drops, Seq(idCol), "left_anti")
       .withColumn("n_tokens", toks)
       .filter(col("n_tokens") >= minTokens)

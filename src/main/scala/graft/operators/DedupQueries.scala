@@ -384,13 +384,21 @@ object DedupQueries {
     "q_dedup_content" -> ((s, d) => {
       // Exact dedup: hash-groupBy on the content digest; keeper = lowest
       // doc_id per digest group (deterministic, not dropDuplicates).
-      val w = Window.partitionBy("content_md5").orderBy("doc_id")
-      documents(s, d)
+      // Group stats come from groupBy + join-back on the digest, NOT a
+      // window over content_md5: a mega dup-group (millions of identical
+      // boilerplate docs sharing one digest — the exact-dup analog of the
+      // simhash mega-cluster) would land in ONE window task, and AQE
+      // cannot skew-split window exchanges — same rule as
+      // q_dedup_substring's occ probe. The group table is pre-shrunk to
+      // one row per distinct digest; the join-back is skew-splittable.
+      // is_keeper = (doc_id == group min) ≡ the old row_number()==1.
+      val docs = documents(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
-        .withColumn("is_keeper", row_number().over(w) === 1)
-        .withColumn("group_n", count(lit(1))
-          .over(Window.partitionBy("content_md5")))
-        .select("doc_id", "content_md5", "is_keeper", "group_n")
+      val groups = docs.groupBy("content_md5")
+        .agg(min("doc_id").as("__keeper"), count(lit(1)).as("group_n"))
+      docs.join(groups, Seq("content_md5"))
+        .select(col("doc_id"), col("content_md5"),
+          (col("doc_id") === col("__keeper")).as("is_keeper"), col("group_n"))
         .orderBy("doc_id")
     }),
 
@@ -541,10 +549,15 @@ object DedupQueries {
       // O(log n) fallback for adversarial chain-shaped graphs.
       // cluster_id = the component's minimum doc_id, so "keeper" is
       // cluster_id == doc_id.
+      // cluster_n via groupBy + join-back, not a window over cluster_id:
+      // dup clusters are exactly the keys that go mega (boilerplate), and
+      // a window would serialize each cluster in one task (cf.
+      // q_dedup_content's group stats)
       val labels = clusterLabels(s, d)
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_n",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_n")
         .orderBy("doc_id")
     }),
 

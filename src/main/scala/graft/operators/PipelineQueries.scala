@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextHash._
@@ -12,8 +11,9 @@ import graft.functions.TextHash._
   * training corpus.
   *
   *   raw documents
-  *     → exact-dedup keeper   (lowest doc_id per content md5 — one window
-  *                             shuffle on the digest, q_dedup_content rule)
+  *     → exact-dedup keeper   (lowest doc_id per content md5 — digest
+  *                             aggregation + id-keyed semi-join,
+  *                             q_dedup_content rule)
   *     → near-dup removal     (MinHash+LSH pairs ≥ 0.7 Jaccard from the
   *                             shared shingle index; the HIGHER id of each
   *                             pair drops, so each near-dup cluster keeps
@@ -26,7 +26,8 @@ import graft.functions.TextHash._
   *                             arithmetic — map-side, never rand())
   *
   * Scale shape: the only NEW work over the component queries is one
-  * window shuffle (exact keeper) and one anti-join on doc_id; everything
+  * digest aggregation + id-keyed semi-join (exact keeper, both skew-safe)
+  * and one anti-join on doc_id; everything
   * expensive (shingle index, banded candidate join, Jaccard verify) is
   * the same sub-quadratic machinery q_dedup_minhash already runs, reused
   * via the session shingle-index cache. The DuckDB oracle composes the
@@ -43,15 +44,20 @@ object PipelineQueries {
   def queries: Map[String, Q] = Map(
     "q_pipeline_corpus" -> ((s, d) => {
       val toks = size(split(col("text"), " ")).cast("long")
-      val wExact = Window.partitionBy("content_md5").orderBy("doc_id")
       val nearDupDrops = DedupQueries.queries("q_dedup_minhash")(s, d)
         .select(col("db").as("doc_id")).distinct()
       val bucket = pmod(md5long(col("doc_id").cast("string")), lit(100L))
-      documents(s, d)
+      val withMd5 = documents(s, d)
         .select(col("doc_id"), col("text"))
         .withColumn("content_md5", md5(col("text").cast("binary")))
-        .withColumn("rn", row_number().over(wExact))
-        .filter(col("rn") === 1)
+      // exact keeper via digest aggregation + id-keyed semi-join, not a
+      // window over the digest: a mega dup-group would serialize in one
+      // window task, and the semi-join keys on the UNIFORM doc_id (cf.
+      // q_dedup_content's group stats)
+      val keepers = withMd5.groupBy("content_md5")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      withMd5
+        .join(keepers, Seq("doc_id"), "left_semi")
         .join(nearDupDrops, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", toks)
         .filter(col("n_tokens") >= MinTokens)

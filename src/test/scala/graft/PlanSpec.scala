@@ -170,6 +170,15 @@ class PlanSpec extends SparkSpec {
       s"substring dedup must scan documents once:\n$p")
   }
 
+  test("exact-dedup family computes group stats skew-safely (no window over a digest)") {
+    // a mega dup-group (millions of identical boilerplate docs, one
+    // digest/cluster_id) must never serialize in a single window task —
+    // group stats come from aggregations joined back
+    Seq("q_dedup_content", "q_dedup_cluster", "q_pipeline_corpus").foreach { q =>
+      assert(!plan(q).contains("Window"), s"$q plans a Window")
+    }
+  }
+
   test("q_text_dedup_lines probes the hot set via a join (no window over the line hash)") {
     val df = SparkEntry.queries("q_text_dedup_lines")(spark, sf)
     df.collect()

@@ -170,6 +170,16 @@ class PlanSpec extends SparkSpec {
       s"substring dedup must scan documents once:\n$p")
   }
 
+  test("rank-filtered windows plan a WindowGroupLimit (map-side partial top-k)") {
+    // k-per-group queries keep their window, but the rank<=k filter must
+    // push a partial group-limit below the exchange — each map task ships
+    // at most k rows per group, so a 10⁹-row stratum costs its final task
+    // k × numPartitions rows, not the stratum
+    Seq("q_sample_stratified", "q_topk_group").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
+    }
+  }
+
   test("exact-dedup family computes group stats skew-safely (no window over a digest)") {
     // a mega dup-group (millions of identical boilerplate docs, one
     // digest/cluster_id) must never serialize in a single window task —

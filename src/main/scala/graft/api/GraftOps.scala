@@ -254,6 +254,12 @@ object GraftOps {
     * Rate-based sampling realizes the mixture in expectation (exact
     * cross-engine determinism per ROW, binomial variation per source) —
     * the standard trade for scale-out mixing.
+    *
+    * A listed source ABSENT from `docs` can supply nothing at any
+    * positive share, so per the budget definition B = 0 and the result
+    * is EMPTY — the mixture degrades loudly-by-emptiness rather than
+    * silently returning a "mixture" with a whole component missing while
+    * its weight still dilutes every other source's rate.
     */
   def mixCorpus(docs: DataFrame, sourceCol: String, idCol: String,
                 weights: Map[String, Long]): DataFrame = {
@@ -263,14 +269,23 @@ object GraftOps {
     import spark.implicits._
     val wTab = weights.toSeq.toDF(sourceCol, "__w")
     val wsum = weights.values.sum
-    // per-source counts over the listed sources only: sources-sized (tiny)
-    val srcs = docs.join(broadcast(wTab), Seq(sourceCol))
-      .groupBy(sourceCol, "__w").agg(count(lit(1)).as("__n"))
+    // per-source counts over the listed sources only (sources-sized,
+    // tiny); the LEFT join from the weights table keeps absent sources
+    // as __n = 0 so they participate in the budget min
+    val present = docs
+      .join(broadcast(wTab.select(sourceCol)), Seq(sourceCol), "left_semi")
+      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val srcs = wTab.join(present, Seq(sourceCol), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
     val lim = srcs.select(min(expr("__n * " + wsum + " DIV __w")).as("B"))
     val rates = srcs
       .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
       .select(col(sourceCol),
-        expr(s"__w * B * 1000000 DIV (${wsum}L * __n)").as("mix_rate_e6"))
+        // the __n > 0 guard keeps an absent source (and, with it, B = 0)
+        // from tripping ANSI division-by-zero — its rate is simply 0
+        when(col("__n") > 0,
+          expr(s"__w * B * 1000000 DIV (${wsum}L * __n)"))
+          .otherwise(lit(0L)).as("mix_rate_e6"))
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(pmod(md5long(col(idCol).cast("string")), lit(1000000L))
         < col("mix_rate_e6"))

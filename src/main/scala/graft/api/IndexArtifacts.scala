@@ -80,13 +80,25 @@ object IndexArtifacts {
     *
     * Two read-time guards, both riding the bucket layout exchange-free
     * (hash-partitioning on `h` satisfies clustering on (h, doc_id)):
-    * a (h, doc_id) distinct — so an at-least-once replayed append cannot
-    * inflate `shared` counts — then the DfCap hot-shingle anti-join (see
-    * the class doc for why the cap lives at read time).
+    * a (h, doc_id) distinct on the pair-generation side — so an
+    * at-least-once replayed append cannot inflate `shared` counts — and
+    * the DfCap hot-shingle anti-join (see the class doc for why the cap
+    * lives at read time). The hot-set branch computes count_distinct
+    * over the RAW scan rather than reusing the distinct-ed frame: the
+    * exchange-free layout leaves no Exchange node for ReuseExchange to
+    * share between two consumers, so a shared distinct would simply run
+    * twice — this shape is two cheap bucketed scans, one distinct, one
+    * df aggregation, still zero Exchanges.
     */
-  def pairsFromIndex(s: SparkSession, table: String): DataFrame =
+  def pairsFromIndex(s: SparkSession, table: String): DataFrame = {
+    val idx = shingleIndex(s, table)
+    val hot = idx.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > graft.operators.DedupQueries.DfCapValue)
+      .select("h")
     DedupQueries.pairsPlan(
-      DedupQueries.capIndex(shingleIndex(s, table).distinct()))
+      idx.distinct().join(hot, Seq("h"), "left_anti").select("doc_id", "h"))
+  }
 
   /** Write the IVF assignment (id, cid — `nProbe` rows per vector) as a
     * table bucketed + sorted on `cid`, so per-bucket candidate generation

@@ -46,6 +46,12 @@ object DedupQueries {
     */
   private val DfCap = 100
 
+  /** The DfCap constant for read-time cappers outside this module (the
+    * persisted-artifact path builds its own hot set over the raw scan —
+    * see IndexArtifacts.pairsFromIndex).
+    */
+  private[graft] def DfCapValue: Int = DfCap
+
   /** (doc_id, h) of distinct 3-token shingle HASHES; docs shorter than 3
     * tokens produce no shingles (both engines agree). Each token is
     * md5long'd once and the shingle hash is the modular polynomial over 3

@@ -48,18 +48,6 @@ object TextQueries {
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
     DedupQueries.uncappedShingleHashes(s, d)
 
-  /** C4-style cleaning over a (doc_id, text) table: line-level
-    * boilerplate filtering + PII scrubbing as a PURE per-row projection —
-    * zero shuffles, so it composes in front of any dedup/pack stage at
-    * 100 TB for free. Per line: scrub emails and long digit runs to
-    * placeholder tokens, then drop lines under [[CleanMinLineTokens]]
-    * tokens or carrying a boilerplate marker (cookie/javascript/
-    * lorem-ipsum/…, the C4 filter list's shape); per doc: keep only docs
-    * with >= [[CleanMinDocTokens]] tokens left — everything below is
-    * navigation/stub debris. All arithmetic is codegen'd higher-order
-    * functions over the line array; the q_text_clean DuckDB oracle runs
-    * the identical rules via list_transform/list_filter.
-    */
   /** Corpus-wide LINE dedup over a (doc_id, text) table (C4's
     * repeated-span rule at line granularity, the complement of [[clean]]'s
     * per-doc filters): scrub every occurrence of any line present in >= 2
@@ -93,6 +81,18 @@ object TextQueries {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** C4-style cleaning over a (doc_id, text) table: line-level
+    * boilerplate filtering + PII scrubbing as a PURE per-row projection —
+    * zero shuffles, so it composes in front of any dedup/pack stage at
+    * 100 TB for free. Per line: scrub emails and long digit runs to
+    * placeholder tokens, then drop lines under [[CleanMinLineTokens]]
+    * tokens or carrying a boilerplate marker (cookie/javascript/
+    * lorem-ipsum/…, the C4 filter list's shape); per doc: keep only docs
+    * with >= [[CleanMinDocTokens]] tokens left — everything below is
+    * navigation/stub debris. All arithmetic is codegen'd higher-order
+    * functions over the line array; the q_text_clean DuckDB oracle runs
+    * the identical rules via list_transform/list_filter.
+    */
   def clean(docs: DataFrame): DataFrame = {
     val scrub = (l: Column) =>
       regexp_replace(
@@ -101,17 +101,28 @@ object TextQueries {
     val isBoiler = (l: Column) =>
       CleanBoilerplate.foldLeft(lit(false))(
         (acc, m) => acc || instr(lower(l), m) > 0)
-    val kept = filter(
-      transform(split(col("text"), "\n"), scrub),
-      l => size(split(l, " ")) >= CleanMinLineTokens && !isBoiler(l))
-    val nTokens = aggregate(kept, lit(0L),
-      (acc, l) => acc + size(split(l, " ")))
+    // the scrub+filter pass is aliased ONCE as __kept in its own project:
+    // its three consumers (clean_text, n_lines_kept, n_tokens_clean)
+    // would otherwise each re-run the double regex over every line —
+    // codegen subexpression elimination skips lambda-bearing trees, and
+    // CollapseProject leaves a non-cheap multi-referenced alias in its
+    // own project. Measured on the optimized plan: 2 evaluations (the
+    // projection + the doc gate's pushed-down copy — Catalyst pushes
+    // deterministic filters through projects regardless of expression
+    // cost) vs 4 for the inline form; 2 is the floor short of a shuffle
+    // barrier
     docs
+      .select(col("doc_id"), split(col("text"), "\n").as("__lines"))
+      .select(col("doc_id"), col("__lines"),
+        filter(transform(col("__lines"), scrub),
+          l => size(split(l, " ")) >= CleanMinLineTokens && !isBoiler(l))
+          .as("__kept"))
       .select(col("doc_id"),
-        array_join(kept, "\n").as("clean_text"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines"),
-        size(kept).cast("long").as("n_lines_kept"),
-        nTokens.as("n_tokens_clean"))
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        aggregate(col("__kept"), lit(0L),
+          (acc, l) => acc + size(split(l, " "))).as("n_tokens_clean"))
       .filter(col("n_tokens_clean") >= CleanMinDocTokens)
   }
 

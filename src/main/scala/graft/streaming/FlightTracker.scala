@@ -37,6 +37,14 @@ object FlightTracker {
   /** `anchorTs` is the ts that created the flight — the fixed reference
     * for the stale-drop gate; `firstTs` can move below it as late
     * in-window pings arrive (duration is measured from firstTs).
+    *
+    * STATE-SCHEMA COMPATIBILITY: this case class is the
+    * flatMapGroupsWithState state encoding. Changing its fields (as the
+    * anchorTs addition did) is incompatible with checkpoints written by
+    * a previous build — Spark's state-store schema check fails the
+    * restarted query. Resume such a query from a fresh checkpoint (the
+    * in-flight per-aircraft state is rebuilt from the live feed's next
+    * gap cycle); there is no silent-migration path, by design.
     */
   case class FlightState(anchorTs: Long, firstTs: Long, lastTs: Long,
                          nMsgs: Long, maxAlt: Option[Int])

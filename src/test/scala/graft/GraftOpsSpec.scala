@@ -358,6 +358,13 @@ class GraftOpsSpec extends SparkSpec {
       .mixCorpus(docs, "source", "doc_id", Map("web" -> 3L, "books" -> 1L))
     assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
     out.unpersist()
+    // a listed source ABSENT from docs can supply nothing at any positive
+    // share: B = 0 and the mixture degrades to EMPTY (never a silent
+    // partial mixture with the absent component's weight still diluting
+    // the others)
+    val missing = graft.api.GraftOps
+      .mixCorpus(docs, "source", "doc_id", Map("web" -> 3L, "arxiv" -> 1L))
+    assert(missing.count() == 0, "absent listed source must empty the mixture")
   }
 
   test("simhashBandPairs caps a planted mega-cluster band bucket") {

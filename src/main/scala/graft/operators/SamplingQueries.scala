@@ -40,6 +40,12 @@ object SamplingQueries {
     * (the container has no tokenizer; swapping in a real BPE count is a
     * one-column change).
     */
+  /** The q_text_quality stopword list (duplicated as a literal because the
+    * acceptance-rate arithmetic below must mirror that query's score
+    * bit-for-bit — see q_sample_quality's oracle).
+    */
+  private val stopwordsSeq = Seq("the", "a", "of", "and", "to", "in")
+
   private def subwords(toks: org.apache.spark.sql.Column) =
     aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
@@ -113,6 +119,37 @@ object SamplingQueries {
           md5(concat_ws(" ", slice(col("ts"), col("i") * S + 1, lit(W)))
             .cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q_sample_quality" -> ((s, d) => {
+      // Quality-WEIGHTED sampling (the DCLM-style soft filter): instead
+      // of a hard quality cutoff, keep each doc with probability equal
+      // to its quality score — better docs survive proportionally more
+      // often, low-quality text still contributes a diversity tail.
+      // Membership = hash-bucket < quality_e6, so it is deterministic,
+      // engine-portable, and MAP-SIDE (zero shuffles before the
+      // presentation sort) — the quality score reuses q_text_quality's
+      // exact integer-scaled arithmetic, so the oracle mirrors it
+      // bit-for-bit.
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val nUniq = size(array_distinct(toks)).cast("double")
+      val stopHits = size(filter(toks, t =>
+        stopwordsSeq.foldLeft(lit(false))((acc, w) => acc || (t === lit(w)))))
+        .cast("double")
+      val avgTokLen =
+        (length(col("text")).cast("double") - (nTok - 1)) / nTok
+      val score =
+        least(nTok / 400, lit(1.0)) * 0.25 +
+        (nUniq / nTok) * 0.35 +
+        (lit(1.0) - stopHits / nTok) * 0.2 +
+        least(avgTokLen / 8, lit(1.0)) * 0.2
+      documents(s, d)
+        .select(col("doc_id"),
+          floor(score * 1e6).cast("long").as("quality_e6"),
+          pmod(md5long(col("doc_id").cast("string")), lit(1000000L)).as("bucket"))
+        .filter(col("bucket") < col("quality_e6"))
+        .orderBy("doc_id")
     }),
 
     "q_mix_sources" -> ((s, d) => {
@@ -230,6 +267,27 @@ object SamplingQueries {
         |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
         |         AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_sample_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+         |                     + (n_uniq / n_tok) * 0.35
+         |                     + (1.0 - stop_hits / n_tok) * 0.2
+         |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+         |                    * 1e6) AS BIGINT) AS quality_e6,
+         |         ${duckKey("doc_id")} % 1000000 AS bucket
+         |  FROM t)
+         |SELECT doc_id, quality_e6, bucket FROM q
+         |WHERE bucket < quality_e6 ORDER BY doc_id""".stripMargin,
 
     "q_mix_sources" ->
       s"""WITH d AS (

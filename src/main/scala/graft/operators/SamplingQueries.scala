@@ -40,12 +40,6 @@ object SamplingQueries {
     * (the container has no tokenizer; swapping in a real BPE count is a
     * one-column change).
     */
-  /** The q_text_quality stopword list (duplicated as a literal because the
-    * acceptance-rate arithmetic below must mirror that query's score
-    * bit-for-bit — see q_sample_quality's oracle).
-    */
-  private val stopwordsSeq = Seq("the", "a", "of", "and", "to", "in")
-
   private def subwords(toks: org.apache.spark.sql.Column) =
     aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
@@ -130,23 +124,10 @@ object SamplingQueries {
       // engine-portable, and MAP-SIDE (zero shuffles before the
       // presentation sort) — the quality score reuses q_text_quality's
       // exact integer-scaled arithmetic, so the oracle mirrors it
-      // bit-for-bit.
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val nUniq = size(array_distinct(toks)).cast("double")
-      val stopHits = size(filter(toks, t =>
-        stopwordsSeq.foldLeft(lit(false))((acc, w) => acc || (t === lit(w)))))
-        .cast("double")
-      val avgTokLen =
-        (length(col("text")).cast("double") - (nTok - 1)) / nTok
-      val score =
-        least(nTok / 400, lit(1.0)) * 0.25 +
-        (nUniq / nTok) * 0.35 +
-        (lit(1.0) - stopHits / nTok) * 0.2 +
-        least(avgTokLen / 8, lit(1.0)) * 0.2
+      // bit-for-bit (TextQueries.qualityE6Col is the ONE definition).
       documents(s, d)
         .select(col("doc_id"),
-          floor(score * 1e6).cast("long").as("quality_e6"),
+          TextQueries.qualityE6Col.as("quality_e6"),
           pmod(md5long(col("doc_id").cast("string")), lit(1000000L)).as("bucket"))
         .filter(col("bucket") < col("quality_e6"))
         .orderBy("doc_id")

@@ -58,6 +58,26 @@ object StatsQueries {
              max(col("l_extendedprice")).as("max_price"))
         .orderBy("bucket")),
 
+    "q_corpus_profile" -> ((s, d) =>
+      // Per-source corpus profile — the first query run on a new corpus:
+      // volume, token totals, length distribution, mean quality. One
+      // source-keyed aggregation over map-side per-doc projections (the
+      // quality score is TextQueries.qualityE6Col — the one definition).
+      // Median is the exact sorted-agg variant (q_agg_stats precedent);
+      // the declared 100 TB swap is percentile_approx's mergeable sketch
+      // (q_approx_quantile). Mean quality stays in exact BIGINT floor
+      // division, never a double average of corpus-scale sums.
+      documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          TextQueries.qualityE6Col.as("q_e6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("tokens_total"),
+             median(col("n_tokens")).as("tokens_median"),
+             expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
+        .orderBy("source")),
+
     "q_approx_quantile" -> ((s, d) =>
       // Approximate quantiles via the mergeable percentile sketch — the
       // 100 TB path for p50/p90/p99: map-side partial sketches merge in
@@ -77,6 +97,31 @@ object StatsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+        |         CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, n_tokens,
+        |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+        |                     + (n_uniq / n_tok) * 0.35
+        |                     + (1.0 - stop_hits / n_tok) * 0.2
+        |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+        |                    * 1e6) AS BIGINT) AS q_e6
+        |  FROM t)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |       CAST(median(n_tokens) AS DOUBLE) AS tokens_median,
+        |       CAST(sum(q_e6) // count(*) AS BIGINT) AS quality_mean_e6
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
     "q_agg_stats" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       median(o_totalprice) AS med_price,

@@ -48,6 +48,29 @@ object TextQueries {
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
     DedupQueries.uncappedShingleHashes(s, d)
 
+  /** The q_text_quality blended score over `text`, integer-scaled —
+    * shared by q_text_quality, q_sample_quality (acceptance rate), and
+    * q_corpus_profile (per-source mean) so the arithmetic can never
+    * drift between the scored operator and its consumers (each DuckDB
+    * oracle restates it literally).
+    */
+  private[operators] def qualityE6Col: Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val stopHits = size(filter(toks, t =>
+      stopwords.foldLeft(lit(false))((acc, w) => acc || (t === lit(w)))))
+      .cast("double")
+    val avgTokLen =
+      (length(col("text")).cast("double") - (nTok - 1)) / nTok
+    val score =
+      least(nTok / 400, lit(1.0)) * 0.25 +
+      (nUniq / nTok) * 0.35 +
+      (lit(1.0) - stopHits / nTok) * 0.2 +
+      least(avgTokLen / 8, lit(1.0)) * 0.2
+    floor(score * 1e6).cast("long")
+  }
+
   /** Corpus-wide LINE dedup over a (doc_id, text) table (C4's
     * repeated-span rule at line granularity, the complement of [[clean]]'s
     * per-doc filters): scrub every occurrence of any line present in >= 2
@@ -178,26 +201,17 @@ object TextQueries {
     "q_text_quality" -> ((s, d) => {
       // Quality scoring: length, mean token length, stopword ratio, type/
       // token ratio → single blended score (integer-scaled via floor so the
-      // cross-engine comparison is exact; Parity rationale).
+      // cross-engine comparison is exact; Parity rationale). The score is
+      // [[qualityE6Col]] — the one definition shared with its consumers.
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
       val nUniq = size(array_distinct(toks)).cast("double")
-      val stopHits = size(filter(toks, t =>
-        stopwords.foldLeft(lit(false))((acc, w) => acc || (t === lit(w)))))
-        .cast("double")
-      val avgTokLen =
-        (length(col("text")).cast("double") - (nTok - 1)) / nTok
-      val score =
-        least(nTok / 400, lit(1.0)) * 0.25 +
-        (nUniq / nTok) * 0.35 +
-        (lit(1.0) - stopHits / nTok) * 0.2 +
-        least(avgTokLen / 8, lit(1.0)) * 0.2
       documents(s, d)
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           floor((nUniq / nTok) * 1e6).cast("long").as("uniq_ratio_e6"),
-          floor(score * 1e6).cast("long").as("quality_e6"))
+          qualityE6Col.as("quality_e6"))
         .orderBy("doc_id")
     }),
 

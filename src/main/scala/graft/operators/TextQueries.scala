@@ -324,6 +324,46 @@ object TextQueries {
       // corpus-wide line dedup (C4's repeated-span rule) — see [[dedupLines]]
       dedupLines(documents(s, d)).orderBy("doc_id")),
 
+    "q_text_bigram_surprisal" -> ((s, d) => {
+      // Bigram-conditional surprisal — the model-free perplexity filter
+      // one level up from q_text_surprisal's unigram version: score each
+      // bigram by c(w1·) DIV c(w1,w2) (how UNEXPECTED w2 is after w1 —
+      // an integer >= 1, exact in both engines), mean per doc. Docs full
+      // of never-seen-in-context transitions (shuffled text, OCR noise,
+      // spam keyword salads) score high even when every individual word
+      // is common — exactly what the unigram filter cannot see.
+      //
+      // Shape at 100 TB: bigrams hash to LONG keys map-side (md5long of
+      // the joined pair / of w1 — string join keys would shuffle ~10×
+      // the bytes); one (h1,h2)-keyed count aggregation; the w1-context
+      // totals derive from THAT table (bigram-vocab-sized), never a
+      // second pass over the corpus; both count tables join back
+      // AQE-broadcast-or-skew-split; one per-doc aggregation. All
+      // shuffles keyed, nothing pair-quadratic.
+      val ts = split(col("text"), " ")
+      val nTok = size(ts)
+      val big = documents(s, d)
+        .select(col("doc_id"),
+          explode(when(nTok >= 2,
+            transform(sequence(lit(0), nTok - 2),
+              j => struct(element_at(ts, j + 1).as("w1"),
+                          element_at(ts, j + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("doc_id"),
+          md5long(col("b.w1")).as("h1"),
+          md5long(concat_ws(" ", col("b.w1"), col("b.w2"))).as("h2"))
+      val bc = big.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
+      val uc = bc.groupBy("h1").agg(sum("cb").as("cu"))
+      big
+        .join(bc, Seq("h1", "h2"))
+        .join(uc, Seq("h1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(expr("cu DIV cb")).as("surprisal_sum"))
+        .withColumn("surprisal_mean", expr("surprisal_sum DIV n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       // Document fingerprints: exact content hash (md5) + an
       // order-insensitive token fingerprint (sum of per-token hashes mod p,
@@ -489,6 +529,24 @@ object TextQueries {
          |        list_transform(kept, l -> len(string_split(l, ' '))),
          |        'sum'), 0) >= $CleanMinDocTokens
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_bigram_surprisal" -> {
+      val h1 = duckMd5Long("w1")
+      val h2 = duckMd5Long("w1 || ' ' || w2")
+      s"""WITH big AS (
+         |  SELECT doc_id, $h1 AS h1, $h2 AS h2
+         |  FROM (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |             unnest(range(1, len(ts))) AS u(i))),
+         |bc AS (SELECT h1, h2, count(*) AS cb FROM big GROUP BY h1, h2),
+         |uc AS (SELECT h1, sum(cb) AS cu FROM bc GROUP BY h1)
+         |SELECT big.doc_id,
+         |       count(*) AS n_bigrams,
+         |       CAST(sum(cu // cb) AS BIGINT) AS surprisal_sum,
+         |       CAST(sum(cu // cb) // count(*) AS BIGINT) AS surprisal_mean
+         |FROM big JOIN bc USING (h1, h2) JOIN uc USING (h1)
+         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin
     },
 
     "q_text_dedup_lines" -> {

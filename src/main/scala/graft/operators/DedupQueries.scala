@@ -584,14 +584,17 @@ object DedupQueries {
       // is 8 long-mults — Rabin-Karp arithmetic, same collision story as
       // any universal hash, mirrored exactly by the oracle).
       //
-      // Shape at 100 TB — the expensive pass evaluated once: map-side
-      // token hash + positional explode, pre-aggregate to (doc_id, h, c)
-      // (shrinks by in-doc repetition; this exchange is shared via
-      // ReuseExchange by both downstream consumers), corpus-wide
-      // occurrence counts by h-keyed aggregation joined back (skew-safe —
-      // see below), then one doc-keyed aggregation. No pair enumeration
-      // at any scale (contrast q_dedup_ngram, which scores document
-      // PAIRS).
+      // Shape at 100 TB: map-side token hash + positional explode,
+      // pre-aggregate to (doc_id, h, c) (shrinks by in-doc repetition),
+      // corpus-wide occurrence counts by h-keyed aggregation joined back
+      // (skew-safe — see below), then one doc-keyed aggregation. The
+      // SCAN runs once (the fan-out stage below the lambdas is reused);
+      // the hash/explode map pass itself runs in both branches — Spark
+      // cannot ReuseExchange a lambda-bearing subtree because
+      // LambdaVariable exprIds are not canonicalized (verified on the
+      // executed plan) — costing a second pass of map-side linear work
+      // and zero extra shuffles. No pair enumeration at any scale
+      // (contrast q_dedup_ngram, which scores document PAIRS).
       // hashing arithmetic lives in TextHash (tokenHashes/polyWindow with
       // base PolyB mod FpPrime) — ONE definition shared with the 3-gram
       // shingle index and both engines' oracles, so a base/reduction
@@ -613,11 +616,10 @@ object DedupQueries {
       // just the DUPLICATED hashes (occ >= 2 — the only fact the per-doc
       // aggregation needs), so AQE broadcasts it when it fits and falls
       // back to a skew-splittable shuffled join when it doesn't; cnt is
-      // never shuffled a second time in the broadcast case. The expensive
-      // token-hash + explode pass is still evaluated once: both consumers
-      // sit above cnt's own (doc_id, h) exchange, which ReuseExchange
-      // serves once (PlanSpec pins the reuse and the absence of a window
-      // over h).
+      // never shuffled a second time in the broadcast case. (PlanSpec
+      // pins the single scan and the absence of a window over h; see the
+      // shape note above for which stage is and is not reused across the
+      // two branches.)
       val dupH = cnt.groupBy("h").agg(sum("c").as("occ"))
         .filter(col("occ") >= 2).select(col("h"), lit(1L).as("dup"))
       cnt.join(dupH, Seq("h"), "left")

@@ -335,14 +335,22 @@ object TextQueries {
       //
       // Shape at 100 TB: bigrams hash to LONG keys map-side (md5long of
       // the joined pair / of w1 — string join keys would shuffle ~10×
-      // the bytes); one (h1,h2)-keyed count aggregation; the w1-context
-      // totals derive from THAT table (bigram-vocab-sized), never a
-      // second pass over the corpus; both count tables join back
-      // AQE-broadcast-or-skew-split; one per-doc aggregation. All
-      // shuffles keyed, nothing pair-quadratic.
+      // the bytes), then pre-aggregate to (doc_id, h1, h2, c), shrinking
+      // the shuffle by in-doc repeats. The SCAN is evaluated once (the
+      // fan-out stage below the lambda expressions is reused); the
+      // explode+hash map pass itself runs in both branches — Spark
+      // cannot ReuseExchange a lambda-bearing subtree because
+      // LambdaVariable exprIds are not canonicalized (verified on the
+      // executed plan; same limitation documented at
+      // q_dedup_substring) — which costs a second pass of map-side
+      // linear work and zero extra shuffles. The w1-context totals ride
+      // the bigram-vocab count table as a window over h1 (partition =
+      // w1's distinct-successor set, vocabulary-bounded), the counts
+      // join back AQE-broadcast-or-skew-split, one per-doc aggregation
+      // weighted by c. All shuffles keyed, nothing pair-quadratic.
       val ts = split(col("text"), " ")
       val nTok = size(ts)
-      val big = documents(s, d)
+      val cnt = fanOut(documents(s, d))
         .select(col("doc_id"),
           explode(when(nTok >= 2,
             transform(sequence(lit(0), nTok - 2),
@@ -352,14 +360,21 @@ object TextQueries {
         .select(col("doc_id"),
           md5long(col("b.w1")).as("h1"),
           md5long(concat_ws(" ", col("b.w1"), col("b.w2"))).as("h2"))
-      val bc = big.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
-      val uc = bc.groupBy("h1").agg(sum("cb").as("cu"))
-      big
+        .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+      // cu rides bc as a window over the BIGRAM-VOCAB table — rows here
+      // are distinct (w1, w2), so a partition is w1's distinct-successor
+      // set: vocabulary-bounded, never corpus-bounded (same class as
+      // tfidf's per-doc window, NOT the banned corpus-hot-key windows).
+      // Deriving cu as a second aggregation over bc instead would plan
+      // bc's whole subtree a THIRD time (measured as an extra corpus
+      // scan before this restructure).
+      val bc = cnt.groupBy("h1", "h2").agg(sum("c").as("cb"))
+        .withColumn("cu", sum("cb").over(Window.partitionBy("h1")))
+      cnt
         .join(bc, Seq("h1", "h2"))
-        .join(uc, Seq("h1"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-             sum(expr("cu DIV cb")).as("surprisal_sum"))
+        .agg(sum("c").as("n_bigrams"),
+             sum(expr("c * (cu DIV cb)")).as("surprisal_sum"))
         .withColumn("surprisal_mean", expr("surprisal_sum DIV n_bigrams"))
         .orderBy("doc_id")
     }),

@@ -161,11 +161,15 @@ class PlanSpec extends SparkSpec {
     // window task — occ comes from an h-keyed aggregation joined back
     // (AQE-skew-splittable), never Window.partitionBy(h)
     assert(!p.contains("Window"), p)
-    // and the branch must not recompute the token-hash/explode pass: both
-    // consumers share cnt's (doc_id, h) exchange via reuse
+    // the parquet scan must be shared across the two branches (the
+    // fan-out stage below the lambda expressions reuses). NOTE the hash/
+    // explode map pass above it runs per branch: Spark cannot
+    // ReuseExchange lambda-bearing subtrees (LambdaVariable exprIds are
+    // not canonicalized) — a documented cost of map-side linear work,
+    // not of shuffles
     val finalPlan = p.split("== Initial Plan ==").head
     assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
-      s"expected the (doc_id, h) exchange to be reused across the occ branch:\n$p")
+      s"expected the scan stage to be reused across the occ branch:\n$p")
     assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
       s"substring dedup must scan documents once:\n$p")
   }
@@ -187,6 +191,20 @@ class PlanSpec extends SparkSpec {
     Seq("q_dedup_content", "q_dedup_cluster", "q_pipeline_corpus").foreach { q =>
       assert(!plan(q).contains("Window"), s"$q plans a Window")
     }
+  }
+
+  test("q_text_bigram_surprisal scans the corpus once and plans no corpus-hot window") {
+    val df = SparkEntry.queries("q_text_bigram_surprisal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // single scan via the shared fan-out stage (the lambda-bearing hash
+    // pass above it runs per branch — Spark cannot reuse lambda-bearing
+    // subtrees; see the query's shape note); the only Window is over the
+    // bigram-VOCAB table (w1's distinct-successor set), never the corpus
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"), p)
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q_text_dedup_lines probes the hot set via a join (no window over the line hash)") {

@@ -144,6 +144,39 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("pack/chunk budget invariants hold across the fixture corpus") {
+    import spark.implicits._
+    // q_pack_docs: exclusive-prefix packing means a pack can exceed the
+    // 2048-subword budget only by its LAST doc's size — never by more
+    val packs = SparkEntry.queries("q_pack_docs")(spark, sf)
+      .select($"pack_subwords").as[Long].collect()
+    val maxDocSub = Tables.documents(spark, sf)
+      .select(aggregate(split($"text", " "), lit(0L),
+        (acc, t) => acc + floor((length(t) + 3) / 4).cast("long")).as("s"))
+      .agg(max($"s")).as[Long].head()
+    assert(packs.forall(_ < 2048 + maxDocSub),
+      s"pack overflow beyond one straddling doc: max=${packs.max}, doc max=$maxDocSub")
+    // q_chunk_docs: stride-40 windows of up to 50 tokens must tile every
+    // doc exactly — chunk count = floor((len-1)/40)+1, every chunk 1..50
+    // tokens, and the last chunk reaches the document's end
+    val chunks = SparkEntry.queries("q_chunk_docs")(spark, sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_id").as("last_id"),
+           max("n_chunk_tokens").as("max_ct"), min("n_chunk_tokens").as("min_ct"))
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("len"))
+    val joined = chunks.join(lens, "doc_id").collect()
+    joined.foreach { r =>
+      val (n, lastId, maxCt, minCt, len) =
+        (r.getAs[Long]("n"), r.getAs[Long]("last_id"), r.getAs[Long]("max_ct"),
+         r.getAs[Long]("min_ct"), r.getAs[Long]("len"))
+      assert(n == (len - 1) / 40 + 1, s"chunk count off: $r")
+      assert(lastId == n - 1 && maxCt <= 50 && minCt >= 1, s"chunk shape off: $r")
+      // the final chunk's slice [last_id*40+1, +50) must reach len
+      assert(lastId * 40 + 1 + 50 > len, s"doc tail uncovered: $r")
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

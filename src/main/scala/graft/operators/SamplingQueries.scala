@@ -276,10 +276,10 @@ object SamplingQueries {
          |         (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4) + 1 AS w
          |  FROM documents),
          |s AS (SELECT source, w, count(*) AS n FROM d GROUP BY source, w),
-         |tot AS (SELECT sum(w) AS wsum FROM s),
-         |lim AS (SELECT min(n * wsum // w) AS B FROM s, tot),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM s),
+         |lim AS (SELECT CAST(min(n * wsum // w) AS BIGINT) AS B FROM s, tot),
          |t AS (SELECT s.source, s.w, s.n,
-         |             (s.w * B * 1000000) // (wsum * s.n) AS thresh_e6
+         |             CAST((s.w * B * 1000000) // (wsum * s.n) AS BIGINT) AS thresh_e6
          |      FROM s, tot, lim)
          |SELECT t.source, t.w, t.n, t.thresh_e6,
          |       CAST(sum(CASE WHEN ${duckKey("d.doc_id")} % 1000000 < t.thresh_e6

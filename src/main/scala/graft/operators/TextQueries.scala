@@ -333,45 +333,52 @@ object TextQueries {
       // spam keyword salads) score high even when every individual word
       // is common — exactly what the unigram filter cannot see.
       //
-      // Shape at 100 TB: bigrams hash to LONG keys map-side (md5long of
-      // the joined pair / of w1 — string join keys would shuffle ~10×
-      // the bytes), then pre-aggregate to (doc_id, h1, h2, c), shrinking
-      // the shuffle by in-doc repeats. The SCAN is evaluated once (the
-      // fan-out stage below the lambda expressions is reused); the
-      // explode+hash map pass itself runs in both branches — Spark
-      // cannot ReuseExchange a lambda-bearing subtree because
-      // LambdaVariable exprIds are not canonicalized (verified on the
-      // executed plan; same limitation documented at
-      // q_dedup_substring) — which costs a second pass of map-side
-      // linear work and zero extra shuffles. The w1-context totals ride
-      // the bigram-vocab count table as a window over h1 (partition =
-      // w1's distinct-successor set, vocabulary-bounded), the counts
-      // join back AQE-broadcast-or-skew-split, one per-doc aggregation
-      // weighted by c. All shuffles keyed, nothing pair-quadratic.
+      // Shape at 100 TB: bigrams hash to LONG keys map-side (xxhash64 of
+      // w1 / of (w1,w2) — string join keys would shuffle ~10× the bytes,
+      // and xxhash64 is a native 64-bit hash with no hex-string
+      // intermediate, ~an order of magnitude cheaper than md5+conv; the
+      // hashes are INTERNAL join keys only, never output, so the oracle
+      // groups by the raw strings instead and the results agree modulo
+      // 64-bit collisions — negligible at any realistic vocab). Bigrams
+      // pre-aggregate to (doc_id, h1, h2, c), shrinking the shuffle by
+      // in-doc repeats. The bigram fan-out is built LAMBDA-FREE (explode
+      // of arrays_zip over two slices) precisely so the pre-aggregation
+      // exchange canonicalizes: a transform(...) lambda here would block
+      // ReuseExchange (LambdaVariable exprIds aren't canonicalized — the
+      // limitation documented at q_dedup_substring) and re-run the
+      // corpus's most expensive map pass once per consumer. With the
+      // lambda gone, cnt's exchange is planned once and reused by all
+      // three consumers — pinned in PlanSpec by counting scans AND
+      // Generates on the executed plan, per the repo's reuse-
+      // verification discipline. The w1-context totals come from
+      // groupBy(h1) + join-back (the q_dedup_substring pattern), NOT a
+      // Window over h1: a stop-word's distinct-successor set is
+      // vocabulary-sized (10⁷–10⁸ bigrams at 100 TB) and a window would
+      // park it in ONE task, while the aggregation partial-combines
+      // map-side and the join-back is AQE-skew-splittable. All shuffles
+      // keyed, nothing pair-quadratic.
       val ts = split(col("text"), " ")
       val nTok = size(ts)
       val cnt = fanOut(documents(s, d))
         .select(col("doc_id"),
-          explode(when(nTok >= 2,
-            transform(sequence(lit(0), nTok - 2),
-              j => struct(element_at(ts, j + 1).as("w1"),
-                          element_at(ts, j + 2).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+          explode(arrays_zip(
+            slice(ts, lit(1), nTok - 1),
+            slice(ts, lit(2), nTok - 1))).as("b"))
         .select(col("doc_id"),
-          md5long(col("b.w1")).as("h1"),
-          md5long(concat_ws(" ", col("b.w1"), col("b.w2"))).as("h2"))
+          xxhash64(col("b").getField("0")).as("h1"),
+          xxhash64(col("b").getField("0"), col("b").getField("1")).as("h2"))
         .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
-      // cu rides bc as a window over the BIGRAM-VOCAB table — rows here
-      // are distinct (w1, w2), so a partition is w1's distinct-successor
-      // set: vocabulary-bounded, never corpus-bounded (same class as
-      // tfidf's per-doc window, NOT the banned corpus-hot-key windows).
-      // Deriving cu as a second aggregation over bc instead would plan
-      // bc's whole subtree a THIRD time (measured as an extra corpus
-      // scan before this restructure).
+      // bc is the bigram-vocab count table; cu(h1) = c(w1·) is a second
+      // aggregation over bc (bc's exchange is reused, not re-planned —
+      // lambda-free subtrees canonicalize) joined back on h1 while both
+      // sides are still VOCAB-sized, before the corpus-sized cnt join.
+      // At the test scale AQE broadcasts cu; at vocab scales past
+      // broadcast it degrades to a keyed, skew-splittable shuffle join —
+      // either way no task ever holds a whole stop-word context serially.
       val bc = cnt.groupBy("h1", "h2").agg(sum("c").as("cb"))
-        .withColumn("cu", sum("cb").over(Window.partitionBy("h1")))
+      val cu = cnt.groupBy("h1").agg(sum("c").as("cu"))
       cnt
-        .join(bc, Seq("h1", "h2"))
+        .join(bc.join(cu, Seq("h1")), Seq("h1", "h2"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_bigrams"),
              sum(expr("c * (cu DIV cb)")).as("surprisal_sum"))
@@ -546,23 +553,22 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "q_text_bigram_surprisal" -> {
-      val h1 = duckMd5Long("w1")
-      val h2 = duckMd5Long("w1 || ' ' || w2")
-      s"""WITH big AS (
-         |  SELECT doc_id, $h1 AS h1, $h2 AS h2
-         |  FROM (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |             unnest(range(1, len(ts))) AS u(i))),
-         |bc AS (SELECT h1, h2, count(*) AS cb FROM big GROUP BY h1, h2),
-         |uc AS (SELECT h1, sum(cb) AS cu FROM bc GROUP BY h1)
-         |SELECT big.doc_id,
-         |       count(*) AS n_bigrams,
-         |       CAST(sum(cu // cb) AS BIGINT) AS surprisal_sum,
-         |       CAST(sum(cu // cb) // count(*) AS BIGINT) AS surprisal_mean
-         |FROM big JOIN bc USING (h1, h2) JOIN uc USING (h1)
-         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin
-    },
+    "q_text_bigram_surprisal" ->
+      // groups by the raw (w1, w2) strings — the engine's xxhash64 keys
+      // are internal shuffle keys only, never output, so no hash needs
+      // mirroring (agreement is exact modulo 64-bit collisions)
+      """WITH big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |       unnest(range(1, len(ts))) AS u(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY w1)
+        |SELECT big.doc_id,
+        |       count(*) AS n_bigrams,
+        |       CAST(sum(cu // cb) AS BIGINT) AS surprisal_sum,
+        |       CAST(sum(cu // cb) // count(*) AS BIGINT) AS surprisal_mean
+        |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
 
     "q_text_dedup_lines" -> {
       val lh = duckMd5Long("ln")

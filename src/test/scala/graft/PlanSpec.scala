@@ -198,12 +198,17 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalPlan = p.split("== Initial Plan ==").head
-    // single scan via the shared fan-out stage (the lambda-bearing hash
-    // pass above it runs per branch — Spark cannot reuse lambda-bearing
-    // subtrees; see the query's shape note); the only Window is over the
-    // bigram-VOCAB table (w1's distinct-successor set), never the corpus
-    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"), p)
+    // the bigram fan-out is lambda-free, so cnt's pre-aggregation
+    // exchange canonicalizes and BOTH consumers reuse one evaluation:
+    // exactly one scan AND exactly one Generate (explode) in the final
+    // plan — counting Generates, not ReusedExchange presence, is the
+    // repo's reuse discipline (a reused scan under a duplicated map
+    // pass would still show ReusedExchange). w1-context totals must
+    // come from an aggregation join-back, never a Window over h1 (a
+    // stop-word's successor set is vocabulary-sized at 100 TB).
     assert("Scan parquet".r.findAllIn(finalPlan).length == 1, p)
+    assert("Generate".r.findAllIn(finalPlan).length == 1, p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

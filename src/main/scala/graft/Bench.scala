@@ -28,7 +28,8 @@ object Bench {
           "q_dedup_simhash", "q_dedup_embed", "q_dedup_substring",
           "q_sim_ivf", "q_session_windows", "q_text_tokens",
           "q_text_contamination", "q_mm_features", "q_text_tfidf",
-          "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann")
+          "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann",
+          "q_text_bigram_surprisal")
         .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever
@@ -39,8 +40,13 @@ object Bench {
     }
     // sorted key order: deterministic run order, so one-time costs (the
     // shared shingle index) land on the same query every run instead of
-    // whichever key Map iteration happens to yield first
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // whichever key Map iteration happens to yield first. Optional args
+    // restrict the run to the named keys (local iteration on one query);
+    // the driver passes none and gets the full suite.
+    val keep: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val results = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -72,5 +78,10 @@ object Bench {
       case t: Throwable => System.err.println(s"[bench] file write failed: $t")
     }
     spark.stop()
+    // re-emit as the process's very last stdout bytes: the first print can
+    // interleave with Spark's shutdown chatter in a combined capture
+    // (BENCH_r07/r08 both arrived with the line's head clipped) — a
+    // trailing duplicate gives tail-capture a clean copy to parse
+    println(json)
   }
 }

@@ -63,10 +63,10 @@ object StatsQueries {
       // volume, token totals, length distribution, mean quality. One
       // source-keyed aggregation over map-side per-doc projections (the
       // quality score is TextQueries.qualityE6Col — the one definition).
-      // Median is the exact sorted-agg variant (q_agg_stats precedent);
-      // the declared 100 TB swap is percentile_approx's mergeable sketch
-      // (q_approx_quantile). Mean quality stays in exact BIGINT floor
-      // division, never a double average of corpus-scale sums.
+      // Median is the exact sorted-agg variant (q_agg_stats precedent) —
+      // it is the t2 oracle path; q_corpus_profile_approx below is the
+      // 100 TB production variant. Mean quality stays in exact BIGINT
+      // floor division, never a double average of corpus-scale sums.
       documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -75,6 +75,27 @@ object StatsQueries {
         .agg(count(lit(1)).as("n_docs"),
              sum("n_tokens").as("tokens_total"),
              median(col("n_tokens")).as("tokens_median"),
+             expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
+        .orderBy("source")),
+
+    "q_corpus_profile_approx" -> ((s, d) =>
+      // q_corpus_profile's declared 100 TB swap, made real: exact median
+      // is a sorted full-value aggregation — on a fresh 100 TB corpus the
+      // profile would sort every document length — while
+      // percentile_approx's mergeable sketch combines map-side partials
+      // in one small shuffle (q_approx_quantile precedent). Same schema
+      // as the exact profile; t2-excluded like the other sketch ops
+      // (sketch internals are engine-specific), accuracy pinned by
+      // EngineSpec at ±2% of the exact median per source.
+      documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          TextQueries.qualityE6Col.as("q_e6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("tokens_total"),
+             percentile_approx(col("n_tokens"), lit(0.5), lit(10000))
+               .cast("double").as("tokens_median"),
              expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
         .orderBy("source")),
 

@@ -75,6 +75,25 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("approx corpus profile matches exact except median within ±2% (q_corpus_profile_approx)") {
+    // the 100 TB swap: every column but the sketch-backed median must be
+    // IDENTICAL to the exact profile; the median within tolerance
+    val exact = SparkEntry.queries("q_corpus_profile")(spark, sf)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = SparkEntry.queries("q_corpus_profile_approx")(spark, sf)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(a._2 == e._2 && a._3 == e._3 && a._5 == e._5,
+             s"$k: non-median columns diverged: $a vs $e")
+      assert(math.abs(a._4 - e._4) / e._4 <= 0.02,
+             s"$k: approx median ${a._4} vs exact ${e._4}")
+    }
+  }
+
   test("quantized-scan kNN agrees with exact kNN on ≥4 of top-5 (q_sim_knn_quantized)") {
     val exact = SparkEntry.queries("q_sim_knn")(spark, sf)
       .select("vec_id").as[Long].collect().toSet

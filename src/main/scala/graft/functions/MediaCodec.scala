@@ -97,7 +97,14 @@ object MediaCodec {
       decodeWav(bytes)
     else None
 
-  private def decodeBmp(bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** Validated 24-bpp BMP geometry: pixel-array offset, dimensions, and
+    * row stride. One header walk shared by the stats decode and the
+    * perceptual hash.
+    */
+  private final case class BmpGeom(pixelOffset: Int, width: Int, height: Int,
+                                   stride: Int)
+
+  private def bmpGeom(bytes: Array[Byte]): Option[BmpGeom] = {
     if (bytes.length < 54) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = buf.getInt(10)
@@ -110,7 +117,51 @@ object MediaCodec {
     val strideL = ((width.toLong * 3 + 3) / 4) * 4
     if (pixelOffset < 54 ||
         pixelOffset.toLong + strideL * height > bytes.length) return None
-    val stride = strideL.toInt
+    Some(BmpGeom(pixelOffset, width, height, strideL.toInt))
+  }
+
+  /** 60-bit perceptual average-hash (aHash) of a BMP: nearest-neighbour
+    * downsample of the channel-0 (blue) pixel bytes to an 8×8 grid in
+    * FILE row order, then bit k = 60·cell(k) > Σcells over the first 60
+    * cells in row-major order. 60 bits (not 64) is deliberate: the
+    * fingerprint slots straight into the simhash 4×15-bit band-join
+    * machinery, keeping its pigeonhole guarantee (≤3 differing bits
+    * always share a band) with no out-of-band bits, and every engine can
+    * build it without shifting into the sign bit. All-integer, so the
+    * DuckDB oracle reproduces it exactly from the source bytes.
+    * Returns None for anything that is not a parseable 24-bpp BMP
+    * (WAVs and corrupt payloads drop out, matching decode()).
+    */
+  def ahash60(bytes: Array[Byte]): Option[Long] =
+    if (!(bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')) None
+    else bmpGeom(bytes).map { g =>
+      val cells = new Array[Long](60)
+      var k = 0
+      while (k < 60) {
+        val r = (k / 8) * g.height / 8
+        val c = (k % 8) * g.width / 8
+        cells(k) = bytes(g.pixelOffset + r * g.stride + c * 3) & 0xff
+        k += 1
+      }
+      val s = cells.sum
+      var fp = 0L
+      k = 0
+      while (k < 60) {
+        if (60L * cells(k) > s) fp |= 1L << k
+        k += 1
+      }
+      fp
+    }
+
+  private def decodeBmp(bytes: Array[Byte]): Option[MediaFeatures] = {
+    val g = bmpGeom(bytes) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val pixelOffset = g.pixelOffset
+    val width = g.width
+    val height = g.height
+    val stride = g.stride
     var sum = 0L
     var min = Long.MaxValue
     var max = Long.MinValue

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
+import graft.api.IvfOps
 import graft.functions.MediaCodec
 
 /** Multimodal columns for LLM training-data pipelines (north star): media
@@ -168,8 +169,47 @@ object MultimodalQueries {
       // PCM16 walk) into exact integer stats — hash-matched by a DuckDB
       // oracle computing the same arithmetic from the source bytes.
       decodeMediaFeatures(encodeMedia(media(s, d)))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    "q_mm_phash" -> ((s, d) => {
+      // Perceptual image near-dup — the CommonCrawl-image day-one need:
+      // a 60-bit average-hash over each decoded BMP's pixel grid
+      // (MediaCodec.ahash60: integer mean-threshold bits, no floats),
+      // then candidate pairs through the SAME capped 4×15-bit band join
+      // as q_dedup_simhash — bucketed LSH expansion over capped buckets,
+      // never all-pairs, so the operator scales exactly as the text
+      // simhash does (BucketCap bounds any boilerplate mega-bucket; an
+      // all-identical-image cluster degrades to the cap, not O(n²)).
+      // Decode is map-side mapPartitions like the rest of the codec
+      // family; audio rows drop out at the magic sniff.
+      val fp = phashMedia(encodeMedia(media(s, d)))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      DedupQueries.simhashBandPairs(fp)
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
+        .orderBy("ma", "mb")
+    })
   )
+
+  /** Same near-dup acceptance radius as the text simhash (≤6 of 60 bits). */
+  val PhashMaxHamming = 6
+
+  /** (media_id, phash): 60-bit perceptual fingerprints of the decodable
+    * images (map-side; WAV/corrupt containers drop at the magic sniff).
+    */
+  def phashMedia(binDf: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binDf.select("media_id", "container")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.ahash60(r.getAs[Array[Byte]](1))
+            .map(fp => Row(r.getLong(0), fp))
+        }
+      }(enc)
+  }
 
   def oracles: Map[String, String] = Map(
     "q_mm_meta" ->
@@ -232,6 +272,46 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id,
         |       ['image', 'audio', 'video'][m + 1] AS media_type,
         |       fmt, dim1, dim2, val_sum, val_min, val_max
-        |FROM allf ORDER BY media_id""".stripMargin
+        |FROM allf ORDER BY media_id""".stripMargin,
+
+    // Mirror of ahash60 over the synthetic 8×H BMPs: channel-0 pixel p
+    // (file row-major) is payload byte (p mod len); 8×8 nearest-neighbour
+    // grid, mean-threshold bits over the first 60 cells, then the exact
+    // simhash band/cap/pair SQL from q_dedup_simhash.
+    "q_mm_phash" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS len,
+         |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+         |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) > 0 AND doc_id % 3 <> 1),
+         |g AS (
+         |  SELECT doc_id,
+         |         [bv[((((k // 8) * h // 8) * 8 + (k % 8)) % len) + 1]
+         |          for k in range(0, 60)] AS cells
+         |  FROM (SELECT doc_id, len, bv,
+         |               greatest(1, least(32, len // 8)) AS h
+         |        FROM src)),
+         |ph AS (
+         |  SELECT doc_id,
+         |         list_aggregate(
+         |           [CASE WHEN 60 * cells[k + 1] > s
+         |                 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+         |            for k in range(0, 60)], 'sum') AS simhash
+         |  FROM (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s
+         |        FROM g)),
+         |banded0 AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
+         |  FROM ph, unnest([0,1,2,3]) AS u(b)),
+         |banded AS (
+         |  SELECT doc_id, simhash, b, bsig FROM banded0
+         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
+         |          <= ${IvfOps.BucketCap})
+         |SELECT DISTINCT a.doc_id AS ma, b2.doc_id AS mb,
+         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $PhashMaxHamming
+         |ORDER BY ma, mb""".stripMargin
   )
 }

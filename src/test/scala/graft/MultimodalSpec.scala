@@ -75,6 +75,36 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(evil2).isEmpty)
   }
 
+  test("ahash60: planted near-dup image pair lands within the hamming radius") {
+    import graft.functions.MediaCodec
+    // a high-contrast 8×8 image and a copy with ONE pixel nudged across
+    // the mean: hashes differ in at most a few bits; an inverted image
+    // is far away
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 220 else 20)
+    val nearDup = base.clone(); nearDup(10) = 220 // was 20 — crosses mean
+    val inverted = base.map(v => 240 - v)
+    def h(g: Array[Int]) = MediaCodec.ahash60(MediaCodec.encodeBmp24(g, 8, 8)).get
+    val d01 = java.lang.Long.bitCount(h(base) ^ h(nearDup))
+    val dInv = java.lang.Long.bitCount(h(base) ^ h(inverted))
+    assert(d01 <= MultimodalQueries.PhashMaxHamming, s"near-dup distance $d01")
+    assert(dInv > MultimodalQueries.PhashMaxHamming, s"inverted distance $dInv")
+    // WAVs and junk are not images: no fingerprint, never a pair
+    assert(MediaCodec.ahash60(
+      MediaCodec.encodeWavPcm16(Array[Short](1, 2), 16000)).isEmpty)
+    assert(MediaCodec.ahash60("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("q_mm_phash: pairs are image/video ids, symmetric-free, within radius") {
+    val out = MultimodalQueries.queries("q_mm_phash")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty, "fixture yields no perceptual near-dups")
+    out.foreach { case (ma, mb, ham) =>
+      assert(ma < mb, s"unordered pair ($ma,$mb)")
+      assert(ham <= MultimodalQueries.PhashMaxHamming)
+      assert(ma % 3 != 1 && mb % 3 != 1, s"audio id in image pair ($ma,$mb)")
+    }
+  }
+
   test("q_mm_features: every non-empty doc decodes; stats match driver math") {
     val out = MultimodalQueries.queries("q_mm_features")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

@@ -34,6 +34,14 @@ object TextQueries {
     "privacy policy", "terms of use")
   private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private[graft] val PhoneRe = "[0-9]{7,}"
+  // formatted phones (the digit-run rule only catches unbroken runs):
+  // optional +CC, then 3-3-4 groups split by space/dot/dash, area code
+  // optionally parenthesized. Scrubbed BEFORE the digit-run pass.
+  private[graft] val PhoneFmtRe =
+    "\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
+  // IPv4 literals; scrubbed before the phone passes so a dotted-quad's
+  // octets can never seed a phone-format match spanning trailing digits
+  private[graft] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles —
     * the MEMOIZED uncapped layer of the per-dir dedup index holder
@@ -107,8 +115,9 @@ object TextQueries {
   /** C4-style cleaning over a (doc_id, text) table: line-level
     * boilerplate filtering + PII scrubbing as a PURE per-row projection —
     * zero shuffles, so it composes in front of any dedup/pack stage at
-    * 100 TB for free. Per line: scrub emails and long digit runs to
-    * placeholder tokens, then drop lines under [[CleanMinLineTokens]]
+    * 100 TB for free. Per line: scrub emails, IPv4 literals, formatted
+    * phone numbers, and long digit runs to placeholder tokens, then drop
+    * lines under [[CleanMinLineTokens]]
     * tokens or carrying a boilerplate marker (cookie/javascript/
     * lorem-ipsum/…, the C4 filter list's shape); per doc: keep only docs
     * with >= [[CleanMinDocTokens]] tokens left — everything below is
@@ -119,7 +128,11 @@ object TextQueries {
   def clean(docs: DataFrame): DataFrame = {
     val scrub = (l: Column) =>
       regexp_replace(
-        regexp_replace(l, lit(EmailRe), lit("<EMAIL>")),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(l, lit(EmailRe), lit("<EMAIL>")),
+            lit(IpRe), lit("<IP>")),
+          lit(PhoneFmtRe), lit("<PHONE>")),
         lit(PhoneRe), lit("<PHONE>"))
     val isBoiler = (l: Column) =>
       CleanBoilerplate.foldLeft(lit(false))(
@@ -534,7 +547,11 @@ object TextQueries {
          |         list_filter(
          |           list_transform(string_split(text, chr(10)),
          |             l -> regexp_replace(
-         |                    regexp_replace(l, '$EmailRe', '<EMAIL>', 'g'),
+         |                    regexp_replace(
+         |                      regexp_replace(
+         |                        regexp_replace(l, '$EmailRe', '<EMAIL>', 'g'),
+         |                        '$IpRe', '<IP>', 'g'),
+         |                      '$PhoneFmtRe', '<PHONE>', 'g'),
          |                    '$PhoneRe', '<PHONE>', 'g')),
          |           l -> len(string_split(l, ' ')) >= $CleanMinLineTokens
          |                AND NOT ($markers)) AS kept

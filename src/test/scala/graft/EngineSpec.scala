@@ -126,11 +126,22 @@ class EngineSpec extends SparkSpec {
       // thin doc: survives line gate but not the doc-level token gate
       (4L, "one two three four five six"),
       // all lines boilerplate → doc disappears
-      (5L, "enable javascript to view\nall rights reserved 2026")
+      (5L, "enable javascript to view\nall rights reserved 2026"),
+      // IPv4 literal + parenthesized phone format on one line: the IP
+      // must scrub FIRST so its octets can't seed a phone-format match
+      (6L, s"ping 192.168.1.100 or (555) 123-4567 soon\n$body"),
+      // +CC dotted phone format (no unbroken 7-digit run to fall back on)
+      (7L, s"fax +1 555.123.4567 works fine today\n$body")
     ).toDF("doc_id", "text")
     val out = graft.operators.TextQueries.clean(docs)
       .orderBy("doc_id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), out.mkString("|"))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L, 7L), out.mkString("|"))
+    val d6 = out(3)
+    assert(d6.getString(1).startsWith("ping <IP> or <PHONE> soon\n"), d6.getString(1))
+    assert(!d6.getString(1).contains("192.168") && !d6.getString(1).contains("4567"))
+    val d7 = out(4)
+    assert(d7.getString(1).startsWith("fax <PHONE> works fine today\n"), d7.getString(1))
+    assert(!d7.getString(1).contains("555"))
     val d1 = out(0)
     assert(d1.getString(1).startsWith("contact <EMAIL> or call <PHONE> now\n"),
       d1.getString(1))

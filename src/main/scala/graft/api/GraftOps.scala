@@ -260,6 +260,20 @@ object GraftOps {
     * is EMPTY — the mixture degrades loudly-by-emptiness rather than
     * silently returning a "mixture" with a whole component missing while
     * its weight still dilutes every other source's rate.
+    *
+    * Long-overflow envelope: with B = min over sources of n_s·W DIV w_s,
+    * every intermediate product is bounded by n_s·W·10⁶ (w_s·B ≤ n_s·W
+    * follows from B being that min), so exact Long arithmetic needs
+    * W·n_s ≤ 2⁶³/10⁶ ≈ 9.2·10¹². Byte-count-scale user weights
+    * (W ~ 10¹⁴ for a 100 TB corpus) would blow that silently — so
+    * weight maps summing past [[MixWeightScale]] are first rescaled to
+    * proportions over it (±0.5/[[MixWeightScale]] of total weight per
+    * share; shares under 1/[[MixWeightScale]] clamp UP to the floor of
+    * 1 rather than dropping the source). Post-rescale W ≤
+    * [[MixWeightScale]] + #sources, which keeps the math exact past
+    * 9·10⁹ docs in any one source — a uniform 10 KB-doc corpus reaches
+    * that only with ~90 TB in a single mixture component; shrink
+    * [[MixWeightScale]] before raising it if you get there.
     */
   def mixCorpus(docs: DataFrame, sourceCol: String, idCol: String,
                 weights: Map[String, Long]): DataFrame = {
@@ -267,8 +281,15 @@ object GraftOps {
       "weights must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wTab = weights.toSeq.toDF(sourceCol, "__w")
-    val wsum = weights.values.sum
+    // BigInt: the raw sum itself can overflow Long for byte-count weights
+    val wsumRaw = weights.values.map(BigInt(_)).sum
+    val scaled: Map[String, Long] =
+      if (wsumRaw <= MixWeightScale) weights
+      else weights.map { case (s, w) =>
+        s -> ((BigInt(w) * MixWeightScale + wsumRaw / 2) / wsumRaw)
+          .toLong.max(1L) }
+    val wTab = scaled.toSeq.toDF(sourceCol, "__w")
+    val wsum = scaled.values.sum
     // per-source counts over the listed sources only (sources-sized,
     // tiny); the LEFT join from the weights table keeps absent sources
     // as __n = 0 so they participate in the budget min
@@ -290,6 +311,12 @@ object GraftOps {
       .filter(pmod(md5long(col(idCol).cast("string")), lit(1000000L))
         < col("mix_rate_e6"))
   }
+
+  /** Cap on the sum of mixCorpus weights used in exact Long rate math;
+    * larger weight maps rescale to proportions over this (see mixCorpus's
+    * overflow-envelope scaladoc for the precision/scale trade).
+    */
+  private[graft] val MixWeightScale = 1000L
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -495,11 +522,14 @@ object GraftOps {
     // convergence signature: numeric labels sum directly — monotone under
     // min-propagation, so signature equality is an EXACT fixed-point
     // certificate. Non-numeric ids (string doc keys) can't sum: hash each
-    // label first — probabilistic like connectedComponentsStar's edge
-    // signature: a missed change needs the changed nodes' 64-bit hash
-    // deltas to cancel exactly in a 38-digit sum — vanishingly unlikely,
-    // and the propagation tier is a fast path with the star tier behind
-    // it, never the sole correctness authority.
+    // label first, which makes the certificate PROBABILISTIC — a
+    // signature collision (changed nodes' 64-bit hash deltas cancelling
+    // exactly in a 38-digit sum, vanishingly unlikely but possible)
+    // declares convergence early and this tier returns silently wrong
+    // labels. The star tier behind it only backstops NON-convergence
+    // (`None` after maxRounds); it never re-checks a claimed fixed point,
+    // so for string ids this fast path is the sole authority on false
+    // convergence and its guarantee is probabilistic, not exact.
     val labelSig = (l: Column) =>
       if (e.schema("u").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) l
       else xxhash64(l)

@@ -183,6 +183,29 @@ class Dump1090MicroBatchStream(
       partial.append(new String(carry, StandardCharsets.UTF_8))
       carry = Array.empty
     }
+    // ... and a disconnect also ENDS any in-flight record: the next
+    // connection's first line is a NEW message, and text-level
+    // concatenation would corrupt it with the truncated tail of the old
+    // one. Frame the (possibly truncated) partial as its own record —
+    // it is already damaged goods, and the 22-field validity predicate
+    // downstream quarantines it — so each connection starts clean.
+    // frame() can touch the spill log; a durability failure here must
+    // fail the stream (not kill the reader thread silently), including
+    // when called from inside the IOException handler where the outer
+    // catch no longer applies.
+    def endRecord(partial: StringBuilder): Unit = {
+      flushCarry(partial)
+      if (partial.nonEmpty) {
+        partial.append('\n')
+        try frame(partial)
+        catch {
+          case t: Throwable =>
+            if (!stopped) fatal = t
+            exhausted = true
+            lock.synchronized(lock.notifyAll())
+        }
+      }
+    }
     val buf = new Array[Byte](math.max(bufferSize, 1))
     while (!exhausted) {
       try {
@@ -196,7 +219,7 @@ class Dump1090MicroBatchStream(
         if (n < 0) { // EOF — reference reconnects on empty read (P:120-126)
           try sock.close() catch { case _: Throwable => }
           in = null
-          flushCarry(partial)
+          endRecord(partial)
           // the EOF path shares the retry budget AND the backoff: a
           // server that accepts then immediately closes would otherwise
           // busy-spin connect/EOF forever (each successful connect used
@@ -223,7 +246,7 @@ class Dump1090MicroBatchStream(
         case _: java.io.IOException if !stopped && !spillFailed =>
           try { if (sock != null) sock.close() } catch { case _: Throwable => }
           in = null
-          flushCarry(partial)
+          endRecord(partial)
           if (attempts >= connectAttemptLimit) {
             exhausted = true // P:98-99 quit() after retry budget
           } else {

@@ -129,12 +129,14 @@ class Dump1090SourceSpec extends SparkSpec {
   }
 
   test("a dropped connection's incomplete UTF-8 tail never fuses with the " +
-       "next connection's bytes") {
+       "next connection's bytes, and the truncated record ends at EOF") {
     // conn 1 ends mid-character (first 2 bytes of 3-byte 日); conn 2 opens
     // with exactly the byte that would COMPLETE it. Carrying the stale
     // tail across the reconnect would decode a silently valid 日 out of
-    // two unrelated connections; the tail must flush to replacement chars
-    // at EOF instead.
+    // two unrelated connections; instead the tail flushes to replacement
+    // chars at EOF AND the truncated partial is framed as its own record,
+    // so conn 2's first message ("�X" — its lone continuation byte decodes
+    // to a replacement char of its own) arrives as a clean separate line.
     val ch = "日".getBytes(StandardCharsets.UTF_8)
     val p1 = "LINE1\n".getBytes(StandardCharsets.UTF_8) ++ ch.take(2)
     val p2 = ch.drop(2) ++ "X\n".getBytes(StandardCharsets.UTF_8)
@@ -153,15 +155,18 @@ class Dump1090SourceSpec extends SparkSpec {
       val deadline = System.currentTimeMillis() + 15000
       def latest() = stream.latestOffset()
         .asInstanceOf[graft.sources.LineOffset].offset
-      while (latest() < 2 && System.currentTimeMillis() < deadline)
+      while (latest() < 3 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      assert(latest() == 2)
+      assert(latest() == 3)
       val got = stream.planInputPartitions(
           graft.sources.LineOffset(0), graft.sources.LineOffset(latest()))
         .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows)
       assert(got.head == "LINE1")
+      // record 2: conn 1's truncated tail alone — replacement chars only
       assert(!got(1).contains("日"), s"stale bytes fused across reconnect: ${got(1)}")
-      assert(got(1).contains("�") && got(1).endsWith("X"), got(1))
+      assert(got(1).forall(_ == '�'), s"truncated record not isolated: ${got(1)}")
+      // record 3: conn 2's first message, uncontaminated by conn 1
+      assert(got(2).endsWith("X") && !got(2).contains("日"), got(2))
       stream.stop()
     } finally server.close()
   }

@@ -367,6 +367,23 @@ class GraftOpsSpec extends SparkSpec {
     assert(missing.count() == 0, "absent listed source must empty the mixture")
   }
 
+  test("mixCorpus rescales byte-count-scale weights instead of " +
+       "overflowing Long rate math") {
+    val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    // same 3:1 proportions expressed at byte-count scale: raw wsum ~ 2.4e18
+    // would push w*B*1e6 far past 2^63 — the rescale keeps the math exact
+    // and MUST reproduce the small-weight mixture row for row
+    val big = graft.api.GraftOps.mixCorpus(docs, "source", "doc_id",
+      Map("web" -> 1800000000000000000L, "books" -> 600000000000000000L))
+    val small = graft.api.GraftOps.mixCorpus(docs, "source", "doc_id",
+      Map("web" -> 3L, "books" -> 1L))
+    assert(big.select("doc_id", "source").exceptAll(
+             small.select("doc_id", "source")).count() == 0 &&
+           small.select("doc_id", "source").exceptAll(
+             big.select("doc_id", "source")).count() == 0)
+  }
+
   test("simhashBandPairs caps a planted mega-cluster band bucket") {
     // 10 identical fingerprints — the boilerplate pathology: every band
     // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit

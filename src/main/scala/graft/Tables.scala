@@ -7,19 +7,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * All engine queries read base tables through here so scans stay uniform:
   * `spark.read.parquet` gives Spark's vectorized columnar reader with
   * predicate pushdown and column pruning for free (SURVEY.md §4.2).
+  *
+  * Readers are MEMOIZED per (session, path): `spark.read.parquet` runs
+  * footer-based schema inference on every call (~65 ms against the local
+  * fixtures, and a full file-listing + footer fan-out job at data scale) —
+  * re-paying it per query is what a catalog/metastore exists to avoid, and
+  * at 100 TB a per-query footer sweep over millions of files is its own
+  * distributed job. The memo caches only the ANALYZED READER (schema +
+  * file-index snapshot), never data, exactly like a registered external
+  * table; the fixture dirs are immutable so snapshot staleness cannot
+  * arise. Keyed weakly by session so stopped sessions (every spec creates
+  * its own) don't pin plans. Thread-safe: Verify/Bench run queries
+  * sequentially but specs run suites concurrently in one JVM.
+  *
+  * A shared reader means a query touching one table twice holds the SAME
+  * Dataset instance; Spark's DeduplicateRelations re-aliases the second
+  * occurrence in a self-join, so composed plans behave as with fresh
+  * readers (the full oracle sweep pins this).
   */
 object Tables {
+  private val readers =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, DataFrame]]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readers.synchronized {
+      var per = readers.get(spark)
+      if (per == null) {
+        per = scala.collection.mutable.HashMap.empty
+        readers.put(spark, per)
+      }
+      per.getOrElseUpdate(s"$dir/$name.parquet",
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
     * default; read ns as raw Long (ns since epoch) and let callers derive
     * exact ms via `ts div 1000000` (never a double division — ns values
-    * exceed double's 2^53 integer range). SURVEY.md §7.5.
+    * exceed double's 2^53 integer range). SURVEY.md §7.5. The nanosAsLong
+    * flag must be set before the reader's FIRST (memoized) construction —
+    * it is baked into the inferred schema.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    t(spark, dir, "events")
   }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")

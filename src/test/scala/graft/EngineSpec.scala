@@ -9,6 +9,21 @@ import graft.functions.expressions.VectorFunctions.{cosine_sim, dot_product}
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables memoizes the analyzed reader per (session, path) and " +
+       "self-joins over the shared instance still resolve") {
+    // the memo returns the SAME Dataset (schema inference paid once per
+    // session — the catalog contract), so a query touching a table twice
+    // composes a self-join of one instance; DeduplicateRelations must
+    // re-alias it, not collapse the condition to trivially-true
+    val a = Tables.customer(spark, sf)
+    assert(a eq Tables.customer(spark, sf))
+    val n = a.count()
+    val selfJoined = a.as("l")
+      .join(a.as("r"), expr("l.c_custkey = r.c_custkey"))
+      .count()
+    assert(selfJoined == n, s"self-join over shared reader: $selfJoined vs $n")
+  }
+
   test("native dot_product matches the interpreted HOF fold bit-for-bit") {
     val df = Tables.embeddings(spark, sf)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -182,7 +182,13 @@ object MediaCodec {
     Some(MediaFeatures("bmp", width.toLong, height.toLong, sum, min, max))
   }
 
-  private def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** Validated PCM16 WAV geometry: sample rate, data offset, and sample
+    * count. One RIFF chunk walk shared by the stats decode and the
+    * perceptual audio fingerprint.
+    */
+  private final case class WavGeom(sampleRate: Int, dataOff: Int, n: Int)
+
+  private def wavGeom(bytes: Array[Byte]): Option[WavGeom] = {
     if (bytes.length < 44) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     // walk RIFF chunks after "WAVE" — real WAVs may carry LIST/fact
@@ -212,19 +218,77 @@ object MediaCodec {
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (sampleRate <= 0 || bits != 16 || dataOff < 0) return None
-    val n = dataLen / 2
-    var sum = 0L
-    var min = Long.MaxValue
-    var max = Long.MinValue
-    var i = 0
-    while (i < n) {
-      val v = buf.getShort(dataOff + 2 * i).toLong
-      sum += v
-      if (v < min) min = v
-      if (v > max) max = v
-      i += 1
-    }
-    if (n == 0) { min = 0L; max = 0L }
-    Some(MediaFeatures("wav", sampleRate.toLong, n.toLong, sum, min, max))
+    Some(WavGeom(sampleRate, dataOff, dataLen / 2))
   }
+
+  private def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] =
+    wavGeom(bytes).map { g =>
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var min = Long.MaxValue
+      var max = Long.MinValue
+      var i = 0
+      while (i < g.n) {
+        val v = buf.getShort(g.dataOff + 2 * i).toLong
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        i += 1
+      }
+      if (g.n == 0) { min = 0L; max = 0L }
+      MediaFeatures("wav", g.sampleRate.toLong, g.n.toLong, sum, min, max)
+    }
+
+  /** 60-bit perceptual audio fingerprint (amplitude-envelope hash) of a
+    * PCM16 WAV: the sample stream splits into 60 equal-span frames
+    * (frame k covers samples [k·n DIV 60, (k+1)·n DIV 60)), frame energy
+    * is the sum of |sample|, and bit k = frame k's MEAN energy above the
+    * stream mean — compared cross-multiplied (energy_k·n > total·count_k)
+    * so the math stays exact integer at any frame skew; no floats, no
+    * division. 60 bits for the same reason as [[ahash60]]: the
+    * fingerprint drops straight into the simhash 4×15-bit band-join
+    * machinery with its ≤3-bit pigeonhole guarantee intact. Frames with
+    * no samples (n < 60) get bit 0 on both sides of the oracle (0 > 0).
+    * Returns None for anything that is not a parseable PCM16 WAV (BMPs
+    * and corrupt payloads drop out).
+    */
+  def afp60(bytes: Array[Byte]): Option[Long] =
+    if (!(bytes.length >= 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      None
+    else wavGeom(bytes).map { g =>
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      // frame k = samples [k·n DIV 60, (k+1)·n DIV 60): consecutive
+      // floor-division boundaries tile [0, n) exactly, and the oracle's
+      // list slices use the IDENTICAL bounds
+      // boundary math in Long: k·n overflows Int for a (legitimate)
+      // multi-GiB data chunk
+      def bound(k: Int): Int = (k.toLong * g.n / 60).toInt
+      val fs = new Array[Long](60)
+      var tot = 0L
+      var k = 0
+      while (k < 60) {
+        var i = bound(k)
+        val hi = bound(k + 1)
+        while (i < hi) {
+          val v = math.abs(buf.getShort(g.dataOff + 2 * i).toLong)
+          fs(k) += v
+          tot += v
+          i += 1
+        }
+        k += 1
+      }
+      var fp = 0L
+      k = 0
+      while (k < 60) {
+        val cnt = (bound(k + 1) - bound(k)).toLong
+        // BigInt: energy·n reaches n²·2¹⁵, past 2⁶³ for a ~17-minute
+        // 16 kHz chunk — 60 arbitrary-precision compares per row are
+        // noise next to the sample walk above
+        if (BigInt(fs(k)) * g.n > BigInt(tot) * cnt) fp |= 1L << k
+        k += 1
+      }
+      fp
+    }
 }

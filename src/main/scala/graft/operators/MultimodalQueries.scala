@@ -188,6 +188,23 @@ object MultimodalQueries {
         .filter(col("hamming") <= PhashMaxHamming)
         .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
         .orderBy("ma", "mb")
+    }),
+
+    "q_mm_audiofp" -> ((s, d) => {
+      // Perceptual AUDIO near-dup — q_mm_phash's sibling, closing the
+      // multimodal family (re-encoded/re-sampled copies of one recording
+      // are the CommonCrawl-audio analog of near-dup images): a 60-bit
+      // amplitude-envelope hash over each decoded WAV's PCM16 stream
+      // (MediaCodec.afp60: 60 equal-span frame energies, mean-thresholded
+      // with exact cross-multiplied integers), then the same capped
+      // 4×15-bit band join as the text/image simhash — bucketed LSH over
+      // capped buckets, never all-pairs. BMP rows drop at the magic sniff.
+      val fp = afpMedia(encodeMedia(media(s, d)))
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash"))
+      DedupQueries.simhashBandPairs(fp)
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
+        .orderBy("ma", "mb")
     })
   )
 
@@ -206,6 +223,24 @@ object MultimodalQueries {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaCodec.ahash60(r.getAs[Array[Byte]](1))
+            .map(fp => Row(r.getLong(0), fp))
+        }
+      }(enc)
+  }
+
+  /** (media_id, afp): 60-bit amplitude-envelope fingerprints of the
+    * decodable PCM16 WAVs (map-side; BMP/corrupt containers drop at the
+    * magic sniff).
+    */
+  def afpMedia(binDf: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binDf.select("media_id", "container")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.afp60(r.getAs[Array[Byte]](1))
             .map(fp => Row(r.getLong(0), fp))
         }
       }(enc)
@@ -300,6 +335,55 @@ object MultimodalQueries {
          |            for k in range(0, 60)], 'sum') AS simhash
          |  FROM (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s
          |        FROM g)),
+         |banded0 AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
+         |  FROM ph, unnest([0,1,2,3]) AS u(b)),
+         |banded AS (
+         |  SELECT doc_id, simhash, b, bsig FROM banded0
+         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
+         |          <= ${IvfOps.BucketCap})
+         |SELECT DISTINCT a.doc_id AS ma, b2.doc_id AS mb,
+         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $PhashMaxHamming
+         |ORDER BY ma, mb""".stripMargin,
+
+    // Mirror of encodeMedia∘afp60 from the source bytes: the WAV sample
+    // stream is byte(i mod len)·257 − 32768 over n = min(4096, len)
+    // samples; 60 equal-span frames by floor-division bounds (same
+    // bounds as the Scala loop), frame energy = Σ|sample|, bit k =
+    // energy_k·n > total·count_k (exact integers; an empty frame's
+    // NULL sum coalesces to 0 so 0 > 0 keeps the bit clear on both
+    // engines). Band join + cap identical to q_mm_phash.
+    "q_mm_audiofp" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS len,
+         |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+         |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) > 0 AND doc_id % 3 = 1),
+         |sv AS (
+         |  SELECT doc_id, least(4096, len) AS n,
+         |         [abs(bv[(i % len) + 1] * 257 - 32768)
+         |            for i in range(0, least(4096, len))] AS av
+         |  FROM src),
+         |fr AS (
+         |  SELECT doc_id, n,
+         |         [coalesce(list_aggregate(
+         |            av[(k * n) // 60 + 1 : ((k + 1) * n) // 60], 'sum'), 0)
+         |            for k in range(0, 60)] AS fs,
+         |         [((k + 1) * n) // 60 - (k * n) // 60
+         |            for k in range(0, 60)] AS fc,
+         |         list_aggregate(av, 'sum') AS tot
+         |  FROM sv),
+         |ph AS (
+         |  SELECT doc_id,
+         |         list_aggregate(
+         |           [CASE WHEN fs[k + 1] * n > tot * fc[k + 1]
+         |                 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+         |            for k in range(0, 60)], 'sum') AS simhash
+         |  FROM fr),
          |banded0 AS (
          |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
          |  FROM ph, unnest([0,1,2,3]) AS u(b)),

@@ -94,6 +94,50 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.ahash60("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("afp60: planted near-dup audio pair lands within the hamming radius") {
+    import graft.functions.MediaCodec
+    // 600 samples = 10 per frame; a loud/quiet alternating envelope, a
+    // copy with small per-sample jitter (envelope intact), and a copy
+    // with the envelope phase flipped (every frame crosses the mean the
+    // other way)
+    val base = Array.tabulate(600)(i =>
+      (if ((i / 10) % 2 == 0) 20000 else 100).toShort)
+    val jitter = base.zipWithIndex.map { case (v, i) =>
+      (v + (if (i % 7 == 0) 50 else -25)).toShort }
+    val flipped = Array.tabulate(600)(i =>
+      (if ((i / 10) % 2 == 1) 20000 else 100).toShort)
+    def h(s: Array[Short]) =
+      MediaCodec.afp60(MediaCodec.encodeWavPcm16(s, 16000)).get
+    val dJit = java.lang.Long.bitCount(h(base) ^ h(jitter))
+    val dFlip = java.lang.Long.bitCount(h(base) ^ h(flipped))
+    assert(dJit <= MultimodalQueries.PhashMaxHamming, s"near-dup distance $dJit")
+    assert(dFlip > MultimodalQueries.PhashMaxHamming, s"flipped distance $dFlip")
+    // BMPs and junk are not audio: no fingerprint, never a pair
+    assert(MediaCodec.afp60(
+      MediaCodec.encodeBmp24(Array(1, 2, 3, 4), 2, 2)).isEmpty)
+    assert(MediaCodec.afp60("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("q_mm_audiofp agrees with brute-force hamming over the fingerprints") {
+    val fps = MultimodalQueries.afpMedia(
+        MultimodalQueries.encodeMedia(MultimodalQueries.media(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.nonEmpty)
+    assert(fps.forall { case (id, _) => id % 3 == 1 }, "non-audio id fingerprinted")
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= MultimodalQueries.PhashMaxHamming
+    } yield (a, b, h.toLong)).toSet
+    val out = MultimodalQueries.queries("q_mm_audiofp")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    // LSH band recall is guaranteed only ≤3 differing bits (4×15-bit
+    // pigeonhole); 4..6-bit pairs may legitimately share no band
+    assert(out.subsetOf(brute), s"pairs beyond radius: ${out diff brute}")
+    val mustFind = brute.filter(_._3 <= 3)
+    assert(mustFind.subsetOf(out), s"missed ≤3-bit pairs: ${mustFind diff out}")
+  }
+
   test("q_mm_phash: pairs are image/video ids, symmetric-free, within radius") {
     val out = MultimodalQueries.queries("q_mm_phash")(spark, sf)
       .as[(Long, Long, Long)].collect()

@@ -115,6 +115,38 @@ class PropertySpec extends SparkSpec {
     assert(SparkEntry.queries("q_dedup_ngram")(spark, d1).collect().length >= 0)
   }
 
+  test("afp60 is invariant under positive amplitude scaling (20 seeds)") {
+    // the envelope hash thresholds each frame's MEAN energy against the
+    // stream mean — a gain change scales both sides of every comparison,
+    // so a louder copy of the same recording fingerprints identically
+    // (the property that makes it a PERCEPTUAL hash, not a sample hash)
+    import graft.functions.MediaCodec
+    (1L to 20L).foreach { seed =>
+      val n = sample(Gen.choose(30, 900), seed)
+      val s1 = sample(Gen.listOfN(n, Gen.choose(-8000, 8000)), seed * 13 + 5)
+        .map(_.toShort).toArray
+      val scaled = s1.map(v => (v * 3).toShort) // no clipping at ±8000·3
+      def h(s: Array[Short]) =
+        MediaCodec.afp60(MediaCodec.encodeWavPcm16(s, 16000)).get
+      assert(h(s1) == h(scaled), s"seed $seed n $n")
+    }
+  }
+
+  test("ahash60 is invariant under brightness shift (20 seeds)") {
+    // bit k compares 60·cell(k) against Σcells; a constant brightness
+    // offset c adds 60·c to both sides — the hash sees structure, not
+    // exposure
+    import graft.functions.MediaCodec
+    (1L to 20L).foreach { seed =>
+      val h0 = sample(Gen.choose(8, 32), seed)
+      val px = sample(Gen.listOfN(8 * h0, Gen.choose(0, 200)), seed * 11 + 3).toArray
+      val brighter = px.map(_ + 55) // stays within the 0..255 byte range
+      def h(g: Array[Int]) =
+        MediaCodec.ahash60(MediaCodec.encodeBmp24(g, 8, h0)).get
+      assert(h(px) == h(brighter), s"seed $seed h $h0")
+    }
+  }
+
   test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
     val frame: Seq[String] => Seq[String] = chunks => {
       val all = chunks.mkString

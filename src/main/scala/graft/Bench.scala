@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail loudly on a misspelled key: a typo'd arg would otherwise
+    // filter to nothing and print a "successful" zero-query record
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query key(s): ${unknown.mkString(", ")} — " +
+        s"valid keys are SparkEntry.queries.keySet")
+      spark.stop()
+      sys.exit(2)
+    }
     // warmup: absorb session/codegen/parquet-reader startup AND the
     // lambda-interpreter/codegen JIT of the heavy query shapes, by running
     // them once at sf0.001 (a different dir — measured ~2.5 s of pure JIT
@@ -20,17 +30,23 @@ object Bench {
     // work at the MEASURED scale stays charged to the measured queries:
     // the shingle-index cache holds one dir per session, so the sf0.001
     // warmup index is evicted and sf0.1's builds inside the timed run.
+    // A filtered run (args non-empty) warms ONLY the requested keys —
+    // iterating on one query must not pay the other 17 warm shapes.
     val warmDir = "/root/testdata/sf0.001"
     try {
-      SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
-      SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
-      Seq("q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_minhash",
+      if (args.isEmpty) {
+        SparkEntry.queries("q_agg_hash")(spark, sfDir).count()
+        SparkEntry.queries("q_win_analytic")(spark, sfDir).count()
+      }
+      val warmKeys =
+        if (args.nonEmpty) args.toSeq.distinct.sorted
+        else Seq("q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_minhash",
           "q_dedup_simhash", "q_dedup_embed", "q_dedup_substring",
           "q_sim_ivf", "q_session_windows", "q_text_tokens",
           "q_text_contamination", "q_mm_features", "q_text_tfidf",
           "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann",
           "q_text_bigram_surprisal")
-        .foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
+      warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever
       // "warm" query runs first — make it visible, then bench anyway

@@ -16,9 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * distributed job. The memo caches only the ANALYZED READER (schema +
   * file-index snapshot), never data, exactly like a registered external
   * table; the fixture dirs are immutable so snapshot staleness cannot
-  * arise. Keyed weakly by session so stopped sessions (every spec creates
-  * its own) don't pin plans. Thread-safe: Verify/Bench run queries
-  * sequentially but specs run suites concurrently in one JVM.
+  * arise. The memo is a small LRU over SESSIONS (a cached Dataset strongly
+  * references its session, so weak keys would never free — the map bounds
+  * retained sessions instead: evicting the eldest caps what stopped spec
+  * sessions can pin, and any evicted-but-live session just re-infers on
+  * next use). Reader CONSTRUCTION happens outside the lock — at data
+  * scale schema inference is a distributed footer job and must not
+  * serialize unrelated sessions; two racing builders produce equivalent
+  * plans and the first publish wins. Thread-safe: Verify/Bench run
+  * queries sequentially but specs run suites concurrently in one JVM.
   *
   * A shared reader means a query touching one table twice holds the SAME
   * Dataset instance; Spark's DeduplicateRelations re-aliases the second
@@ -26,20 +32,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * readers (the full oracle sweep pins this).
   */
 object Tables {
+  private val MaxSessions = 8
   private val readers =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.HashMap[String, DataFrame]]
-
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    readers.synchronized {
-      var per = readers.get(spark)
-      if (per == null) {
-        per = scala.collection.mutable.HashMap.empty
-        readers.put(spark, per)
-      }
-      per.getOrElseUpdate(s"$dir/$name.parquet",
-        spark.read.parquet(s"$dir/$name.parquet"))
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
+        size() > MaxSessions
     }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = readers.synchronized {
+      var m = readers.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        readers.put(spark, m)
+      }
+      m
+    }
+    val path = s"$dir/$name.parquet"
+    per.get(path) match {
+      case Some(df) => df
+      case None =>
+        val df = spark.read.parquet(path) // built unlocked (see scaladoc)
+        per.putIfAbsent(path, df).getOrElse(df)
+    }
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
     * default; read ns as raw Long (ns since epoch) and let callers derive

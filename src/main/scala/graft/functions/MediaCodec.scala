@@ -138,8 +138,11 @@ object MediaCodec {
       val cells = new Array[Long](60)
       var k = 0
       while (k < 60) {
-        val r = (k / 8) * g.height / 8
-        val c = (k % 8) * g.width / 8
+        // grid math in Long: 7·height (or 7·width) overflows Int for a
+        // legitimately tall/wide BMP that passes bmpGeom's bounds —
+        // same hardening as the stride math there and afp60's bound()
+        val r = ((k / 8).toLong * g.height / 8).toInt
+        val c = ((k % 8).toLong * g.width / 8).toInt
         cells(k) = bytes(g.pixelOffset + r * g.stride + c * 3) & 0xff
         k += 1
       }

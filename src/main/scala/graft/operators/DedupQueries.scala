@@ -678,6 +678,30 @@ object DedupQueries {
 
   private val duckShingleHash = duckMd5Long("sh")
   private val duckTokH = duckMd5Long("t")
+
+  /** DuckDB tail shared by every 60-bit fingerprint near-dup oracle
+    * (q_dedup_simhash, q_mm_phash, q_mm_audiofp): 4×15-bit band
+    * signatures, per-bucket QUALIFY cap (the SQL mirror of
+    * [[simhashBandPairs]]' row_number cap), capped self-join, hamming
+    * threshold. One definition so a change to the band scheme (cap,
+    * band width, tie-break order) cannot silently diverge between the
+    * text and media oracles. `fpCte` must expose (doc_id, simhash).
+    */
+  private[graft] def duckBandPairSql(fpCte: String, aCol: String,
+      bCol: String, maxHamming: Int): String =
+    s"""banded0 AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
+       |  FROM $fpCte, unnest([0,1,2,3]) AS u(b)),
+       |banded AS (
+       |  SELECT doc_id, simhash, b, bsig FROM banded0
+       |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
+       |          <= ${IvfOps.BucketCap})
+       |SELECT DISTINCT a.doc_id AS $aCol, b2.doc_id AS $bCol,
+       |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b2
+       |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming
+       |ORDER BY $aCol, $bCol""".stripMargin
   private val dDot = (a: String, b: String) =>
     s"list_aggregate([$a[i] * $b[i] for i in range(1, 65)], 'sum')"
 
@@ -804,19 +828,7 @@ object DedupQueries {
          |         sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << j)
          |                  ELSE 0 END) AS simhash
          |  FROM bitsums GROUP BY doc_id),
-         |banded0 AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
-         |  FROM sim, unnest([0,1,2,3]) AS u(b)),
-         |banded AS (
-         |  SELECT doc_id, simhash, b, bsig FROM banded0
-         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
-         |          <= ${IvfOps.BucketCap})
-         |SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
-         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b2
-         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
-         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
-         |ORDER BY da, db""".stripMargin,
+         |${duckBandPairSql("sim", "da", "db", 6)}""".stripMargin,
 
     "q_dedup_substring" -> {
       // poly over 8 consecutive per-token hashes — TextHash.duckPoly, the

@@ -35,10 +35,14 @@ object TextQueries {
   private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private[graft] val PhoneRe = "[0-9]{7,}"
   // formatted phones (the digit-run rule only catches unbroken runs):
-  // optional +CC, then 3-3-4 groups split by space/dot/dash, area code
-  // optionally parenthesized. Scrubbed BEFORE the digit-run pass.
+  // optional +CC and area code (optionally parenthesized), then 3-4
+  // groups split by space/dot/dash — the whole prefix is optional so a
+  // bare 7-digit local number ("555-0123") scrubs too. Greedy matching
+  // takes the full 3-3-4 form when the prefix is present (leftmost-first
+  // semantics agree between Java regex and RE2). Scrubbed BEFORE the
+  // digit-run pass.
   private[graft] val PhoneFmtRe =
-    "\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
+    "(\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-]))?[0-9]{3}[ .-][0-9]{4}"
   // IPv4 literals; scrubbed before the phone passes so a dotted-quad's
   // octets can never seed a phone-format match spanning trailing digits
   private[graft] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -223,8 +223,13 @@ class Dump1090MicroBatchStream(
           // the EOF path shares the retry budget AND the backoff: a
           // server that accepts then immediately closes would otherwise
           // busy-spin connect/EOF forever (each successful connect used
-          // to reset the budget; only successful DATA now does)
-          if (connectAttemptLimit == 0 || attempts >= connectAttemptLimit) {
+          // to reset the budget; only successful DATA now does).
+          // endRecord may have FAILED the stream (spill-log write) — in
+          // that case skip the backoff so the fatal surfaces immediately
+          // instead of after a pointless reconnect sleep.
+          if (exhausted) {
+            // fatal from endRecord: fall through to the loop exit
+          } else if (connectAttemptLimit == 0 || attempts >= connectAttemptLimit) {
             exhausted = true
           } else {
             try Thread.sleep(connectAttemptDelayMs)
@@ -247,7 +252,9 @@ class Dump1090MicroBatchStream(
           try { if (sock != null) sock.close() } catch { case _: Throwable => }
           in = null
           endRecord(partial)
-          if (attempts >= connectAttemptLimit) {
+          if (exhausted) {
+            // fatal from endRecord (same as the EOF path): no backoff
+          } else if (attempts >= connectAttemptLimit) {
             exhausted = true // P:98-99 quit() after retry budget
           } else {
             try Thread.sleep(connectAttemptDelayMs)

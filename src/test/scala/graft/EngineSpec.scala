@@ -146,17 +146,23 @@ class EngineSpec extends SparkSpec {
       // must scrub FIRST so its octets can't seed a phone-format match
       (6L, s"ping 192.168.1.100 or (555) 123-4567 soon\n$body"),
       // +CC dotted phone format (no unbroken 7-digit run to fall back on)
-      (7L, s"fax +1 555.123.4567 works fine today\n$body")
+      (7L, s"fax +1 555.123.4567 works fine today\n$body"),
+      // bare 7-digit local number: the dash breaks the digit run, so only
+      // the (now optional-prefix) format rule can catch it
+      (8L, s"dial 555-0123 after office hours\n$body")
     ).toDF("doc_id", "text")
     val out = graft.operators.TextQueries.clean(docs)
       .orderBy("doc_id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L, 7L), out.mkString("|"))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L, 7L, 8L), out.mkString("|"))
     val d6 = out(3)
     assert(d6.getString(1).startsWith("ping <IP> or <PHONE> soon\n"), d6.getString(1))
     assert(!d6.getString(1).contains("192.168") && !d6.getString(1).contains("4567"))
     val d7 = out(4)
     assert(d7.getString(1).startsWith("fax <PHONE> works fine today\n"), d7.getString(1))
     assert(!d7.getString(1).contains("555"))
+    val d8 = out(5)
+    assert(d8.getString(1).startsWith("dial <PHONE> after office hours\n"), d8.getString(1))
+    assert(!d8.getString(1).contains("0123"))
     val d1 = out(0)
     assert(d1.getString(1).startsWith("contact <EMAIL> or call <PHONE> now\n"),
       d1.getString(1))

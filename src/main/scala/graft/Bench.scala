@@ -1,9 +1,79 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Self-attributing benchmark runner.
+  *
+  * Two consecutive driver samples (rounds 8–9) landed far outside the 2×
+  * gate on queries whose code had not changed, while same-day local runs
+  * were in-band — and the old one-sample wall-clock-only record could not
+  * distinguish host steal from a real regression or a cache eviction. This
+  * version makes every alternative provable from the artifact alone:
+  *
+  *  - each query runs N≥3 times (SPARK_GRAFT_BENCH_N, default 3); the
+  *    per-query record keeps every wall time AND the process-CPU time of
+  *    every run. Host steal has a signature — wall inflates while CPU stays
+  *    flat (the work is constant; the host just schedules it thinner) — a
+  *    real regression inflates both together.
+  *  - the headline value is the sum of per-query MINIMA (the repo's
+  *    measurement doctrine; a minimum is the run least polluted by
+  *    external noise) plus the one-time index builds, so everything is
+  *    still counted exactly once.
+  *  - the shared shingle-index layers build as NAMED phases before the
+  *    sweep (raw/capped/pairs/clusters — DedupQueries.indexPhases), so the
+  *    first dedup consumer's number is query-only cost and a 60-second
+  *    "q_dedup_cluster" can never again hide an unattributed index build.
+  *  - cached-block residency is recorded at the end (numCachedPartitions
+  *    vs numPartitions per persisted RDD): if the driver environment
+  *    evicted the index layers mid-run, the artifact says so.
+  *  - a query that THROWS records an "err" message, never a timing — the
+  *    old `catch → -1L` silently graded a broken query as fast.
+  *
+  * Stdout stays ONE parseable JSON line (the driver's capture contract),
+  * with per-query minima in "queries"; the durable target/bench.json
+  * carries the full per-run detail. The line is re-emitted after
+  * spark.stop() because shutdown chatter has clipped the first copy in
+  * transit twice (BENCH_r07/r08).
+  */
 object Bench {
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  // Locale.ROOT pins the '.' decimal separator — the f interpolator uses
+  // the default locale, which on comma-decimal machines emits invalid JSON
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private def cpuNanos: Long = osBean.getProcessCpuTime
+
+  /** One measured run: (wall seconds, process-CPU seconds). */
+  private def timed(f: () => Long): (Double, Double, Long) = {
+    val c0 = cpuNanos; val t0 = System.nanoTime()
+    val rows = f()
+    ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, rows)
+  }
+
+  private final case class QRec(name: String, wall: Seq[Double],
+                                cpu: Seq[Double], rows: Long, err: Option[String]) {
+    def min: Double = if (wall.isEmpty) 0.0 else wall.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,15 +93,17 @@ object Bench {
       spark.stop()
       sys.exit(2)
     }
+    val benchWall0 = System.nanoTime(); val benchCpu0 = cpuNanos
     // warmup: absorb session/codegen/parquet-reader startup AND the
     // lambda-interpreter/codegen JIT of the heavy query shapes, by running
     // them once at sf0.001 (a different dir — measured ~2.5 s of pure JIT
     // otherwise lands on whichever heavy query runs first). The per-dir
-    // work at the MEASURED scale stays charged to the measured queries:
-    // the shingle-index cache holds one dir per session, so the sf0.001
-    // warmup index is evicted and sf0.1's builds inside the timed run.
-    // A filtered run (args non-empty) warms ONLY the requested keys —
-    // iterating on one query must not pay the other 17 warm shapes.
+    // work at the MEASURED scale stays charged to the measured phases/
+    // queries: the shingle-index cache holds one dir per session, so the
+    // sf0.001 warmup index is evicted and sf0.1's builds in the timed
+    // phase sweep. A filtered run (args non-empty) warms ONLY the
+    // requested keys — iterating on one query must not pay the other
+    // warm shapes.
     val warmDir = "/root/testdata/sf0.001"
     try {
       if (args.isEmpty) {
@@ -54,41 +126,112 @@ object Bench {
         System.err.println(s"[bench] warmup failed (warm numbers will " +
           s"include JIT/build costs): $t")
     }
-    // sorted key order: deterministic run order, so one-time costs (the
-    // shared shingle index) land on the same query every run instead of
-    // whichever key Map iteration happens to yield first. Optional args
-    // restrict the run to the named keys (local iteration on one query);
-    // the driver passes none and gets the full suite.
+    // one-time index builds as NAMED phases (full-suite mode only): each
+    // forces one shingle memo layer at the measured dir, so the dedup
+    // family's per-query numbers below are query-only cost. N=1 by
+    // nature — a memoized build only happens once per session.
+    val phases: Seq[(String, Double, Double, Option[String])] =
+      if (args.nonEmpty) Seq.empty
+      else operators.DedupQueries.indexPhases(spark, sfDir).map {
+        case (name, f) =>
+          try { val (w, c, _) = timed(f); (name, w, c, None) }
+          catch { case t: Throwable =>
+            (name, 0.0, 0.0, Some(t.toString.take(300))) }
+      }
+    // sorted key order: deterministic run order, so residual one-time
+    // costs land on the same query every run instead of whichever key Map
+    // iteration happens to yield first. Optional args restrict the run to
+    // the named keys (local iteration); the driver passes none and gets
+    // the full suite. Runs are consecutive per query (q,q,q — not three
+    // suite passes) so run 1 absorbs any per-query warm-in and the min is
+    // the steady-state cost.
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
-    val results = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[QRec] = SparkEntry.queries.toSeq
+      .filter(kv => keep(kv._1)).sortBy(_._1).map { case (name, fn) =>
+        var err: Option[String] = None
+        val walls = Seq.newBuilder[Double]
+        val cpusS = Seq.newBuilder[Double]
+        var rows = -1L
+        var i = 0
+        while (i < nRuns && err.isEmpty) {
+          try {
+            val (w, c, n) = timed(() => fn(spark, sfDir).count())
+            walls += w; cpusS += c; rows = n
+          } catch {
+            // record the failure, never a timing — and stop repeating a
+            // query that throws (its record is the error, not a number)
+            case t: Throwable => err = Some(t.toString.take(300))
+          }
+          i += 1
+        }
+        QRec(name, walls.result(), cpusS.result(), rows, err)
+      }
+    val benchWall = (System.nanoTime() - benchWall0) / 1e9
+    val benchCpu = (cpuNanos - benchCpu0) / 1e9
+    // cached-block residency: a partially-cached persisted RDD means the
+    // storage layer evicted under pressure and consumers recomputed — the
+    // r9 adjudication gap ("steal or eviction?") answered from the record
+    val storage = spark.sparkContext.getRDDStorageInfo.toSeq.map { i =>
+      // a cached DataFrame's RDD "name" is the whole physical plan dump —
+      // the residency record needs an identifier, not 2 KB of plan text
+      (Option(i.name).getOrElse("").takeWhile(_ != '\n').take(120),
+        i.numPartitions, i.numCachedPartitions, i.memSize, i.diskSize)
     }
-    // ms precision keeps the single JSON line compact enough to survive
-    // output-tail capture downstream (73 full-precision doubles pushed
-    // the line past typical tail buffers and it arrived unparseable);
-    // Locale.ROOT pins the '.' decimal separator — the f interpolator
-    // uses the default locale, which on comma-decimal machines would
-    // emit invalid JSON
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val partial = storage.count(s => s._3 > 0 && s._3 < s._2)
+    val loadAvg = osBean.getSystemLoadAverage
+
+    val ok = results.filter(_.err.isEmpty)
+    val failed = results.filter(_.err.isDefined)
+    val phasesTotal = phases.map(_._2).sum
+    val total = ok.map(_.min).sum + phasesTotal
+    val qs = ok.map(r => "\"" + r.name + "\":" + r3(r.min))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val phJson = phases.map { case (n, w, _, e) =>
+      "\"" + n + "\":" + e.fold(r3(w))(m => "\"err:" + esc(m) + "\"")
+    }.mkString("{", ",", "}")
+    val errJson = failed.map(r =>
+      "\"" + r.name + "\":\"" + esc(r.err.get) + "\"").mkString("{", ",", "}")
+    // the compact driver line: per-query minima + enough whole-run truth
+    // (wall vs CPU, residency, load) to adjudicate a blown sample without
+    // the detail file
+    val line = new StringBuilder
+    line.append(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""")
+      .append(s""","queries":$qs,"phases":$phJson""")
+    if (failed.nonEmpty) line.append(s""","errors":$errJson""")
+    line.append(s""","n_runs":$nRuns,"bench_wall_sec":${r3(benchWall)}""")
+      .append(s""","bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)}""")
+      .append(s""","cached_rdds":${storage.size},"partially_cached":$partial""")
+      .append(s""","sf":"$sfDir"}""")
+    val json = line.toString
     println(json)
-    // the stdout line is the driver's primary capture, but it has been
-    // truncated in transit before (BENCH_r07.json lost its head) — also
-    // persist the record to a file so the per-query numbers survive
+    // durable full-detail record: every run's wall AND cpu per query (the
+    // steal-vs-regression evidence), phase timings, storage residency
+    val detail = new StringBuilder
+    detail.append("{\n")
+      .append(s""" "metric":"total","value":${r3(total)},"unit":"sec",""")
+      .append(s""""sf":"$sfDir","n_runs":$nRuns,"cpus":$cpus,""").append("\n")
+      .append(s""" "bench_wall_sec":${r3(benchWall)},"bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)},""").append("\n")
+      .append(s""" "phases":{""").append("\n")
+    detail.append(phases.map { case (n, w, c, e) =>
+      s"""  "$n":{"wall":${r3(w)},"cpu":${r3(c)}""" +
+        e.fold("")(m => s""","err":"${esc(m)}"""") + "}"
+    }.mkString(",\n")).append("\n },\n \"queries\":{\n")
+    detail.append(results.map { r =>
+      val runs = r.wall.map(r3).mkString("[", ",", "]")
+      val cpuA = r.cpu.map(r3).mkString("[", ",", "]")
+      s"""  "${r.name}":{"min":${r3(r.min)},"runs":$runs,"cpu":$cpuA,""" +
+        s""""rows":${r.rows},"err":${r.err.fold("null")(m => "\"" + esc(m) + "\"")}}"""
+    }.mkString(",\n")).append("\n },\n \"storage\":[\n")
+    detail.append(storage.map { case (n, np, nc, mem, disk) =>
+      s"""  {"name":"${esc(n)}","partitions":$np,"cached":$nc,""" +
+        s""""mem_bytes":$mem,"disk_bytes":$disk}"""
+    }.mkString(",\n")).append("\n ]\n}\n")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        detail.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
     } catch {
       case t: Throwable => System.err.println(s"[bench] file write failed: $t")

@@ -43,6 +43,25 @@ object Tables {
         size() > MaxSessions
     }
 
+  /** Sanctioned escape hatch from the "fixture dirs are immutable"
+    * convention the memo rests on: any test or tool that REWRITES a
+    * parquet dir at a path a live session already read MUST invalidate
+    * that path (or [[clear]] the session) before reading again —
+    * otherwise the memoized file-index snapshot silently serves stale
+    * listings (wrong rows, or FileNotFoundException for compacted files)
+    * with no error pointing here. `path` is the full parquet path as
+    * [[t]] builds it: `"$dir/$name.parquet"`.
+    */
+  private[graft] def invalidate(spark: SparkSession, path: String): Unit =
+    readers.synchronized {
+      val per = readers.get(spark)
+      if (per != null) per.remove(path)
+    }
+
+  /** Drop every memoized reader of `spark` (see [[invalidate]]). */
+  private[graft] def clear(spark: SparkSession): Unit =
+    readers.synchronized { readers.remove(spark); () }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = readers.synchronized {
       var m = readers.get(spark)

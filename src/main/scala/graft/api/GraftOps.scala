@@ -269,7 +269,9 @@ object GraftOps {
     * weight maps summing past [[MixWeightScale]] are first rescaled to
     * proportions over it (±0.5/[[MixWeightScale]] of total weight per
     * share; shares under 1/[[MixWeightScale]] clamp UP to the floor of
-    * 1 rather than dropping the source). Post-rescale W ≤
+    * 1 rather than dropping the source — more than [[MaxSilentClamps]]
+    * such clamps logs a warning, because a long clamped tail inflates
+    * collectively past the rounding bound). Post-rescale W ≤
     * [[MixWeightScale]] + #sources, which keeps the math exact past
     * 9·10⁹ docs in any one source — a uniform 10 KB-doc corpus reaches
     * that only with ~90 TB in a single mixture component; shrink
@@ -285,9 +287,23 @@ object GraftOps {
     val wsumRaw = weights.values.map(BigInt(_)).sum
     val scaled: Map[String, Long] =
       if (wsumRaw <= MixWeightScale) weights
-      else weights.map { case (s, w) =>
-        s -> ((BigInt(w) * MixWeightScale + wsumRaw / 2) / wsumRaw)
-          .toLong.max(1L) }
+      else {
+        val rounded = weights.map { case (s, w) =>
+          s -> ((BigInt(w) * MixWeightScale + wsumRaw / 2) / wsumRaw).toLong }
+        // a handful of clamp-ups sit inside the documented ±0.5/scale
+        // rounding bound, but a LONG tail of sub-floor sources (thousands
+        // of per-domain byte counts) each grabs a full 1/scale share it
+        // wasn't owed — collectively well past the bound. That distortion
+        // must be visible, not silent.
+        val clamped = rounded.count(_._2 < 1L)
+        if (clamped > MaxSilentClamps)
+          log.warn(s"mixCorpus: $clamped of ${weights.size} sources fall " +
+            s"under 1/$MixWeightScale of total weight and were clamped up " +
+            s"to the floor — the tail's collective share is inflated by up " +
+            s"to ~$clamped/$MixWeightScale of the mixture. Group tail " +
+            s"sources (or pre-drop them) for exact proportions.")
+        rounded.map { case (s, w) => s -> w.max(1L) }
+      }
     val wTab = scaled.toSeq.toDF(sourceCol, "__w")
     val wsum = scaled.values.sum
     // per-source counts over the listed sources only (sources-sized,
@@ -317,6 +333,12 @@ object GraftOps {
     * overflow-envelope scaladoc for the precision/scale trade).
     */
   private[graft] val MixWeightScale = 1000L
+
+  /** How many clamped-up tail sources mixCorpus tolerates silently; past
+    * this the collective inflation (≈ clamped/[[MixWeightScale]]) exceeds
+    * the per-share rounding bound and a warning is logged.
+    */
+  private[graft] val MaxSilentClamps = 4
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

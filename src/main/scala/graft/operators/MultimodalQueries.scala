@@ -335,19 +335,7 @@ object MultimodalQueries {
          |            for k in range(0, 60)], 'sum') AS simhash
          |  FROM (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s
          |        FROM g)),
-         |banded0 AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
-         |  FROM ph, unnest([0,1,2,3]) AS u(b)),
-         |banded AS (
-         |  SELECT doc_id, simhash, b, bsig FROM banded0
-         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
-         |          <= ${IvfOps.BucketCap})
-         |SELECT DISTINCT a.doc_id AS ma, b2.doc_id AS mb,
-         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b2
-         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
-         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $PhashMaxHamming
-         |ORDER BY ma, mb""".stripMargin,
+         |${DedupQueries.duckBandPairSql("ph", "ma", "mb", PhashMaxHamming)}""".stripMargin,
 
     // Mirror of encodeMedia∘afp60 from the source bytes: the WAV sample
     // stream is byte(i mod len)·257 − 32768 over n = min(4096, len)
@@ -384,18 +372,6 @@ object MultimodalQueries {
          |                 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
          |            for k in range(0, 60)], 'sum') AS simhash
          |  FROM fr),
-         |banded0 AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
-         |  FROM ph, unnest([0,1,2,3]) AS u(b)),
-         |banded AS (
-         |  SELECT doc_id, simhash, b, bsig FROM banded0
-         |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
-         |          <= ${IvfOps.BucketCap})
-         |SELECT DISTINCT a.doc_id AS ma, b2.doc_id AS mb,
-         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b2
-         |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
-         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $PhashMaxHamming
-         |ORDER BY ma, mb""".stripMargin
+         |${DedupQueries.duckBandPairSql("ph", "ma", "mb", PhashMaxHamming)}""".stripMargin
   )
 }

@@ -35,14 +35,27 @@ object TextQueries {
   private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private[graft] val PhoneRe = "[0-9]{7,}"
   // formatted phones (the digit-run rule only catches unbroken runs):
-  // optional +CC and area code (optionally parenthesized), then 3-4
-  // groups split by space/dot/dash — the whole prefix is optional so a
-  // bare 7-digit local number ("555-0123") scrubs too. Greedy matching
-  // takes the full 3-3-4 form when the prefix is present (leftmost-first
-  // semantics agree between Java regex and RE2). Scrubbed BEFORE the
-  // digit-run pass.
+  // two alternatives inside non-digit context anchors —
+  //  * prefixed: optional +CC, REQUIRED area code (optionally
+  //    parenthesized), then 3-4 split by space/dot/dash;
+  //  * bare 7-digit local ("555-0123"): space/dash separator ONLY — a
+  //    dotted 3-4 with no prefix is indistinguishable from a decimal
+  //    ("123.4567"), so the dotted spelling requires the area code.
+  // The (^|[^0-9.]) / ($|[^0-9.]) context groups (RE2-safe — no
+  // lookarounds) stop the bare form from firing inside longer numerics
+  // ("2020-2024", "3.1234567"); the replacement restores them via group
+  // refs ($1/$7 in Java, \1/\7 in RE2 — leftmost-first alternation
+  // semantics agree between the engines). Scrubbed BEFORE the digit-run
+  // pass. Known residual: two phones separated by a single char share
+  // one context char, so the second escapes this pass (its digit run
+  // still hits PhoneRe when unbroken).
   private[graft] val PhoneFmtRe =
-    "(\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-]))?[0-9]{3}[ .-][0-9]{4}"
+    "(^|[^0-9.])" +
+      "((\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4})" +
+      "|([0-9]{3}[- ][0-9]{4}))" +
+      "($|[^0-9.])"
+  private[graft] val PhoneFmtReplSpark = "$1<PHONE>$7"
+  private[graft] val PhoneFmtReplDuck = "\\1<PHONE>\\7"
   // IPv4 literals; scrubbed before the phone passes so a dotted-quad's
   // octets can never seed a phone-format match spanning trailing digits
   private[graft] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
@@ -136,7 +149,7 @@ object TextQueries {
           regexp_replace(
             regexp_replace(l, lit(EmailRe), lit("<EMAIL>")),
             lit(IpRe), lit("<IP>")),
-          lit(PhoneFmtRe), lit("<PHONE>")),
+          lit(PhoneFmtRe), lit(PhoneFmtReplSpark)),
         lit(PhoneRe), lit("<PHONE>"))
     val isBoiler = (l: Column) =>
       CleanBoilerplate.foldLeft(lit(false))(
@@ -555,7 +568,7 @@ object TextQueries {
          |                      regexp_replace(
          |                        regexp_replace(l, '$EmailRe', '<EMAIL>', 'g'),
          |                        '$IpRe', '<IP>', 'g'),
-         |                      '$PhoneFmtRe', '<PHONE>', 'g'),
+         |                      '$PhoneFmtRe', '$PhoneFmtReplDuck', 'g'),
          |                    '$PhoneRe', '<PHONE>', 'g')),
          |           l -> len(string_split(l, ' ')) >= $CleanMinLineTokens
          |                AND NOT ($markers)) AS kept

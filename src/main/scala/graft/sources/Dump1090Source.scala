@@ -186,16 +186,19 @@ class Dump1090MicroBatchStream(
     // ... and a disconnect also ENDS any in-flight record: the next
     // connection's first line is a NEW message, and text-level
     // concatenation would corrupt it with the truncated tail of the old
-    // one. Frame the (possibly truncated) partial as its own record —
-    // it is already damaged goods, and the 22-field validity predicate
-    // downstream quarantines it — so each connection starts clean.
-    // frame() can touch the spill log; a durability failure here must
-    // fail the stream (not kill the reader thread silently), including
-    // when called from inside the IOException handler where the outer
-    // catch no longer applies.
+    // one. Frame the (possibly truncated) partial as its own record,
+    // TAGGED with Sbs1.TruncationTag — arity alone is a leaky quarantine
+    // (a cut mid-last-field can leave exactly 22 fields and a silently
+    // corrupted value; the reference discards the partial outright) — so
+    // each connection starts clean and a truncation can never pass as a
+    // valid message. frame() can touch the spill log; a durability
+    // failure here must fail the stream (not kill the reader thread
+    // silently), including when called from inside the IOException
+    // handler where the outer catch no longer applies.
     def endRecord(partial: StringBuilder): Unit = {
       flushCarry(partial)
       if (partial.nonEmpty) {
+        partial.append(Sbs1.TruncationTag)
         partial.append('\n')
         try frame(partial)
         catch {

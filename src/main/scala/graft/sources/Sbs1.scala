@@ -98,8 +98,23 @@ object Sbs1 {
     to_timestamp(concat_ws(" ", col("generated_date"), col("generated_time")),
                  "yyyy/MM/dd HH:mm:ss.SSS").as("event_time")
 
-  /** Validity predicate — exactly 22 fields (P:137). */
-  def isValid(raw: Column): Column = size(split(raw, ",", -1)) === 22
+  /** Tag appended by the socket source to a record it framed from a
+    * DISCONNECT-truncated partial (U+001A SUBSTITUTE — the control char
+    * whose meaning is precisely "data here was corrupted"; it cannot occur
+    * in the ASCII SBS-1 wire format). The 22-field arity check alone is a
+    * leaky quarantine: a line cut mid-last-field can still hold exactly 21
+    * commas and would pass with a silently corrupted final field value —
+    * the tag makes truncation unforgeable regardless of where the cut
+    * landed. (The driver fixtures contain complete lines only, so the
+    * oracle's untagged read is unaffected.)
+    */
+  val TruncationTag = '\u001A'
+
+  /** Validity predicate — exactly 22 fields (P:137) and not
+    * disconnect-truncated (see [[TruncationTag]]).
+    */
+  def isValid(raw: Column): Column =
+    size(split(raw, ",", -1)) === 22 && !raw.contains(TruncationTag.toString)
 
   /** Batch/stream parse of a lines DataFrame (column `value`, as produced
     * by text/socket sources). Keeps only valid lines; appends parsed_time

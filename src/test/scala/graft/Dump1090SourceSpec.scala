@@ -162,9 +162,14 @@ class Dump1090SourceSpec extends SparkSpec {
           graft.sources.LineOffset(0), graft.sources.LineOffset(latest()))
         .flatMap(_.asInstanceOf[graft.sources.Dump1090Partition].rows)
       assert(got.head == "LINE1")
-      // record 2: conn 1's truncated tail alone — replacement chars only
+      // record 2: conn 1's truncated tail alone — replacement chars plus
+      // the truncation tag (the unforgeable "this record was cut by a
+      // disconnect" marker the validity predicate rejects on)
       assert(!got(1).contains("日"), s"stale bytes fused across reconnect: ${got(1)}")
-      assert(got(1).forall(_ == '�'), s"truncated record not isolated: ${got(1)}")
+      assert(got(1).last == graft.sources.Sbs1.TruncationTag,
+        s"truncated record not tagged: ${got(1)}")
+      assert(got(1).dropRight(1).forall(_ == '�'),
+        s"truncated record not isolated: ${got(1)}")
       // record 3: conn 2's first message, uncontaminated by conn 1
       assert(got(2).endsWith("X") && !got(2).contains("日"), got(2))
       stream.stop()

@@ -148,12 +148,17 @@ class EngineSpec extends SparkSpec {
       // +CC dotted phone format (no unbroken 7-digit run to fall back on)
       (7L, s"fax +1 555.123.4567 works fine today\n$body"),
       // bare 7-digit local number: the dash breaks the digit run, so only
-      // the (now optional-prefix) format rule can catch it
-      (8L, s"dial 555-0123 after office hours\n$body")
+      // the bare-form format rule can catch it
+      (8L, s"dial 555-0123 after office hours\n$body"),
+      // NON-phones that lexically brush the 3-sep-4 shape: a year range
+      // (digit context blocks the bare form) and a decimal (dotted 3-4
+      // requires an area-code prefix) — both must survive the scrub
+      // untouched (runs past 6 digits are still PhoneRe's business)
+      (9L, s"years 2020-2024 saw pi near 123.4567 last week\n$body")
     ).toDF("doc_id", "text")
     val out = graft.operators.TextQueries.clean(docs)
       .orderBy("doc_id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L, 7L, 8L), out.mkString("|"))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L), out.mkString("|"))
     val d6 = out(3)
     assert(d6.getString(1).startsWith("ping <IP> or <PHONE> soon\n"), d6.getString(1))
     assert(!d6.getString(1).contains("192.168") && !d6.getString(1).contains("4567"))
@@ -163,6 +168,9 @@ class EngineSpec extends SparkSpec {
     val d8 = out(5)
     assert(d8.getString(1).startsWith("dial <PHONE> after office hours\n"), d8.getString(1))
     assert(!d8.getString(1).contains("0123"))
+    val d9 = out(6)
+    assert(d9.getString(1).startsWith(
+      "years 2020-2024 saw pi near 123.4567 last week\n"), d9.getString(1))
     val d1 = out(0)
     assert(d1.getString(1).startsWith("contact <EMAIL> or call <PHONE> now\n"),
       d1.getString(1))

@@ -42,6 +42,19 @@ class Sbs1ParserSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("a disconnect-truncated line with 22 fields by coincidence is " +
+       "still rejected (TruncationTag beats the arity check)") {
+    // cut posLine mid-last-field: still 21 commas, so arity alone would
+    // accept it with is_on_ground silently truncated — the source's tag
+    // makes the quarantine unforgeable
+    val truncated = posLine.dropRight(1) + Sbs1.TruncationTag
+    assert(truncated.count(_ == ',') == 21)
+    assert(parse(truncated).count() == 0)
+    val corrupt = Sbs1.parsePermissive(Seq(truncated).toDF("value"))
+      .filter(col("corrupt_record").isNotNull).collect()
+    assert(corrupt.length == 1) // permissive mode quarantines, not drops
+  }
+
   test("malformed numeric fields null out instead of failing (ANSI-safe)") {
     val bad = posLine.replace("37000", "not_a_number")
     val r = parse(bad).first()

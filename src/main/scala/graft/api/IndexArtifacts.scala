@@ -143,4 +143,64 @@ object IndexArtifacts {
     s.catalog.refreshTable(table)
     s.table(table)
   }
+
+  /** Write a perceptual-fingerprint index — the multimodal twin of
+    * [[persistShingleIndex]]. `fp` is a (doc_id, simhash) table of 60-bit
+    * fingerprints (image ahash60, audio afp60, or the text simhash — the
+    * band machinery is shared); the PERSISTED shape is the 4×15-bit band
+    * expansion (doc_id, simhash, b, bsig), bucketed + sorted on `bsig`,
+    * so every read-side stage of candidate generation — the replay-dedup
+    * distinct, the per-bucket cap window, the bucket aggregation feeding
+    * pair expansion — satisfies its clustering straight from the layout
+    * and plans with ZERO Exchange nodes (bsig is a subset of each stage's
+    * keys; IndexArtifactsSpec pins this).
+    *
+    * Persisting the BANDED rows (not the raw fingerprints) is what buys
+    * the exchange-free read: banding is a pure per-row function of the
+    * fingerprint, so appended band rows equal a rebuild's exactly, while
+    * the bucket cap — which ranks against GLOBAL bucket membership —
+    * stays at read time ([[pairsFromFingerprintIndex]]), the same
+    * cap-at-read doctrine as the shingle DfCap. Keep image and audio
+    * fingerprints in SEPARATE tables: the band join is modality-blind,
+    * and a mixed table would surface spurious cross-modal pairs.
+    */
+  def persistFingerprintIndex(s: SparkSession, fp: DataFrame, table: String,
+                              buckets: Int = 16): Unit =
+    BucketedLayout.writeBucketed(
+      DedupQueries.bandedFingerprints(fp), table, "bsig", buckets)
+
+  /** Incremental maintenance: band a batch of NEW (doc_id, simhash)
+    * fingerprints (e.g. one streamed micro-batch, already decoded +
+    * hashed map-side) and append, preserving the layout. Only the batch
+    * is banded — no corpus re-fingerprint, closing the gap where a
+    * streamed media corpus had to rebuild its perceptual index from
+    * scratch while the text shingle index appended. A replayed batch
+    * (foreachBatch is at-least-once) is harmless: the reader distincts
+    * the exact-duplicate band rows exchange-free before pairing.
+    */
+  def appendFingerprintIndex(s: SparkSession, newFp: DataFrame, table: String,
+                             buckets: Int = 16): Unit =
+    BucketedLayout.appendBucketed(
+      DedupQueries.bandedFingerprints(newFp), table, "bsig", buckets)
+
+  /** The persisted banded fingerprints, bucket layout intact (relation
+    * cache refreshed — see [[shingleIndex]]).
+    */
+  def fingerprintIndex(s: SparkSession, table: String): DataFrame = {
+    s.catalog.refreshTable(table)
+    s.table(table)
+  }
+
+  /** Near-dup candidate pairs (da, db, hamming ≤ `maxHamming`) over a
+    * PERSISTED fingerprint index: distinct (replay guard) → per-bucket
+    * cap → in-bucket expansion, all riding the bucket layout with zero
+    * Exchange — no re-decode, no re-fingerprint, no rebuild. Equals
+    * `simhashBandPairs(fp).filter(hamming ≤ maxHamming)` over the union
+    * of everything persisted + appended (IndexArtifactsSpec).
+    */
+  def pairsFromFingerprintIndex(s: SparkSession, table: String,
+      maxHamming: Int = graft.operators.MultimodalQueries.PhashMaxHamming)
+      : DataFrame =
+    DedupQueries.bandPairsFromBanded(fingerprintIndex(s, table).distinct())
+      .filter(col("hamming") <= maxHamming)
 }

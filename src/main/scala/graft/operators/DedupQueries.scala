@@ -114,10 +114,34 @@ object DedupQueries {
     * oracle applies the same QUALIFY row_number cap.
     */
   private[graft] def simhashBandPairs(
-      sim: DataFrame, cap: Int = IvfOps.BucketCap): DataFrame = {
-    val banded = sim.select(col("doc_id"), col("simhash"),
+      sim: DataFrame, cap: Int = IvfOps.BucketCap): DataFrame =
+    bandPairsFromBanded(bandedFingerprints(sim), cap)
+
+  /** The 4×15-bit band expansion of a (doc_id, simhash) fingerprint
+    * table → (doc_id, simhash, b, bsig). Split out of
+    * [[simhashBandPairs]] because this is also the PERSISTED shape of
+    * the perceptual index (graft.api.IndexArtifacts): banding is a pure
+    * per-row function of the fingerprint, so appended band rows are
+    * exactly the band rows a full rebuild would produce — the property
+    * that makes incremental maintenance sound. The cap stays at read
+    * time ([[bandPairsFromBanded]]) for the same reason the shingle
+    * DfCap does: a per-batch cap ranks against batch-local bucket
+    * membership, not the global one.
+    */
+  private[graft] def bandedFingerprints(sim: DataFrame): DataFrame =
+    sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bsig", expr("(simhash >> (15 * b)) & 32767"))
+
+  /** Cap + in-bucket pair expansion over an already-banded table (see
+    * [[simhashBandPairs]] for the rationale of each guard). On a table
+    * bucketed on `bsig` the cap window, the bucket aggregation, and a
+    * replay-dedup distinct all satisfy their clustering from the layout
+    * (bsig ⊆ every grouping key here) — zero Exchange nodes
+    * (IndexArtifactsSpec pins this).
+    */
+  private[graft] def bandPairsFromBanded(
+      banded: DataFrame, cap: Int = IvfOps.BucketCap): DataFrame = {
     val byBucket = Window.partitionBy("b", "bsig").orderBy("doc_id")
     val buckets = banded
       .withColumn("__brn", row_number().over(byBucket))

@@ -154,4 +154,40 @@ object StreamingOps {
       .trigger(trigger)
       .start()
   }
+
+  /** Incremental PERCEPTUAL-index maintenance — [[maintainShingleIndex]]'s
+    * multimodal twin: each micro-batch of (media_id, container) rows is
+    * decoded + fingerprinted MAP-SIDE (ahash60 for `modality = "image"`,
+    * afp60 for `"audio"` — containers of the other modality drop at the
+    * magic sniff, so one mixed stream can feed two maintenance queries
+    * writing two tables) and the banded fingerprints are APPENDED into the
+    * persisted bucketed artifact. A streamed media corpus is then
+    * near-dup-searchable via `IndexArtifacts.pairsFromFingerprintIndex`
+    * without ever re-decoding or re-fingerprinting what already landed —
+    * only the batch pays codec + hash cost. At-least-once replays are
+    * safe: the artifact reader distincts exact-duplicate band rows
+    * exchange-free before pairing.
+    */
+  def maintainFingerprintIndex(containers: DataFrame, table: String,
+                               checkpoint: String, modality: String = "image",
+                               buckets: Int = 16,
+                               trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    import graft.operators.MultimodalQueries
+    val fingerprint: DataFrame => DataFrame = modality match {
+      case "image" => b => MultimodalQueries.phashMedia(b)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      case "audio" => b => MultimodalQueries.afpMedia(b)
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash"))
+      case other => throw new IllegalArgumentException(
+        s"modality must be \"image\" or \"audio\", got \"$other\"")
+    }
+    val append: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.api.IndexArtifacts.appendFingerprintIndex(
+        batch.sparkSession, fingerprint(batch), table, buckets)
+    containers.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -91,6 +91,92 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(pairShared() == shared, "replayed append inflated shared counts")
   }
 
+  test("fingerprint index: appends equal a rebuild, pairs match the live " +
+       "band join, and the banded layout plans pair generation exchange-free") {
+    import spark.implicits._
+    dropTable("g_fp_idx")
+    val mm = graft.operators.MultimodalQueries
+    // real image fingerprints from the fixture corpus, plus an injected
+    // twin of the smallest doc's fingerprint under a fresh id — sf0.001
+    // may hold no natural near-dup images, and the spec needs ≥1 pair
+    val real = mm.phashMedia(mm.encodeMedia(mm.media(spark, sf)))
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val seed = real.orderBy("doc_id").limit(1).collect()(0)
+    val (seedId, seedFp) = (seed.getLong(0), seed.getLong(1))
+    val twin = Seq((900001L, seedFp)).toDF("doc_id", "simhash")
+    val fp = real.union(twin)
+    // build from the evens, append odds + twin: the read path must see
+    // one table indistinguishable from a single-shot build
+    IndexArtifacts.persistFingerprintIndex(
+      spark, fp.filter($"doc_id" % 2 === 0), "g_fp_idx", buckets = 4)
+    IndexArtifacts.appendFingerprintIndex(
+      spark, fp.filter($"doc_id" % 2 =!= 0), "g_fp_idx", buckets = 4)
+    def artifactPairs(): Seq[(Long, Long, Long)] =
+      IndexArtifacts.pairsFromFingerprintIndex(spark, "g_fp_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val live = DedupQueries.simhashBandPairs(fp)
+      .filter(col("hamming") <= mm.PhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val got = artifactPairs()
+    assert(got.contains((seedId, 900001L, 0L)), got.take(5).toString)
+    assert(got == live)
+    // at-least-once replay of the appended half must not change pairs:
+    // the reader distincts exact-duplicate band rows before pairing
+    IndexArtifacts.appendFingerprintIndex(
+      spark, fp.filter($"doc_id" % 2 =!= 0), "g_fp_idx", buckets = 4)
+    assert(artifactPairs() == live, "replayed append changed the pair set")
+    // the index-side read path — replay distinct, cap window, bucket
+    // aggregation — satisfies its clustering from the bsig bucket layout:
+    // the ONLY Exchange in the final plan is the pair-level cross-band
+    // dedup on (da, db, hamming), which is keyed otherwise and must
+    // shuffle (pair-sized, not index-sized)
+    val pairs = IndexArtifacts.pairsFromFingerprintIndex(spark, "g_fp_idx")
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.length == 1, finalPlan)
+    assert(exchanges.head.contains("da"), exchanges.head)
+    assert(finalPlan.contains("Bucketed: true"), finalPlan)
+  }
+
+  test("maintainFingerprintIndex: a streamed container batch becomes " +
+       "near-dup-searchable with no corpus re-fingerprint") {
+    import spark.implicits._
+    dropTable("g_fp_inc")
+    val mm = graft.operators.MultimodalQueries
+    val containers = mm.encodeMedia(mm.media(spark, sf))
+    IndexArtifacts.persistFingerprintIndex(spark,
+      mm.phashMedia(containers)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      "g_fp_inc", buckets = 4)
+    val base = spark.table("g_fp_inc").count()
+    // a twin of an existing IMAGE container arrives on the stream under a
+    // new id (first media row is doc_id 0 ≡ image — but select explicitly)
+    val src = containers.filter(col("media_type") =!= "audio")
+      .orderBy("media_id").limit(1).collect()(0)
+    val (srcId, srcBytes) = (src.getLong(0), src.getAs[Array[Byte]](2))
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val ckpt = java.nio.file.Files.createTempDirectory("fpmaint").toString
+    val q = graft.streaming.StreamingOps.maintainFingerprintIndex(
+      in.toDS().toDF("media_id", "container"), "g_fp_inc", ckpt, buckets = 4)
+    in.addData((900002L, srcBytes))
+    q.processAllAvailable()
+    q.stop()
+    // only the batch was fingerprinted: exactly its 4 band rows landed
+    val grown = IndexArtifacts.fingerprintIndex(spark, "g_fp_inc")
+    assert(grown.filter($"doc_id" === 900002L).count() == 4)
+    assert(grown.count() == base + 4)
+    // the (source, twin) hamming-0 pair is discoverable through the
+    // artifact alone — no re-decode of the sunk corpus
+    val pair = IndexArtifacts.pairsFromFingerprintIndex(spark, "g_fp_inc")
+      .filter($"da" === srcId && $"db" === 900002L).collect()
+    assert(pair.length == 1 && pair(0).getLong(2) == 0L, pair.mkString)
+  }
+
   test("appendIvfAssignment under a frozen model equals re-assigning the union") {
     dropTable("g_ivf_inc")
     val e = Tables.embeddings(spark, sf)

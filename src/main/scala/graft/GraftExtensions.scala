@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, SubwordCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -51,6 +51,13 @@ object GraftExtensions {
           DotProduct(args(0), args(1)),
           Multiply(Sqrt(DotProduct(args(0), args(0))),
                    Sqrt(DotProduct(args(1), args(1)))))
+      }),
+    ("subword_count",
+      info("subword_count",
+        "subword_count(s) - greedy longest-match subword pieces in s"),
+      (args: Seq[Expression]) => {
+        requireArity("subword_count", args, 1)
+        SubwordCount(args(0))
       })
   )
 

@@ -32,17 +32,21 @@ object SamplingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic subword estimate of a token column: ceil(len/4) BPE-ish
-    * pieces per word, as integer arithmetic ((len+3) DIV 4) so both engines
-    * agree bit-for-bit. Real context windows budget by SUBWORDS, not
-    * whitespace words — a long word costs a tokenizer several pieces — and
-    * this charges long words proportionally with no model artifact needed
-    * (the container has no tokenizer; swapping in a real BPE count is a
-    * one-column change).
+  /** Tokenizer-faithful subword count of a token column: the REAL greedy
+    * longest-match subword tokenizer over the fixture piece vocabulary
+    * ([[graft.functions.SubwordTokenizer]] — WordPiece matching rule,
+    * codegen'd native expression), replacing the old ceil(len/4)
+    * estimate. Real context windows budget by SUBWORDS, not whitespace
+    * words; the pieces a word actually splits into depend on the merge
+    * table, and the oracle recomputes the identical tokenization from the
+    * same vocabulary (recursive greedy scan), so the budget columns stay
+    * hash-checked. Tokens are re-joined with the same single-space
+    * separator split() removed — spaces are piece boundaries and cost
+    * nothing, so count(join(ts)) ≡ Σ count(t).
     */
   private def subwords(toks: org.apache.spark.sql.Column) =
-    aggregate(toks, lit(0L),
-      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    graft.functions.expressions.SubwordFunctions.subword_count(
+      concat_ws(" ", toks))
 
   def queries: Map[String, Q] = Map(
     "q_sample_hash" -> ((s, d) => {
@@ -224,30 +228,42 @@ object SamplingQueries {
          |FROM documents
          |GROUP BY 1 ORDER BY split""".stripMargin,
 
+    // the subword budget is the REAL greedy tokenization: distinct words →
+    // recursive greedy scan against the shared piece vocabulary
+    // (SubwordTokenizer.duckWordTokens — ONE definition with the engine) →
+    // per-chunk sums joined back. Empty words scan to 0 pieces.
     "q_chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts,
-        |         len(string_split(text, ' ')) AS len
-        |  FROM documents),
-        |x AS (
-        |  SELECT doc_id, ts, len,
-        |         unnest(range(0, (len - 1) // 40 + 1)) AS i
-        |  FROM t)
-        |SELECT doc_id,
-        |       CAST(i AS BIGINT) AS chunk_id,
-        |       CAST(len(list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)))
-        |            AS BIGINT) AS n_chunk_tokens,
-        |       CAST(strlen(array_to_string(
-        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
-        |            AS BIGINT) AS n_chunk_bytes,
-        |       CAST(list_aggregate(list_transform(
-        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)),
-        |             t -> (length(t) + 3) // 4), 'sum')
-        |            AS BIGINT) AS n_chunk_subwords,
-        |       md5(array_to_string(
-        |             list_slice(ts, i * 40 + 1, least(i * 40 + 50, len)), ' '))
-        |         AS chunk_md5
-        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts,
+         |         len(string_split(text, ' ')) AS len
+         |  FROM documents),
+         |wd AS (SELECT DISTINCT unnest(ts) AS w FROM t),
+         |${graft.functions.SubwordTokenizer.duckWordTokens},
+         |x AS (
+         |  SELECT doc_id, ts, len,
+         |         unnest(range(0, (len - 1) // 40 + 1)) AS i
+         |  FROM t),
+         |xt AS (
+         |  SELECT doc_id, i,
+         |         unnest(list_slice(ts, i * 40 + 1, least(i * 40 + 50, len))) AS w
+         |  FROM x),
+         |cs AS (
+         |  SELECT doc_id, i,
+         |         CAST(coalesce(sum(wtoks), 0) AS BIGINT) AS n_chunk_subwords
+         |  FROM xt LEFT JOIN wc USING (w) GROUP BY doc_id, i)
+         |SELECT x.doc_id,
+         |       CAST(x.i AS BIGINT) AS chunk_id,
+         |       CAST(len(list_slice(ts, x.i * 40 + 1, least(x.i * 40 + 50, len)))
+         |            AS BIGINT) AS n_chunk_tokens,
+         |       CAST(strlen(array_to_string(
+         |             list_slice(ts, x.i * 40 + 1, least(x.i * 40 + 50, len)), ' '))
+         |            AS BIGINT) AS n_chunk_bytes,
+         |       cs.n_chunk_subwords,
+         |       md5(array_to_string(
+         |             list_slice(ts, x.i * 40 + 1, least(x.i * 40 + 50, len)), ' '))
+         |         AS chunk_md5
+         |FROM x JOIN cs ON x.doc_id = cs.doc_id AND x.i = cs.i
+         |ORDER BY x.doc_id, chunk_id""".stripMargin,
 
     "q_sample_quality" ->
       s"""WITH t AS (
@@ -288,25 +304,32 @@ object SamplingQueries {
          |GROUP BY t.source, t.w, t.n, t.thresh_e6
          |ORDER BY t.source""".stripMargin,
 
+    // same tokenizer-faithful budget as q_chunk_docs: per-doc subwords are
+    // the summed greedy piece counts of the doc's words
     "q_pack_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         CAST(list_aggregate(list_transform(string_split(text, ' '),
-        |                x -> (length(x) + 3) // 4), 'sum') AS BIGINT)
-        |           AS n_subwords
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_tokens, n_subwords,
-        |         COALESCE(sum(n_subwords) OVER (
-        |           PARTITION BY source ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS cum_prev
-        |  FROM t)
-        |SELECT source, CAST(floor(cum_prev / 2048) AS BIGINT) AS pack_id,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-        |       CAST(sum(n_subwords) AS BIGINT) AS pack_subwords
-        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+      s"""WITH RECURSIVE dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |wd AS (SELECT DISTINCT w FROM dw),
+         |${graft.functions.SubwordTokenizer.duckWordTokens},
+         |ds AS (
+         |  SELECT doc_id, CAST(coalesce(sum(wtoks), 0) AS BIGINT) AS n_subwords
+         |  FROM dw LEFT JOIN wc USING (w) GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |         ds.n_subwords
+         |  FROM documents d JOIN ds USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, n_subwords,
+         |         COALESCE(sum(n_subwords) OVER (
+         |           PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_prev
+         |  FROM t)
+         |SELECT source, CAST(floor(cum_prev / 2048) AS BIGINT) AS pack_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |       CAST(sum(n_subwords) AS BIGINT) AS pack_subwords
+         |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   )
 }

@@ -203,6 +203,32 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("subword_count: greedy longest-match over the fixture vocabulary") {
+    import spark.implicits._
+    import graft.functions.expressions.SubwordFunctions.subword_count
+    // hand-tokenized pins: "the"→[the]; "theory"→[the|or|y];
+    // "with"→[with] (quad beats nested bigrams); "nation"→[n|at|ion]
+    // (no 'na' piece; longest-match picks 'ion' over 'io');
+    // "xyzzy"→5 singles (nothing matches); non-ASCII code points are one
+    // piece each ("日本 ab"→[日|本|a|b] — no 'ab' piece); runs of spaces
+    // cost nothing; the empty string is zero pieces
+    val got = Seq("the", "theory", "with", "nation", "xyzzy", "日本 ab",
+        "a  b", "")
+      .toDF("s").select(subword_count($"s").as("n")).as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L, 1L, 3L, 5L, 4L, 2L, 0L), got.toSeq)
+    // the SQL surface (GraftExtensions) evaluates the same expression
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT subword_count('the theory')").first().getLong(0) == 4L)
+    // piece coverage bound: every piece spans ≤4 chars, so a real doc's
+    // count is at least ceil(non-space-chars/4) — the old estimate was a
+    // lower bound of the real tokenization, never the other way around
+    val doc = Tables.documents(spark, sf).select($"text").as[String].head()
+    val pieces = graft.functions.SubwordTokenizer
+      .count(org.apache.spark.unsafe.types.UTF8String.fromString(doc))
+    val nonSpace = doc.count(_ != ' ').toLong
+    assert(pieces >= (nonSpace + 3) / 4 && pieces <= nonSpace)
+  }
+
   test("pack/chunk budget invariants hold across the fixture corpus") {
     import spark.implicits._
     // q_pack_docs: exclusive-prefix packing means a pack can exceed the
@@ -210,8 +236,8 @@ class EngineSpec extends SparkSpec {
     val packs = SparkEntry.queries("q_pack_docs")(spark, sf)
       .select($"pack_subwords").as[Long].collect()
     val maxDocSub = Tables.documents(spark, sf)
-      .select(aggregate(split($"text", " "), lit(0L),
-        (acc, t) => acc + floor((length(t) + 3) / 4).cast("long")).as("s"))
+      .select(graft.functions.expressions.SubwordFunctions
+        .subword_count($"text").as("s"))
       .agg(max($"s")).as[Long].head()
     assert(packs.forall(_ < 2048 + maxDocSub),
       s"pack overflow beyond one straddling doc: max=${packs.max}, doc max=$maxDocSub")

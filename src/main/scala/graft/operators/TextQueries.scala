@@ -100,8 +100,12 @@ object TextQueries {
     * repeated-span rule at line granularity, the complement of [[clean]]'s
     * per-doc filters): scrub every occurrence of any line present in >= 2
     * DISTINCT docs — cross-doc repetition is boilerplate by definition
-    * (headers, navigation, license blocks). Lines compare by md5long
-    * fingerprint (the usual trade, mirrored by the oracle).
+    * (headers, navigation, license blocks). Lines compare by xxhash64 —
+    * a native 64-bit hash with no hex-string intermediate, ~an order of
+    * magnitude cheaper than md5+conv. The hash is an INTERNAL
+    * grouping/join key only, never output, so the oracle groups by the
+    * raw line strings instead and the results agree modulo 64-bit
+    * collisions (the q_text_bigram_surprisal precedent).
     *
     * Shape at 100 TB: explode to a line table, ONE hash-keyed aggregation
     * for the distinct-doc counts (partial aggregation shrinks
@@ -114,7 +118,7 @@ object TextQueries {
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", md5long(col("line")))
+      .withColumn("lh", xxhash64(col("line")))
     val hot = lines.groupBy("lh")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select(col("lh"), lit(1L).as("hot"))
@@ -604,25 +608,25 @@ object TextQueries {
         |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
 
-    "q_text_dedup_lines" -> {
-      val lh = duckMd5Long("ln")
+    // the engine keys on xxhash64(line) internally; the oracle groups by
+    // the raw line strings — same sets modulo 64-bit collisions
+    "q_text_dedup_lines" ->
       s"""WITH l AS (
          |  SELECT doc_id,
          |         generate_subscripts(ls, 1) AS pos,
          |         unnest(ls) AS ln
          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
          |hot AS (
-         |  SELECT h FROM (SELECT $lh AS h, doc_id FROM l)
-         |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |  SELECT ln AS hln FROM l
+         |  GROUP BY ln HAVING count(DISTINCT doc_id) >= 2)
          |SELECT l.doc_id,
          |       CAST(count(*) AS BIGINT) AS n_lines,
-         |       CAST(sum(CASE WHEN hot.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |       CAST(sum(CASE WHEN hot.hln IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_kept,
-         |       coalesce(string_agg(CASE WHEN hot.h IS NULL THEN l.ln END,
+         |       coalesce(string_agg(CASE WHEN hot.hln IS NULL THEN l.ln END,
          |                           chr(10) ORDER BY l.pos), '') AS clean_text
-         |FROM l LEFT JOIN hot ON $lh = hot.h
-         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
-    },
+         |FROM l LEFT JOIN hot ON l.ln = hot.hln
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

@@ -207,6 +207,24 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    "q_text_subwords" -> ((s, d) =>
+      // The subword tokenizer as a first-class profile operator (not just
+      // the pack/chunk budget internals): per-doc piece count from the
+      // codegen'd greedy longest-match scan (SubwordTokenizer), plus
+      // fertility — pieces per whitespace word ×10⁶, the standard
+      // tokenizer-quality diagnostic (high fertility = the vocab splinters
+      // this corpus; integer-scaled DIV so the compare is exact). Pure
+      // map-side projection; the oracle re-derives identical counts from
+      // the shared piece vocabulary via the recursive greedy scan.
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.SubwordFunctions
+            .subword_count(col("text")).as("n_subwords"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .withColumn("fertility_e6",
+          expr("n_subwords * 1000000 DIV n_words"))
+        .orderBy("doc_id")),
+
     "q_text_langid" -> ((s, d) => {
       // Heuristic language-ID. The fixture vocabulary is shared across the
       // synthetic lang labels, so no heuristic can recover them — the
@@ -607,6 +625,23 @@ object TextQueries {
         |       CAST(sum(cu // cb) // count(*) AS BIGINT) AS surprisal_mean
         |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+
+    // mirror of the greedy longest-match scan from the SAME piece
+    // vocabulary (SubwordTokenizer.duckWordTokens — one definition)
+    "q_text_subwords" ->
+      s"""WITH RECURSIVE dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |wd AS (SELECT DISTINCT w FROM dw),
+         |${graft.functions.SubwordTokenizer.duckWordTokens},
+         |ds AS (
+         |  SELECT doc_id, CAST(coalesce(sum(wtoks), 0) AS BIGINT) AS n_subwords
+         |  FROM dw LEFT JOIN wc USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, ds.n_subwords,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(ds.n_subwords * 1000000 // len(string_split(d.text, ' '))
+         |            AS BIGINT) AS fertility_e6
+         |FROM documents d JOIN ds USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the engine keys on xxhash64(line) internally; the oracle groups by
     // the raw line strings — same sets modulo 64-bit collisions

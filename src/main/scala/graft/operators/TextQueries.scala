@@ -183,6 +183,39 @@ object TextQueries {
       .filter(col("n_tokens_clean") >= CleanMinDocTokens)
   }
 
+  /** PII audit over a (doc_id, text) table — the compliance-telemetry
+    * twin of [[clean]]'s scrub: not "remove it" but "HOW MUCH does each
+    * doc carry, by type" (the report a data-governance pass files before
+    * a corpus ships). Runs the IDENTICAL regex cascade (email → IP →
+    * formatted-phone → digit-run, same order-dependence rationale as
+    * clean) over the whole text, then counts placeholders by split-arity
+    * — portable to DuckDB verbatim, no occurrence-counting builtin
+    * needed. The cascade is aliased into its own projection so the four
+    * regexes run once per row, not once per counter (the clean()
+    * precedent). Pure map-side projection; zero shuffles.
+    */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+            lit(IpRe), lit("<IP>")),
+          lit(PhoneFmtRe), lit(PhoneFmtReplSpark)),
+        lit(PhoneRe), lit("<PHONE>"))
+    val occ = (m: String) =>
+      (size(split(col("__s"), java.util.regex.Pattern.quote(m), -1)) - 1)
+        .cast("long")
+    docs
+      .select(col("doc_id"), scrubbed.as("__s"))
+      .select(col("doc_id"),
+        occ("<EMAIL>").as("n_emails"),
+        occ("<IP>").as("n_ips"),
+        occ("<PHONE>").as("n_phones"))
+      .withColumn("pii_total",
+        col("n_emails") + col("n_ips") + col("n_phones"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
       // Token frequency top-20: the canonical explode → count — partial
@@ -206,6 +239,10 @@ object TextQueries {
             .cast("long").as("re_tokens"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
+
+    "q_text_pii" -> ((s, d) =>
+      // PII audit (see [[piiAudit]]) — compliance telemetry, not removal
+      piiAudit(documents(s, d)).orderBy("doc_id")),
 
     "q_text_subwords" -> ((s, d) =>
       // The subword tokenizer as a first-class profile operator (not just
@@ -625,6 +662,28 @@ object TextQueries {
         |       CAST(sum(cu // cb) // count(*) AS BIGINT) AS surprisal_mean
         |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+
+    // the same scrub cascade as q_text_clean, whole-text, with
+    // placeholder counts by split-arity (string_split is literal, like
+    // the engine's quoted split)
+    "q_text_pii" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(
+         |               regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |               '$IpRe', '<IP>', 'g'),
+         |             '$PhoneFmtRe', '$PhoneFmtReplDuck', 'g'),
+         |           '$PhoneRe', '<PHONE>', 'g') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(string_split(t, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+         |       CAST(len(string_split(t, '<IP>')) - 1 AS BIGINT) AS n_ips,
+         |       CAST(len(string_split(t, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+         |       CAST(len(string_split(t, '<EMAIL>')) + len(string_split(t, '<IP>'))
+         |            + len(string_split(t, '<PHONE>')) - 3 AS BIGINT) AS pii_total
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // mirror of the greedy longest-match scan from the SAME piece
     // vocabulary (SubwordTokenizer.duckWordTokens — one definition)

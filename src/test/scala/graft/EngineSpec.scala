@@ -203,6 +203,25 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("piiAudit counts scrubbed entities by type") {
+    import spark.implicits._
+    val docs = Seq(
+      // one of each, plus a digit-run phone caught by the fallback rule
+      (1L, "mail a@b.co or b@c.org, host 10.0.0.1, call (555) 123-4567 or 5551234567"),
+      // the scrub-order guard: an IP must not seed a phone match, and a
+      // year range / decimal must not count as PII at all
+      (2L, "192.168.0.1 uptime 2020-2024 pi 123.4567"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.piiAudit(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 5L),
+      (2L, 0L, 1L, 0L, 1L),
+      (3L, 0L, 0L, 0L, 0L)), out.toSeq)
+  }
+
   test("subword_count: greedy longest-match over the fixture vocabulary") {
     import spark.implicits._
     import graft.functions.expressions.SubwordFunctions.subword_count

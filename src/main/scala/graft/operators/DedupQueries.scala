@@ -426,6 +426,27 @@ object DedupQueries {
        |           [${duckPoly(3)} for i in range(1, len(ha) - 1)])) AS h
        |  FROM (SELECT doc_id, $duckTokenHashes AS ha FROM documents))""".stripMargin
 
+  /** DuckDB mirror of [[bandSignatures]] over a (doc_id, h) CTE named
+    * `src` — `sig` + `bands` CTE text GENERATED from the same
+    * AffineA/AffineB/K/Rows constants the engine uses (one definition;
+    * the previous hand-inlined copies in the minhash and train/test
+    * oracles could drift silently — the duckBandPairSql lesson).
+    */
+  private def duckMinhashBands(src: String): String = {
+    val mins = (0 until K).map(i =>
+      s"min((h * ${AffineA(i)} + ${AffineB(i)}) % $FpPrime) AS mh$i")
+      .mkString(",\n|        ")
+    val bandList = (0 until K / Rows).map(b =>
+      s"'$b:' || mh${Rows * b} || ':' || mh${Rows * b + 1}")
+      .mkString(",\n|                 ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |        $mins
+       |  FROM $src GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, unnest([$bandList]) AS sig FROM sig)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q_dedup_content" -> ((s, d) => {
       // Exact dedup: hash-groupBy on the content digest; keeper = lowest
@@ -516,6 +537,55 @@ object DedupQueries {
                         * 1e6).cast("long").as("jac_e6"))
         .filter(col("jac_e6") >= 300000)
         .orderBy("corpus_id", "bench_id")
+    }),
+
+    "q_dedup_audit" -> ((s, d) => {
+      // Sampled LSH-recall audit — the EVAL harness production dedup
+      // pipelines run beside the dedup itself: on a deterministic
+      // hash-sample of the corpus, compute ground-truth near-dup pairs
+      // (exact Jaccard ≥ 0.5 via the inverted-index join — complete for
+      // any J > 0, never all-pairs) and the minhash-LSH candidate set
+      // over the SAME sample, then report recall = |truth ∩ candidates|
+      // / |truth|. At 100 TB the sample bucket is what you shrink: truth
+      // cost is quadratic only within the (fixed-size) sample, LSH cost
+      // is the production path itself. Membership is the map-side hash
+      // bucket of q_sample_hash; every downstream stat derives from the
+      // capped shingle memo (signatures of a restricted doc set equal
+      // restricted signatures — a doc's signature is a function of its
+      // own shingles only). Single-row output; the corpus-wide scalars
+      // attach as scalar subqueries (no join node, the q_mix_sources
+      // precedent).
+      val sh = shingleHashes(s, d)
+      val sample = documents(s, d)
+        .filter(pmod(md5long(col("doc_id").cast("string")), lit(1000L)) < 500)
+        .select(col("doc_id"))
+      val ssh = sh.join(sample, Seq("doc_id"))
+      val sizes = ssh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sharedShinglePairs(s, d)
+        .join(sample.select(col("doc_id").as("da")), Seq("da"))
+        .join(sample.select(col("doc_id").as("db")), Seq("db"))
+        .join(sizes.as("na"), col("da") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+        .select(col("da"), col("db"),
+          floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
+                  * 1e6).cast("long").as("jac_e6"))
+        .filter(col("jac_e6") >= 500000)
+      val bands = bandSignatures(ssh)
+      val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val hit = truth.join(cand, Seq("da", "db"))
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      sample.agg(count(lit(1)).as("n_sampled"))
+        .withColumn("n_true", scalarSubquery(truth.agg(count(lit(1)))))
+        .withColumn("n_cand", scalarSubquery(cand.agg(count(lit(1)))))
+        .withColumn("n_hit", scalarSubquery(hit.agg(count(lit(1)))))
+        // vacuous recall (no truth pairs in the sample) reads 100%: the
+        // audit's "alarm" semantics are about MISSED pairs
+        .withColumn("recall_e6",
+          when(col("n_true") > 0, expr("n_hit * 1000000 DIV n_true"))
+            .otherwise(lit(1000000L)))
     }),
 
     "q_dedup_fuzzy" -> ((s, d) => {
@@ -756,20 +826,7 @@ object DedupQueries {
       s"""WITH $duckShingles,
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
-         |sig AS (SELECT doc_id,
-         |min((h * 769121449 + 834567811) % 1000000007) AS mh0,
-         min((h * 329914351 + 94234417) % 1000000007) AS mh1,
-         min((h * 572926777 + 715559219) % 1000000007) AS mh2,
-         min((h * 881914487 + 2347561) % 1000000007) AS mh3,
-         min((h * 122949829 + 515216911) % 1000000007) AS mh4,
-         min((h * 633085829 + 340078571) % 1000000007) AS mh5,
-         min((h * 477970787 + 129571601) % 1000000007) AS mh6,
-         min((h * 965519981 + 775412383) % 1000000007) AS mh7
-         |  FROM shh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, unnest(['0:' || mh0 || ':' || mh1,
-                    '1:' || mh2 || ':' || mh3,
-                    '2:' || mh4 || ':' || mh5,
-                    '3:' || mh6 || ':' || mh7]) AS sig FROM sig),
+         |${duckMinhashBands("shh")},
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -791,20 +848,7 @@ object DedupQueries {
       s"""WITH $duckShingles,
          |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
          |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
-         |sig AS (SELECT doc_id,
-         |min((h * 769121449 + 834567811) % 1000000007) AS mh0,
-         min((h * 329914351 + 94234417) % 1000000007) AS mh1,
-         min((h * 572926777 + 715559219) % 1000000007) AS mh2,
-         min((h * 881914487 + 2347561) % 1000000007) AS mh3,
-         min((h * 122949829 + 515216911) % 1000000007) AS mh4,
-         min((h * 633085829 + 340078571) % 1000000007) AS mh5,
-         min((h * 477970787 + 129571601) % 1000000007) AS mh6,
-         min((h * 965519981 + 775412383) % 1000000007) AS mh7
-         |  FROM shh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, unnest(['0:' || mh0 || ':' || mh1,
-                    '1:' || mh2 || ':' || mh3,
-                    '2:' || mh4 || ':' || mh5,
-                    '3:' || mh6 || ':' || mh7]) AS sig FROM sig),
+         |${duckMinhashBands("shh")},
          |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS bench_id
          |         FROM bands a JOIN bands b ON a.sig = b.sig
          |         WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
@@ -821,6 +865,38 @@ object DedupQueries {
          |JOIN sizes nb ON i.bench_id = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 300000
          |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    // keep (the DfCap hot set) is computed over the FULL corpus before the
+    // sample restriction — the engine's memoized cap is global too
+    "q_dedup_audit" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |samp AS (SELECT doc_id FROM documents
+         |         WHERE ${duckMd5Long("CAST(doc_id AS VARCHAR)")} % 1000 < 500),
+         |shh AS (SELECT shh0.doc_id, shh0.h
+         |        FROM shh0 JOIN keep USING (h) JOIN samp USING (doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT i.da, i.db FROM inter i
+         |          JOIN sizes na ON i.da = na.doc_id
+         |          JOIN sizes nb ON i.db = nb.doc_id
+         |          WHERE floor(i.shared / (na.n + nb.n - i.shared) * 1e6)
+         |                >= 500000),
+         |${duckMinhashBands("shh")},
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.sig = b.sig AND a.doc_id < b.doc_id),
+         |hit AS (SELECT truth.da FROM truth JOIN cand USING (da, db))
+         |SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS n_sampled,
+         |       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |       CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+         |                 THEN (SELECT count(*) FROM hit) * 1000000
+         |                      // (SELECT count(*) FROM truth)
+         |                 ELSE 1000000 END AS BIGINT) AS recall_e6""".stripMargin,
 
     "q_dedup_fuzzy" ->
       s"""WITH $duckShingles,

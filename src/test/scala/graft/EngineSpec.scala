@@ -203,6 +203,16 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("q_dedup_audit invariants: hits bounded by truth and candidates") {
+    val r = SparkEntry.queries("q_dedup_audit")(spark, sf).collect()(0)
+    val (ns, nt, nc, nh, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ns > 0)
+    assert(nh <= nt && nh <= nc, s"hits $nh exceed truth $nt or cand $nc")
+    assert(rec >= 0 && rec <= 1000000, rec)
+    assert(if (nt == 0) rec == 1000000 else rec == nh * 1000000 / nt)
+  }
+
   test("piiAudit counts scrubbed entities by type") {
     import spark.implicits._
     val docs = Seq(

@@ -742,6 +742,43 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_semantic" -> ((s, d) => {
+      // SemDeDup-style semantic dedup (public: Abbas et al. 2023,
+      // "SemDeDup" — k-means-cluster the embedding space, then prune
+      // near-duplicate pairs WITHIN each cluster): 1-probe assignment
+      // partitions the corpus into clusters (the fixture's k=8 seed
+      // centroids keep the oracle exact; at scale the centroid block is
+      // KMeans.fit output — the library path is spec-proven), capped
+      // in-cluster candidate pairs via the same bucket machinery as
+      // q_dedup_embed, and a vector is a semantic DUPLICATE if an
+      // EARLIER vector of its cluster sits at cosine ≥ threshold —
+      // pairwise-to-earliest, the deterministic set-based form of the
+      // paper's within-cluster pruning (keeps the earliest of each
+      // near-dup set; no iterative chain, so both engines compute the
+      // identical keeper set). Output is the full keeper table.
+      // Scale: assignment map-side, pairs bucket-capped (never
+      // all-pairs), keeper membership a left anti-ish join on the
+      // near-dup-sized drop set — AQE broadcasts it.
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val block = IvfOps.centroidBlock(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+      val asg1 = IvfOps.assign(e, block, nProbe = 1).select("vec_id", "cid")
+      val cand = IvfOps.bucketPairs(asg1, "cid", "vec_id")
+        .select(col("a").as("va"), col("b").as("vb"))
+      val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
+      val dup = cand
+        .join(e.as("ea"), col("va") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+        .filter(floor(cos * 1e9).cast("long") >= 450000000L)
+        .select(col("vb").as("vec_id")).distinct()
+      asg1.join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("__dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
+
     "q_dedup_embed" -> ((s, d) => {
       // Embedding-cosine near-dup, SUB-QUADRATIC: candidate pairs come
       // from 2-probe IVF bucket co-residency — each vector joins only
@@ -1000,6 +1037,37 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_n
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // 1-probe assignment (rn <= 1), same capped in-cluster pairs, drop =
+    // "an earlier in-cluster vector sits at cosine >= threshold"
+    "q_dedup_semantic" -> {
+      val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"
+      val cos = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |asg AS (SELECT vec_id, cid FROM scored WHERE rn <= 1),
+         |capped AS (SELECT vec_id, cid FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY cid
+         |                                      ORDER BY vec_id) AS brn
+         |            FROM asg) WHERE brn <= ${IvfOps.BucketCap}),
+         |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |         FROM capped a JOIN capped b
+         |           ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dup AS (SELECT DISTINCT c.vb AS vec_id
+         |        FROM cand c
+         |        JOIN e a ON c.va = a.vec_id
+         |        JOIN e b ON c.vb = b.vec_id
+         |        WHERE floor($cos * 1e9) >= 450000000)
+         |SELECT asg.vec_id, asg.cid, dup.vec_id IS NULL AS is_kept
+         |FROM asg LEFT JOIN dup USING (vec_id)
+         |ORDER BY asg.vec_id""".stripMargin
+    },
 
     "q_dedup_embed" -> {
       val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"

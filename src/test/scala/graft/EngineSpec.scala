@@ -203,6 +203,18 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("q_dedup_semantic covers every vector and keeps each cluster's earliest") {
+    val rows = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    // pairwise-to-earliest pruning can never drop a cluster's first
+    // vector — nothing earlier exists to beat it
+    rows.groupBy(_.getLong(1)).foreach { case (cid, vs) =>
+      val first = vs.minBy(_.getLong(0))
+      assert(first.getBoolean(2),
+        s"cluster $cid dropped its earliest vector ${first.getLong(0)}")
+    }
+  }
+
   test("q_dedup_audit invariants: hits bounded by truth and candidates") {
     val r = SparkEntry.queries("q_dedup_audit")(spark, sf).collect()(0)
     val (ns, nt, nc, nh, rec) =

@@ -118,6 +118,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_text_pii / q_text_subwords are map-side: only the presentation " +
+       "sort's range exchange appears") {
+    Seq("q_text_pii", "q_text_subwords").foreach { q =>
+      val ex = plan(q).linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(ex.forall(_.contains("rangepartitioning")), s"$q shuffles: $ex")
+    }
+  }
+
+  test("q_dedup_semantic is sub-quadratic: no BNLJ/cartesian, assignment " +
+       "evaluated once") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_surprisal attaches the corpus total as a scalar subquery (no join node)") {
     val p = plan("q_text_surprisal")
     // the 1-row total must inject as a subquery literal; its presence as a

@@ -180,6 +180,57 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    "q_mix_temperature" -> ((s, d) => {
+      // TEMPERATURE-resampled source mixing (public: Conneau et al. 2019,
+      // XLM-R §3.1; also mT5): target share p_s ∝ n_s^α with α < 1 flattens
+      // a skewed source-size distribution toward uniform — the standard
+      // multilingual/multi-source rebalancing rule, where q_mix_sources
+      // takes EXPLICIT target weights this derives them from the corpus
+      // itself. α = 1/2 here because IEEE-754 sqrt is correctly rounded in
+      // both engines (bit-exact cross-engine, unlike pow()); a production α
+      // is a swap of the one weight expression. The fixture's sources are
+      // uniform, so stage 1 first induces a deterministic 1:2:3:4 size skew
+      // (hash-bucket membership, the q_sample_hash rule) and stage 2
+      // temperature-flattens exactly that skewed corpus.
+      //
+      // Scale shape: identical to q_mix_sources — the stats table is
+      // sources-sized, corpus scalars attach as scalar subqueries, and
+      // per-doc membership is a second, INDEPENDENT hash (seeded — reusing
+      // the stage-1 bucket would correlate the two Bernoulli draws and bias
+      // the realized rate to thresh/cut instead of thresh/1e6). Raw sqrt
+      // weights are quantized to e3 proportions (±0.5/1000 per share,
+      // clamp-up to 1 — the mixCorpus rule) so the exact-Long envelope is
+      // q_mix_sources': w_e3·B·1e6 ≤ wsum·n·1e6 ≈ n·1e9, safe past 9·10⁹
+      // docs per source.
+      val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 4 + 1
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("cut", idx * 250000L)
+        .withColumn("b1", pmod(md5long(col("doc_id").cast("string")), lit(1000000L)))
+        .filter(col("b1") < col("cut"))
+        .select(col("doc_id"), col("source"),
+          pmod(md5longSeeded(col("doc_id").cast("string"), lit("t")),
+               lit(1000000L)).as("bucket"))
+      val srcs = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
+      val totRaw = srcs.agg(sum("w").as("wraw"))
+      val q = srcs
+        .withColumn("wraw", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totRaw))
+        .withColumn("w_e3", greatest(expr("w * 1000 DIV wraw"), lit(1L)))
+      val totQ = q.agg(sum("w_e3").as("wsum"))
+      val withW = q
+        .withColumn("wsum", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totQ))
+      val lim = withW.select(min(expr("n * wsum DIV w_e3")).as("B"))
+      val thresh = withW
+        .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
+        .select(col("source"), col("n"), col("w_e3"),
+          expr("w_e3 * B * 1000000 DIV (wsum * n)").as("thresh_e6"))
+      docs.join(thresh, Seq("source"))
+        .groupBy("source", "n", "w_e3", "thresh_e6")
+        .agg(sum(when(col("bucket") < col("thresh_e6"), 1L).otherwise(0L))
+          .as("n_sampled"))
+        .orderBy("source")
+    }),
+
     "q_pack_docs" -> ((s, d) => {
       // fixed-budget packing: doc i's pack = exclusive-prefix-SUBWORDS/2048
       // within its source shard, in stable doc_id order — the budget is
@@ -302,6 +353,38 @@ object SamplingQueries {
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM t JOIN d ON t.source = d.source
          |GROUP BY t.source, t.w, t.n, t.thresh_e6
+         |ORDER BY t.source""".stripMargin,
+
+    "q_mix_temperature" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source,
+         |         ((CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4) + 1)
+         |           * 250000 AS cut,
+         |         ${duckKey("doc_id")} % 1000000 AS b1
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |         ${duckMd5LongSeeded(s"CAST(doc_id AS VARCHAR)", "'t'")} % 1000000
+         |           AS bucket
+         |  FROM d0 WHERE b1 < cut),
+         |s AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |s2 AS (SELECT source, n,
+         |              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |       FROM s),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wraw FROM s2),
+         |q AS (SELECT source, n, greatest(w * 1000 // wraw, 1) AS w_e3
+         |      FROM s2, tot),
+         |tq AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum FROM q),
+         |lim AS (SELECT CAST(min(n * wsum // w_e3) AS BIGINT) AS B FROM q, tq),
+         |t AS (SELECT q.source, q.n, q.w_e3,
+         |             CAST((q.w_e3 * B * 1000000) // (wsum * q.n) AS BIGINT)
+         |               AS thresh_e6
+         |      FROM q, tq, lim)
+         |SELECT t.source, t.n, t.w_e3, t.thresh_e6,
+         |       CAST(sum(CASE WHEN d.bucket < t.thresh_e6 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_sampled
+         |FROM t JOIN d USING (source)
+         |GROUP BY t.source, t.n, t.w_e3, t.thresh_e6
          |ORDER BY t.source""".stripMargin,
 
     // same tokenizer-faithful budget as q_chunk_docs: per-doc subwords are

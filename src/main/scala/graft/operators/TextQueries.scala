@@ -353,6 +353,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_dup_ngrams" -> ((s, d) => {
+      // CORPUS-WIDE duplicate-n-gram fraction (public: Rae et al. 2021,
+      // Gopher §A.2 quality filters) — the cross-document complement of
+      // q_text_repetition's within-doc signals: a doc scores high when its
+      // trigrams also occur elsewhere in the corpus (boilerplate, mirrored
+      // pages, template text). Per doc: trigram instance count, instances
+      // whose trigram occurs ≥2× corpus-wide, and the e6 fraction (integer
+      // DIV — the tfidf precedent keeps the compare bit-exact).
+      //
+      // Scale shape: explode to (doc_id, trigram) — 3× token volume, one
+      // row per position — then ONE trigram-keyed aggregation (vocabulary-
+      // sized result), one keyed join back (AQE broadcasts the count side
+      // when it fits), one doc-keyed aggregation, and a LEFT join to
+      // restore <3-token docs at zero. Nothing is quadratic; mega-dup
+      // trigrams only widen one aggregation key. The engine keys the count
+      // table on xxhash64 of the trigram (8-byte shuffle key instead of the
+      // string — the q_text_dedup_lines precedent); the oracle keys on the
+      // raw trigram string, so the two agree absent a 64-bit collision.
+      val ts = split(col("text"), " ")
+      val n = size(ts)
+      val tris = when(n >= 3,
+          transform(sequence(lit(0), n - 3),
+            j => concat_ws(" ", element_at(ts, j + 1), element_at(ts, j + 2),
+                                element_at(ts, j + 3))))
+        .otherwise(array().cast("array<string>"))
+      val inst = fanOut(documents(s, d))
+        .select(col("doc_id"), explode(tris).as("tri"))
+        .select(col("doc_id"), xxhash64(col("tri")).as("h"))
+      val cnt = inst.groupBy("h").agg(count(lit(1)).as("c"))
+      val perDoc = inst.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+             sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_tri_n"))
+      documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("dup_tri_n"), lit(0L)).as("dup_tri_n"))
+        .withColumn("dup_frac_e6",
+          when(col("n_tri") === 0, 0L)
+            .otherwise(expr("dup_tri_n * 1000000 DIV n_tri")))
+        .orderBy("doc_id")
+    }),
+
     "q_text_tfidf" -> ((s, d) => {
       // TF-IDF keyword extraction: top-3 most characteristic terms per doc
       // by tf × (1/df) — the log-free idf variant keeps the score in exact
@@ -585,6 +630,29 @@ object TextQueries {
         |                  CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
         |         AS top_frac_e6
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // counts keyed on the raw trigram string (engine: xxhash64 of it —
+    // identical counts absent a 64-bit collision)
+    "q_text_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                 for i in range(1, len(ts) - 1)]) AS tri
+        |  FROM t),
+        |c AS (SELECT tri, count(*) AS c FROM e GROUP BY tri),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_tri,
+        |         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_tri_n
+        |  FROM e JOIN c USING (tri) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(coalesce(dup_tri_n, 0) AS BIGINT) AS dup_tri_n,
+        |       CAST(CASE WHEN coalesce(n_tri, 0) = 0 THEN 0
+        |                 ELSE coalesce(dup_tri_n, 0) * 1000000 // n_tri
+        |            END AS BIGINT) AS dup_frac_e6
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (

@@ -126,6 +126,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_temperature: corpus scalars attach as subqueries, no BNLJ; " +
+       "q_text_dup_ngrams joins keyed only") {
+    val pt = plan("q_mix_temperature")
+    // wraw/wsum/B are 1-row totals — they must inject as subquery results,
+    // never as join nodes against the per-doc side
+    assert(pt.contains("Subquery"), pt)
+    assert(!pt.contains("BroadcastNestedLoopJoin"), pt)
+    val pd = plan("q_text_dup_ngrams")
+    assert(!pd.contains("BroadcastNestedLoopJoin"), pd)
+  }
+
   test("q_dedup_semantic is sub-quadratic: no BNLJ/cartesian, assignment " +
        "evaluated once") {
     val p = plan("q_dedup_semantic")

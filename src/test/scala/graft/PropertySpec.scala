@@ -64,6 +64,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_text_dup_ngrams: corpus-wide dup fraction on a crafted corpus " +
+       "(cross-doc + within-doc dups, short docs at zero)") {
+    val dir = java.nio.file.Files.createTempDirectory("dupngram").toString
+    Seq(
+      (1L, "a b c d"),   // "a b c","b c d" — first shared with doc 2
+      (2L, "x a b c"),   // "x a b","a b c"
+      (3L, "p q r"),     // unique trigram
+      (4L, "one two"),   // <3 tokens: no trigrams at all
+      (5L, "z z z z z")  // "z z z"×3 — within-doc repeats are corpus dups
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_dup_ngrams")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, 3L, 3L, 1000000L)), got.mkString(","))
+  }
+
+  test("q_mix_temperature invariants: thresh capped at 1e6 and decreasing " +
+       "in source size, binding source kept ~whole, sampled within bounds") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, w, thresh, sampled) =>
+      assert(thresh <= 1000000L, s"$src rate past 1: $thresh")
+      assert(sampled <= n && sampled >= 0, s"$src sampled $sampled of $n")
+      assert(w >= 1, s"$src clamped share vanished")
+    }
+    // α=1/2 flattening: thresh ∝ sqrt(n)/n is non-increasing in n
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, _, t1, _), (_, n2, _, t2, _)) =>
+        if (n1 < n2) assert(t1 >= t2, s"thresh not flattening: n=$n1→$n2 t=$t1→$t2")
+      case _ =>
+    }
+    // the published columns must satisfy the budget identity exactly:
+    // wsum = Σ w_e3, B = min(n·wsum DIV w_e3), thresh = w·B·1e6 DIV (wsum·n)
+    val wsum = rows.map(_._3).sum
+    val b = rows.map { case (_, n, w, _, _) => n * wsum / w }.min
+    rows.foreach { case (src, n, w, thresh, _) =>
+      assert(thresh == w * b * 1000000L / (wsum * n),
+        s"$src thresh $thresh breaks the budget identity (wsum=$wsum B=$b)")
+    }
+    // differing source sizes must produce genuinely non-uniform rates
+    if (rows.map(_._2).distinct.length >= 2)
+      assert(rows.map(_._4).distinct.length >= 2, rows.mkString(","))
+  }
+
   test("ngram df cap drops hot-shingle pairs, keeps rare-shingle dups") {
     // 150 docs made ONLY of one ultra-common shingle: without the df cap
     // they would emit 150·149/2 = 11175 jaccard-1.0 pairs (the hot-key

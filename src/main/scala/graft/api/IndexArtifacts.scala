@@ -144,6 +144,18 @@ object IndexArtifacts {
     s.table(table)
   }
 
+  /** Replay-safe read of the persisted assignment: an at-least-once
+    * appender ([[graft.streaming.StreamingOps.maintainIvfIndex]]) can land
+    * a micro-batch twice, and assignment under a frozen model is a pure
+    * per-row function — so EXACT-duplicate (id, cid) rows are the only
+    * artifact a replay leaves, and a distinct restores rebuild-equality.
+    * cid (the bucket key) is a subset of the distinct keys, so the
+    * distinct plans exchange-free off the layout — the same replay-dedup
+    * doctrine as [[pairsFromFingerprintIndex]].
+    */
+  def ivfAssignmentDistinct(s: SparkSession, table: String): DataFrame =
+    ivfAssignment(s, table).distinct()
+
   /** Write a perceptual-fingerprint index — the multimodal twin of
     * [[persistShingleIndex]]. `fp` is a (doc_id, simhash) table of 60-bit
     * fingerprints (image ahash60, audio afp60, or the text simhash — the

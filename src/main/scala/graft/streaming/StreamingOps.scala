@@ -190,4 +190,48 @@ object StreamingOps {
       .trigger(trigger)
       .start()
   }
+
+  /** Incremental IVF-assignment maintenance — the embedding-space member
+    * of the incremental-index family ([[maintainShingleIndex]] → text,
+    * [[maintainFingerprintIndex]] → media, this → vectors): each
+    * micro-batch of (`idCol`, v) vectors is assigned against a FROZEN
+    * centroid model (pure per-row map-side function, `nProbe` rows per
+    * vector) and appended into the bucketed artifact, so a streamed
+    * embedding corpus stays ANN-searchable through the persisted path
+    * without ever re-assigning what already landed.
+    *
+    * The model is collected ONCE at maintainer start (bounded k×dim rows —
+    * the KMeans.fit model-state posture) and rebuilt inside each
+    * micro-batch's own session: the freeze is explicit, every batch
+    * assigns against byte-identical centroids, and no outer-session frame
+    * leaks into foreachBatch. Appends under the frozen model equal a full
+    * re-assignment (IndexArtifactsSpec); centroid DRIFT — a model
+    * retrained on the grown corpus — requires the periodic
+    * [[graft.api.IndexArtifacts.persistIvfAssignment]] rebuild, the
+    * standard IVF posture between re-trains. foreachBatch is
+    * at-least-once: replays land exact-duplicate rows, and
+    * [[graft.api.IndexArtifacts.ivfAssignmentDistinct]]'s bucket-aligned
+    * distinct restores rebuild-equality exchange-free.
+    */
+  def maintainIvfIndex(vecs: DataFrame, centroids: DataFrame, table: String,
+                       checkpoint: String, nProbe: Int = 2,
+                       idCol: String = "vec_id", buckets: Int = 16,
+                       trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val model = centroids.select(col("cid").cast("long"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val append: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      import s.implicits._
+      val cents = model.toDF("cid", "v")
+      graft.api.IndexArtifacts.appendIvfAssignment(
+        s, batch, cents, nProbe, table, idCol, buckets)
+    }
+    vecs.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -177,6 +177,47 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(pair.length == 1 && pair(0).getLong(2) == 0L, pair.mkString)
   }
 
+  test("maintainIvfIndex: streamed vectors join the persisted assignment " +
+       "under the frozen model; replays dedup exchange-free at read") {
+    import spark.implicits._
+    dropTable("g_ivf_maint")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v"))
+    // seed the artifact with most of the corpus; the rest arrives streamed
+    IndexArtifacts.persistIvfAssignment(spark, e.filter(col("vec_id") % 5 =!= 0),
+      cents, nProbe = 2, table = "g_ivf_maint", buckets = 4)
+    val late = e.filter(col("vec_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    val q = graft.streaming.StreamingOps.maintainIvfIndex(
+      in.toDS().toDF("vec_id", "v"), cents, "g_ivf_maint", ckpt, buckets = 4)
+    in.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // only the batch was assigned, and the grown artifact equals a full
+    // re-assignment of the union under the same model
+    def persisted(): Seq[(Long, Long)] = IndexArtifacts
+      .ivfAssignmentDistinct(spark, "g_ivf_maint")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val live = IvfOps.assign(e, IvfOps.centroidBlock(cents), nProbe = 2)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(persisted() == live)
+    // an at-least-once REPLAY lands duplicate rows; the distinct reader
+    // restores rebuild-equality and plans off the bucket layout shuffle-free
+    IndexArtifacts.appendIvfAssignment(spark,
+      late.toSeq.toDF("vec_id", "v"), cents, nProbe = 2,
+      table = "g_ivf_maint", buckets = 4)
+    assert(persisted() == live, "replayed append leaked duplicate assignments")
+    val dedup = IndexArtifacts.ivfAssignmentDistinct(spark, "g_ivf_maint")
+    dedup.collect()
+    assert(!dedup.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("appendIvfAssignment under a frozen model equals re-assigning the union") {
     dropTable("g_ivf_inc")
     val e = Tables.embeddings(spark, sf)

@@ -110,7 +110,50 @@ object EventTimeQueries {
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    "q_event_funnel" -> ((s, d) => {
+      // Ordered view→click→purchase funnel. Stage k's entry time is the
+      // MIN event at-or-after stage k-1's entry (>= admits same-ms ties —
+      // the ns fixture truncates to ms, §7.5, so ties are real). Three
+      // chained whole-partition windows over ONE partitioning: a single
+      // user_id exchange + sort carries all sequencing state — no per-stage
+      // self-joins (the naive funnel is a join per stage; quadratic fan-out
+      // on hot users and S shuffles for S stages).
+      val w = Window.partitionBy("user_id")
+      ems(s, d)
+        .withColumn("v_ms", min(when(col("event_type") === "view",
+          col("ems"))).over(w))
+        .withColumn("c_ms", min(when(col("event_type") === "click" &&
+          col("ems") >= col("v_ms"), col("ems"))).over(w))
+        .withColumn("p_ms", min(when(col("event_type") === "purchase" &&
+          col("ems") >= col("c_ms"), col("ems"))).over(w))
+        // stage times are partition-constants: the per-user rollup rides
+        // the window's existing user_id partitioning (no new exchange)
+        .groupBy("user_id")
+        .agg(max("v_ms").as("v_ms"), max("c_ms").as("c_ms"),
+             max("p_ms").as("p_ms"))
+        .agg(count(col("v_ms")).as("nv"), count(col("c_ms")).as("nc"),
+             count(col("p_ms")).as("np"))
+        .selectExpr("stack(3, 1, 'view', nv, 2, 'click', nc, " +
+          "3, 'purchase', np) as (stage_idx, stage, users)")
+        .orderBy("stage_idx")
+    }),
+
+    "q_event_cohort" -> ((s, d) => {
+      // Weekly cohort retention: cohort = epoch-aligned week of the user's
+      // FIRST event (integer ms-div — deterministic, tz-free), retention
+      // cell = distinct users active week_offset weeks later. Per-user
+      // cohort is a whole-partition window min (one user_id exchange, no
+      // first-event join-back); the cell rollup is the one further shuffle
+      // any (cohort, offset) grouping needs.
+      val e = ems(s, d).withColumn("wk", expr("ems div 604800000"))
+      e.withColumn("cwk", min(col("wk")).over(Window.partitionBy("user_id")))
+        .groupBy(col("cwk").as("cohort_week"),
+                 (col("wk") - col("cwk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -168,6 +211,35 @@ object EventTimeQueries {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY epoch_ms(ts), event_id) = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems
+        |           FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ems END)
+        |               OVER (PARTITION BY user_id) AS v_ms FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ems >= v_ms
+        |                         THEN ems END)
+        |               OVER (PARTITION BY user_id) AS c_ms FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ems >= c_ms
+        |                         THEN ems END)
+        |               OVER (PARTITION BY user_id) AS p_ms FROM b),
+        |u AS (SELECT user_id, max(v_ms) AS v_ms, max(c_ms) AS c_ms,
+        |             max(p_ms) AS p_ms FROM c GROUP BY user_id),
+        |t AS (SELECT count(v_ms) AS nv, count(c_ms) AS nc,
+        |             count(p_ms) AS np FROM u)
+        |SELECT 1 AS stage_idx, 'view' AS stage, nv AS users FROM t
+        |UNION ALL SELECT 2, 'click', nc FROM t
+        |UNION ALL SELECT 3, 'purchase', np FROM t
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_event_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk
+        |           FROM events),
+        |a AS (SELECT user_id, wk,
+        |             min(wk) OVER (PARTITION BY user_id) AS cwk FROM e)
+        |SELECT cwk AS cohort_week, wk - cwk AS week_offset,
+        |       count(DISTINCT user_id) AS users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -144,6 +144,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_event_funnel sequences stages in ONE user_id exchange: three " +
+       "chained windows, per-user rollup rides the partitioning, no joins") {
+    val p = plan("q_event_funnel").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p) // the naive funnel is a join per stage
+    assert("Window \\[".r.findAllIn(p).length == 3, p)
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
+  }
+
+  test("q_event_cohort: per-user cohort is a window min (no first-event " +
+       "join-back), one further exchange family for the cell rollup") {
+    val p = plan("q_event_cohort").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    // user_id window + the (cohort, offset[, user_id]) distinct rollup —
+    // a first-event join-back design would add a third partitioning key set
+    val keySets = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .map(_.replaceAll(".*hashpartitioning\\(([^)]*)\\).*", "$1")
+            .replaceAll("#\\d+L?", "").trim).toSet
+    assert(keySets.size <= 2, s"cohort shuffles on ${keySets.size} key sets: $keySets\n$p")
+  }
+
   test("q_text_surprisal attaches the corpus total as a scalar subquery (no join node)") {
     val p = plan("q_text_surprisal")
     // the 1-row total must inject as a subquery literal; its presence as a

@@ -80,16 +80,28 @@ object Tables {
     }
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read ns as raw Long (ns since epoch) and let callers derive
-    * exact ms via `ts div 1000000` (never a double division — ns values
-    * exceed double's 2^53 integer range). SURVEY.md §7.5. The nanosAsLong
-    * flag must be set before the reader's FIRST (memoized) construction —
-    * it is baked into the inferred schema.
+  /** events.ts normalizes to ns-since-epoch Long whatever the fixture's
+    * physical type, so every caller derives exact ms via `ts div 1000000`
+    * (never a double division — ns values exceed double's 2^53 integer
+    * range). SURVEY.md §7.5. Two fixture generations exist: TIMESTAMP
+    * (NANOS), which Spark 4 rejects unless nanosAsLong reads it as raw
+    * Long (the flag must be set before the reader's FIRST memoized
+    * construction — it is baked into the inferred schema), and
+    * timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ), which is cast
+    * to TIMESTAMP (exact under the UTC session timezone every entry point
+    * sets) and widened µs→ns. DuckDB's `epoch_ms(ts)` floors the same way
+    * on both, so oracles are generation-agnostic.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")

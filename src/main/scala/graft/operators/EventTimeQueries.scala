@@ -25,6 +25,10 @@ object EventTimeQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q_event_attribution lookback: clicks older than this attribute
+    * nothing. The oracle SQL inlines the same 3600000 ms literal. */
+  private val AttributionHorizonMs = 3600000L
+
   /** events.ts arrives as raw ns-since-epoch Long (Tables.events); integer
     * division gives exact epoch ms, matching DuckDB's epoch_ms(ts). */
   private def ems(s: SparkSession, d: String): DataFrame =
@@ -37,6 +41,56 @@ object EventTimeQueries {
   private def firstPerKey(e: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ems"), col("event_id"))
     e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Last-touch attribution core over (event_id, user_id, ems, event_type)
+    * rows: each purchase credits the same user's most recent
+    * prior-or-equal click, but only within [[AttributionHorizonMs]]
+    * (stale clicks attribute nothing). Union + running last() over ONE
+    * user_id exchange — the q_join_asof plan — never a purchase×click
+    * range join (quadratic fan-out on hot users, and the horizon
+    * predicate would not save the build side at 100 TB). Both carried
+    * click columns (ms + id) ride the SAME window frame: one Window node,
+    * one sort. Factored so specs can drive crafted timelines.
+    */
+  private[graft] def lastTouch(ev: DataFrame): DataFrame = {
+    val e = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("c_ms", when(col("tag") === 0, col("ems")))
+      .withColumn("c_id", when(col("tag") === 0, col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hit = col("lc_ms").isNotNull &&
+      col("ems") - col("lc_ms") <= AttributionHorizonMs
+    e.withColumn("lc_ms", last("c_ms", ignoreNulls = true).over(w))
+      .withColumn("lc_id", last("c_id", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+              col("ems").as("purchase_ms"),
+              when(hit, col("lc_id")).as("click_id"),
+              when(hit, col("ems") - col("lc_ms")).as("lag_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user event-type transition matrix (Markov counts): lead() pairs
+    * each event with its successor inside ONE user_id exchange+sort; the
+    * rollup collapses to the event-type vocabulary (≤ |types|² rows), so
+    * the per-source probability window rides a tiny table, never the
+    * corpus. p_e6 is integer micro-probability (exact Long arithmetic in
+    * both engines — the tf·10⁶ precedent).
+    */
+  private[graft] def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ems"), col("event_id"))
+    ev.withColumn("dst_type", lead(col("event_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("src_type")))
+      .withColumn("p_e6", expr("n * 1000000 div tot"))
+      .drop("tot")
+      .orderBy("src_type", "dst_type")
   }
 
   def queries: Map[String, Q] = Map(
@@ -140,6 +194,10 @@ object EventTimeQueries {
         .orderBy("stage_idx")
     }),
 
+    "q_event_attribution" -> ((s, d) => lastTouch(ems(s, d))),
+
+    "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
+
     "q_event_cohort" -> ((s, d) => {
       // Weekly cohort retention: cohort = epoch-aligned week of the user's
       // FIRST event (integer ms-div — deterministic, tz-free), retention
@@ -232,6 +290,40 @@ object EventTimeQueries {
         |UNION ALL SELECT 2, 'click', nc FROM t
         |UNION ALL SELECT 3, 'purchase', np FROM t
         |ORDER BY stage_idx""".stripMargin,
+
+    "q_event_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+        |         CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS c_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        |  SELECT event_id, user_id, ems, tag,
+        |         last_value(c_ms IGNORE NULLS) OVER w AS lc_ms,
+        |         last_value(c_id IGNORE NULLS) OVER w AS lc_id
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ems, tag, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ems AS purchase_ms,
+        |       CASE WHEN lc_ms IS NOT NULL AND ems - lc_ms <= 3600000
+        |            THEN lc_id END AS click_id,
+        |       CASE WHEN lc_ms IS NOT NULL AND ems - lc_ms <= 3600000
+        |            THEN ems - lc_ms END AS lag_ms
+        |FROM a WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS src_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts), event_id) AS dst_type
+        |  FROM events),
+        |t AS (SELECT src_type, dst_type, count(*) AS n FROM p
+        |      WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
+        |FROM t ORDER BY src_type, dst_type""".stripMargin,
 
     "q_event_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk

@@ -244,6 +244,49 @@ class EngineSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L)), out.toSeq)
   }
 
+  test("lastTouch attribution: horizon edge, tie, ordering, no-click cases") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click exactly at the 1h horizon → attributed, lag 3600000
+      (10L, 1L, 1000000L, "click"), (11L, 1L, 4600000L, "purchase"),
+      // u2: click 1 ms past the horizon → NOT attributed
+      (20L, 2L, 999999L, "click"), (21L, 2L, 4600000L, "purchase"),
+      // u3: latest of two in-horizon clicks wins; a later click and a
+      // view are invisible to the purchase
+      (30L, 3L, 1000L, "click"), (31L, 3L, 2000L, "click"),
+      (32L, 3L, 2500L, "view"), (33L, 3L, 3000L, "purchase"),
+      (34L, 3L, 4000L, "click"),
+      // u4: same-ms click ties attribute at lag 0 (click sorts first)
+      (40L, 4L, 5000L, "click"), (41L, 4L, 5000L, "purchase"),
+      // u5: purchase with no click at all
+      (50L, 5L, 7000L, "purchase")
+    ).toDF("event_id", "user_id", "ems", "event_type")
+    val got = operators.EventTimeQueries.lastTouch(ev).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      (11L, Some(10L), Some(3600000L)),
+      (21L, None, None),
+      (33L, Some(31L), Some(1000L)),
+      (41L, Some(40L), Some(0L)),
+      (50L, None, None)), got)
+  }
+
+  test("transitions: per-user lead pairs, exact integer micro-probs") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"), (3L, 1L, 3000L, "a"),
+      (4L, 2L, 1000L, "a"), (5L, 2L, 2000L, "a"),
+      // u3's single event produces no transition at all
+      (6L, 3L, 1000L, "b")
+    ).toDF("event_id", "user_id", "ems", "event_type")
+    val got = operators.EventTimeQueries.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "a", 1L, 500000L), // a sources: a→a 1, a→b 1 of 2
+      ("a", "b", 1L, 500000L),
+      ("b", "a", 1L, 1000000L)), got.toSeq)
+  }
+
   test("subword_count: greedy longest-match over the fixture vocabulary") {
     import spark.implicits._
     import graft.functions.expressions.SubwordFunctions.subword_count

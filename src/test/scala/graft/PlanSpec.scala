@@ -155,6 +155,30 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
   }
 
+  test("q_event_attribution is the as-of plan: one user_id exchange, one " +
+       "Window carrying both click columns, no purchase×click range join") {
+    val p = plan("q_event_attribution").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p) // the naive plan is a range join
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
+  }
+
+  test("q_event_transitions: lead() rides one corpus exchange; the " +
+       "probability window runs on the vocabulary-sized rollup") {
+    val p = plan("q_event_transitions").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    // user_id (corpus) + (src,dst) rollup + src_type prob window — any
+    // fourth key set would mean corpus data shuffling more than once
+    val keySets = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .map(_.replaceAll(".*hashpartitioning\\(([^)]*)\\).*", "$1")
+            .replaceAll("#\\d+L?", "").trim).toSet
+    assert(keySets.size <= 3, s"transitions shuffles on ${keySets.size} key sets: $keySets\n$p")
+  }
+
   test("q_event_cohort: per-user cohort is a window min (no first-event " +
        "join-back), one further exchange family for the cell rollup") {
     val p = plan("q_event_cohort").split("== Initial Plan ==").head

@@ -216,6 +216,54 @@ object TextQueries {
         col("n_emails") + col("n_ips") + col("n_phones"))
   }
 
+  /** q_text_bm25's fixed lexical query; the oracle SQL inlines the same
+    * three literals. `dup` is rare in the fixture (high idf), the other
+    * two are common — the ranking is non-degenerate. */
+  private[graft] val Bm25Terms = Seq("dup", "spark", "vector")
+
+  /** Okapi BM25 scoring core (public: Robertson & Walker, SIGIR'94; the
+    * standard k1=1.2, b=0.75) for the fixed [[Bm25Terms]] query — the
+    * lexical ranking a retrieval-augmented pipeline runs beside its dedup
+    * stack. Exact integer parity: clearing denominators turns both
+    * factors into Long ratios —
+    *   idf_e6 = 1e6·(2N−2df+1) DIV (2df+1)    (log-free RSJ surrogate;
+    *            production swaps ln with no shape change)
+    *   tfn_e6 = 1e6·22·T·tf DIV (10·T·tf + 3·T + 9·dl·N)
+    * with N = docs, T = corpus tokens, dl = doc tokens (k1, b cleared to
+    * tenths: 22/10 = k1+1, 3 = 10·k1·(1−b), 9 = 10·k1·b); per-term score
+    * = idf_e6·tfn_e6, doc score_e12 = Σ over matched terms — bit-exact
+    * in both engines (DECIMAL(38) once 1e6·22·T·tf outgrows Long at real
+    * corpus scale; same envelope note as the mix/tf·10⁶ parity rows).
+    *
+    * Shape at 100 TB: the query-term filter lands map-side on the token
+    * fan-out, so tf is query-sized (≤ |terms|·N rows); dl is the one
+    * corpus-scale aggregation; N and T attach as scalar subqueries (no
+    * join node); df is |terms| rows → AQE broadcast; top-20 plans as
+    * TakeOrderedAndProject, never a full sort.
+    */
+  private[graft] def bm25(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("n", scalarSubquery(dl.agg(count(lit(1)).as("n"))))
+      .withColumn("t", scalarSubquery(dl.agg(sum("dl").as("t"))))
+      .withColumn("idf_e6",
+        expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)"))
+      .withColumn("tfn_e6",
+        expr("(1000000 * 22 * t * tf) DIV (10*t*tf + 3*t + 9*dl*n)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+           sum(expr("idf_e6 * tfn_e6")).as("score_e12"))
+      .orderBy(col("score_e12").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
       // Token frequency top-20: the canonical explode → count — partial
@@ -421,6 +469,10 @@ object TextQueries {
         .select("doc_id", "term", "tf", "df", "tfidf_e6")
         .orderBy("doc_id", "term")
     }),
+
+    "q_text_bm25" -> ((s, d) =>
+      // Okapi BM25 top-20 for the fixed 3-term query — see [[bm25]]
+      bm25(fanOut(documents(s, d)))),
 
     "q_text_surprisal" -> ((s, d) => {
       // Corpus-frequency surprisal scoring (the CCNet-style "perplexity
@@ -669,6 +721,29 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf_e6
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |nt AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         (CAST(1000000 AS BIGINT) * (2*nt.n - 2*dfreq.df + 1))
+        |           // (2*dfreq.df + 1) AS idf_e6,
+        |         (CAST(1000000 AS BIGINT) * 22 * nt.t * tf.tf)
+        |           // (10*nt.t*tf.tf + 3*nt.t + 9*dl.dl*nt.n) AS tfn_e6
+        |  FROM tf
+        |  CROSS JOIN nt
+        |  JOIN dfreq USING (term)
+        |  JOIN dl USING (doc_id))
+        |SELECT doc_id, count(*) AS n_terms, sum(idf_e6 * tfn_e6) AS score_e12
+        |FROM sc GROUP BY 1
+        |ORDER BY score_e12 DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "q_text_surprisal" ->
       """WITH tok AS (

@@ -287,6 +287,23 @@ class EngineSpec extends SparkSpec {
       ("b", "a", 1L, 1000000L)), got.toSeq)
   }
 
+  test("bm25: hand-derived integer scores; matched-both doc outranks ties") {
+    import spark.implicits._
+    // N=4, T=6; df(dup)=df(spark)=2 → idf_e6 = (1e6·5)//5 = 1000000;
+    // tfn_e6(dl=1,tf=1) = 132e6//114 = 1157894; tfn_e6(dl=2,tf=1) =
+    // 132e6//150 = 880000 — d3 matches both terms and wins, d1/d2 tie
+    // broken by doc_id, d4 (no query term) is absent
+    val docs = Seq(
+      (1L, "dup"), (2L, "spark"), (3L, "spark dup"), (4L, "none here")
+    ).toDF("doc_id", "text")
+    val got = operators.TextQueries.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (3L, 2L, 1760000000000L),
+      (1L, 1L, 1157894000000L),
+      (2L, 1L, 1157894000000L)), got)
+  }
+
   test("subword_count: greedy longest-match over the fixture vocabulary") {
     import spark.implicits._
     import graft.functions.expressions.SubwordFunctions.subword_count

@@ -155,6 +155,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
   }
 
+  test("q_text_bm25: corpus totals attach as scalar subqueries, top-20 " +
+       "is TakeOrderedAndProject, no cartesian anywhere") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("Subquery"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_event_attribution is the as-of plan: one user_id exchange, one " +
        "Window carrying both click columns, no purchase×click range join") {
     val p = plan("q_event_attribution").split("== Initial Plan ==").head

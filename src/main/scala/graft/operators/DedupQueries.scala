@@ -447,7 +447,59 @@ object DedupQueries {
        |  SELECT doc_id, unnest([$bandList]) AS sig FROM sig)""".stripMargin
   }
 
+  /** Bits per corpus item in the q_dedup_bloom sketch: 16 bits/item →
+    * ~0.05% false-positive rate at the optimal hash count (public Bloom
+    * math; Spark's util.sketch picks k = m/n·ln2 itself). */
+  private[graft] val BloomBitsPerItem = 16L
+
+  /** Sketch-gated incremental dedup: does each new-batch doc's content
+    * hash PROBABLY exist in the corpus? Builds a Bloom filter over the
+    * corpus's xxhash64(text) with Catalyst's own `BloomFilterAggregate`
+    * (the sketch Spark injects for runtime join filters), attaches the
+    * one binary sketch row as a scalar subquery, and probes each batch
+    * doc map-side with `BloomFilterMightContain`.
+    *
+    * THE 100 TB shape for "dedup today's crawl against the existing
+    * corpus": the corpus is scanned once into a KB–MB sketch (partial
+    * buffers OR-merge map-side — order-independent), the batch never
+    * shuffles, and no corpus-sized join exists anywhere. False positives
+    * are tunable ([[BloomBitsPerItem]]) and go to exact verification;
+    * false negatives are impossible, so unflagged docs skip verification
+    * entirely. The sketch is sized from the corpus count — the scalar a
+    * production engine reads from catalog stats; here it costs one
+    * column-pruned pre-scan.
+    *
+    * t2: no_oracle by design — the sketch's bit layout is Spark-specific
+    * (util.sketch Murmur3 + OR-merge), so DuckDB cannot replay it; the
+    * contract is the rows-only check plus the EngineSpec pins (zero
+    * false negatives vs the exact semi-join, FP count bound, identical
+    * result across re-evaluations).
+    */
+  private[graft] def bloomSeen(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(corpus.count(), 1L)
+    val agg = new BloomFilterAggregate(
+      GraftSqlBridge.toExpression(xxhash64(col("text"))),
+      Literal(n), Literal(n * BloomBitsPerItem)).toAggregateExpression()
+    val bf = corpus.select(GraftSqlBridge.toColumn(agg).as("bf"))
+    val probe = BloomFilterMightContain(
+      GraftSqlBridge.toExpression(GraftSqlBridge.scalarSubquery(bf)),
+      GraftSqlBridge.toExpression(xxhash64(col("text"))))
+    batch
+      .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_bloom" -> ((s, d) => {
+      // every 10th doc plays "today's batch"; the rest are the corpus
+      val docs = documents(s, d)
+      bloomSeen(docs.filter(col("doc_id") % 10 =!= 0),
+                docs.filter(col("doc_id") % 10 === 0))
+    }),
+
     "q_dedup_content" -> ((s, d) => {
       // Exact dedup: hash-groupBy on the content digest; keeper = lowest
       // doc_id per digest group (deterministic, not dropDuplicates).

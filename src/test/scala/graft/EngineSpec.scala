@@ -287,6 +287,26 @@ class EngineSpec extends SparkSpec {
       ("b", "a", 1L, 1000000L)), got.toSeq)
   }
 
+  test("bloomSeen: zero false negatives vs exact semi-join, FP bounded, " +
+       "deterministic across re-evaluations") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def run() = operators.DedupQueries.bloomSeen(corpus, batch).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = run()
+    assert(got.size == batch.count())
+    val truth = batch.join(corpus, Seq("text"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    // a Bloom filter can NEVER miss a real member
+    truth.foreach(id => assert(got(id), s"false negative for doc $id"))
+    // 16 bits/item ≈ 0.05% FP — allow a generous margin on the tiny batch
+    val fp = got.count { case (id, seen) => seen && !truth(id) }
+    assert(fp <= math.max(1, got.size / 10), s"$fp false positives of ${got.size}")
+    assert(run() == got) // sketch bits are deterministic: same result
+  }
+
   test("bm25: hand-derived integer scores; matched-both doc outranks ties") {
     import spark.implicits._
     // N=4, T=6; df(dup)=df(spark)=2 → idf_e6 = (1e6·5)//5 = 1000000;

@@ -215,4 +215,70 @@ object IndexArtifacts {
       : DataFrame =
     DedupQueries.bandPairsFromBanded(fingerprintIndex(s, table).distinct())
       .filter(col("hamming") <= maxHamming)
+
+  /** Persisted-Bloom geometry: capacity is a BUILD-TIME layout knob (like
+    * bucket counts) — every appended batch must sketch with the IDENTICAL
+    * (expected, numBits) pair or the OR-merge is meaningless, so both are
+    * module constants, sized for the corpus the artifact is expected to
+    * grow into (2 MiB of bits here; production scales capacity, not the
+    * bits-per-item ratio). The hash count derives from this geometry, not
+    * from actual insertions, so every batch hashes identically.
+    */
+  val BloomExpectedItems: Long = 1L << 20
+  val BloomNumBits: Long = BloomExpectedItems * DedupQueries.BloomBitsPerItem
+
+  /** Start the membership-sketch artifact: one serialized Bloom row over
+    * `docs`' content hashes. The sketch twin of the shingle/fingerprint/
+    * IVF artifacts, for the cheapest dedup question — "has this content
+    * PROBABLY been ingested already?" — answered with no corpus-sized
+    * join and no corpus rescan.
+    */
+  def persistBloom(s: SparkSession, docs: DataFrame, table: String): Unit =
+    DedupQueries.bloomAgg(docs, BloomExpectedItems, BloomNumBits)
+      .write.mode("overwrite").saveAsTable(table)
+
+  /** Incremental maintenance: sketch ONLY the new batch and append its
+    * one row; the reader OR-merges. Replays (foreachBatch is
+    * at-least-once) are the cleanest in the family: re-OR-ing an
+    * already-absorbed batch is bit-level idempotent.
+    */
+  def appendBloom(s: SparkSession, newDocs: DataFrame, table: String): Unit =
+    DedupQueries.bloomAgg(newDocs, BloomExpectedItems, BloomNumBits)
+      .write.mode("append").saveAsTable(table)
+
+  /** The artifact's merged sketch bytes: OR of every persisted row (row
+    * count = append count — compact periodically via [[compactBloom]];
+    * each row is [[BloomNumBits]]/8 bytes, bounded model state).
+    * Identical geometry makes the merge exact: bytes equal a one-shot
+    * sketch over the union of every batch (IndexArtifactsSpec pins
+    * bit-for-bit equality).
+    */
+  def bloomBytes(s: SparkSession, table: String): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    s.catalog.refreshTable(table)
+    val rows = s.table(table).collect().map(_.getAs[Array[Byte]]("bf"))
+    require(rows.nonEmpty, s"empty bloom artifact $table")
+    val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(rows.head))
+    rows.tail.foreach(b =>
+      merged.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Rewrite the artifact as its single merged row, bounding the reader's
+    * merge work after many appends. */
+  def compactBloom(s: SparkSession, table: String): Unit = {
+    val bytes = bloomBytes(s, table)
+    import s.implicits._
+    Seq(bytes).toDF("bf").write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Probe a batch against the persisted sketch: merged bytes inline as a
+    * foldable literal, the probe is pure map-side — (doc_id, maybe_seen)
+    * with false positives tunable by geometry and false negatives
+    * impossible.
+    */
+  def probeBloom(s: SparkSession, batch: DataFrame, table: String): DataFrame =
+    DedupQueries.bloomProbeBytes(batch, bloomBytes(s, table))
 }

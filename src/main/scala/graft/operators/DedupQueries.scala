@@ -477,15 +477,45 @@ object DedupQueries {
     */
   private[graft] def bloomSeen(corpus: DataFrame, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val n = math.max(corpus.count(), 1L)
+    val probe = BloomFilterMightContain(
+      GraftSqlBridge.toExpression(
+        GraftSqlBridge.scalarSubquery(bloomAgg(corpus, n, n * BloomBitsPerItem))),
+      GraftSqlBridge.toExpression(xxhash64(col("text"))))
+    batch
+      .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))
+      .orderBy("doc_id")
+  }
+
+  /** One-row Bloom sketch over `docs`' xxhash64(text). The (expected,
+    * numBits) pair fixes the sketch GEOMETRY (bit width + hash count) —
+    * two sketches OR-merge iff built with identical geometry, which is
+    * why the persisted-artifact path (graft.api.IndexArtifacts) pins
+    * both as build-time constants.
+    */
+  private[graft] def bloomAgg(docs: DataFrame, expected: Long,
+                              numBits: Long): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val agg = new BloomFilterAggregate(
       GraftSqlBridge.toExpression(xxhash64(col("text"))),
-      Literal(n), Literal(n * BloomBitsPerItem)).toAggregateExpression()
-    val bf = corpus.select(GraftSqlBridge.toColumn(agg).as("bf"))
+      Literal(expected), Literal(numBits)).toAggregateExpression()
+    docs.select(GraftSqlBridge.toColumn(agg).as("bf"))
+  }
+
+  /** Map-side probe of `batch` against serialized sketch bytes (e.g. the
+    * merged persisted artifact): the bytes inline as a foldable binary
+    * literal — bounded model state shipped with the task binary, no join,
+    * no subquery, no shuffle.
+    */
+  private[graft] def bloomProbeBytes(batch: DataFrame,
+                                     bytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val probe = BloomFilterMightContain(
-      GraftSqlBridge.toExpression(GraftSqlBridge.scalarSubquery(bf)),
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
       GraftSqlBridge.toExpression(xxhash64(col("text"))))
     batch
       .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))

@@ -234,4 +234,27 @@ object StreamingOps {
       .trigger(trigger)
       .start()
   }
+
+  /** Incremental membership-sketch maintenance — the cheapest member of
+    * the incremental-index family ([[maintainShingleIndex]] → near-dup
+    * text, [[maintainFingerprintIndex]] → media, [[maintainIvfIndex]] →
+    * vectors, this → exact-membership): each micro-batch of (doc_id,
+    * text) docs is hashed and sketched MAP-SIDE into one Bloom row,
+    * appended to the persisted artifact
+    * ([[graft.api.IndexArtifacts.appendBloom]]). A streamed corpus then
+    * answers "was this content probably ingested already?" via
+    * `IndexArtifacts.probeBloom` with no corpus rescan and no join.
+    * at-least-once replays are bit-level idempotent (OR of already-set
+    * bits); `compactBloom` periodically folds the append rows into one.
+    */
+  def maintainBloom(docs: DataFrame, table: String, checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val append: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.api.IndexArtifacts.appendBloom(batch.sparkSession, batch, table)
+    docs.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

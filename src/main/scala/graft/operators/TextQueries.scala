@@ -249,10 +249,16 @@ object TextQueries {
     val tf = tok.filter(col("term").isin(Bm25Terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and T ride ONE scalar subquery as a struct (a subquery must return
+    // one column, not one field) — two separate subqueries would each
+    // re-evaluate the corpus tokenize pass behind dl
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      .select(struct(col("n"), col("t")).as("nt"))
     tf.join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
-      .withColumn("n", scalarSubquery(dl.agg(count(lit(1)).as("n"))))
-      .withColumn("t", scalarSubquery(dl.agg(sum("dl").as("t"))))
+      .withColumn("nt", scalarSubquery(stats))
+      .withColumn("n", col("nt.n"))
+      .withColumn("t", col("nt.t"))
       .withColumn("idf_e6",
         expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)"))
       .withColumn("tfn_e6",

@@ -111,7 +111,12 @@ object SimilarityQueries {
       val recon = transform(codes, c =>
         vmin + (c.cast("double") + lit(0.5)) * scale)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      e.filter(col("vec_id") =!= 0)
+      // the quantize→reconstruct lambdas run interpreted (HOFs don't
+      // codegen), so spread the scan — the small fixture file reads as
+      // ONE partition and would serialize ~all the query's CPU on one
+      // core; fanOut is gated (identity once partitions ≥ parallelism,
+      // i.e. at any real corpus size)
+      fanOut(e.filter(col("vec_id") =!= 0))
         .select(col("vec_id"), recon.as("rv"))
         .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
         .select(col("vec_id"), floor9(cosine(col("rv"), col("qv"))).as("sim"))

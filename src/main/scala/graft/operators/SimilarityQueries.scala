@@ -173,6 +173,27 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    "q_sim_ivf_trained" -> ((s, d) => {
+      // The PRODUCTION half of the fixture-centroid split: q_sim_ivf/
+      // q_sim_ann keep vec_id<8 centroids so DuckDB can mirror the bucket
+      // arithmetic; this runs the identical annTopK path over centroids
+      // from KMeans.fit — deterministic Lloyd's (fixed init and tie
+      // rules), so the output is stable run-to-run. no_oracle by design:
+      // a trained float model has no SQL mirror (DuckDB cannot re-run
+      // Lloyd's); the recall gates against brute force live in
+      // KMeansIvfSpec, and the fixture twin stays the hash-checked
+      // contract. Shape is annTopK's: bucket-co-residency candidates
+      // (id-only until re-attach), per-query top-k window.
+      val e = emb(s, d)
+      val cents = graft.api.KMeans.fit(e, "vec_id", "v", k = 8, iters = 5)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+                floor9(col("sim")).as("sim"))
+        .orderBy("q_id", "rnk")
+    }),
+
     "q_sim_ivf" -> ((s, d) => {
       // IVF probe: assign all vectors to nearest of 8 centroids; probe the
       // query's 2 nearest centroid buckets; exact top-5 within the probes.

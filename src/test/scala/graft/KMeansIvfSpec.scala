@@ -102,6 +102,15 @@ class KMeansIvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"aggregate recall@3 $recall < 0.8")
   }
 
+  test("q_sim_ivf_trained is deterministic run-to-run (fixed Lloyd's " +
+       "init/tie rules — the no_oracle key's stability contract)") {
+    def run() = SparkEntry.queries("q_sim_ivf_trained")(spark, sf)
+      .collect().toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() == first)
+  }
+
   test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

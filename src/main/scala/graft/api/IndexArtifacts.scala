@@ -221,8 +221,11 @@ object IndexArtifacts {
     * (expected, numBits) pair or the OR-merge is meaningless, so both are
     * module constants, sized for the corpus the artifact is expected to
     * grow into (2 MiB of bits here; production scales capacity, not the
-    * bits-per-item ratio). The hash count derives from this geometry, not
-    * from actual insertions, so every batch hashes identically.
+    * bits-per-item ratio — and must also raise
+    * spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits},
+    * which SILENTLY clamp BloomFilterAggregate's geometry past 4e6
+    * items / 67108864 bits). The hash count derives from this geometry,
+    * not from actual insertions, so every batch hashes identically.
     */
   val BloomExpectedItems: Long = 1L << 20
   val BloomNumBits: Long = BloomExpectedItems * DedupQueries.BloomBitsPerItem
@@ -235,15 +238,21 @@ object IndexArtifacts {
     */
   def persistBloom(s: SparkSession, docs: DataFrame, table: String): Unit =
     DedupQueries.bloomAgg(docs, BloomExpectedItems, BloomNumBits)
+      .filter(col("bf").isNotNull)
       .write.mode("overwrite").saveAsTable(table)
 
   /** Incremental maintenance: sketch ONLY the new batch and append its
     * one row; the reader OR-merges. Replays (foreachBatch is
     * at-least-once) are the cleanest in the family: re-OR-ing an
-    * already-absorbed batch is bit-level idempotent.
+    * already-absorbed batch is bit-level idempotent. An EMPTY batch
+    * appends nothing: BloomFilterAggregate evaluates to NULL over zero
+    * rows, and a persisted NULL row would NPE every later read — the
+    * isNotNull filter (also belt-and-braces in [[bloomBytes]]) keeps an
+    * empty micro-batch from poisoning the artifact.
     */
   def appendBloom(s: SparkSession, newDocs: DataFrame, table: String): Unit =
     DedupQueries.bloomAgg(newDocs, BloomExpectedItems, BloomNumBits)
+      .filter(col("bf").isNotNull)
       .write.mode("append").saveAsTable(table)
 
   /** The artifact's merged sketch bytes: OR of every persisted row (row
@@ -257,6 +266,7 @@ object IndexArtifacts {
     import org.apache.spark.util.sketch.BloomFilter
     s.catalog.refreshTable(table)
     val rows = s.table(table).collect().map(_.getAs[Array[Byte]]("bf"))
+      .filter(_ != null) // a legacy null row (pre-guard append) is inert
     require(rows.nonEmpty, s"empty bloom artifact $table")
     val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(rows.head))
     rows.tail.foreach(b =>

@@ -66,8 +66,18 @@ object KMeans {
         val assigned = IvfOps.assignStatic(
           corpus, cents.map { case (cid, v) => (cid, v.toArray) },
           nProbe = 1, vecCol)
+        // centroid means accumulate in DECIMAL, not double: double
+        // addition is non-associative and the final-aggregate merge order
+        // of shuffle partials is arbitrary, so avg(double) can differ in
+        // ULPs between runs of the SAME fit — enough to flip a
+        // downstream floor/rank at a boundary. Decimal sums are exact
+        // and order-independent (the Parity doctrine), making fit
+        // deterministic under any partitioning; the double→decimal(30,15)
+        // input rounding (1e-15 relative) is identical on every path.
         cents = assigned.groupBy("cid")
-          .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*)
+          .agg(array((0 until dim).map(i =>
+            avg(col(vecCol).getItem(i).cast("decimal(30,15)"))
+              .cast("double")): _*)
             .as("cv"))
           .orderBy("cid")
           .collect()

@@ -479,12 +479,31 @@ object DedupQueries {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val n = math.max(corpus.count(), 1L)
+    // BloomFilterAggregate SILENTLY clamps its geometry to
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    // (defaults 4e6 items / 67108864 bits) — past the clamp the real
+    // bits-per-item ratio shrinks and the FP rate quietly degrades toward
+    // "flag everything". Fail loud instead: at real corpus scale raise
+    // those confs (the sketch is still only n·16 bits of executor memory)
+    // or pre-aggregate to one digest row per distinct content first.
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(n <= maxItems && n * BloomBitsPerItem <= maxBits,
+      s"bloomSeen: corpus count $n exceeds the runtime bloom clamp " +
+      s"($maxItems items / $maxBits bits) — the sketch would silently " +
+      "degrade; raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+      "maxNumBits for this corpus size")
     val probe = BloomFilterMightContain(
       GraftSqlBridge.toExpression(
         GraftSqlBridge.scalarSubquery(bloomAgg(corpus, n, n * BloomBitsPerItem))),
       GraftSqlBridge.toExpression(xxhash64(col("text"))))
     batch
-      .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))
+      // an EMPTY corpus sketches to NULL; nothing can have been seen
+      .select(col("doc_id"),
+        coalesce(GraftSqlBridge.toColumn(probe), lit(false)).as("maybe_seen"))
       .orderBy("doc_id")
   }
 

@@ -48,6 +48,20 @@ object SamplingQueries {
     graft.functions.expressions.SubwordFunctions.subword_count(
       concat_ws(" ", toks))
 
+  /** Deterministic numeric suffix of `source` (0 when no trailing
+    * digits): a bare ''-to-BIGINT cast diverges between engines (Spark
+    * ANSI errors, DuckDB conversion-errors), so both spellings guard
+    * explicitly. The fixture's sources are always srcN; the guard is for
+    * reuse over corpora beyond it. [[DuckSrcNum]] is the one DuckDB
+    * spelling, shared by both mixing oracles.
+    */
+  private def srcNum: org.apache.spark.sql.Column = {
+    val sfx = regexp_extract(col("source"), "([0-9]+)$", 1)
+    when(sfx === "", lit(0L)).otherwise(sfx.cast("long"))
+  }
+  private val DuckSrcNum =
+    "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
+
   def queries: Map[String, Q] = Map(
     "q_sample_hash" -> ((s, d) => {
       // deterministic 10% Bernoulli sample: membership is a pure function
@@ -157,7 +171,7 @@ object SamplingQueries {
       // per-doc membership join is an AQE-broadcast of the stats table.
       // Long arithmetic bound: w*B*1e6 stays under 2^63 up to ~1.8e11
       // docs per source at W=50 — two orders past a 100 TB corpus.
-      val wgt = (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 4) + 1
+      val wgt = (srcNum % 4) + 1
       val docs = documents(s, d).select(col("doc_id"), col("source"))
         .withColumn("w", wgt)
       // NB "wsum", not "W": resolution is case-insensitive in BOTH engines
@@ -202,7 +216,7 @@ object SamplingQueries {
       // clamp-up to 1 — the mixCorpus rule) so the exact-Long envelope is
       // q_mix_sources': w_e3·B·1e6 ≤ wsum·n·1e6 ≈ n·1e9, safe past 9·10⁹
       // docs per source.
-      val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 4 + 1
+      val idx = srcNum % 4 + 1
       val docs = documents(s, d).select(col("doc_id"), col("source"))
         .withColumn("cut", idx * 250000L)
         .withColumn("b1", pmod(md5long(col("doc_id").cast("string")), lit(1000000L)))
@@ -340,7 +354,7 @@ object SamplingQueries {
     "q_mix_sources" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
-         |         (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4) + 1 AS w
+         |         ($DuckSrcNum % 4) + 1 AS w
          |  FROM documents),
          |s AS (SELECT source, w, count(*) AS n FROM d GROUP BY source, w),
          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM s),
@@ -358,7 +372,7 @@ object SamplingQueries {
     "q_mix_temperature" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, source,
-         |         ((CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4) + 1)
+         |         (($DuckSrcNum % 4) + 1)
          |           * 250000 AS cut,
          |         ${duckKey("doc_id")} % 1000000 AS b1
          |  FROM documents),

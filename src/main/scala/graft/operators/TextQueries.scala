@@ -41,24 +41,50 @@ object TextQueries {
   //  * bare 7-digit local ("555-0123"): space/dash separator ONLY — a
   //    dotted 3-4 with no prefix is indistinguishable from a decimal
   //    ("123.4567"), so the dotted spelling requires the area code.
-  // The (^|[^0-9.]) / ($|[^0-9.]) context groups (RE2-safe — no
-  // lookarounds) stop the bare form from firing inside longer numerics
-  // ("2020-2024", "3.1234567"); the replacement restores them via group
-  // refs ($1/$7 in Java, \1/\7 in RE2 — leftmost-first alternation
-  // semantics agree between the engines). Scrubbed BEFORE the digit-run
-  // pass. Known residual: two phones separated by a single char share
-  // one context char, so the second escapes this pass (its digit run
-  // still hits PhoneRe when unbroken).
+  // The (^|[^0-9.]) / ($|[^0-9.]|\.[^0-9]|\.$) context groups (RE2-safe —
+  // no lookarounds) stop the bare form from firing inside longer numerics
+  // ("2020-2024", "3.1234567") while still admitting sentence punctuation
+  // after a phone ("call 555-0123." — the '.' alternatives fire only when
+  // NOT followed by a digit, so "123.4567"-style decimals stay excluded);
+  // the replacement restores the context via group refs ($1/$7 in Java,
+  // \1/\7 in RE2 — leftmost-first alternation semantics agree between the
+  // engines). Scrubbed BEFORE the digit-run pass. Known residual: two
+  // phones separated by a single char share one context char, so the
+  // second escapes this pass (its digit run still hits PhoneRe when
+  // unbroken).
   private[graft] val PhoneFmtRe =
     "(^|[^0-9.])" +
       "((\\+?([0-9]{1,2}[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4})" +
       "|([0-9]{3}[- ][0-9]{4}))" +
-      "($|[^0-9.])"
+      "($|[^0-9.]|\\.[^0-9]|\\.$)"
   private[graft] val PhoneFmtReplSpark = "$1<PHONE>$7"
   private[graft] val PhoneFmtReplDuck = "\\1<PHONE>\\7"
   // IPv4 literals; scrubbed before the phone passes so a dotted-quad's
   // octets can never seed a phone-format match spanning trailing digits
   private[graft] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** THE scrub cascade (order is load-bearing: email → IP → formatted
+    * phone → digit run), shared by [[clean]] and [[piiAudit]] so the
+    * scrubber and its audit can never drift — the duckBandPairSql rule.
+    * [[duckScrubSql]] is the one DuckDB spelling for the oracles.
+    */
+  private[graft] def scrubCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+          lit(IpRe), lit("<IP>")),
+        lit(PhoneFmtRe), lit(PhoneFmtReplSpark)),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** The identical cascade as a DuckDB SQL fragment over `inner` (a
+    * column name or lambda variable). */
+  private[graft] def duckScrubSql(inner: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |$inner, '$EmailRe', '<EMAIL>', 'g'),
+       |'$IpRe', '<IP>', 'g'),
+       |'$PhoneFmtRe', '$PhoneFmtReplDuck', 'g'),
+       |'$PhoneRe', '<PHONE>', 'g')""".stripMargin
 
   /** (doc_id, h): 60-bit hashes of each doc's distinct 3-token shingles —
     * the MEMOIZED uncapped layer of the per-dir dedup index holder
@@ -147,14 +173,7 @@ object TextQueries {
     * the identical rules via list_transform/list_filter.
     */
   def clean(docs: DataFrame): DataFrame = {
-    val scrub = (l: Column) =>
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(l, lit(EmailRe), lit("<EMAIL>")),
-            lit(IpRe), lit("<IP>")),
-          lit(PhoneFmtRe), lit(PhoneFmtReplSpark)),
-        lit(PhoneRe), lit("<PHONE>"))
+    val scrub = (l: Column) => scrubCol(l)
     val isBoiler = (l: Column) =>
       CleanBoilerplate.foldLeft(lit(false))(
         (acc, m) => acc || instr(lower(l), m) > 0)
@@ -195,14 +214,7 @@ object TextQueries {
     * precedent). Pure map-side projection; zero shuffles.
     */
   def piiAudit(docs: DataFrame): DataFrame = {
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
-            lit(IpRe), lit("<IP>")),
-          lit(PhoneFmtRe), lit(PhoneFmtReplSpark)),
-        lit(PhoneRe), lit("<PHONE>"))
+    val scrubbed = scrubCol(col("text"))
     val occ = (m: String) =>
       (size(split(col("__s"), java.util.regex.Pattern.quote(m), -1)) - 1)
         .cast("long")
@@ -771,13 +783,7 @@ object TextQueries {
          |         len(string_split(text, chr(10))) AS n_lines,
          |         list_filter(
          |           list_transform(string_split(text, chr(10)),
-         |             l -> regexp_replace(
-         |                    regexp_replace(
-         |                      regexp_replace(
-         |                        regexp_replace(l, '$EmailRe', '<EMAIL>', 'g'),
-         |                        '$IpRe', '<IP>', 'g'),
-         |                      '$PhoneFmtRe', '$PhoneFmtReplDuck', 'g'),
-         |                    '$PhoneRe', '<PHONE>', 'g')),
+         |             l -> ${duckScrubSql("l")}),
          |           l -> len(string_split(l, ' ')) >= $CleanMinLineTokens
          |                AND NOT ($markers)) AS kept
          |  FROM documents)
@@ -817,14 +823,7 @@ object TextQueries {
     // the engine's quoted split)
     "q_text_pii" ->
       s"""WITH s AS (
-         |  SELECT doc_id,
-         |         regexp_replace(
-         |           regexp_replace(
-         |             regexp_replace(
-         |               regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
-         |               '$IpRe', '<IP>', 'g'),
-         |             '$PhoneFmtRe', '$PhoneFmtReplDuck', 'g'),
-         |           '$PhoneRe', '<PHONE>', 'g') AS t
+         |  SELECT doc_id, ${duckScrubSql("text")} AS t
          |  FROM documents)
          |SELECT doc_id,
          |       CAST(len(string_split(t, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,

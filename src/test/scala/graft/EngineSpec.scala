@@ -233,7 +233,12 @@ class EngineSpec extends SparkSpec {
       // the scrub-order guard: an IP must not seed a phone match, and a
       // year range / decimal must not count as PII at all
       (2L, "192.168.0.1 uptime 2020-2024 pi 123.4567"),
-      (3L, "no pii here at all")
+      (3L, "no pii here at all"),
+      // sentence punctuation directly after a phone must not shield it
+      // (the round-10 review regression), while a digit after the dot
+      // still reads as a decimal, not a phone
+      (4L, "call 555-0123. or (555) 123-4567. maybe"),
+      (5L, "version 555-0123.5 is not a phone")
     ).toDF("doc_id", "text")
     val out = graft.operators.TextQueries.piiAudit(docs)
       .orderBy("doc_id").collect()
@@ -241,7 +246,9 @@ class EngineSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 2L, 1L, 2L, 5L),
       (2L, 0L, 1L, 0L, 1L),
-      (3L, 0L, 0L, 0L, 0L)), out.toSeq)
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 2L, 2L),
+      (5L, 0L, 0L, 0L, 0L)), out.toSeq)
   }
 
   test("lastTouch attribution: horizon edge, tie, ordering, no-click cases") {

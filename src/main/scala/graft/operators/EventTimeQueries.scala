@@ -93,7 +93,46 @@ object EventTimeQueries {
       .orderBy("src_type", "dst_type")
   }
 
+  /** Trailing-window volume-anomaly core over an (hr, n) hourly rollup:
+    * flag hours whose count sits more than 3 trailing standard deviations
+    * above the previous 24 observed hours' mean. ENTIRELY in exact Long
+    * arithmetic — the z>3 test is algebraically cleared of sqrt and
+    * division: with c/S/Q = trailing count/Σn/Σn²,
+    *   z > 3  ⇔  nc > S  ∧  (nc−S)²(c−1) > 9c(cQ−S²)
+    * so both engines compare identical integers (no stddev-accumulation
+    * or libm differences can drift). Flags only fire on a FULL 24-hour
+    * history (c = 24) — cold-start hours report stats but never alert.
+    * Long envelope: (nc)² must stay under 2⁶³ → safe to ~1.25e8 events
+    * per hour; past that the comparison swaps to DECIMAL(38,0) with no
+    * shape change (the e6-parity envelope rule).
+    *
+    * Shape at 100 TB: ONE corpus-scale hourly aggregation; the frame
+    * window runs over the hours-sized rollup (8760 rows/year), not the
+    * corpus. Factored so specs can plant synthetic spikes.
+    */
+  private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
+    val f = Window.orderBy("hr").rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_c", count(col("n")).over(f))
+      .withColumn("trail_s", sum(col("n")).over(f))
+      .withColumn("trail_q", sum(col("n") * col("n")).over(f))
+      .withColumn("is_anomaly",
+        col("trail_c") === 24 &&
+        col("n") * col("trail_c") > col("trail_s") &&
+        (col("n") * col("trail_c") - col("trail_s")) *
+          (col("n") * col("trail_c") - col("trail_s")) * (col("trail_c") - 1) >
+          lit(9) * col("trail_c") *
+            (col("trail_c") * col("trail_q") - col("trail_s") * col("trail_s")))
+      .orderBy("hr")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_event_anomaly" -> ((s, d) =>
+      // hourly event-volume spikes vs the trailing day — see [[anomalyFlags]]
+      anomalyFlags(
+        ems(s, d).groupBy(expr("ems div 3600000").as("hr"))
+          .agg(count(lit(1)).as("n")))),
+
     "q_join_asof" -> ((s, d) => {
       // Each purchase matched to the same user's latest prior-or-equal
       // signup. Union + running last() = single shuffle as-of join.
@@ -290,6 +329,24 @@ object EventTimeQueries {
         |UNION ALL SELECT 2, 'click', nc FROM t
         |UNION ALL SELECT 3, 'purchase', np FROM t
         |ORDER BY stage_idx""".stripMargin,
+
+    "q_event_anomaly" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr, n,
+        |         count(n) OVER f AS trail_c,
+        |         sum(n) OVER f AS trail_s,
+        |         sum(n*n) OVER f AS trail_q
+        |  FROM h
+        |  WINDOW f AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hr, n, trail_c, trail_s, trail_q,
+        |       (trail_c = 24 AND n*trail_c > trail_s
+        |        AND (n*trail_c - trail_s)*(n*trail_c - trail_s)*(trail_c - 1)
+        |            > 9*trail_c*(trail_c*trail_q - trail_s*trail_s))
+        |         AS is_anomaly
+        |FROM w ORDER BY hr""".stripMargin,
 
     "q_event_attribution" ->
       """WITH e AS (

@@ -294,6 +294,28 @@ class EngineSpec extends SparkSpec {
       ("b", "a", 1L, 1000000L)), got.toSeq)
   }
 
+  test("anomalyFlags: exact integer z>3 gate, full-history requirement, " +
+       "boundary just under 3 sigma stays quiet") {
+    import spark.implicits._
+    // 24 alternating 9/11 hours (mean 10, sample sigma ~1.02), then two
+    // probes: hour 24 at n=13 is z~2.94 — just UNDER the gate; hour 25 at
+    // n=14 against its shifted trailing set is z~3.28 — flagged
+    val hist = (0 until 24).map(i => (i.toLong, if (i % 2 == 0) 9L else 11L))
+    val rows = hist ++ Seq((24L, 13L), (25L, 14L))
+    val got = operators.EventTimeQueries.anomalyFlags(rows.toDF("hr", "n"))
+      .select("hr", "is_anomaly").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == 26)
+    assert(!got(24L), "z~2.94 must stay under the 3-sigma gate")
+    assert(got(25L), "z~3.28 must flag")
+    assert((0L to 23L).forall(h => !got(h)), "cold-start hours never alert")
+    // fewer than 24 trailing hours never alert, however extreme the spike
+    val cold = operators.EventTimeQueries.anomalyFlags(
+      Seq((0L, 10L), (1L, 10L), (2L, 1000L)).toDF("hr", "n"))
+      .select("is_anomaly").collect().map(_.getBoolean(0))
+    assert(cold.forall(!_))
+  }
+
   test("bloomSeen: zero false negatives vs exact semi-join, FP bounded, " +
        "deterministic across re-evaluations") {
     import spark.implicits._

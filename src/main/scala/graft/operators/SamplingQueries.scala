@@ -55,11 +55,11 @@ object SamplingQueries {
     * reuse over corpora beyond it. [[DuckSrcNum]] is the one DuckDB
     * spelling, shared by both mixing oracles.
     */
-  private def srcNum: org.apache.spark.sql.Column = {
+  private[operators] def srcNum: org.apache.spark.sql.Column = {
     val sfx = regexp_extract(col("source"), "([0-9]+)$", 1)
     when(sfx === "", lit(0L)).otherwise(sfx.cast("long"))
   }
-  private val DuckSrcNum =
+  private[operators] val DuckSrcNum =
     "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
 
   def queries: Map[String, Q] = Map(

@@ -282,6 +282,113 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q_text_winnow constants: K-token grams, winnowing window of W
+    * consecutive gram hashes, gram positions packed into the low
+    * [[PosCap]] bits of the selection key. */
+  private[graft] val WinnowK = 3
+  private[graft] val WinnowW = 4
+  private val PosCap = 1L << 20
+
+  /** Winnowing document fingerprints (public: Schleimer, Wilkerson &
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every K-token gram, slide a
+    * window of W consecutive gram hashes, and select each window's
+    * minimum hash — RIGHTMOST occurrence on ties, the paper's rule — then
+    * dedupe the selected (hash, position) picks. Guarantees every match
+    * of length ≥ W+K-1 tokens shares a fingerprint, at expected density
+    * 2/(W+1) — the standard plagiarism/near-dup fingerprint family
+    * between full-content hashing (q_text_fingerprint) and shingle LSH
+    * (q_dedup_minhash).
+    *
+    * The min-with-rightmost-tiebreak collapses to ONE integer min:
+    * key = h·2²⁰ + (2²⁰−1−pos), so min(key) is (min h, max pos) —
+    * lexicographic encoding, exact in both engines (h < FpPrime ≈ 2³⁰ ⇒
+    * key < 2⁵⁰; positions past 2²⁰ grams/doc need a wider pack — the
+    * documented envelope rule). Gram hashes are the Rabin-Karp polynomial
+    * over per-token md5 hashes (one md5 per token, the TextHash doctrine).
+    *
+    * Shape at 100 TB: map-side gram fan-out (lambda-free arrays_zip, the
+    * bigram precedent), constant ×W window fan-out, then two KEYED
+    * aggregations — (doc_id, window_end) min, then the per-doc rollup —
+    * both partial-combining map-side. No windows, no joins, nothing
+    * corpus-quadratic; per-doc work is linear in document length.
+    */
+  /** The deduped winnowing pick set (doc_id, ng, h, pos) — factored from
+    * [[winnow]] so specs can assert the shared-fingerprint guarantee and
+    * the rightmost-min tie rule on the actual selections. */
+  private[graft] def winnowPicks(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ha"),
+        (size(ts) - (WinnowK - 1)).cast("long").as("ng"))
+      .filter(col("ng") >= WinnowW)
+      .select(col("doc_id"), col("ng"),
+        posexplode(arrays_zip(
+          slice(col("ha"), lit(1), col("ng").cast("int")),
+          slice(col("ha"), lit(2), col("ng").cast("int")),
+          slice(col("ha"), lit(3), col("ng").cast("int")))).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("ng"), (col("p0") + 1).cast("long").as("i"),
+        pmod(pmod(col("g").getField("0") * PolyB + col("g").getField("1"),
+                  lit(FpPrime)) * PolyB + col("g").getField("2"),
+             lit(FpPrime)).as("h"))
+    grams
+      .select(col("doc_id"), col("ng"), col("i"),
+        (col("h") * PosCap + (lit(PosCap - 1) - col("i"))).as("key"))
+      .select(col("doc_id"), col("ng"), col("i"), col("key"),
+        explode(sequence(lit(0), lit(WinnowW - 1))).as("off"))
+      .withColumn("e", col("i") + col("off"))
+      .filter(col("e") >= WinnowW && col("e") <= col("ng"))
+      .groupBy("doc_id", "ng", "e")
+      .agg(min("key").as("mk"))
+      .select(col("doc_id"), col("ng"),
+        expr(s"mk DIV $PosCap").as("h"),
+        (lit(PosCap - 1) - pmod(col("mk"), lit(PosCap))).as("pos"))
+      .distinct()
+  }
+
+  private[graft] def winnow(docs: DataFrame): DataFrame =
+    winnowPicks(docs)
+      .groupBy("doc_id", "ng")
+      .agg(count(lit(1)).as("n_fp"), pmod(sum("h"), lit(FpPrime)).as("fp_mod"))
+      .select(col("doc_id"), col("ng").as("n_grams"), col("n_fp"),
+              col("fp_mod"))
+      .orderBy("doc_id")
+
+  /** Two-corpus token-distribution drift in exact integer ppm: split the
+    * corpus into two cohorts (here: even/odd source suffix — snapshot A
+    * vs snapshot B), count each token's occurrences per cohort, and rank
+    * tokens by |rate_A − rate_B| where rate = occurrences·10⁶ DIV total
+    * (exact Long everywhere; o·10⁶ < 2⁶³ to ~9·10¹² occurrences — far
+    * past any token at 100 TB). The distribution-shift monitor a
+    * continuously-ingesting training pipeline runs between snapshots;
+    * rate deltas in ppm rather than χ²/G² because those need ln/division
+    * in floats — the rate form is exact and cross-engine bit-identical.
+    *
+    * Shape at 100 TB: ONE corpus-scale keyed aggregation (token fan-out
+    * partial-combines map-side to vocab size); the two totals ride a
+    * single struct scalar subquery over the vocab-sized table (the bm25
+    * precedent — no join node); top-20 plans as TakeOrderedAndProject.
+    */
+  private[graft] def drift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    val toks = docs
+      .withColumn("grp", pmod(SamplingQueries.srcNum, lit(2L)))
+      .select(col("grp"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 2)
+    val tc = toks.groupBy("token")
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("o1"),
+           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("o2"))
+    val stats = tc.agg(sum("o1").as("n1"), sum("o2").as("n2"))
+      .select(struct(col("n1"), col("n2")).as("nn"))
+    tc.withColumn("nn", scalarSubquery(stats))
+      .withColumn("r1_ppm", expr("o1 * 1000000 DIV nn.n1"))
+      .withColumn("r2_ppm", expr("o2 * 1000000 DIV nn.n2"))
+      .withColumn("drift_ppm", abs(col("r1_ppm") - col("r2_ppm")))
+      .select("token", "o1", "o2", "r1_ppm", "r2_ppm", "drift_ppm")
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
       // Token frequency top-20: the canonical explode → count — partial
@@ -604,7 +711,15 @@ object TextQueries {
           md5(col("text").cast("binary")).as("content_md5"),
           tokenFp.as("token_fp"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q_text_winnow" -> ((s, d) =>
+      // winnowing (MOSS) fingerprint selection — see [[winnow]]
+      winnow(fanOut(documents(s, d)))),
+
+    "q_text_drift" -> ((s, d) =>
+      // cross-snapshot token-rate drift in exact ppm — see [[drift]]
+      drift(fanOut(documents(s, d))))
   )
 
   private val duckTokFp = {
@@ -873,6 +988,56 @@ object TextQueries {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,
          |       $duckTokFp AS token_fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same winnowing arithmetic: per-token hashes -> K-gram Rabin-Karp ->
+    // key-packed (min h, max pos) per window -> distinct picks -> rollup
+    "q_text_winnow" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckTokenHashes AS ha,
+         |         len(string_split(text, ' ')) - ${WinnowK - 1} AS ng
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ng, ha, unnest(range(1, ng + 1)) AS i
+         |  FROM t WHERE ng >= $WinnowW),
+         |k AS (
+         |  SELECT doc_id, ng, i,
+         |         ((((ha[i] * $PolyB + ha[i+1]) % $FpPrime) * $PolyB
+         |            + ha[i+2]) % $FpPrime) * ${PosCap}
+         |           + (${PosCap - 1} - i) AS key
+         |  FROM g),
+         |w AS (
+         |  SELECT doc_id, ng, i + off AS e, key
+         |  FROM k, unnest([0, 1, 2, 3]) o(off)
+         |  WHERE i + off BETWEEN $WinnowW AND ng),
+         |m AS (SELECT doc_id, ng, e, min(key) AS mk FROM w GROUP BY 1, 2, 3),
+         |p AS (SELECT DISTINCT doc_id, ng, mk // ${PosCap} AS h,
+         |             ${PosCap - 1} - (mk % ${PosCap}) AS pos FROM m)
+         |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+         |       CAST(count(*) AS BIGINT) AS n_fp,
+         |       CAST(sum(h) % $FpPrime AS BIGINT) AS fp_mod
+         |FROM p GROUP BY doc_id, ng ORDER BY doc_id""".stripMargin,
+
+    // same ppm-rate drift arithmetic over the even/odd source-suffix split
+    "q_text_drift" ->
+      s"""WITH d AS (
+         |  SELECT (${SamplingQueries.DuckSrcNum}) % 2 AS grp, text
+         |  FROM documents),
+         |t AS (
+         |  SELECT grp, unnest(string_split(text, ' ')) AS token FROM d),
+         |tc AS (
+         |  SELECT token,
+         |         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+         |  FROM t WHERE length(token) > 2 GROUP BY token),
+         |n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+         |             CAST(sum(o2) AS BIGINT) AS n2 FROM tc)
+         |SELECT token, o1, o2,
+         |       CAST(o1 * 1000000 // n1 AS BIGINT) AS r1_ppm,
+         |       CAST(o2 * 1000000 // n2 AS BIGINT) AS r2_ppm,
+         |       CAST(abs(o1 * 1000000 // n1 - o2 * 1000000 // n2) AS BIGINT)
+         |         AS drift_ppm
+         |FROM tc, n
+         |ORDER BY drift_ppm DESC, token ASC LIMIT 20""".stripMargin
   )
 }

@@ -203,6 +203,56 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("winnowPicks: rightmost-min tie rule, shared-substring guarantee, " +
+       "density bounds (q_text_winnow)") {
+    // (a) all grams identical ("a"×10 → 8 identical 3-gram hashes): every
+    // window's min ties across all 4 members; the SIGMOD'03 rule picks the
+    // RIGHTMOST, so the pick positions are exactly the window ends 4..8 —
+    // a leftmost rule would pick 1..5 instead.
+    val rep = Seq((1L, ("a " * 10).trim)).toDF("doc_id", "text")
+    val picks1 = graft.operators.TextQueries.winnowPicks(rep)
+      .select("pos").as[Long].collect().toSet
+    assert(picks1 == (4L to 8L).toSet, picks1)
+    // (b) the winnowing guarantee: two docs sharing a run of
+    // ≥ W+K-1 = 6 tokens share ≥1 fingerprint hash, wherever the run
+    // sits in each doc.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three four five $shared six seven"),
+      (2L, s"$shared red orange yellow green blue indigo")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.TextQueries.winnowPicks(docs)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    val h1 = p.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = p.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty, s"no shared fingerprint: $h1 vs $h2")
+    // (c) density: every fixture doc picks within [1, n_windows]
+    graft.operators.TextQueries.winnow(Tables.documents(spark, sf))
+      .collect().foreach { r =>
+        val (ng, nfp) = (r.getLong(1), r.getLong(2))
+        assert(nfp >= 1 && nfp <= ng - graft.operators.TextQueries.WinnowW + 1,
+          s"doc ${r.getLong(0)}: $nfp picks of $ng grams")
+      }
+  }
+
+  test("drift: exact ppm rates over the even/odd source split, rank order") {
+    // grp 0 totals 6 eligible tokens (aaaa×4, bbbb×2); grp 1 totals 4
+    // (aaaa×1, cccc×3); "is" is length-2 noise excluded in both engines
+    val docs = Seq(
+      (1L, "src0", "aaaa aaaa aaaa bbbb is"),
+      (2L, "src0", "aaaa bbbb"),
+      (3L, "src1", "aaaa cccc cccc cccc")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextQueries.drift(docs).collect()
+    val m = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(m("aaaa") == ((4L, 1L, 666666L, 250000L, 416666L)), m("aaaa"))
+    assert(m("bbbb") == ((2L, 0L, 333333L, 0L, 333333L)), m("bbbb"))
+    assert(m("cccc") == ((0L, 3L, 0L, 750000L, 750000L)), m("cccc"))
+    assert(out.map(_.getString(0)).toSeq == Seq("cccc", "aaaa", "bbbb"))
+  }
+
   test("q_dedup_semantic covers every vector and keeps each cluster's earliest") {
     val rows = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())

@@ -155,6 +155,22 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
   }
 
+  test("q_text_winnow: keyed aggregations only — no Window, no Join, " +
+       "no cartesian") {
+    val p = plan("q_text_winnow")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_drift: totals attach as a scalar subquery, top-20 is " +
+       "TakeOrderedAndProject, no join node") {
+    val p = plan("q_text_drift")
+    assert(p.contains("Subquery"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_text_bm25: corpus totals attach as scalar subqueries, top-20 " +
        "is TakeOrderedAndProject, no cartesian anywhere") {
     val p = plan("q_text_bm25")

@@ -29,7 +29,7 @@ object SimilarityQueries {
   private val Dim = 64
 
   /** embeddings with the float[] column cast to double[] (parity). */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private[graft] def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -47,7 +47,77 @@ object SimilarityQueries {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
+  /** Product-quantization geometry: M subspaces × Sub dims (M·Sub = Dim),
+    * codebook = the subvectors of fixture vectors vec_id < 4 (4 codes per
+    * subspace — the q_sim_ivf fixture-centroid rule, so DuckDB can mirror
+    * the assignment arithmetic; production codebooks are per-subspace
+    * KMeans.fit output, a data swap). */
+  private val PqM = 4
+  private val PqSub = 16
+
+  /** PQ encode (public: Jégou, Douze & Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each vector splits into
+    * [[PqM]] subvectors; each subvector takes the L2-nearest codebook
+    * entry of its subspace (ties → lowest code id); the vector is stored
+    * as M small codes. Returns (vec_id, codes, rv) where codes is the
+    * CSV code string and rv the codebook reconstruction ADC scores
+    * against.
+    *
+    * L2² is the three-dot expansion |a|² + |c|² − 2·a·c (each dot the
+    * codegen'd sequential [[dot_product]]) so both engines compare
+    * bit-identical doubles; argmin-with-tiebreak is ONE array_min over
+    * (dist, j, cv) structs. The codebook collapses to a single-row
+    * struct-array block attached as an uncorrelated scalar subquery —
+    * assignment is a pure map-side projection, no join node (the IvfOps
+    * rule); at real scale the lambdas swap for assignStatic-style literal
+    * codegen with no shape change.
+    */
+  private[graft] def pqEncode(e: DataFrame): DataFrame = {
+    val cb = e.filter(col("vec_id") < 4)
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+              col("vec_id").as("j"), col("v"))
+      .select(col("m"), col("j"),
+              slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
+      .withColumn("n2", dot_product(col("cv"), col("cv")))
+      .agg(sort_array(collect_list(struct(
+        col("m"), col("j"), col("cv"), col("n2")))).as("__cb"))
+    val parts = (0 until PqM).map { m =>
+      val subm = slice(col("v"), m * PqSub + 1, PqSub)
+      val ents = filter(col("__cb"), c => c.getField("m") === m)
+      val scored = transform(ents, c => struct(
+        (dot_product(subm, subm) + c.getField("n2")
+          - lit(2.0) * dot_product(subm, c.getField("cv"))).as("dist"),
+        c.getField("j").as("j"), c.getField("cv").as("cv")))
+      array_min(scored)
+    }
+    e.withColumn("__cb",
+        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(cb))
+      .select(col("vec_id"),
+        concat_ws(",", parts.map(_.getField("j").cast("string")): _*)
+          .as("codes"),
+        concat(parts.map(_.getField("cv")): _*).as("rv"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_sim_pq" -> ((s, d) => {
+      // PQ + ADC top-5: the corpus is scanned as codebook reconstructions
+      // (1 byte/dim at 256-entry codebooks — the storage win past int8),
+      // the query stays full precision. Same plan family as
+      // q_sim_knn_quantized: scalar-subquery query vector, map-side
+      // scoring, no join node, TakeOrderedAndProject. See [[pqEncode]].
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // encode the FULL table (the codebook includes vec 0's subvectors),
+      // then drop the query row from the scored corpus
+      pqEncode(fanOut(e))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .select(col("vec_id"), col("codes"),
+                floor9(cosine(col("rv"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     "q_emb_centroid" -> ((s, d) => {
       // Per-label mean embedding (the class-prototype / cluster-seed
       // building block): one hash aggregation with `dim` avg slots —
@@ -226,6 +296,37 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sim_pq" -> {
+      def dot16(a: String, b: String) =
+        s"list_aggregate([$a[i] * $b[i] for i in range(1, ${PqSub + 1})], 'sum')"
+      val sub = s"list_slice(e.v, cb.m*$PqSub + 1, cb.m*$PqSub + $PqSub)"
+      val cos = duckCos("r.rv", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (
+         |  SELECT m, vec_id AS j,
+         |         list_slice(v, m*$PqSub + 1, m*$PqSub + $PqSub) AS cv
+         |  FROM e, unnest([0, 1, 2, 3]) t(m) WHERE vec_id < 4),
+         |a0 AS (
+         |  SELECT e.vec_id, cb.m, cb.j, cb.cv,
+         |         ${dot16(sub, sub)} + ${dot16("cb.cv", "cb.cv")}
+         |           - 2 * ${dot16(sub, "cb.cv")} AS dist
+         |  FROM e, cb WHERE e.vec_id <> 0),
+         |asg AS (
+         |  SELECT vec_id, m, j, cv,
+         |         row_number() OVER (PARTITION BY vec_id, m
+         |                            ORDER BY dist ASC, j ASC) AS rn
+         |  FROM a0),
+         |r AS (
+         |  SELECT vec_id,
+         |         array_to_string(list(j ORDER BY m), ',') AS codes,
+         |         flatten(list(cv ORDER BY m)) AS rv
+         |  FROM asg WHERE rn = 1 GROUP BY vec_id),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT r.vec_id, r.codes, floor(($cos) * 1e9) / 1e9 AS sim
+         |FROM r, q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
     "q_emb_centroid" ->
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          |u AS (SELECT label, i, CAST(floor(avg(v[i]) * 1e6) AS BIGINT) AS a

@@ -109,6 +109,22 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode: codebook vectors self-code and reconstruct exactly (q_sim_pq)") {
+    // each codebook vector's subvectors are their own sub-centroids:
+    // dist |a|²+|c|²-2a·c is exactly 0.0 in IEEE when a = c, so vec j
+    // must code to "j,j,j,j" and reconstruct bit-for-bit
+    val enc = graft.operators.SimilarityQueries
+      .pqEncode(graft.operators.SimilarityQueries.emb(spark, sf))
+      .filter(col("vec_id") < 4).orderBy("vec_id").collect()
+    val orig = graft.operators.SimilarityQueries.emb(spark, sf)
+      .filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Double](0))
+    enc.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) == s"$i,$i,$i,$i", s"vec $i: ${r.getString(1)}")
+      assert(r.getSeq[Double](2) == orig(i), s"vec $i reconstruction drifted")
+    }
+  }
+
   test("quantized-scan kNN agrees with exact kNN on ≥4 of top-5 (q_sim_knn_quantized)") {
     val exact = SparkEntry.queries("q_sim_knn")(spark, sf)
       .select("vec_id").as[Long].collect().toSet

@@ -155,6 +155,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
   }
 
+  test("q_sim_pq scores map-side: codebook and query attach as scalar " +
+       "subqueries (no join node), top-5 is TakeOrderedAndProject") {
+    val p = plan("q_sim_pq")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_text_winnow: keyed aggregations only — no Window, no Join, " +
        "no cartesian") {
     val p = plan("q_text_winnow")

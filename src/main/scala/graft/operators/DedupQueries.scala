@@ -725,6 +725,41 @@ object DedupQueries {
         .orderBy("da", "db")
     }),
 
+    "q_dedup_winnow" -> ((s, d) => {
+      // Winnowed-fingerprint near-dup pairs — the MOSS comparison step
+      // over q_text_winnow's SELECTED fingerprints (Schleimer et al.,
+      // SIGMOD 2003 §4). The pick set runs ~2/(W+1) ≈ 40% the density of
+      // the full shingle index at the same guarantee floor (any shared
+      // run of ≥ W+K-1 tokens still collides), so the inverted-index
+      // join moves proportionally fewer rows than q_dedup_ngram — the
+      // winnowing trade at 100 TB. Same capped shape as the shingle
+      // stack: df-capped inverted index (the DfCap rule), (h)-keyed
+      // bucket pair expansion (bounded ≤ DfCap²/2 per hash, never a
+      // self-join re-evaluating the pick subtree), sizes join-back,
+      // exact winnowed Jaccard ≥ 0.5.
+      val fp = TextQueries.winnowPicks(fanOut(documents(s, d)))
+        .select("doc_id", "h").distinct()
+      val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select("h")
+      val kept = fp.join(keep, Seq("h"))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = kept.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(posexplode(col("ids")).as(Seq("i", "da")), col("ids"))
+        .select(col("da"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.as("wna"), col("da") === col("wna.doc_id"))
+        .join(sizes.as("wnb"), col("db") === col("wnb.doc_id"))
+        .select(col("da"), col("db"), col("shared"),
+          floor(col("shared")
+                  / (col("wna.n") + col("wnb.n") - col("shared")) * 1e6)
+            .cast("long").as("jac_e6"))
+        .filter(col("jac_e6") >= 500000)
+        .orderBy("da", "db")
+    }),
+
     "q_dedup_simhash" -> ((s, d) => {
       // 60-bit SimHash over the token multiset (order-insensitive — catches
       // the fixture's permuted near-dups); pairs via 4×15-bit band joins.
@@ -1068,6 +1103,27 @@ object DedupQueries {
          |JOIN sizes na ON i.da = na.doc_id
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000
+         |ORDER BY da, db""".stripMargin,
+
+    // the pick CTEs are TextQueries.duckWinnowPicks — ONE definition with
+    // the q_text_winnow oracle; cap/pair/Jaccard tail mirrors q_dedup_ngram
+    "q_dedup_winnow" ->
+      s"""WITH ${TextQueries.duckWinnowPicks},
+         |fp AS (SELECT DISTINCT doc_id, h FROM p),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= $DfCap),
+         |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM kept a JOIN kept b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.da, i.db, CAST(i.shared AS BIGINT) AS shared,
+         |       CAST(floor(i.shared / (na.n + nb.n - i.shared) * 1e6)
+         |            AS BIGINT) AS jac_e6
+         |FROM inter i
+         |JOIN sizes na ON i.da = na.doc_id
+         |JOIN sizes nb ON i.db = nb.doc_id
+         |WHERE floor(i.shared / (na.n + nb.n - i.shared) * 1e6) >= 500000
          |ORDER BY da, db""".stripMargin,
 
     "q_dedup_simhash" ->

@@ -346,6 +346,31 @@ object TextQueries {
       .distinct()
   }
 
+  /** ONE DuckDB spelling of the winnowing pick set (CTE chain ending in
+    * `p(doc_id, ng, h, pos)`), shared by the q_text_winnow and
+    * q_dedup_winnow oracles — the duckBandPairSql rule. */
+  private[operators] lazy val duckWinnowPicks: String =
+    s"""t AS (
+       |  SELECT doc_id, $duckTokenHashes AS ha,
+       |         len(string_split(text, ' ')) - ${WinnowK - 1} AS ng
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, ng, ha, unnest(range(1, ng + 1)) AS i
+       |  FROM t WHERE ng >= $WinnowW),
+       |k AS (
+       |  SELECT doc_id, ng, i,
+       |         ((((ha[i] * $PolyB + ha[i+1]) % $FpPrime) * $PolyB
+       |            + ha[i+2]) % $FpPrime) * ${PosCap}
+       |           + (${PosCap - 1} - i) AS key
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, ng, i + off AS e, key
+       |  FROM k, unnest([0, 1, 2, 3]) o(off)
+       |  WHERE i + off BETWEEN $WinnowW AND ng),
+       |m AS (SELECT doc_id, ng, e, min(key) AS mk FROM w GROUP BY 1, 2, 3),
+       |p AS (SELECT DISTINCT doc_id, ng, mk // ${PosCap} AS h,
+       |             ${PosCap - 1} - (mk % ${PosCap}) AS pos FROM m)""".stripMargin
+
   private[graft] def winnow(docs: DataFrame): DataFrame =
     winnowPicks(docs)
       .groupBy("doc_id", "ng")
@@ -993,26 +1018,7 @@ object TextQueries {
     // same winnowing arithmetic: per-token hashes -> K-gram Rabin-Karp ->
     // key-packed (min h, max pos) per window -> distinct picks -> rollup
     "q_text_winnow" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $duckTokenHashes AS ha,
-         |         len(string_split(text, ' ')) - ${WinnowK - 1} AS ng
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, ng, ha, unnest(range(1, ng + 1)) AS i
-         |  FROM t WHERE ng >= $WinnowW),
-         |k AS (
-         |  SELECT doc_id, ng, i,
-         |         ((((ha[i] * $PolyB + ha[i+1]) % $FpPrime) * $PolyB
-         |            + ha[i+2]) % $FpPrime) * ${PosCap}
-         |           + (${PosCap - 1} - i) AS key
-         |  FROM g),
-         |w AS (
-         |  SELECT doc_id, ng, i + off AS e, key
-         |  FROM k, unnest([0, 1, 2, 3]) o(off)
-         |  WHERE i + off BETWEEN $WinnowW AND ng),
-         |m AS (SELECT doc_id, ng, e, min(key) AS mk FROM w GROUP BY 1, 2, 3),
-         |p AS (SELECT DISTINCT doc_id, ng, mk // ${PosCap} AS h,
-         |             ${PosCap - 1} - (mk % ${PosCap}) AS pos FROM m)
+      s"""WITH $duckWinnowPicks
          |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
          |       CAST(count(*) AS BIGINT) AS n_fp,
          |       CAST(sum(h) % $FpPrime AS BIGINT) AS fp_mod

@@ -269,6 +269,43 @@ class EngineSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("cccc", "aaaa", "bbbb"))
   }
 
+  test("q_dedup_winnow: exact-content dups score Jaccard 1.0; bounds hold") {
+    val rows = SparkEntry.queries("q_dedup_winnow")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    rows.foreach { case ((da, db), jac) =>
+      assert(da < db, s"unordered pair ($da,$db)")
+      assert(jac >= 500000L && jac <= 1000000L, s"jac $jac out of range")
+    }
+    // identical text ⇒ identical positions and gram hashes ⇒ identical
+    // pick sets ⇒ winnowed Jaccard exactly 1e6 — every exact-content dup
+    // pair must surface at full score
+    val dupPairs = Tables.documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    dupPairs.foreach { p => // sf0.001 plants only NEAR-dups; guard if any
+      assert(rows.get(p).contains(1000000L),
+        s"exact dup $p missing or sub-1.0 in winnow pairs: ${rows.get(p)}")
+    }
+    // the property itself, on crafted docs: identical text ⇒ identical
+    // (h, pos) pick sets (⇒ winnowed Jaccard 1.0); different text ⇒ not
+    val crafted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val picks = graft.operators.TextQueries.winnowPicks(crafted)
+      .select("doc_id", "h", "pos")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(picks(1L) == picks(2L), "identical docs picked different sets")
+    assert(picks(1L) != picks(3L), "distinct docs picked identical sets")
+  }
+
   test("q_dedup_semantic covers every vector and keeps each cluster's earliest") {
     val rows = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())

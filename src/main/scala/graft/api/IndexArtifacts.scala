@@ -104,6 +104,54 @@ object IndexArtifacts {
       idx.distinct().join(hot, Seq("h"), "left_anti").select("doc_id", "h"))
   }
 
+  /** Write the winnowing-fingerprint index — q_text_winnow's pick sets
+    * (doc_id, h) as a table bucketed + sorted on `h`, the MOSS twin of
+    * [[persistShingleIndex]] at ~2/(W+1) the row count. Picks are a pure
+    * per-document function of the text (window minima never cross doc
+    * boundaries), so raw(initial) ∪ raw(appended) = raw(all) for disjoint
+    * doc_ids — appends equal a rebuild exactly, and the DfCap hot-hash
+    * policy stays at read time ([[pairsFromWinnowIndex]]), the shingle
+    * cap-at-read doctrine.
+    */
+  def persistWinnowIndex(s: SparkSession, docs: DataFrame, table: String,
+                         buckets: Int = 32): Unit =
+    BucketedLayout.writeBucketed(
+      graft.operators.TextQueries.winnowPicks(
+        graft.Tables.fanOut(docs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("h")),
+      table, "h", buckets)
+
+  /** Incremental maintenance: winnow ONLY the new (doc_id, text) batch
+    * and append its picks, preserving the layout. A replayed batch
+    * (foreachBatch is at-least-once) is harmless: the pair reader
+    * distincts (doc_id, h) exchange-free before capping.
+    */
+  def appendWinnowIndex(s: SparkSession, newDocs: DataFrame, table: String,
+                        buckets: Int = 32): Unit =
+    BucketedLayout.appendBucketed(
+      graft.operators.TextQueries.winnowPicks(
+        graft.Tables.fanOut(newDocs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("h")),
+      table, "h", buckets)
+
+  /** The persisted pick index, bucket layout intact (relation cache
+    * refreshed — see [[shingleIndex]]).
+    */
+  def winnowIndex(s: SparkSession, table: String): DataFrame = {
+    s.catalog.refreshTable(table)
+    s.table(table)
+  }
+
+  /** Winnowed near-dup pairs (da, db, shared, jac_e6 ≥ 0.5) over a
+    * PERSISTED pick index — the exact q_dedup_winnow plan
+    * ([[graft.operators.DedupQueries.winnowPairsPlan]] is the one
+    * definition) with no re-tokenize, no re-winnow, no rebuild: the
+    * replay-guard distinct, the DfCap aggregation, and the (h)-keyed
+    * bucket expansion all satisfy their clustering from the layout.
+    */
+  def pairsFromWinnowIndex(s: SparkSession, table: String): DataFrame =
+    graft.operators.DedupQueries.winnowPairsPlan(winnowIndex(s, table))
+
   /** Write the IVF assignment (id, cid — `nProbe` rows per vector) as a
     * table bucketed + sorted on `cid`, so per-bucket candidate generation
     * (the ANN join's grouping key) scans shuffle-free. `centroids` is the

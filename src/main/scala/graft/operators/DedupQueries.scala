@@ -283,6 +283,36 @@ object DedupQueries {
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).clusters
 
+  /** q_dedup_winnow's pair tail over a raw winnow pick set (doc_id, h —
+    * duplicates tolerated: the leading distinct is the replay guard, so
+    * the same plan serves the live query and the persisted artifact,
+    * [[graft.api.IndexArtifacts.pairsFromWinnowIndex]]): DfCap the hot
+    * hashes, expand in-bucket pairs via the (h)-keyed aggregation, score
+    * exact winnowed Jaccard ≥ 0.5 with sizes joined back.
+    */
+  private[graft] def winnowPairsPlan(rawFp: DataFrame): DataFrame = {
+    val fp = rawFp.distinct()
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("h")
+    val kept = fp.join(keep, Seq("h"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "da")), col("ids"))
+      .select(col("da"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("wna"), col("da") === col("wna.doc_id"))
+      .join(sizes.as("wnb"), col("db") === col("wnb.doc_id"))
+      .select(col("da"), col("db"), col("shared"),
+        floor(col("shared")
+                / (col("wna.n") + col("wnb.n") - col("shared")) * 1e6)
+          .cast("long").as("jac_e6"))
+      .filter(col("jac_e6") >= 500000)
+      .orderBy("da", "db")
+  }
+
   /** The shared shingle-index layer stack as NAMED one-time builds, in
     * dependency order, for per-phase bench attribution: each thunk forces
     * one memo layer, so timing them in sequence yields the marginal cost
@@ -737,27 +767,8 @@ object DedupQueries {
       // bucket pair expansion (bounded ≤ DfCap²/2 per hash, never a
       // self-join re-evaluating the pick subtree), sizes join-back,
       // exact winnowed Jaccard ≥ 0.5.
-      val fp = TextQueries.winnowPicks(fanOut(documents(s, d)))
-        .select("doc_id", "h").distinct()
-      val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap).select("h")
-      val kept = fp.join(keep, Seq("h"))
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = kept.groupBy("h")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .select(posexplode(col("ids")).as(Seq("i", "da")), col("ids"))
-        .select(col("da"),
-          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sizes.as("wna"), col("da") === col("wna.doc_id"))
-        .join(sizes.as("wnb"), col("db") === col("wnb.doc_id"))
-        .select(col("da"), col("db"), col("shared"),
-          floor(col("shared")
-                  / (col("wna.n") + col("wnb.n") - col("shared")) * 1e6)
-            .cast("long").as("jac_e6"))
-        .filter(col("jac_e6") >= 500000)
-        .orderBy("da", "db")
+      winnowPairsPlan(
+        TextQueries.winnowPicks(fanOut(documents(s, d))).select("doc_id", "h"))
     }),
 
     "q_dedup_simhash" -> ((s, d) => {

@@ -155,6 +155,28 @@ object StreamingOps {
       .start()
   }
 
+  /** Incremental WINNOW-index maintenance — [[maintainShingleIndex]]'s
+    * MOSS twin: each micro-batch of (doc_id, text) docs is winnowed
+    * (window-min fingerprint selection, a pure per-document function) and
+    * its picks APPENDED into the persisted bucketed artifact, so a
+    * streamed corpus stays fingerprint-searchable via
+    * `IndexArtifacts.pairsFromWinnowIndex` at ~2/(W+1) the index volume
+    * of the full shingle path. At-least-once replays are safe: the pair
+    * reader distincts (doc_id, h) exchange-free before capping.
+    */
+  def maintainWinnowIndex(docs: DataFrame, table: String, checkpoint: String,
+                          buckets: Int = 32,
+                          trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val append: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.api.IndexArtifacts.appendWinnowIndex(
+        batch.sparkSession, batch, table, buckets)
+    docs.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Incremental PERCEPTUAL-index maintenance — [[maintainShingleIndex]]'s
     * multimodal twin: each micro-batch of (media_id, container) rows is
     * decoded + fingerprinted MAP-SIDE (ahash60 for `modality = "image"`,

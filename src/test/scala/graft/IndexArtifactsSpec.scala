@@ -154,6 +154,86 @@ class IndexArtifactsSpec extends SparkSpec {
     if (got(3L)) info("unseen text false-positived (allowed, astronomically rare)")
   }
 
+  test("winnow index: appends equal a rebuild, pairs match the live query, " +
+       "and no exchange repartitions on the pick hash") {
+    import spark.implicits._
+    dropTable("g_win_idx")
+    // corpus + an injected exact twin of the first doc — sf0.001 may hold
+    // no natural ≥0.5 winnowed-Jaccard pair, and the spec needs ≥1
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val src = docs.orderBy("doc_id").limit(1).collect()(0)
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    val all = docs.union(Seq((900003L, srcText)).toDF("doc_id", "text"))
+    // build from the evens, append odds + twin: the read path must see
+    // one table indistinguishable from a single-shot build
+    IndexArtifacts.persistWinnowIndex(
+      spark, all.filter($"doc_id" % 2 === 0), "g_win_idx", buckets = 4)
+    IndexArtifacts.appendWinnowIndex(
+      spark, all.filter($"doc_id" % 2 =!= 0), "g_win_idx", buckets = 4)
+    def artifactPairs(): Seq[(Long, Long, Long, Long)] =
+      IndexArtifacts.pairsFromWinnowIndex(spark, "g_win_idx")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val live = DedupQueries.winnowPairsPlan(
+        graft.operators.TextQueries.winnowPicks(all).select("doc_id", "h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = artifactPairs()
+    assert(got.exists(p => p._1 == srcId && p._2 == 900003L && p._4 == 1000000L),
+      got.take(5).toString)
+    assert(got == live)
+    // at-least-once replay must not change pairs (reader distincts first)
+    IndexArtifacts.appendWinnowIndex(
+      spark, all.filter($"doc_id" % 2 =!= 0), "g_win_idx", buckets = 4)
+    assert(artifactPairs() == live, "replayed append changed the pair set")
+    // every h-keyed read stage — replay distinct, DfCap aggregation, the
+    // bucket join, pair expansion — satisfies its clustering from the
+    // bucket layout: the remaining exchanges (per-doc sizes, the (da, db)
+    // pair aggregation, join-backs, presentation sort) are pair/doc-keyed
+    // and must shuffle; none may repartition on the pick hash
+    val pairs = IndexArtifacts.pairsFromWinnowIndex(spark, "g_win_idx")
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hx = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange") && l.matches(".*hashpartitioning\\(h#.*"))
+      .toSeq
+    assert(hx.isEmpty, hx.mkString("\n"))
+    assert(finalPlan.contains("Bucketed: true"), finalPlan)
+  }
+
+  test("maintainWinnowIndex: a streamed doc becomes fingerprint-searchable " +
+       "with no corpus re-winnow, replays idempotent") {
+    import spark.implicits._
+    dropTable("g_win_inc")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    IndexArtifacts.persistWinnowIndex(spark, docs, "g_win_inc", buckets = 4)
+    val base = spark.table("g_win_inc").count()
+    val src = docs.orderBy("doc_id").limit(1).collect()(0)
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("winmaint").toString
+    val q = graft.streaming.StreamingOps.maintainWinnowIndex(
+      in.toDS().toDF("doc_id", "text"), "g_win_inc", ckpt, buckets = 4)
+    in.addData((900004L, srcText))
+    q.processAllAvailable()
+    q.stop()
+    // only the batch was winnowed: the artifact grew by the new doc's
+    // pick rows alone
+    val grown = IndexArtifacts.winnowIndex(spark, "g_win_inc")
+    val newRows = grown.filter($"doc_id" === 900004L).count()
+    assert(newRows > 0)
+    assert(grown.count() == base + newRows)
+    // the (source, twin) Jaccard-1.0 pair is discoverable through the
+    // artifact alone — no re-winnow of the sunk corpus
+    val pair = IndexArtifacts.pairsFromWinnowIndex(spark, "g_win_inc")
+      .filter($"da" === srcId && $"db" === 900004L).collect()
+    assert(pair.length == 1 && pair(0).getLong(3) == 1000000L, pair.mkString)
+  }
+
   test("fingerprint index: appends equal a rebuild, pairs match the live " +
        "band join, and the banded layout plans pair generation exchange-free") {
     import spark.implicits._

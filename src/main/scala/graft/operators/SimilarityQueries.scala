@@ -72,12 +72,36 @@ object SimilarityQueries {
     * rule); at real scale the lambdas swap for assignStatic-style literal
     * codegen with no shape change.
     */
-  private[graft] def pqEncode(e: DataFrame): DataFrame = {
-    val cb = e.filter(col("vec_id") < 4)
+  /** The fixture codebook as (m, j, cv) rows: the subvectors of the 4
+    * lowest-id vectors — which is also EXACTLY [[graft.api.KMeans.fit]]'s
+    * deterministic init, so [[pqTrainedCodebook]] is its Lloyd's
+    * refinement. */
+  private[graft] def pqFixtureCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 4)
       .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
               col("vec_id").as("j"), col("v"))
       .select(col("m"), col("j"),
               slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
+
+  /** Production codebooks: an independent deterministic k-means per
+    * subspace over the corpus' subvectors (the PQ paper's training rule —
+    * subspaces quantize independently), k=4 to stay comparable with the
+    * fixture twin; swapping k to 256 is the standard 1-byte-per-subspace
+    * geometry. */
+  private[graft] def pqTrainedCodebook(e: DataFrame, iters: Int = 5): DataFrame =
+    (0 until PqM).map { m =>
+      graft.api.KMeans.fit(
+        e.select(col("vec_id"),
+                 slice(col("v"), m * PqSub + 1, PqSub).as("v")),
+        "vec_id", "v", k = 4, iters = iters)
+        .select(lit(m).as("m"), col("cid").as("j"), col("cv"))
+    }.reduce(_ union _)
+
+  private[graft] def pqEncode(e: DataFrame): DataFrame =
+    pqEncodeWith(e, pqFixtureCodebook(e))
+
+  private[graft] def pqEncodeWith(e: DataFrame, cbRows: DataFrame): DataFrame = {
+    val cb = cbRows
       .withColumn("n2", dot_product(col("cv"), col("cv")))
       .agg(sort_array(collect_list(struct(
         col("m"), col("j"), col("cv"), col("n2")))).as("__cb"))
@@ -110,6 +134,25 @@ object SimilarityQueries {
       // encode the FULL table (the codebook includes vec 0's subvectors),
       // then drop the query row from the scored corpus
       pqEncode(fanOut(e))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .select(col("vec_id"), col("codes"),
+                floor9(cosine(col("rv"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    "q_sim_pq_trained" -> ((s, d) => {
+      // the PRODUCTION half of the PQ fixture-codebook split (the
+      // q_sim_ivf_trained precedent): identical ADC scan over codebooks
+      // from a deterministic per-subspace KMeans.fit — whose init IS the
+      // fixture codebook, so this is its Lloyd's refinement. no_oracle by
+      // design (trained float model, no SQL mirror); contract =
+      // determinism + quantization-error-not-worse-than-fixture
+      // (KMeansIvfSpec), fixture twin q_sim_pq stays hash-checked.
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      pqEncodeWith(fanOut(e), pqTrainedCodebook(e))
         .filter(col("vec_id") =!= 0)
         .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
         .select(col("vec_id"), col("codes"),

@@ -414,6 +414,33 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Exact heavy hitters via the two-pass Misra-Gries pattern: pass 1
+    * runs [[graft.functions.FrequentItems]] (a typed Aggregator whose
+    * state is ≤ K counters + the exact total — partial aggregation per
+    * partition, k rows per partition on the exchange, NEVER a vocab-sized
+    * hash map); pass 2 re-counts ONLY the ≤ K candidates (broadcast join
+    * filter, tiny keyed aggregation) and keeps those with exact count
+    * > n/(K+1). The MG no-false-negative guarantee makes the final set
+    * order-independent — it equals the true heavy hitters whatever extra
+    * candidates survived the sketch — so the operator is deterministic
+    * and oracle-checkable even though the sketch itself is not.
+    */
+  private[graft] def heavyHitters(docs: DataFrame): DataFrame = {
+    import graft.functions.FrequentItems
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val cands = toks.as[String]
+      .select(FrequentItems.toColumn)
+      .toDF("cands", "n")
+      .select(explode(col("cands")).as("token"), col("n"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
       // Token frequency top-20: the canonical explode → count — partial
@@ -744,7 +771,11 @@ object TextQueries {
 
     "q_text_drift" -> ((s, d) =>
       // cross-snapshot token-rate drift in exact ppm — see [[drift]]
-      drift(fanOut(documents(s, d))))
+      drift(fanOut(documents(s, d)))),
+
+    "q_text_heavyhitters" -> ((s, d) =>
+      // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]]
+      heavyHitters(fanOut(documents(s, d))))
   )
 
   private val duckTokFp = {
@@ -1044,6 +1075,17 @@ object TextQueries {
          |       CAST(abs(o1 * 1000000 // n1 - o2 * 1000000 // n2) AS BIGINT)
          |         AS drift_ppm
          |FROM tc, n
-         |ORDER BY drift_ppm DESC, token ASC LIMIT 20""".stripMargin
+         |ORDER BY drift_ppm DESC, token ASC LIMIT 20""".stripMargin,
+
+    // the MG sketch is engine-side pruning only — the final set is exactly
+    // the tokens with true count > n/(K+1), which SQL states directly
+    "q_text_heavyhitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+         |SELECT token, CAST(cnt AS BIGINT) AS cnt
+         |FROM c, n WHERE cnt * ${graft.functions.FrequentItems.K + 1} > n.n
+         |ORDER BY cnt DESC, token ASC""".stripMargin
   )
 }

@@ -219,6 +219,41 @@ class EngineSpec extends SparkSpec {
     assert(out(3).getString(3) == "")
   }
 
+  test("FrequentItems (Misra-Gries): state bound, heavy-hitter guarantee, " +
+       "undercount bound; the two-pass query returns exact counts") {
+    import graft.functions.FrequentItems
+    val K = FrequentItems.K
+    // heavy item interleaved through 10×2K distinct noise items in a
+    // deterministic shuffle — the eviction-pressure case
+    val heavy = Seq.fill(300)("hot")
+    val noise = (0 until 2 * K * 10).map(i => s"n$i")
+    val stream = (heavy ++ noise).zipWithIndex
+      .sortBy { case (_, i) => (i % 37, i) }.map(_._1)
+    val n = stream.size.toLong
+    val b = stream.foldLeft(FrequentItems.zero)(FrequentItems.reduce)
+    assert(b._1.size <= K && b._2 == n)
+    assert(300L * (K + 1) > n) // hot IS a guaranteed heavy hitter here
+    assert(b._1.contains("hot"))
+    assert(b._1("hot") <= 300 && b._1("hot") >= 300 - n / (K + 1))
+    // merging partials preserves total, bound, and the guarantee
+    val (s1, s2) = stream.splitAt(stream.size / 3)
+    val m = FrequentItems.merge(
+      s1.foldLeft(FrequentItems.zero)(FrequentItems.reduce),
+      s2.foldLeft(FrequentItems.zero)(FrequentItems.reduce))
+    assert(m._1.size <= K && m._2 == n)
+    assert(m._1.contains("hot"))
+    assert(m._1("hot") <= 300 && m._1("hot") >= 300 - n / (K + 1))
+    // the two-pass operator: exactly the > n/(K+1) tokens, exact counts,
+    // despite 2000 distinct tail tokens hammering the counters
+    val docs = Seq(
+      (1L, (Seq.fill(60)("alpha") ++ Seq.fill(55)("beta")).mkString(" ")),
+      (2L, (0 until 2000).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.heavyHitters(docs).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 60L), ("beta", 55L)))
+  }
+
   test("winnowPicks: rightmost-min tie rule, shared-substring guarantee, " +
        "density bounds (q_text_winnow)") {
     // (a) all grams identical ("a"×10 → 8 identical 3-gram hashes): every

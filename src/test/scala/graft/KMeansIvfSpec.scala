@@ -111,6 +111,32 @@ class KMeansIvfSpec extends SparkSpec {
     assert(run() == first)
   }
 
+  test("q_sim_pq_trained: deterministic run-to-run, and trained codebooks " +
+       "quantize no worse than their fixture init") {
+    def run() = SparkEntry.queries("q_sim_pq_trained")(spark, sf)
+      .collect().toSeq
+    val first = run()
+    assert(first.size == 5)
+    assert(run() == first)
+    // KMeans.fit inits from the 4 lowest-id subvectors — exactly the
+    // fixture codebook — so 5 Lloyd's rounds must not LOSE reconstruction
+    // quality on the corpus it trained on
+    val sq = graft.operators.SimilarityQueries
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def mse(cb: org.apache.spark.sql.DataFrame): Double = {
+      val rows = sq.pqEncodeWith(e, cb).select("vec_id", "rv")
+        .join(e, Seq("vec_id")).select("v", "rv").collect()
+      rows.map { r =>
+        val v = r.getSeq[Double](0); val rv = r.getSeq[Double](1)
+        v.zip(rv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / rows.length
+    }
+    val mFix = mse(sq.pqFixtureCodebook(e))
+    val mTrn = mse(sq.pqTrainedCodebook(e))
+    assert(mTrn <= mFix, s"trained MSE $mTrn worse than fixture init $mFix")
+  }
+
   test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

@@ -86,4 +86,78 @@ object KMeans {
       cents.toDF("cid", "cv")
     } finally if (cached) corpus.unpersist(blocking = true)
   }
+
+  /** Product-quantization codebook training: an INDEPENDENT k-means per
+    * subspace (the PQ training rule), but all `m` subspaces advance in
+    * ONE Lloyd's loop — each iteration is a single corpus scan assigning
+    * every (row, subspace) pair and ONE (m, cid) aggregation, versus `m`
+    * separate [[fit]] calls paying `m × iters` scans. The subspace
+    * trajectories never interact (assignment and means are per-m), so the
+    * result is EXACTLY the union of the m independent fits — spec-pinned
+    * (KMeansIvfSpec) — while the scan count drops m-fold: the difference
+    * between 20 and 5 passes over a 100 TB lake for m=4.
+    *
+    * Same determinism contract as [[fit]]: init = the k lowest-id rows'
+    * subvectors, cosine assignment with ties to the lowest cid, DECIMAL
+    * mean accumulation (order-independent), dead clusters drop out.
+    * Returns (m, j, cv) rows for [[graft.operators.SimilarityQueries]]'s
+    * PQ encoder.
+    */
+  def fitSubspaces(vecs: DataFrame, idCol: String, vecCol: String,
+                   m: Int, sub: Int, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import graft.functions.expressions.VectorFunctions.dot_product
+
+    require(m >= 1 && sub >= 1 && k >= 1)
+    // the corpus exploded ONCE to (id, m, subvector) — the only
+    // corpus-sized frame; cached for the duration like [[fit]]'s corpus
+    val parts = vecs.select(col(idCol),
+        explode(array((0 until m).map(i => struct(lit(i).as("m"),
+          slice(col(vecCol), i * sub + 1, sub).as("v"))): _*)).as("p"))
+      .select(col("p.m").as("m"), col("p.v").as("v"))
+    val cached = iters >= 1
+    if (cached) parts.cache()
+    try {
+      val initRows = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().map(_.getSeq[Double](0))
+      require(initRows.nonEmpty, "cannot fit on an empty corpus")
+      // cents(i) = subspace i's (cid, centroid) model
+      var cents: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { i =>
+        initRows.zipWithIndex.map { case (v, j) =>
+          (j.toLong, v.slice(i * sub, i * sub + sub)) }.toSeq
+      }
+      for (_ <- 1 to iters) {
+        // per row: pick THIS subspace's static scored argmax (the
+        // assignStatic expression per m, selected by a when-chain — all
+        // codegen'd literals, one scan)
+        def argmax(model: Seq[(Long, Seq[Double])]) = {
+          val scored = array(model.map { case (cid, cv) =>
+            val cnrm = math.sqrt(cv.map(x => x * x).sum)
+            struct(nanvl(dot_product(col("v"), lit(cv.toArray)) /
+                          (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
+                   lit(-cid).as("negcid"))
+          }: _*)
+          -array_max(scored).getField("negcid")
+        }
+        val assigned = parts
+          .withColumn("__nrm", sqrt(dot_product(col("v"), col("v"))))
+          .withColumn("cid",
+            (0 until m).map(i => when(col("m") === i, argmax(cents(i))))
+              .reduceRight(_ otherwise _))
+        val next = assigned.groupBy("m", "cid")
+          .agg(array((0 until sub).map(i =>
+            avg(col("v").getItem(i).cast("decimal(30,15)"))
+              .cast("double")): _*).as("cv"))
+          .orderBy("m", "cid")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        cents = (0 until m).map(i =>
+          next.filter(_._1 == i).map(t => (t._2, t._3)).toSeq)
+      }
+      cents.zipWithIndex.flatMap { case (model, i) =>
+        model.map { case (cid, cv) => (i, cid, cv) }
+      }.toDF("m", "j", "cv")
+    } finally if (cached) parts.unpersist(blocking = true)
+  }
 }

@@ -87,8 +87,18 @@ object SimilarityQueries {
     * subspace over the corpus' subvectors (the PQ paper's training rule —
     * subspaces quantize independently), k=4 to stay comparable with the
     * fixture twin; swapping k to 256 is the standard 1-byte-per-subspace
-    * geometry. */
+    * geometry. All subspaces advance in ONE Lloyd's loop
+    * ([[graft.api.KMeans.fitSubspaces]] — one scan per iteration instead
+    * of PqM×; result spec-pinned EXACTLY equal to PqM independent fits).
+    */
   private[graft] def pqTrainedCodebook(e: DataFrame, iters: Int = 5): DataFrame =
+    graft.api.KMeans.fitSubspaces(e, "vec_id", "v", PqM, PqSub, k = 4,
+      iters = iters)
+      .select(col("m"), col("j"), col("cv"))
+
+  /** The PqM-independent-[[graft.api.KMeans.fit]] form — the equivalence
+    * reference [[pqTrainedCodebook]] is spec-pinned against. */
+  private[graft] def pqTrainedCodebookNaive(e: DataFrame, iters: Int = 5): DataFrame =
     (0 until PqM).map { m =>
       graft.api.KMeans.fit(
         e.select(col("vec_id"),

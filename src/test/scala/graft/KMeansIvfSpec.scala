@@ -137,6 +137,19 @@ class KMeansIvfSpec extends SparkSpec {
     assert(mTrn <= mFix, s"trained MSE $mTrn worse than fixture init $mFix")
   }
 
+  test("fitSubspaces equals the m independent per-subspace fits exactly " +
+       "(one scan per iteration, not m)") {
+    val sq = graft.operators.SimilarityQueries
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // subspace trajectories are independent, so the combined loop must be
+    // BIT-IDENTICAL (decimal means, same init/tie rules) to m separate fits
+    assert(rows(sq.pqTrainedCodebook(e)) == rows(sq.pqTrainedCodebookNaive(e)))
+  }
+
   test("IVF over k-means centroids: recall@5 ≥ 0.8 for ≥ 80% of 20 probes") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

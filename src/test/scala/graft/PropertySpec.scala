@@ -115,6 +115,47 @@ class PropertySpec extends SparkSpec {
       assert(rows.map(_._4).distinct.length >= 2, rows.mkString(","))
   }
 
+  test("Misra-Gries guarantee holds under random streams and random " +
+       "partition merges (20 seeds)") {
+    import graft.functions.FrequentItems
+    val K = FrequentItems.K
+    // zipf-ish streams: a few hot items + a long random tail, random order
+    val streamGen: Gen[List[String]] = for {
+      hotN <- Gen.choose(1, 5)
+      hotReps <- Gen.listOfN(hotN, Gen.choose(50, 400))
+      tail <- Gen.choose(100, 3000)
+      perm <- Gen.choose(1, 1000003)
+    } yield {
+      val items = hotReps.zipWithIndex.flatMap { case (r, i) =>
+        List.fill(r)(s"hot$i") } ++ (0 until tail).map(i => s"t$i")
+      // deterministic pseudo-shuffle: sort by a keyed hash
+      items.zipWithIndex.sortBy { case (s, i) =>
+        (s.hashCode * perm + i * 31) & 0x7fffffff }.map(_._1)
+    }
+    (1L to 20L).foreach { seed =>
+      val stream = sample(streamGen, seed)
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random partitioning into 1..8 partials, merged pairwise
+      val parts = sample(Gen.choose(1, 8), seed * 7 + 1)
+      val chunks = stream.grouped(math.max(1, stream.size / parts)).toSeq
+      val summary = chunks
+        .map(_.foldLeft(FrequentItems.zero)(FrequentItems.reduce))
+        .reduce(FrequentItems.merge)
+      assert(summary._1.size <= K, s"seed $seed: state ${summary._1.size}")
+      assert(summary._2 == n)
+      exact.foreach { case (item, cnt) =>
+        if (cnt * (K + 1) > n) // a guaranteed heavy hitter...
+          assert(summary._1.contains(item),
+            s"seed $seed: heavy $item (cnt $cnt, n $n) evicted")
+        summary._1.get(item).foreach { est =>
+          assert(est <= cnt && est >= cnt - n / (K + 1),
+            s"seed $seed: $item est $est outside [${cnt - n / (K + 1)}, $cnt]")
+        }
+      }
+    }
+  }
+
   test("ngram df cap drops hot-shingle pairs, keeps rare-shingle dups") {
     // 150 docs made ONLY of one ultra-common shingle: without the df cap
     // they would emit 150·149/2 = 11175 jaccard-1.0 pairs (the hot-key

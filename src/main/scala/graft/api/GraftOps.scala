@@ -92,6 +92,48 @@ object GraftOps {
     sig.select(keyCols.map(col) :+ explode(bandSigs).as("sig"): _*)
   }
 
+  /** Winnowed-fingerprint near-dup pairs (MOSS — Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003): window-min fingerprint selection per document
+    * (~2/(W+1) the volume of the full shingle index at the same
+    * match-guarantee floor), then exact Jaccard over the pick sets via
+    * the df-capped (h)-keyed bucket expansion — the same plan the
+    * verified q_dedup_winnow runs. Returns (id_a, id_b, shared, jac_e6 ≥
+    * minJacE6).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  minJacE6: Long = 500000L): DataFrame =
+    graft.operators.DedupQueries.winnowPairsPlan(
+        graft.operators.TextQueries.winnowPicks(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+          .select("doc_id", "h"),
+        minJacE6)
+      .select(col("da").as("id_a"), col("db").as("id_b"),
+              col("shared"), col("jac_e6"))
+
+  /** Exact heavy hitters — every item with frequency > n/(K+1), K =
+    * [[graft.functions.FrequentItems.K]] — via the two-pass Misra-Gries
+    * pattern: a ≤K-counter typed-Aggregator summary (k rows per partition
+    * on the exchange, never a vocab-sized hash map), then an exact
+    * re-count of only the ≤K candidates. The MG no-false-negative
+    * guarantee makes the output order-independent and exact. Returns
+    * (itemCol, cnt), heaviest first.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String): DataFrame = {
+    import graft.functions.FrequentItems
+    val spark = items.sparkSession
+    import spark.implicits._
+    val it = items.select(col(itemCol).cast("string").as("__item"))
+    val cands = it.as[String]
+      .select(FrequentItems.toColumn)
+      .toDF("cands", "n")
+      .select(explode(col("cands")).as("__item"), col("n"))
+    it.join(broadcast(cands), Seq("__item"))
+      .groupBy("__item", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
+      .select(col("__item").as(itemCol), col("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jac_e6). Candidates come from band-signature
     * equality joins — no all-pairs product at any corpus size.
@@ -721,6 +763,11 @@ object implicits {
       GraftOps.sessionize(df, key, tsMs, gapMs)
     def minhashPairs(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
       GraftOps.minhashPairs(df, idCol, textCol, threshold)
+    def winnowPairs(idCol: String, textCol: String,
+                    minJacE6: Long = 500000L): DataFrame =
+      GraftOps.winnowPairs(df, idCol, textCol, minJacE6)
+    def heavyHitters(itemCol: String): DataFrame =
+      GraftOps.heavyHitters(df, itemCol)
     def minhashJoin(right: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5): DataFrame =
       GraftOps.minhashJoin(df, right, idCol, textCol, threshold)

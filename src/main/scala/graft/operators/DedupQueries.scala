@@ -290,7 +290,8 @@ object DedupQueries {
     * hashes, expand in-bucket pairs via the (h)-keyed aggregation, score
     * exact winnowed Jaccard ≥ 0.5 with sizes joined back.
     */
-  private[graft] def winnowPairsPlan(rawFp: DataFrame): DataFrame = {
+  private[graft] def winnowPairsPlan(rawFp: DataFrame,
+                                     minJacE6: Long = 500000L): DataFrame = {
     val fp = rawFp.distinct()
     val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("h")
@@ -309,7 +310,7 @@ object DedupQueries {
         floor(col("shared")
                 / (col("wna.n") + col("wnb.n") - col("shared")) * 1e6)
           .cast("long").as("jac_e6"))
-      .filter(col("jac_e6") >= 500000)
+      .filter(col("jac_e6") >= minJacE6)
       .orderBy("da", "db")
   }
 

@@ -425,21 +425,9 @@ object TextQueries {
     * candidates survived the sketch — so the operator is deterministic
     * and oracle-checkable even though the sketch itself is not.
     */
-  private[graft] def heavyHitters(docs: DataFrame): DataFrame = {
-    import graft.functions.FrequentItems
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
-    val cands = toks.as[String]
-      .select(FrequentItems.toColumn)
-      .toDF("cands", "n")
-      .select(explode(col("cands")).as("token"), col("n"))
-    toks.join(broadcast(cands), Seq("token"))
-      .groupBy("token", "n").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
-      .select(col("token"), col("cnt"))
-      .orderBy(col("cnt").desc, col("token").asc)
-  }
+  private[graft] def heavyHitters(docs: DataFrame): DataFrame =
+    graft.api.GraftOps.heavyHitters(
+      docs.select(explode(split(col("text"), " ")).as("token")), "token")
 
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>

@@ -62,6 +62,35 @@ class GraftOpsSpec extends SparkSpec {
     assert(t2.subsetOf(lib) || lib.subsetOf(t2) || (t2 & lib).nonEmpty)
   }
 
+  test("winnowPairs: generic columns equal the verified t2 operator; " +
+       "identical crafted docs pair at Jaccard 1.0") {
+    val got = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+      .winnowPairs("id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val ref = SparkEntry.queries("q_dedup_winnow")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == ref)
+    val crafted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7")).toDF("id", "body")
+    val pairs = crafted.winnowPairs("id", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(pairs == Seq((1L, 2L, 1000000L)), pairs)
+  }
+
+  test("heavyHitters returns exactly the > n/(K+1) items with exact counts") {
+    val items = (Seq.fill(200)("a") ++ Seq.fill(90)("b") ++
+      (0 until 2000).map(i => s"z$i")).toDF("it")
+    // n = 2290 → threshold 45.8: a (200) and b (90) only, exact counts
+    val out = items.heavyHitters("it").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 200L), ("b", 90L)), out)
+  }
+
   test("minhashJoin: cross-corpus pairs equal the self-join pairs that cross the split") {
     val docs = Tables.documents(spark, sf)
     val leftDocs = docs.filter(col("doc_id") % 2 === 0)

@@ -756,6 +756,35 @@ object DedupQueries {
         .orderBy("da", "db")
     }),
 
+    "q_dedup_source_overlap" -> ((s, d) => {
+      // Cross-source duplication MATRIX — the corpus-curation question
+      // "how much of source A repeats source B" (e.g. two crawl snapshots
+      // or mirrored sites): verified near-dup pairs (exact Jaccard ≥ 0.8
+      // on the capped shingle index — the q_dedup_ngram rule, read from
+      // the memoized pair table, no second index build) joined to each
+      // side's source and rolled up per UNORDERED source pair
+      // (least/greatest normalizes orientation). Shape: the pair table is
+      // near-dup-sized (tiny vs corpus — AQE broadcasts it into the two
+      // doc→source joins), the rollup is |sources|²-bounded.
+      val sh = shingleHashes(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dup = sharedShinglePairs(s, d)
+        .join(sizes.as("sona"), col("da") === col("sona.doc_id"))
+        .join(sizes.as("sonb"), col("db") === col("sonb.doc_id"))
+        .filter(floor(col("shared")
+                 / (col("sona.n") + col("sonb.n") - col("shared")) * 1e6)
+               >= 800000)
+        .select("da", "db")
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      dup
+        .join(src.as("soa"), col("da") === col("soa.doc_id"))
+        .join(src.as("sob"), col("db") === col("sob.doc_id"))
+        .select(least(col("soa.source"), col("sob.source")).as("source_a"),
+                greatest(col("soa.source"), col("sob.source")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "q_dedup_winnow" -> ((s, d) => {
       // Winnowed-fingerprint near-dup pairs — the MOSS comparison step
       // over q_text_winnow's SELECTED fingerprints (Schleimer et al.,
@@ -1116,6 +1145,31 @@ object DedupQueries {
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000
          |ORDER BY da, db""".stripMargin,
+
+    // q_dedup_ngram's verified-pair chain + per-side source join + the
+    // unordered (least, greatest) source-pair rollup
+    "q_dedup_source_overlap" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |dup AS (SELECT i.da, i.db FROM inter i
+         |        JOIN sizes na ON i.da = na.doc_id
+         |        JOIN sizes nb ON i.db = nb.doc_id
+         |        WHERE floor(i.shared / (na.n + nb.n - i.shared) * 1e6)
+         |              >= 800000),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM dup
+         |JOIN s sa ON dup.da = sa.doc_id
+         |JOIN s sb ON dup.db = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the pick CTEs are TextQueries.duckWinnowPicks — ONE definition with
     // the q_text_winnow oracle; cap/pair/Jaccard tail mirrors q_dedup_ngram

@@ -341,6 +341,15 @@ class EngineSpec extends SparkSpec {
     assert(picks(1L) != picks(3L), "distinct docs picked identical sets")
   }
 
+  test("q_dedup_source_overlap: normalized orientation, and the matrix " +
+       "total equals the verified near-dup pair count") {
+    val m = SparkEntry.queries("q_dedup_source_overlap")(spark, sf).collect()
+    m.foreach(r => assert(r.getString(0) <= r.getString(1), r.toString))
+    val total = m.map(_.getLong(2)).sum
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf).count()
+    assert(total == pairs, s"matrix total $total != pair count $pairs")
+  }
+
   test("q_dedup_semantic covers every vector and keeps each cluster's earliest") {
     val rows = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())

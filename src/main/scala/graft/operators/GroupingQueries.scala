@@ -61,6 +61,26 @@ object GroupingQueries {
           |""".stripMargin)
     }),
 
+    "q_agg_mode" -> ((s, d) => {
+      // Exact per-group MODE with a deterministic tie-break (highest
+      // count, then LOWEST value) — never the built-in mode(), whose tie
+      // winner is execution-order-dependent. Shape: one keyed (group,
+      // value) aggregation (map-side partial combine), then the rank
+      // window rides the |groups|×|values|-sized count table and plans a
+      // WindowGroupLimit (map-side partial top-1) — the q_topk_group
+      // machinery, never a corpus-wide sort.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("qty").asc)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_multi_subquery" -> ((s, d) => {
       // Correlated scalar subquery (per-customer avg) + uncorrelated scalar
       // (global avg); Catalyst decorrelates the former into an aggregate +
@@ -78,6 +98,16 @@ object GroupingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY count(*) DESC,
+        |                                    CAST(l_quantity AS BIGINT) ASC) = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |       l_returnflag, l_linestatus, count(*) AS n,

@@ -43,6 +43,31 @@ object StatsQueries {
           count(lit(1)).as("n"))
         .orderBy("n_regionkey")),
 
+    "q_stats_outliers" -> ((s, d) => {
+      // Tukey-fence outlier profile (public: Tukey 1977 — the boxplot
+      // rule): per-group exact quartiles → fences [q1−1.5·IQR,
+      // q3+1.5·IQR], rows outside are counted. Shape at 100 TB: the
+      // quartile aggregation's result is GROUPS-sized (AQE broadcasts it
+      // into the join-back) — the quartiles never ride a corpus-wide
+      // window — and the output is the per-group rollup, not 10⁹ flagged
+      // rows. Fence arithmetic is the identical double expression in both
+      // engines (quantile_cont interpolation parity proven by
+      // q_agg_stats).
+      val q = lineitem(s, d).groupBy("l_returnflag").agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+      val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
+      lineitem(s, d)
+        .join(q, Seq("l_returnflag"))
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(count(lit(1)).as("n"),
+             sum(when(out, 1L).otherwise(0L)).as("n_outliers"))
+        .select("l_returnflag", "n", "n_outliers", "q1", "q3")
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_histogram" -> ((s, d) =>
       // Fixed-width histogram: the bucket id is a map-side floor division
       // (no distinct-values pass, no sort), then one count/sum/min/max
@@ -118,6 +143,21 @@ object StatsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stats_outliers" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.25) AS q1,
+        |         quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < q1 - (q3 - q1) * 1.5
+        |                       OR l_extendedprice > q3 + (q3 - q1) * 1.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       q1, q3
+        |FROM lineitem l JOIN q USING (l_returnflag)
+        |GROUP BY l.l_returnflag, q1, q3
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_corpus_profile" ->
       """WITH t AS (
         |  SELECT source,

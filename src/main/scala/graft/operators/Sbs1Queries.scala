@@ -44,6 +44,22 @@ object Sbs1Queries {
              count(col("lat")).as("n_positions"))
         .orderBy(col("hex_ident").asc_nulls_first)),
 
+    // Coverage-map grid density — the receiver-dashboard query every
+    // ADS-B site runs: positions bucketed to 0.1°×0.1° cells (map-side
+    // integer floor on the scaled coordinates — no distinct-values pass),
+    // messages + distinct aircraft + ceiling per cell. One keyed
+    // aggregation; the cell space is bounded (≤ 6.48M cells globally) so
+    // the result stays dashboard-sized at any ingest volume.
+    "q_sbs1_grid" -> ((s, _) =>
+      parsed(s)
+        .filter(col("lat").isNotNull && col("lon").isNotNull)
+        .groupBy(floor(col("lat") * 10).cast("long").as("lat_cell"),
+                 floor(col("lon") * 10).cast("long").as("lon_cell"))
+        .agg(count(lit(1)).as("n_msgs"),
+             count_distinct(col("hex_ident")).as("n_aircraft"),
+             max(col("altitude")).cast("int").as("max_alt"))
+        .orderBy("lat_cell", "lon_cell")),
+
     // Flight sessionization — the domain's core analytic: a "flight" is a
     // burst of squitters per aircraft separated by >5 min of silence
     // (SURVEY.md §2.1 R14 / §2.4 s_session_stream rationale). Batch twin of
@@ -131,6 +147,17 @@ object Sbs1Queries {
          |       count(lat) AS n_positions
          |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
          |GROUP BY hex_ident ORDER BY hex_ident ASC NULLS FIRST""".stripMargin,
+
+    "q_sbs1_grid" ->
+      s"""SELECT CAST(floor(TRY_CAST(lat AS DOUBLE) * 10) AS BIGINT) AS lat_cell,
+         |       CAST(floor(TRY_CAST(lon AS DOUBLE) * 10) AS BIGINT) AS lon_cell,
+         |       count(*) AS n_msgs,
+         |       count(DISTINCT hex_ident) AS n_aircraft,
+         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |WHERE TRY_CAST(lat AS DOUBLE) IS NOT NULL
+         |  AND TRY_CAST(lon AS DOUBLE) IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""".stripMargin,
 
     "s_stream_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment

@@ -287,7 +287,10 @@ object TextQueries {
     * [[PosCap]] bits of the selection key. */
   private[graft] val WinnowK = 3
   private[graft] val WinnowW = 4
-  private val PosCap = 1L << 20
+  // 2³² positions per doc: h < FpPrime ≈ 2³⁰ keeps key = h·2³² + pos-part
+  // under 2⁶², so the pack never overflows before a document outgrows
+  // every realistic length (4.3B grams)
+  private val PosCap = 1L << 32
 
   /** Winnowing document fingerprints (public: Schleimer, Wilkerson &
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -301,11 +304,11 @@ object TextQueries {
     * (q_dedup_minhash).
     *
     * The min-with-rightmost-tiebreak collapses to ONE integer min:
-    * key = h·2²⁰ + (2²⁰−1−pos), so min(key) is (min h, max pos) —
+    * key = h·2³² + (2³²−1−pos), so min(key) is (min h, max pos) —
     * lexicographic encoding, exact in both engines (h < FpPrime ≈ 2³⁰ ⇒
-    * key < 2⁵⁰; positions past 2²⁰ grams/doc need a wider pack — the
-    * documented envelope rule). Gram hashes are the Rabin-Karp polynomial
-    * over per-token md5 hashes (one md5 per token, the TextHash doctrine).
+    * key < 2⁶²; the 2³² position budget outlasts any realistic document).
+    * Gram hashes are the Rabin-Karp polynomial over per-token md5 hashes
+    * (one md5 per token, the TextHash doctrine).
     *
     * Shape at 100 TB: map-side gram fan-out (lambda-free arrays_zip, the
     * bigram precedent), constant ×W window fan-out, then two KEYED
@@ -405,9 +408,14 @@ object TextQueries {
            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("o2"))
     val stats = tc.agg(sum("o1").as("n1"), sum("o2").as("n2"))
       .select(struct(col("n1"), col("n2")).as("nn"))
+    // an empty cohort reports rate 0 rather than erroring the whole
+    // comparison (ANSI DIV by zero) — a one-cohort corpus then ranks
+    // purely by the populated side's rates, mirrored in the oracle
     tc.withColumn("nn", scalarSubquery(stats))
-      .withColumn("r1_ppm", expr("o1 * 1000000 DIV nn.n1"))
-      .withColumn("r2_ppm", expr("o2 * 1000000 DIV nn.n2"))
+      .withColumn("r1_ppm",
+        expr("CASE WHEN nn.n1 = 0 THEN 0L ELSE o1 * 1000000 DIV nn.n1 END"))
+      .withColumn("r2_ppm",
+        expr("CASE WHEN nn.n2 = 0 THEN 0L ELSE o2 * 1000000 DIV nn.n2 END"))
       .withColumn("drift_ppm", abs(col("r1_ppm") - col("r2_ppm")))
       .select("token", "o1", "o2", "r1_ppm", "r2_ppm", "drift_ppm")
       .orderBy(col("drift_ppm").desc, col("token").asc)
@@ -1058,10 +1066,13 @@ object TextQueries {
          |n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
          |             CAST(sum(o2) AS BIGINT) AS n2 FROM tc)
          |SELECT token, o1, o2,
-         |       CAST(o1 * 1000000 // n1 AS BIGINT) AS r1_ppm,
-         |       CAST(o2 * 1000000 // n2 AS BIGINT) AS r2_ppm,
-         |       CAST(abs(o1 * 1000000 // n1 - o2 * 1000000 // n2) AS BIGINT)
-         |         AS drift_ppm
+         |       CAST(CASE WHEN n1 = 0 THEN 0 ELSE o1 * 1000000 // n1 END
+         |            AS BIGINT) AS r1_ppm,
+         |       CAST(CASE WHEN n2 = 0 THEN 0 ELSE o2 * 1000000 // n2 END
+         |            AS BIGINT) AS r2_ppm,
+         |       CAST(abs(CASE WHEN n1 = 0 THEN 0 ELSE o1 * 1000000 // n1 END
+         |              - CASE WHEN n2 = 0 THEN 0 ELSE o2 * 1000000 // n2 END)
+         |            AS BIGINT) AS drift_ppm
          |FROM tc, n
          |ORDER BY drift_ppm DESC, token ASC LIMIT 20""".stripMargin,
 

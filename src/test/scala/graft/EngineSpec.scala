@@ -302,6 +302,11 @@ class EngineSpec extends SparkSpec {
     assert(m("bbbb") == ((2L, 0L, 333333L, 0L, 333333L)), m("bbbb"))
     assert(m("cccc") == ((0L, 3L, 0L, 750000L, 750000L)), m("cccc"))
     assert(out.map(_.getString(0)).toSeq == Seq("cccc", "aaaa", "bbbb"))
+    // a one-cohort corpus must not crash (ANSI DIV-by-zero guard): the
+    // empty cohort's rates report 0 and ranking falls to the other side
+    val solo = Seq((1L, "src0", "aaaa aaaa bbbb")).toDF("doc_id", "source", "text")
+    val s2 = graft.operators.TextQueries.drift(solo).collect()
+    assert(s2.nonEmpty && s2.forall(_.getLong(4) == 0L))
   }
 
   test("q_dedup_winnow: exact-content dups score Jaccard 1.0; bounds hold") {

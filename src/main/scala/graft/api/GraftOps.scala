@@ -105,7 +105,10 @@ object GraftOps {
     graft.operators.DedupQueries.winnowPairsPlan(
         graft.operators.TextQueries.winnowPicks(
           df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-          .select("doc_id", "h"),
+          // one materializing exchange both consumers reuse — the pick
+          // pipeline must not run once per plan branch (q_dedup_winnow's
+          // comment; PlanSpec pins it)
+          .select("doc_id", "h").repartition(col("h")),
         minJacE6)
       .select(col("da").as("id_a"), col("db").as("id_b"),
               col("shared"), col("jac_e6"))

@@ -296,9 +296,18 @@ object DedupQueries {
     val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("h")
     val kept = fp.join(keep, Seq("h"))
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = kept.groupBy("h")
+    // bucket aggregation FIRST, then BOTH per-doc sizes (explode of the
+    // capped members) and pair expansion derive from it — a sizes branch
+    // reading `kept` directly re-evaluated the whole pick pipeline (the
+    // third exchange reference escaped ReuseExchange); deriving from the
+    // bucket table keeps every downstream consumer above the one h
+    // exchange
+    val buckets = kept.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val sizes = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = buckets
       .select(posexplode(col("ids")).as(Seq("i", "da")), col("ids"))
       .select(col("da"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("db"))
@@ -797,8 +806,17 @@ object DedupQueries {
       // bucket pair expansion (bounded ≤ DfCap²/2 per hash, never a
       // self-join re-evaluating the pick subtree), sizes join-back,
       // exact winnowed Jaccard ≥ 0.5.
+      // the explicit h-repartition materializes the CPU-heavy pick
+      // pipeline behind ONE exchange that BOTH plan branches (the DfCap
+      // aggregation and the bucket join) reuse — without it the optimizer
+      // collapses the cap branch into a count-distinct straight over the
+      // generators and winnows the corpus twice (PlanSpec pins the
+      // generator count + ReusedExchange). The artifact path
+      // (pairsFromWinnowIndex) skips this: its bucket layout already
+      // provides the h clustering with zero exchanges.
       winnowPairsPlan(
-        TextQueries.winnowPicks(fanOut(documents(s, d))).select("doc_id", "h"))
+        TextQueries.winnowPicks(fanOut(documents(s, d)))
+          .select("doc_id", "h").repartition(col("h")))
     }),
 
     "q_dedup_simhash" -> ((s, d) => {

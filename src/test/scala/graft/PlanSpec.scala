@@ -162,6 +162,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_dedup_winnow evaluates the pick pipeline once (the replay " +
+       "distinct's exchange is reused by the cap and the bucket join)") {
+    val p = plan("q_dedup_winnow").split("== Initial Plan ==").head
+    val gens = p.linesIterator.count(_.contains("Generate"))
+    // pick pipeline = 2 generators (gram posexplode + window-offset
+    // explode), pair expansion = 2 more; a re-evaluated pick subtree
+    // would double the first two
+    assert(gens <= 4, s"$gens generators — pick pipeline re-evaluated:\n$p")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q_text_winnow: keyed aggregations only — no Window, no Join, " +
        "no cartesian") {
     val p = plan("q_text_winnow")

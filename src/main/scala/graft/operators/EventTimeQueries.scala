@@ -237,6 +237,30 @@ object EventTimeQueries {
 
     "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
 
+    "q_event_dau" -> ((s, d) => {
+      // DAU / trailing-7-day WAU / stickiness — the product-health
+      // rollup. Distinct counts never merge across pre-aggregates, so
+      // WAU cannot roll up from daily distincts: instead each (day,
+      // user) membership fans out to the 7 exposure days it is
+      // WAU-visible on (the q_win_sliding Expand trick, bounded ×7 —
+      // never a window over users), then one count_distinct per day.
+      // stickiness_e6 = dau·10⁶ DIV wau, exact Long. Shape: one (day,
+      // user) dedup exchange, the ×7 map-side fan-out, one day-keyed
+      // distinct aggregation — days-sized output, AQE-broadcast join.
+      val du = ems(s, d)
+        .select(expr("ems div 86400000").as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(lit(0), lit(6))).as("off"),
+                col("day"), col("user_id"))
+        .select((col("day") + col("off")).as("day"), col("user_id"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_e6", expr("dau * 1000000 DIV wau"))
+        .orderBy("day")
+    }),
+
     "q_event_cohort" -> ((s, d) => {
       // Weekly cohort retention: cohort = epoch-aligned week of the user's
       // FIRST event (integer ms-div — deterministic, tz-free), retention
@@ -381,6 +405,19 @@ object EventTimeQueries {
         |SELECT src_type, dst_type, n,
         |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
         |FROM t ORDER BY src_type, dst_type""".stripMargin,
+
+    "q_event_dau" ->
+      """WITH e AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |           FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM e GROUP BY day),
+        |w AS (SELECT day + off AS day, user_id
+        |      FROM e, unnest([0, 1, 2, 3, 4, 5, 6]) t(off)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |        FROM w GROUP BY day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |       CAST(wau.wau AS BIGINT) AS wau,
+        |       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_e6
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "q_event_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk

@@ -150,6 +150,37 @@ object EventTimeQueries {
         .orderBy("event_id")
     }),
 
+    "q_join_asof_nearest" -> ((s, d) => {
+      // The third merge_asof direction (pandas: backward/forward/nearest;
+      // q_join_asof is backward): each purchase matches the CLOSER of the
+      // same user's latest prior-or-equal and earliest following signup,
+      // ties to the prior (earlier) one. Both candidates ride TWO frames
+      // of ONE user_id exchange+sort — never a purchase×signup range
+      // join. Same-ms signups sort before the purchase (tag order), so
+      // at-or-equal matches resolve to the prior side, exactly as
+      // q_join_asof.
+      val e = ems(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
+        .withColumn("s_ms", when(col("tag") === 0, col("ems")))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ems"), col("tag"), col("event_id"))
+      val wPrior = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("prior_ms", last("s_ms", ignoreNulls = true).over(wPrior))
+        .withColumn("next_ms", first("s_ms", ignoreNulls = true).over(wNext))
+        .filter(col("tag") === 1)
+        .withColumn("signup_ms",
+          when(col("prior_ms").isNull, col("next_ms"))
+            .when(col("next_ms").isNull, col("prior_ms"))
+            .when(col("ems") - col("prior_ms") <= col("next_ms") - col("ems"),
+              col("prior_ms"))
+            .otherwise(col("next_ms")))
+        .select(col("event_id"), col("user_id"),
+                col("ems").as("purchase_ms"), col("signup_ms"))
+        .orderBy("event_id")
+    }),
+
     "q_win_tumbling" -> ((s, d) =>
       // Tumbling 1h windows on the ms-exact timestamp; hour bucket
       // boundaries are µs-aligned so ns→ms truncation cannot rebucket.
@@ -290,6 +321,29 @@ object EventTimeQueries {
         |           PARTITION BY user_id ORDER BY ems, tag, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
         |  FROM e) WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+        |         CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag,
+        |         CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END AS s_ms
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |a AS (
+        |  SELECT event_id, user_id, ems, tag,
+        |         last_value(s_ms IGNORE NULLS) OVER wp AS prior_ms,
+        |         first_value(s_ms IGNORE NULLS) OVER wn AS next_ms
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ems, tag, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY ems, tag, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ems AS purchase_ms,
+        |       CASE WHEN prior_ms IS NULL THEN next_ms
+        |            WHEN next_ms IS NULL THEN prior_ms
+        |            WHEN ems - prior_ms <= next_ms - ems THEN prior_ms
+        |            ELSE next_ms END AS signup_ms
+        |FROM a WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
 
     "q_win_tumbling" ->

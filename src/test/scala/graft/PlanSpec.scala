@@ -198,6 +198,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_join_asof_nearest: both direction candidates ride one user_id " +
+       "exchange (two frames, no range join)") {
+    val p = plan("q_join_asof_nearest").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
+  }
+
   test("q_event_attribution is the as-of plan: one user_id exchange, one " +
        "Window carrying both click columns, no purchase×click range join") {
     val p = plan("q_event_attribution").split("== Initial Plan ==").head

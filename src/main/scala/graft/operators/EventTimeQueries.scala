@@ -268,6 +268,23 @@ object EventTimeQueries {
 
     "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
 
+    "q_event_ltv" -> ((s, d) => {
+      // User lifetime-value histogram: exact per-user DECIMAL value sums
+      // (the Parity money rule), then a fixed-width MAP-SIDE bucket
+      // rollup (the q_agg_histogram rule — a decile cut would need a
+      // users-sized global-sort window). Two keyed aggregations, both
+      // partial-combining; the bucket table is bounded. The per-bucket
+      // LTV sum re-enters DECIMAL so no double sum ever depends on
+      // accumulation order.
+      val u = ems(s, d).groupBy("user_id")
+        .agg(sumMoney(col("value")).as("ltv"), count(lit(1)).as("n_events"))
+      u.groupBy(floor(col("ltv") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("n_events")).as("n_events"),
+             sumMoney(col("ltv")).as("sum_ltv"))
+        .orderBy("bucket")
+    }),
+
     "q_event_dau" -> ((s, d) => {
       // DAU / trailing-7-day WAU / stickiness — the product-health
       // rollup. Distinct counts never merge across pre-aggregates, so
@@ -459,6 +476,18 @@ object EventTimeQueries {
         |SELECT src_type, dst_type, n,
         |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
         |FROM t ORDER BY src_type, dst_type""".stripMargin,
+
+    "q_event_ltv" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ltv,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(floor(ltv / 100) AS BIGINT) AS bucket,
+        |       count(*) AS n_users,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(ltv AS DECIMAL(18,2))) AS DOUBLE) AS sum_ltv
+        |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_event_dau" ->
       """WITH e AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id

@@ -771,7 +771,22 @@ object TextQueries {
 
     "q_text_heavyhitters" -> ((s, d) =>
       // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]]
-      heavyHitters(fanOut(documents(s, d))))
+      heavyHitters(fanOut(documents(s, d)))),
+
+    "q_text_vocab" -> ((s, d) =>
+      // Per-source vocabulary profile: tokens, distinct tokens, and the
+      // type-token ratio in exact ppm — the lexical-diversity signal
+      // curation tracks per source (boilerplate-heavy sources show a
+      // collapsing TTR). One source-keyed aggregation; the distinct
+      // rewrite keys its first phase on (source, token) — both stages
+      // partial-combine map-side, output is sources-sized.
+      fanOut(documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+             count_distinct(col("token")).as("n_vocab"))
+        .withColumn("ttr_ppm", expr("n_vocab * 1000000 DIV n_tokens"))
+        .orderBy("source"))
   )
 
   private val duckTokFp = {
@@ -1085,6 +1100,15 @@ object TextQueries {
          |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
          |SELECT token, CAST(cnt AS BIGINT) AS cnt
          |FROM c, n WHERE cnt * ${graft.functions.FrequentItems.K + 1} > n.n
-         |ORDER BY cnt DESC, token ASC""".stripMargin
+         |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
+        |       CAST(count(DISTINCT token) * 1000000 // count(*) AS BIGINT)
+        |         AS ttr_ppm
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

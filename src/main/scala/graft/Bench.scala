@@ -117,7 +117,8 @@ object Bench {
           "q_sim_ivf", "q_session_windows", "q_text_tokens",
           "q_text_contamination", "q_mm_features", "q_text_tfidf",
           "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann",
-          "q_text_bigram_surprisal")
+          "q_text_bigram_surprisal", "q_sim_pq_trained", "q_dedup_winnow",
+          "q_stats_outliers", "q_text_bm25", "q_text_heavyhitters")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever

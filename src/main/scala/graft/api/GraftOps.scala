@@ -125,7 +125,11 @@ object GraftOps {
     import graft.functions.FrequentItems
     val spark = items.sparkSession
     import spark.implicits._
+    // nulls are excluded like any SQL aggregate key — without the filter
+    // a null-heavy corpus would sketch nulls but lose them at the
+    // re-count join (null never equi-joins), silently
     val it = items.select(col(itemCol).cast("string").as("__item"))
+      .filter(col("__item").isNotNull)
     val cands = it.as[String]
       .select(FrequentItems.toColumn)
       .toDF("cands", "n")

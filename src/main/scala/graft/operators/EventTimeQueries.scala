@@ -93,6 +93,39 @@ object EventTimeQueries {
       .orderBy("src_type", "dst_type")
   }
 
+  /** The third merge_asof direction (pandas: backward/forward/nearest;
+    * q_join_asof is backward): each purchase matches the CLOSER of the
+    * same user's latest prior-or-equal and earliest following signup,
+    * ties to the prior (earlier) one. Both candidates ride TWO frames of
+    * ONE user_id exchange+sort — never a purchase×signup range join
+    * (PlanSpec pins one hash exchange, no Join). Same-ms signups sort
+    * before the purchase (tag order), so at-or-equal matches resolve to
+    * the prior side, exactly as q_join_asof. Factored so specs can drive
+    * crafted timelines.
+    */
+  private[graft] def asofNearest(ev: DataFrame): DataFrame = {
+    val e = ev
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
+      .withColumn("s_ms", when(col("tag") === 0, col("ems")))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("tag"), col("event_id"))
+    val wPrior = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("prior_ms", last("s_ms", ignoreNulls = true).over(wPrior))
+      .withColumn("next_ms", first("s_ms", ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+      .withColumn("signup_ms",
+        when(col("prior_ms").isNull, col("next_ms"))
+          .when(col("next_ms").isNull, col("prior_ms"))
+          .when(col("ems") - col("prior_ms") <= col("next_ms") - col("ems"),
+            col("prior_ms"))
+          .otherwise(col("next_ms")))
+      .select(col("event_id"), col("user_id"),
+              col("ems").as("purchase_ms"), col("signup_ms"))
+      .orderBy("event_id")
+  }
+
   /** Trailing-window volume-anomaly core over an (hr, n) hourly rollup:
     * flag hours whose count sits more than 3 trailing standard deviations
     * above the previous 24 observed hours' mean. ENTIRELY in exact Long
@@ -150,36 +183,7 @@ object EventTimeQueries {
         .orderBy("event_id")
     }),
 
-    "q_join_asof_nearest" -> ((s, d) => {
-      // The third merge_asof direction (pandas: backward/forward/nearest;
-      // q_join_asof is backward): each purchase matches the CLOSER of the
-      // same user's latest prior-or-equal and earliest following signup,
-      // ties to the prior (earlier) one. Both candidates ride TWO frames
-      // of ONE user_id exchange+sort — never a purchase×signup range
-      // join. Same-ms signups sort before the purchase (tag order), so
-      // at-or-equal matches resolve to the prior side, exactly as
-      // q_join_asof.
-      val e = ems(s, d)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
-        .withColumn("s_ms", when(col("tag") === 0, col("ems")))
-      val ord = Window.partitionBy("user_id")
-        .orderBy(col("ems"), col("tag"), col("event_id"))
-      val wPrior = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      e.withColumn("prior_ms", last("s_ms", ignoreNulls = true).over(wPrior))
-        .withColumn("next_ms", first("s_ms", ignoreNulls = true).over(wNext))
-        .filter(col("tag") === 1)
-        .withColumn("signup_ms",
-          when(col("prior_ms").isNull, col("next_ms"))
-            .when(col("next_ms").isNull, col("prior_ms"))
-            .when(col("ems") - col("prior_ms") <= col("next_ms") - col("ems"),
-              col("prior_ms"))
-            .otherwise(col("next_ms")))
-        .select(col("event_id"), col("user_id"),
-                col("ems").as("purchase_ms"), col("signup_ms"))
-        .orderBy("event_id")
-    }),
+    "q_join_asof_nearest" -> ((s, d) => asofNearest(ems(s, d))),
 
     "q_win_tumbling" -> ((s, d) =>
       // Tumbling 1h windows on the ms-exact timestamp; hour bucket

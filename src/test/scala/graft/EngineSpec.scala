@@ -403,6 +403,31 @@ class EngineSpec extends SparkSpec {
       (5L, 0L, 0L, 0L, 0L)), out.toSeq)
   }
 
+  test("asofNearest: backward/forward/tie/same-ms/no-signup cases") {
+    val ev = Seq(
+      // u1: prior Δ=3000 vs next Δ=1000 → forward wins
+      (10L, 1L, 1000L, "signup"), (11L, 1L, 4000L, "purchase"),
+      (12L, 1L, 5000L, "signup"),
+      // u2: purchase with no signup at all → null match
+      (20L, 2L, 2000L, "purchase"),
+      // u3: same-ms signup resolves to the prior side (lag 0)
+      (30L, 3L, 1000L, "signup"), (31L, 3L, 1000L, "purchase"),
+      // u4: only a FOLLOWING signup exists → forward match
+      (40L, 4L, 2000L, "purchase"), (41L, 4L, 3000L, "signup"),
+      // u5: exact |Δ| tie (1000 each way) → prior (earlier) wins
+      (50L, 5L, 1000L, "signup"), (51L, 5L, 2000L, "purchase"),
+      (52L, 5L, 3000L, "signup")
+    ).toDF("event_id", "user_id", "ems", "event_type")
+    val out = graft.operators.EventTimeQueries.asofNearest(ev)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(11L) == Some(5000L), out(11L))
+    assert(out(20L) == None, out(20L))
+    assert(out(31L) == Some(1000L), out(31L))
+    assert(out(40L) == Some(3000L), out(40L))
+    assert(out(51L) == Some(1000L), out(51L))
+  }
+
   test("lastTouch attribution: horizon edge, tie, ordering, no-click cases") {
     import spark.implicits._
     val ev = Seq(

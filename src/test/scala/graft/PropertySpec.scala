@@ -115,6 +115,28 @@ class PropertySpec extends SparkSpec {
       assert(rows.map(_._4).distinct.length >= 2, rows.mkString(","))
   }
 
+  test("winnowing guarantee: random docs sharing a ≥ W+K-1 token run " +
+       "share a fingerprint at any offsets (15 seeds)") {
+    import spark.implicits._
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val docGen = for {
+      runLen <- Gen.choose(6, 10) // ≥ W+K-1 = 6 guarantees a shared pick
+      run <- Gen.listOfN(runLen, word)
+      pre1 <- Gen.listOfN(8, word); post1 <- Gen.listOfN(5, word)
+      pre2 <- Gen.listOfN(3, word); post2 <- Gen.listOfN(9, word)
+    } yield ((pre1 ++ run ++ post1).mkString(" "),
+             (pre2 ++ run ++ post2).mkString(" "))
+    (1L to 15L).foreach { seed =>
+      val (t1, t2) = sample(docGen, seed)
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val picks = graft.operators.TextQueries.winnowPicks(docs)
+        .select("doc_id", "h").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      assert((picks(1L) & picks(2L)).nonEmpty,
+        s"seed $seed: no shared fingerprint across the planted run")
+    }
+  }
+
   test("Misra-Gries guarantee holds under random streams and random " +
        "partition merges (20 seeds)") {
     import graft.functions.FrequentItems

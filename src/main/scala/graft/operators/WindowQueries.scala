@@ -46,6 +46,22 @@ object WindowQueries {
         .orderBy("o_orderstatus", "rn")
     }),
 
+    "q_win_ntile" -> ((s, d) => {
+      // NTILE quartile assignment per market segment — the remaining
+      // standard window function in the surface (both engines follow the
+      // SQL-standard bucket fill: the first n%k buckets take one extra
+      // row, so a fully tie-broken ORDER BY makes assignment exact).
+      // Window-family caveat: a partition serializes in one task — the
+      // partition key here is a bounded enum; a high-cardinality cut is
+      // the WindowGroupLimit / histogram path instead.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_mktsegment", "quartile", "c_custkey")
+    }),
+
     "q_win_rank" -> ((s, d) => {
       // rank/dense_rank ordered by acctbal alone are tie-deterministic;
       // row_number needs the unique s_suppkey tiebreak.
@@ -128,6 +144,14 @@ object WindowQueries {
         |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) WHERE rn <= 3
         |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal ASC, c_custkey ASC)
+        |            AS BIGINT) AS quartile
+        |FROM customer
+        |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin,
 
     "q_win_rank" ->
       """SELECT s_nationkey, s_suppkey, s_acctbal,

@@ -765,6 +765,38 @@ object DedupQueries {
         .orderBy("da", "db")
     }),
 
+    "q_dedup_rate" -> ((s, d) => {
+      // The one-row corpus-health KPI every curation dashboard leads
+      // with: how much of the corpus is EXACTLY duplicated (docs sharing
+      // a content md5 with another) and how much is NEAR-duplicated
+      // (docs in any verified Jaccard ≥ 0.8 pair — the q_dedup_ngram
+      // rule, read from the memoized pair table). Fractions in exact
+      // integer ppm; the two counts attach as scalar subqueries (no join
+      // node on the 1-row spine).
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      val docs = documents(s, d)
+      val sh = shingleHashes(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val exact = docs
+        .select(md5(col("text").cast("binary")).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .agg(coalesce(sum("c"), lit(0L)).as("v"))
+      val near = sharedShinglePairs(s, d)
+        .join(sizes.as("rra"), col("da") === col("rra.doc_id"))
+        .join(sizes.as("rrb"), col("db") === col("rrb.doc_id"))
+        .filter(floor(col("shared")
+                 / (col("rra.n") + col("rrb.n") - col("shared")) * 1e6)
+               >= 800000)
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .distinct()
+        .agg(count(lit(1)).as("v"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_exact_dup", scalarSubquery(exact))
+        .withColumn("n_near_dup", scalarSubquery(near))
+        .withColumn("exact_frac_e6", expr("n_exact_dup * 1000000 DIV n_docs"))
+        .withColumn("near_frac_e6", expr("n_near_dup * 1000000 DIV n_docs"))
+    }),
+
     "q_dedup_source_overlap" -> ((s, d) => {
       // Cross-source duplication MATRIX — the corpus-curation question
       // "how much of source A repeats source B" (e.g. two crawl snapshots
@@ -1163,6 +1195,31 @@ object DedupQueries {
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000
          |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_rate" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |nd AS (SELECT DISTINCT doc_id FROM (
+         |         SELECT unnest([i.da, i.db]) AS doc_id FROM inter i
+         |         JOIN sizes na ON i.da = na.doc_id
+         |         JOIN sizes nb ON i.db = nb.doc_id
+         |         WHERE floor(i.shared / (na.n + nb.n - i.shared) * 1e6)
+         |               >= 800000)),
+         |ex AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v FROM (
+         |         SELECT count(*) AS c FROM documents
+         |         GROUP BY md5(text) HAVING count(*) >= 2)),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nd)
+         |SELECT tot.n_docs, ex.v AS n_exact_dup, nn.v AS n_near_dup,
+         |       CAST(ex.v * 1000000 // tot.n_docs AS BIGINT) AS exact_frac_e6,
+         |       CAST(nn.v * 1000000 // tot.n_docs AS BIGINT) AS near_frac_e6
+         |FROM tot, ex, nn""".stripMargin,
 
     // q_dedup_ngram's verified-pair chain + per-side source join + the
     // unordered (least, greatest) source-pair rollup

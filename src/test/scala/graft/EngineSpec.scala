@@ -346,6 +346,18 @@ class EngineSpec extends SparkSpec {
     assert(picks(1L) != picks(3L), "distinct docs picked identical sets")
   }
 
+  test("q_dedup_rate agrees with the corpus and the pair-level operator") {
+    val r = SparkEntry.queries("q_dedup_rate")(spark, sf).collect()(0)
+    val (nd, ne, nn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nd == Tables.documents(spark, sf).count())
+    val nearDocs = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select(explode(array(col("da"), col("db"))).as("d"))
+      .distinct().count()
+    assert(nn == nearDocs, s"near count $nn != pair-derived $nearDocs")
+    assert(r.getLong(3) == ne * 1000000 / nd)
+    assert(r.getLong(4) == nn * 1000000 / nd)
+  }
+
   test("q_dedup_source_overlap: normalized orientation, and the matrix " +
        "total equals the verified near-dup pair count") {
     val m = SparkEntry.queries("q_dedup_source_overlap")(spark, sf).collect()

@@ -272,6 +272,20 @@ object EventTimeQueries {
 
     "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
 
+    "q_event_seasonality" -> ((s, d) =>
+      // Hour-of-day × day-of-week activity matrix — the seasonality
+      // profile behind load forecasting and anomaly baselines. Pure
+      // tz-free integer arithmetic on epoch ms (dow from the epoch-day
+      // offset; 1970-01-01 was a Thursday, so +4 lands 0 = Sunday) —
+      // no calendar/timezone library can drift the engines. One keyed
+      // aggregation; the output is a fixed 168-cell grid.
+      ems(s, d).groupBy(
+          expr("(ems div 3600000) % 24").as("hour_utc"),
+          expr("((ems div 86400000) + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"),
+             count_distinct(col("user_id")).as("n_users"))
+        .orderBy("dow", "hour_utc")),
+
     "q_event_ltv" -> ((s, d) => {
       // User lifetime-value histogram: exact per-user DECIMAL value sums
       // (the Parity money rule), then a fixed-width MAP-SIDE bucket
@@ -480,6 +494,13 @@ object EventTimeQueries {
         |SELECT src_type, dst_type, n,
         |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
         |FROM t ORDER BY src_type, dst_type""".stripMargin,
+
+    "q_event_seasonality" ->
+      """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
+        |       ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hour_utc""".stripMargin,
 
     "q_event_ltv" ->
       """WITH u AS (

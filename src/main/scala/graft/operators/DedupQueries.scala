@@ -797,6 +797,40 @@ object DedupQueries {
         .withColumn("near_frac_e6", expr("n_near_dup * 1000000 DIV n_docs"))
     }),
 
+    "q_dedup_thresholds" -> ((s, d) => {
+      // Threshold-sensitivity SWEEP — the analysis run before committing
+      // to a dedup cutoff: pair count and affected-doc count at Jaccard
+      // thresholds 0.5–0.9 in ONE pass over the memoized verified-pair
+      // table (no per-threshold re-run; the production question "how much
+      // more does 0.7 remove than 0.8?" answered from one artifact).
+      // Shape: the pair table is near-dup-sized (tiny vs corpus); the
+      // bounded ×5 threshold fan-out and ×2 doc fan-out ride it map-side,
+      // then one 5-cell keyed aggregation — n_pairs = instance-count DIV 2
+      // (each pair contributes exactly 2 doc instances per surviving
+      // threshold), n_docs = distinct membership. Nothing here ever
+      // rescans the corpus or rebuilds the index.
+      val sh = shingleHashes(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pj = sharedShinglePairs(s, d)
+        .join(sizes.as("ta"), col("da") === col("ta.doc_id"))
+        .join(sizes.as("tb"), col("db") === col("tb.doc_id"))
+        .select(col("da"), col("db"),
+          floor(col("shared")
+            / (col("ta.n") + col("tb.n") - col("shared")) * 1e6)
+            .cast("long").as("j_e6"))
+      pj.select(col("j_e6"),
+          explode(array(Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+            .map(lit): _*)).as("thr_e6"),
+          col("da"), col("db"))
+        .filter(col("j_e6") >= col("thr_e6"))
+        .select(col("thr_e6"),
+          explode(array(col("da"), col("db"))).as("doc_id"))
+        .groupBy("thr_e6")
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+             count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("thr_e6")
+    }),
+
     "q_dedup_source_overlap" -> ((s, d) => {
       // Cross-source duplication MATRIX — the corpus-curation question
       // "how much of source A repeats source B" (e.g. two crawl snapshots
@@ -1220,6 +1254,31 @@ object DedupQueries {
          |       CAST(ex.v * 1000000 // tot.n_docs AS BIGINT) AS exact_frac_e6,
          |       CAST(nn.v * 1000000 // tot.n_docs AS BIGINT) AS near_frac_e6
          |FROM tot, ex, nn""".stripMargin,
+
+    "q_dedup_thresholds" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pj AS (SELECT i.da, i.db,
+         |              CAST(floor(i.shared / (na.n + nb.n - i.shared) * 1e6)
+         |                   AS BIGINT) AS j_e6
+         |       FROM inter i
+         |       JOIN sizes na ON i.da = na.doc_id
+         |       JOIN sizes nb ON i.db = nb.doc_id),
+         |f AS (SELECT CAST(t.thr_e6 AS BIGINT) AS thr_e6, u.doc_id
+         |      FROM pj,
+         |           unnest([500000, 600000, 700000, 800000, 900000])
+         |             AS t(thr_e6),
+         |           unnest([pj.da, pj.db]) AS u(doc_id)
+         |      WHERE pj.j_e6 >= t.thr_e6)
+         |SELECT thr_e6, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM f GROUP BY thr_e6 ORDER BY thr_e6""".stripMargin,
 
     // q_dedup_ngram's verified-pair chain + per-side source join + the
     // unordered (least, greatest) source-pair rollup

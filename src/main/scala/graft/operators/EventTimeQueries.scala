@@ -126,6 +126,37 @@ object EventTimeQueries {
       .orderBy("event_id")
   }
 
+  /** Inter-event gap histogram core over (event_id, user_id, ems) rows:
+    * per-user gaps from ONE lag() over the standard user_id exchange+sort
+    * (the q_event_transitions partitioning), rolled up into a FIXED
+    * 7-cell duration-decade histogram (<1s, <10s, <1m, <10m, <1h, <1d,
+    * ≥1d) — the arrival-process profile behind session-gap tuning (is
+    * 30 min the right q_session_windows gap?) and capacity planning.
+    * Decade edges are integer ms literals compared exactly in both
+    * engines; mean_gap_ms is integer floor division (the tf·10⁶
+    * precedent). The histogram rollup is map-side partial over ≤7 cells;
+    * nothing downstream of the window exceeds the cell count.
+    */
+  private[graft] def gapHistogram(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ems"), col("event_id"))
+    ev.withColumn("prev", lag(col("ems"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("ems") - col("prev"))
+      .withColumn("bucket",
+        when(col("gap") < 1000L, 0)
+          .when(col("gap") < 10000L, 1)
+          .when(col("gap") < 60000L, 2)
+          .when(col("gap") < 600000L, 3)
+          .when(col("gap") < 3600000L, 4)
+          .when(col("gap") < 86400000L, 5)
+          .otherwise(6))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("gap").as("sum_gap_ms"),
+           min("gap").as("min_gap_ms"), max("gap").as("max_gap_ms"))
+      .withColumn("mean_gap_ms", expr("sum_gap_ms DIV n"))
+      .orderBy("bucket")
+  }
+
   /** Trailing-window volume-anomaly core over an (hr, n) hourly rollup:
     * flag hours whose count sits more than 3 trailing standard deviations
     * above the previous 24 observed hours' mean. ENTIRELY in exact Long
@@ -269,6 +300,8 @@ object EventTimeQueries {
     }),
 
     "q_event_attribution" -> ((s, d) => lastTouch(ems(s, d))),
+
+    "q_event_gaps" -> ((s, d) => gapHistogram(ems(s, d))),
 
     "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
 
@@ -482,6 +515,29 @@ object EventTimeQueries {
         |            THEN ems - lc_ms END AS lag_ms
         |FROM a WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ems FROM events),
+        |g AS (
+        |  SELECT ems - lag(ems) OVER (PARTITION BY user_id
+        |           ORDER BY ems, event_id) AS gap
+        |  FROM e),
+        |b AS (
+        |  SELECT gap,
+        |         CASE WHEN gap < 1000 THEN 0
+        |              WHEN gap < 10000 THEN 1
+        |              WHEN gap < 60000 THEN 2
+        |              WHEN gap < 600000 THEN 3
+        |              WHEN gap < 3600000 THEN 4
+        |              WHEN gap < 86400000 THEN 5
+        |              ELSE 6 END AS bucket
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+        |       CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+        |       min(gap) AS min_gap_ms, max(gap) AS max_gap_ms,
+        |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_ms
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_event_transitions" ->
       """WITH p AS (

@@ -62,6 +62,34 @@ object SamplingQueries {
   private[operators] val DuckSrcNum =
     "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
 
+  /** q_mix_epochs core over (source, t) per-doc token rows: temperature
+    * weights (sqrt, e3-quantized — the q_mix_temperature arithmetic),
+    * per-source targets at T = 3× unique tokens, epochs capped at 4.0
+    * (e3-scaled). Factored so specs can drive crafted token counts
+    * through the exact integer math.
+    */
+  private[graft] def epochSchedule(tok: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    val srcs = tok.groupBy("source").agg(sum("t").as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+    val totRaw = srcs.agg(sum("w").as("wraw"))
+    val q = srcs.withColumn("wraw", scalarSubquery(totRaw))
+      .withColumn("w_e3", greatest(expr("w * 1000 DIV wraw"), lit(1L)))
+    val tots = q.agg(sum("w_e3").as("wsum"), sum("n_tokens").as("ntot"))
+      .select(struct(col("wsum"), col("ntot")).as("tt"))
+    q.withColumn("tt", scalarSubquery(tots))
+      .withColumn("target_tokens",
+        expr("3 * tt.ntot * w_e3 DIV tt.wsum"))
+      .withColumn("epochs_e3",
+        least(expr("target_tokens * 1000 DIV n_tokens"), lit(4000L)))
+      .withColumn("alloc_tokens", expr("n_tokens * epochs_e3 DIV 1000"))
+      .withColumn("capped", col("epochs_e3") === 4000L)
+      .select("source", "n_tokens", "w_e3", "target_tokens",
+              "epochs_e3", "alloc_tokens", "capped")
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_sample_hash" -> ((s, d) => {
       // deterministic 10% Bernoulli sample: membership is a pure function
@@ -245,6 +273,40 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    "q_mix_epochs" -> ((s, d) => {
+      // Data-constrained EPOCH schedule (public: Muennighoff et al. 2023,
+      // "Scaling Data-Constrained Language Models", NeurIPS): when the
+      // token budget T exceeds the unique corpus, sources must REPEAT —
+      // and repeating beyond ~4 epochs returns rapidly diminishing value,
+      // so per-source epochs cap at 4. This operator derives the schedule:
+      // temperature target shares (the q_mix_temperature sqrt rule —
+      // correctly-rounded IEEE sqrt, e3 quantization, same Long envelope),
+      // per-source target_tokens = T·w_s/W with T = 3× unique tokens (a
+      // data-constrained overtrain), epochs_e3 = min(target·10³ DIV n_s,
+      // 4000), and the realized allocation n_s·epochs_e3 DIV 10³ — the
+      // capped sources are exactly the paper's bottleneck: their shortfall
+      // is what a curation team goes and crawls more of.
+      //
+      // Scale shape: one corpus-scan source-keyed token aggregation
+      // (map-side partial → sources-sized table); BOTH corpus totals
+      // (quantized weight sum + unique-token total) ride ONE struct
+      // scalar subquery (the bm25 rule — no join node, no second corpus
+      // pass); everything downstream is arithmetic on the sources-sized
+      // table. Long envelope: 2·T·w_e3 ≤ 6·ntot·10³ < 2⁶³ to ~1.5e15
+      // unique tokens (≈ 7 PB of text) — DECIMAL(38) swap is shape-free
+      // past it. Stage-1 skew induction (the q_mix_temperature fixture
+      // rule) makes the 4-epoch cap non-vacuous on the uniform fixture:
+      // the smallest source's flattened target overshoots 4 epochs.
+      val idx = srcNum % 4 + 1
+      val docs = documents(s, d)
+        .withColumn("cut", idx * 250000L)
+        .withColumn("b1", pmod(md5long(col("doc_id").cast("string")), lit(1000000L)))
+        .filter(col("b1") < col("cut"))
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+      epochSchedule(docs)
+    }),
+
     "q_pack_docs" -> ((s, d) => {
       // fixed-budget packing: doc i's pack = exclusive-prefix-SUBWORDS/2048
       // within its source shard, in stable doc_id order — the budget is
@@ -400,6 +462,39 @@ object SamplingQueries {
          |FROM t JOIN d USING (source)
          |GROUP BY t.source, t.n, t.w_e3, t.thresh_e6
          |ORDER BY t.source""".stripMargin,
+
+    "q_mix_epochs" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source, text,
+         |         (($DuckSrcNum % 4) + 1) * 250000 AS cut,
+         |         ${duckKey("doc_id")} % 1000000 AS b1
+         |  FROM documents),
+         |d AS (SELECT source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+         |      FROM d0 WHERE b1 < cut),
+         |s AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY source),
+         |s2 AS (SELECT source, n_tokens,
+         |              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000)
+         |                   AS BIGINT) AS w
+         |       FROM s),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wraw FROM s2),
+         |q AS (SELECT source, n_tokens, greatest(w * 1000 // wraw, 1) AS w_e3
+         |      FROM s2, tot),
+         |tq AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum,
+         |              CAST(sum(n_tokens) AS BIGINT) AS ntot FROM q),
+         |e AS (SELECT q.source, q.n_tokens, q.w_e3,
+         |             3 * ntot * q.w_e3 // wsum AS target_tokens
+         |      FROM q, tq),
+         |f AS (SELECT *, least(target_tokens * 1000 // n_tokens, 4000)
+         |               AS epochs_e3
+         |      FROM e)
+         |SELECT source, n_tokens, w_e3,
+         |       CAST(target_tokens AS BIGINT) AS target_tokens,
+         |       CAST(epochs_e3 AS BIGINT) AS epochs_e3,
+         |       CAST(n_tokens * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
+         |       epochs_e3 = 4000 AS capped
+         |FROM f ORDER BY source""".stripMargin,
 
     // same tokenizer-faithful budget as q_chunk_docs: per-doc subwords are
     // the summed greedy piece counts of the doc's words

@@ -786,8 +786,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
              count_distinct(col("token")).as("n_vocab"))
         .withColumn("ttr_ppm", expr("n_vocab * 1000000 DIV n_tokens"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "q_text_zipf" -> ((s, d) => {
+      // Zipf head profile: the top-50 tokens with rank and the rank×count
+      // product (Zipf's law predicts it near-constant across the head) —
+      // the one-glance sanity check that a corpus' token distribution
+      // looks like natural language rather than boilerplate (flat head)
+      // or key-value spam (no head). Shape: ONE vocab-sized keyed
+      // aggregation (map-side partials), top-50 via TakeOrderedAndProject
+      // (never a full sort), and the rank window runs on the 50-row
+      // result block — the bounded-block window rule (q_sim_knn_batch
+      // precedent), never a corpus- or vocab-scale window. Fully
+      // tie-broken order (count desc, token asc) keeps rank deterministic
+      // in both engines.
+      zipfHead(fanOut(documents(s, d)))
+    })
   )
+
+  /** q_text_zipf core — factored so specs can drive crafted corpora
+    * through the rank/tie-break arithmetic. */
+  private[graft] def zipfHead(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    vocab.orderBy(col("n").desc, col("token")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .withColumn("zipf_rn", col("rank") * col("n"))
+      .orderBy("rank")
+  }
 
   private val duckTokFp = {
     val h = duckMd5Long("t")
@@ -1109,6 +1137,19 @@ object TextQueries {
         |         AS ttr_ppm
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_zipf" ->
+      """WITH v AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |t AS (SELECT token, n FROM v ORDER BY n DESC, token LIMIT 50)
+        |SELECT token, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+        |         AS rank,
+        |       CAST(row_number() OVER (ORDER BY n DESC, token) * n AS BIGINT)
+        |         AS zipf_rn
+        |FROM t ORDER BY rank""".stripMargin
   )
 }

@@ -601,6 +601,78 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("gapHistogram: decade-edge buckets, integer mean, single-event " +
+       "users contribute no gap") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: gaps 500 (bucket 0), 4500 (bucket 1), and exactly 60000 —
+      // the <60000 edge is exclusive, so it lands in bucket 3
+      (1L, 1L, 0L), (2L, 1L, 500L), (3L, 1L, 5000L), (4L, 1L, 65000L),
+      // u2: a single event produces no gap at all
+      (10L, 2L, 7777L),
+      // u3: a 25-hour gap lands in the ≥1d tail bucket
+      (20L, 3L, 0L), (21L, 3L, 90000000L),
+      // u4: two more bucket-1 gaps so the mean exercises floor division
+      (30L, 4L, 0L), (31L, 4L, 1000L), (32L, 4L, 3001L)
+    ).toDF("event_id", "user_id", "ems")
+    val got = operators.EventTimeQueries.gapHistogram(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0, 1L, 500L, 500L),
+      (1, 3L, 7501L, 2500L), // 7501 DIV 3 = 2500 (floor)
+      (3, 1L, 60000L, 60000L),
+      (6, 1L, 90000000L, 90000000L)), got)
+  }
+
+  test("epochSchedule: exact temperature targets, 4-epoch cap, realized " +
+       "allocation") {
+    import spark.implicits._
+    // sqrt weights 10000/20000/50000 → e3 shares 125/250/625, ntot=3000,
+    // T=9000 → targets 1125/2250/5625; A and B overshoot 4 epochs (cap)
+    val tok = Seq(("A", 100L), ("B", 400L), ("C", 2500L)).toDF("source", "t")
+    val got = operators.SamplingQueries.epochSchedule(tok).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      ("A", 100L, 125L, 1125L, 4000L, 400L, true),
+      ("B", 400L, 250L, 2250L, 4000L, 1600L, true),
+      ("C", 2500L, 625L, 5625L, 2250L, 5625L, false)), got)
+  }
+
+  test("zipfHead: count-desc/token-asc rank, zipf product, head cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "b c c d")).toDF("doc_id", "text")
+    val got = operators.TextQueries.zipfHead(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    // a/b/c all count 3 — rank resolves by token asc; d trails at count 1
+    assert(got == Seq(
+      ("a", 3L, 1, 3L), ("b", 3L, 2, 6L), ("c", 3L, 3, 9L),
+      ("d", 1L, 4, 4L)), got)
+    val fifty = (1 to 60).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    assert(operators.TextQueries.zipfHead(fifty).count() == 50)
+  }
+
+  test("q_dedup_thresholds: monotone sweep, agrees with the pair-level " +
+       "operators at 0.8") {
+    val rows = SparkEntry.queries("q_dedup_thresholds")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(500000L, 600000L, 700000L, 800000L,
+      900000L).filter(t => rows.exists(_._1 == t)))
+    // pair and doc counts can only shrink as the threshold rises
+    rows.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p1 >= p2 && d1 >= d2, rows.toSeq)
+      case _ =>
+    }
+    // the 0.8 row restates q_dedup_ngram (pairs) and q_dedup_rate (docs)
+    val at08 = rows.find(_._1 == 800000L)
+    val ngramPairs = SparkEntry.queries("q_dedup_ngram")(spark, sf).count()
+    val nearDocs = SparkEntry.queries("q_dedup_rate")(spark, sf)
+      .select("n_near_dup").collect().head.getLong(0)
+    assert(at08.map(_._2).getOrElse(0L) == ngramPairs, (at08, ngramPairs))
+    assert(at08.map(_._3).getOrElse(0L) == nearDocs, (at08, nearDocs))
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

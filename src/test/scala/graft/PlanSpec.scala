@@ -155,6 +155,27 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1 && hashEx.head.contains("user_id"), p)
   }
 
+  test("q_text_zipf plans TakeOrderedAndProject for the head (never a " +
+       "vocab-wide sort) and windows only the 50-row block") {
+    val p = plan("q_text_zipf").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the rank window sits above the LocalLimit/TakeOrdered result, so
+    // its sort is bounded — and no Join ever appears
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_event_gaps: one user_id exchange carries the lag window; the " +
+       "7-cell histogram partial-combines (no further wide state)") {
+    val p = plan("q_event_gaps").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .toSeq
+    assert(hashEx.exists(_.contains("user_id")), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+  }
+
   test("q_sim_pq scores map-side: codebook and query attach as scalar " +
        "subqueries (no join node), top-5 is TakeOrderedAndProject") {
     val p = plan("q_sim_pq")

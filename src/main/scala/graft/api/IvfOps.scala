@@ -38,7 +38,7 @@ object IvfOps {
     * cid), with an added `cid` column. All input columns pass through.
     */
   def assign(vecs: DataFrame, centroidBlock: DataFrame, nProbe: Int,
-             vecCol: String = "v"): DataFrame = {
+             vecCol: String = "v", keepScore: Boolean = false): DataFrame = {
     // struct(csim, -cid) sorted ascending then reversed = order by
     // (csim DESC, cid ASC) — the row_number tiebreak, as one expression.
     // nProbe=1 takes the argmax directly (array_max) instead of sorting.
@@ -64,6 +64,12 @@ object IvfOps {
       .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
       .withColumn("__p", explode(ranked))
       .withColumn("cid", -col("__p.negcid"))
+      // keepScore surfaces the winning cosine (q_emb_outliers' distance-
+      // to-own-centroid signal) without a centroid re-join downstream
+      .withColumns(
+        if (keepScore) Map[String, org.apache.spark.sql.Column](
+          "csim" -> col("__p.csim"))
+        else Map.empty[String, org.apache.spark.sql.Column])
       .drop("__cents", "__nrm", "__p")
   }
 

@@ -831,6 +831,36 @@ object DedupQueries {
         .orderBy("thr_e6")
     }),
 
+    "q_dedup_keeper" -> ((s, d) => {
+      // Quality-aware KEEPER selection — the policy layer above
+      // q_dedup_cluster: production dedup keeps the BEST member of each
+      // near-dup cluster, not the lowest doc_id (the cluster label is an
+      // arbitrary canonical name; the keeper is an editorial choice).
+      // Per cluster: member count + the argmax-quality member with ties
+      // to the lowest doc_id, via ONE max(struct(quality, -doc_id))
+      // aggregation — max_by with a total order, partial-combining
+      // map-side, so a boilerplate mega-cluster costs its aggregation
+      // and nothing else (never a window over cluster_id — the
+      // q_dedup_cluster rule). quality_e6 is TextQueries.qualityE6Col,
+      // the ONE definition shared with q_text_quality/q_sample_quality;
+      // cluster labels read from the memoized CC table (no index
+      // rebuild). The oracle restates the argmax as QUALIFY row_number
+      // over the same (quality DESC, doc_id ASC) order.
+      val labels = clusterLabels(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val qual = documents(s, d)
+        .select(col("doc_id"), TextQueries.qualityE6Col.as("quality_e6"))
+      labels.join(qual, Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+             max(struct(col("quality_e6"), (-col("doc_id")).as("nid")))
+               .as("mx"))
+        .select(col("cluster_id"), col("n_members"),
+                (-col("mx.nid")).as("keeper_doc_id"),
+                col("mx.quality_e6").as("keeper_quality_e6"))
+        .orderBy("cluster_id")
+    }),
+
     "q_dedup_source_overlap" -> ((s, d) => {
       // Cross-source duplication MATRIX — the corpus-curation question
       // "how much of source A repeats source B" (e.g. two crawl snapshots
@@ -1394,6 +1424,57 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_n
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // q_dedup_cluster's recursive CC chain + the literal quality spelling
+    // (q_text_quality oracle) + QUALIFY argmax per cluster
+    "q_dedup_keeper" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT i.da, i.db FROM inter i
+         |          JOIN sizes na ON i.da = na.doc_id
+         |          JOIN sizes nb ON i.db = nb.doc_id
+         |          WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |qt AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |ql AS (
+         |  SELECT doc_id,
+         |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+         |                     + (n_uniq / n_tok) * 0.35
+         |                     + (1.0 - stop_hits / n_tok) * 0.2
+         |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+         |                    * 1e6) AS BIGINT) AS quality_e6
+         |  FROM qt),
+         |j AS (SELECT cc.cluster_id, cc.doc_id, ql.quality_e6
+         |      FROM cc JOIN ql USING (doc_id)),
+         |k AS (SELECT cluster_id, doc_id, quality_e6,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY quality_e6 DESC, doc_id ASC) AS rn,
+         |             count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM j)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |       doc_id AS keeper_doc_id, quality_e6 AS keeper_quality_e6
+         |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // 1-probe assignment (rn <= 1), same capped in-cluster pairs, drop =
     // "an earlier in-cluster vector sits at cosine >= threshold"

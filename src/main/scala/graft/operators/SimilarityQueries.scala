@@ -47,6 +47,10 @@ object SimilarityQueries {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
+  /** q_emb_outliers flag line: cosine-to-own-centroid below 0.05 (e9
+    * integer) marks a vector as noise. The oracle inlines the literal. */
+  private val OutlierCosE9 = 50000000L
+
   /** Product-quantization geometry: M subspaces × Sub dims (M·Sub = Dim),
     * codebook = the subvectors of fixture vectors vec_id < 4 (4 codes per
     * subspace — the q_sim_ivf fixture-centroid rule, so DuckDB can mirror
@@ -212,6 +216,34 @@ object SimilarityQueries {
           floor(vmax * 1e6).cast("long").as("qmax_e6"),
           aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
         .orderBy("vec_id")
+    }),
+
+    "q_emb_outliers" -> ((s, d) => {
+      // Embedding-space OUTLIER audit — the curation pass that catches
+      // corrupt/degenerate vectors before they poison ANN buckets: each
+      // vector's cosine to its OWN (1-probe) centroid, rolled up per
+      // cluster as count / below-threshold count / minimum — a vector far
+      // from every centroid (cos < 0.05) is noise, an all-healthy cluster
+      // has min_cos well above it. Shape: the same map-side scalar-
+      // subquery assignment as q_dedup_semantic with the winning cosine
+      // kept (IvfOps.assign keepScore — no centroid re-join), then one
+      // k-cell keyed aggregation; cosine floors to e9 integers so both
+      // engines compare identical longs. At scale the centroid block is
+      // KMeans.fit output (the q_sim_ivf_trained split); fixture
+      // centroids (vec_id < 8) keep this twin hash-checked.
+      val e = emb(s, d)
+      val block = IvfOps.centroidBlock(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+      val asg = IvfOps.assign(fanOut(e), block, nProbe = 1, keepScore = true)
+        .select(col("vec_id"), col("cid"),
+          floor(col("csim") * 1e9).cast("long").as("cos_e9"))
+      asg.groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"),
+             sum(when(col("cos_e9") < OutlierCosE9, 1L).otherwise(0L))
+               .as("n_outliers"),
+             min("cos_e9").as("min_cos_e9"))
+        .withColumn("outlier_ppm", expr("n_outliers * 1000000 DIV n_vectors"))
+        .orderBy("cid")
     }),
 
     "q_sim_knn_quantized" -> ((s, d) => {
@@ -402,6 +434,28 @@ object SimilarityQueries {
         |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_emb_outliers" -> {
+      // q_dedup_semantic's 1-probe assignment mirror, keeping the winning
+      // cosine, + the k-cell rollup with the inlined threshold
+      val csim = duckCos("e.v", "c.cv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |         CAST(floor(($csim) * 1e9) AS BIGINT) AS cos_e9,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |asg AS (SELECT vec_id, cid, cos_e9 FROM scored WHERE rn <= 1)
+         |SELECT cid, count(*) AS n_vectors,
+         |       CAST(sum(CASE WHEN cos_e9 < $OutlierCosE9 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_outliers,
+         |       min(cos_e9) AS min_cos_e9,
+         |       CAST(sum(CASE WHEN cos_e9 < $OutlierCosE9 THEN 1 ELSE 0 END)
+         |            * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
+    },
 
     "q_sim_knn_quantized" -> {
       val cos = duckCos("r.rv", "q.qv")

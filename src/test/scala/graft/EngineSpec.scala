@@ -673,6 +673,50 @@ class EngineSpec extends SparkSpec {
     assert(at08.map(_._3).getOrElse(0L) == nearDocs, (at08, nearDocs))
   }
 
+  test("q_dedup_keeper: per-cluster argmax quality with lowest-doc_id " +
+       "ties, consistent with q_dedup_cluster membership") {
+    val members = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val qual = SparkEntry.queries("q_text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> quality_e6
+    val keepers = SparkEntry.queries("q_dedup_keeper")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(keepers.map(_._1).toSet == members.keySet) // same cluster set
+    keepers.foreach { case (c, n, keeper, kq) =>
+      val ms = members(c)
+      assert(n == ms.size && ms.contains(keeper), (c, n, ms))
+      val best = ms.map(qual).max
+      assert(kq == best, (c, kq, best))
+      // ties break to the LOWEST doc_id among max-quality members
+      assert(keeper == ms.filter(qual(_) == best).min, (c, keeper))
+    }
+  }
+
+  test("IvfOps.assign keepScore: csim is the winning cosine; cid " +
+       "unchanged vs the default form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (10L, Seq(0.6, 0.8)),  // cos 0.6 to c1, 0.8 to c2 → c2 wins
+      (11L, Seq(1.0, 0.0)),  // exactly on c1
+      (12L, Seq(-1.0, 0.0))  // cos -1 to c1, 0 to c2 → c2 at csim 0
+    ).toDF("vec_id", "v0")
+      .select(col("vec_id"), transform(col("v0"), x => x.cast("double")).as("v"))
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("cid", "v0")
+      .select(col("cid"), transform(col("v0"), x => x.cast("double")).as("v"))
+    val block = api.IvfOps.centroidBlock(cents)
+    val got = api.IvfOps.assign(vecs, block, nProbe = 1, keepScore = true)
+      .select("vec_id", "cid", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq.sortBy(_._1)
+    assert(got == Seq((10L, 2L, 0.8), (11L, 1L, 1.0), (12L, 2L, 0.0)), got)
+    val plain = api.IvfOps.assign(vecs, block, nProbe = 1)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(plain == got.map(t => (t._1, t._2)), plain)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

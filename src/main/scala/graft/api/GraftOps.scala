@@ -760,6 +760,34 @@ object GraftOps {
            l("__salt") === r("__salt") && l(key) === col(s"__r_$key"))
       .drop("__salt", s"__r_$key")
   }
+
+  /** Per-group argmax selection with a deterministic lowest-id tie-break —
+    * the q_dedup_keeper policy as a generic library op: ONE
+    * max(struct(score, -id)) aggregation (map-side partial-combining, so a
+    * mega-group costs its aggregation and nothing else — never a window
+    * over the group key). Returns (groupCol, n_members, keeper_<idCol>,
+    * keeper_<scoreCol>).
+    */
+  def keepBest(df: DataFrame, groupCol: String, idCol: String,
+               scoreCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_members"),
+           max(struct(col(scoreCol), (-col(idCol)).as("__nid"))).as("__mx"))
+      .select(col(groupCol), col("n_members"),
+              (-col("__mx.__nid")).as(s"keeper_$idCol"),
+              col(s"__mx.$scoreCol").as(s"keeper_$scoreCol"))
+
+  /** Data-constrained epoch schedule (Muennighoff et al. 2023) over
+    * (source, tokens) rows — the q_mix_epochs core as a library entry
+    * point: temperature target shares (sqrt, e3-quantized), per-source
+    * targets at T = 3× unique tokens, epochs capped at 4.0 (e3-scaled).
+    * Returns (source, n_tokens, w_e3, target_tokens, epochs_e3,
+    * alloc_tokens, capped).
+    */
+  def epochSchedule(tok: DataFrame, sourceCol: String = "source",
+                    tokensCol: String = "t"): DataFrame =
+    graft.operators.SamplingQueries.epochSchedule(
+      tok.select(col(sourceCol).as("source"), col(tokensCol).as("t")))
 }
 
 object implicits {
@@ -805,5 +833,10 @@ object implicits {
     def connectedComponentsStar(aCol: String, bCol: String,
                                 maxIter: Int = 50): DataFrame =
       GraftOps.connectedComponentsStar(df, aCol, bCol, maxIter)
+    def keepBest(groupCol: String, idCol: String, scoreCol: String): DataFrame =
+      GraftOps.keepBest(df, groupCol, idCol, scoreCol)
+    def epochSchedule(sourceCol: String = "source",
+                      tokensCol: String = "t"): DataFrame =
+      GraftOps.epochSchedule(df, sourceCol, tokensCol)
   }
 }

@@ -838,7 +838,8 @@ object DedupQueries {
       // arbitrary canonical name; the keeper is an editorial choice).
       // Per cluster: member count + the argmax-quality member with ties
       // to the lowest doc_id, via ONE max(struct(quality, -doc_id))
-      // aggregation — max_by with a total order, partial-combining
+      // aggregation (GraftOps.keepBest — the ONE definition, exposed as
+      // a generic library op) — max_by with a total order, partial-combining
       // map-side, so a boilerplate mega-cluster costs its aggregation
       // and nothing else (never a window over cluster_id — the
       // q_dedup_cluster rule). quality_e6 is TextQueries.qualityE6Col,
@@ -850,14 +851,9 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       val qual = documents(s, d)
         .select(col("doc_id"), TextQueries.qualityE6Col.as("quality_e6"))
-      labels.join(qual, Seq("doc_id"))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-             max(struct(col("quality_e6"), (-col("doc_id")).as("nid")))
-               .as("mx"))
-        .select(col("cluster_id"), col("n_members"),
-                (-col("mx.nid")).as("keeper_doc_id"),
-                col("mx.quality_e6").as("keeper_quality_e6"))
+      graft.api.GraftOps
+        .keepBest(labels.join(qual, Seq("doc_id")),
+                  "cluster_id", "doc_id", "quality_e6")
         .orderBy("cluster_id")
     }),
 

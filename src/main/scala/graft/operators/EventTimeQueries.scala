@@ -251,6 +251,38 @@ object EventTimeQueries {
         .select("user_id", "s_ms", "e_ms", "n")
         .orderBy("user_id", "s_ms")),
 
+    "q_session_stats" -> ((s, d) => {
+      // Session duration/size PROFILE — q_session_windows' dashboard
+      // rollup: sessions bucketed into a fixed 6-cell duration histogram
+      // (single-event, <1m, <10m, <30m, <1h, ≥1h) with per-bucket event
+      // and duration stats (exact integer means via DIV — the
+      // q_event_gaps arithmetic). Shape: the same native session_window
+      // aggregation (one user_id-keyed exchange), then a ≤6-cell
+      // map-side-combining rollup — the corpus-scale output (sessions)
+      // never leaves the cluster, only the bounded histogram does.
+      val sess = ems(s, d)
+        .withColumn("tsm", timestamp_millis(col("ems")))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(min(col("ems")).as("s_ms"), max(col("ems")).as("e_ms"),
+             count(lit(1)).as("n"))
+        .select((col("e_ms") - col("s_ms")).as("dur"), col("n"))
+      sess.withColumn("bucket",
+          when(col("dur") === 0L, 0)
+            .when(col("dur") < 60000L, 1)
+            .when(col("dur") < 600000L, 2)
+            .when(col("dur") < 1800000L, 3)
+            .when(col("dur") < 3600000L, 4)
+            .otherwise(5))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum("dur").as("sum_dur_ms"),
+             sum("n").as("n_events"),
+             max("dur").as("max_dur_ms"))
+        .withColumn("mean_dur_ms", expr("sum_dur_ms DIV n_sessions"))
+        .withColumn("mean_events_e3", expr("n_events * 1000 DIV n_sessions"))
+        .orderBy("bucket")
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       firstPerKey(ems(s, d), Seq("user_id", "event_type"))
         .select("user_id", "event_type", "event_id", "ems")
@@ -441,6 +473,36 @@ object EventTimeQueries {
         |      FROM g)
         |SELECT user_id, min(ems) AS s_ms, max(ems) AS e_ms, count(*) AS n
         |FROM i GROUP BY user_id, sid ORDER BY user_id, s_ms""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
+        |g AS (SELECT user_id, ems,
+        |             CASE WHEN ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems)
+        |                    >= 1800000
+        |                  OR lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |i AS (SELECT user_id, ems,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ems
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g),
+        |sess AS (SELECT max(ems) - min(ems) AS dur, count(*) AS n
+        |         FROM i GROUP BY user_id, sid),
+        |b AS (SELECT dur, n,
+        |             CASE WHEN dur = 0 THEN 0
+        |                  WHEN dur < 60000 THEN 1
+        |                  WHEN dur < 600000 THEN 2
+        |                  WHEN dur < 1800000 THEN 3
+        |                  WHEN dur < 3600000 THEN 4
+        |                  ELSE 5 END AS bucket
+        |      FROM sess)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_sessions,
+        |       CAST(sum(dur) AS BIGINT) AS sum_dur_ms,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       max(dur) AS max_dur_ms,
+        |       CAST(sum(dur) // count(*) AS BIGINT) AS mean_dur_ms,
+        |       CAST(sum(n) * 1000 // count(*) AS BIGINT) AS mean_events_e3
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ems

@@ -717,6 +717,15 @@ class EngineSpec extends SparkSpec {
     assert(plain == got.map(t => (t._1, t._2)), plain)
   }
 
+  test("q_session_stats restates q_session_windows: session and event " +
+       "totals agree across the histogram") {
+    val sess = SparkEntry.queries("q_session_windows")(spark, sf).collect()
+    val stats = SparkEntry.queries("q_session_stats")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(stats.map(_._2).sum == sess.length.toLong, stats.toSeq)
+    assert(stats.map(_._3).sum == sess.map(_.getLong(3)).sum, stats.toSeq)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

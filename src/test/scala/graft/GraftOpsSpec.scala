@@ -413,6 +413,31 @@ class GraftOpsSpec extends SparkSpec {
              big.select("doc_id", "source")).count() == 0)
   }
 
+  test("keepBest: argmax score per group, lowest-id tie-break, generic " +
+       "column names") {
+    val df = Seq(
+      (1L, 10L, 500L), (1L, 11L, 900L), (1L, 12L, 900L), // tie at 900 → 11
+      (2L, 20L, 100L)
+    ).toDF("grp", "id", "score")
+    val got = graft.api.GraftOps.keepBest(df, "grp", "id", "score")
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 11L, 900L), (2L, 1L, 20L, 100L)), got)
+    assert(graft.api.GraftOps.keepBest(df, "grp", "id", "score")
+      .columns.toSeq == Seq("grp", "n_members", "keeper_id", "keeper_score"))
+  }
+
+  test("epochSchedule library entry point renames arbitrary columns into " +
+       "the q_mix_epochs core") {
+    import graft.api.implicits._
+    val tok = Seq(("A", 100L), ("C", 2500L)).toDF("src", "n_tok")
+    val got = tok.epochSchedule("src", "n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // shares 166/833 (sqrt e3 of 10000/50000 over wraw 60000, wsum 999),
+    // T = 7800: A target 1296 → capped 4000; C target 6503 → 2601
+    assert(got == Seq(("A", 100L, 4000L), ("C", 2500L, 2601L)), got)
+  }
+
   test("simhashBandPairs caps a planted mega-cluster band bucket") {
     // 10 identical fingerprints — the boilerplate pathology: every band
     // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit

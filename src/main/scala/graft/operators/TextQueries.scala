@@ -483,30 +483,29 @@ object TextQueries {
           expr("n_subwords * 1000000 DIV n_words"))
         .orderBy("doc_id")),
 
-    "q_text_langid" -> ((s, d) => {
-      // Heuristic language-ID. The fixture vocabulary is shared across the
-      // synthetic lang labels, so no heuristic can recover them — the
-      // operator contract is a deterministic stopword/charclass profile
-      // score with an argmax, the standard cheap lang-ID shape.
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val hits = (w: String) =>
-        size(filter(toks, t => t === lit(w))).cast("double")
-      val stopRatio = (hits("the") + hits("a") + hits("of")) / nTok
-      val avgLen = length(col("text")).cast("double") / nTok
-      documents(s, d)
-        .select(
-          col("doc_id"), col("lang"),
-          floor(stopRatio * 1e6).cast("long").as("stop_score"),
-          floor(avgLen * 1e6).cast("long").as("len_score"))
-        .withColumn("pred_lang",
-          when(col("stop_score") > 80000, "en")
-            .when(col("len_score") > 5200000, "de")
-            .when(col("stop_score") > 40000, "fr")
-            .when(col("len_score") > 4800000, "es")
-            .otherwise("zh"))
-        .orderBy("doc_id")
-    }),
+    "q_text_langid" -> ((s, d) =>
+      // Heuristic language-ID — see [[langPred]], the one definition
+      // shared with q_text_langid_eval's confusion matrix.
+      langPred(documents(s, d)).orderBy("doc_id")),
+
+    "q_text_langid_eval" -> ((s, d) =>
+      // Classifier EVALUATION — the confusion matrix a curation team
+      // reads before trusting any cheap lang-ID gate: predicted vs
+      // LABELED language with per-true-label share in exact ppm (the
+      // diagonal is recall; off-diagonal cells say which languages leak
+      // into which). Predictions are [[langPred]] — the IDENTICAL
+      // expression q_text_langid scores with, so the eval can never
+      // drift from the classifier it grades. Shape: one corpus-scan
+      // keyed aggregation collapsing to ≤ |langs|² cells; the ppm window
+      // rides the tiny rollup (the q_event_transitions rule), never the
+      // corpus.
+      langPred(fanOut(documents(s, d)))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_tot", sum("n").over(Window.partitionBy("lang")))
+        .withColumn("share_ppm", expr("n * 1000000 DIV row_tot"))
+        .drop("row_tot")
+        .orderBy("lang", "pred_lang")),
 
     "q_text_quality" -> ((s, d) => {
       // Quality scoring: length, mean token length, stopword ratio, type/
@@ -804,6 +803,33 @@ object TextQueries {
     })
   )
 
+  /** Heuristic language-ID over (doc_id, lang, text) rows. The fixture
+    * vocabulary is shared across the synthetic lang labels, so no
+    * heuristic can recover them — the operator contract is a
+    * deterministic stopword/charclass profile score with an argmax, the
+    * standard cheap lang-ID shape. ONE definition for q_text_langid (the
+    * per-doc scores) and q_text_langid_eval (the confusion matrix).
+    */
+  private[graft] def langPred(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val hits = (w: String) =>
+      size(filter(toks, t => t === lit(w))).cast("double")
+    val stopRatio = (hits("the") + hits("a") + hits("of")) / nTok
+    val avgLen = length(col("text")).cast("double") / nTok
+    docs
+      .select(
+        col("doc_id"), col("lang"),
+        floor(stopRatio * 1e6).cast("long").as("stop_score"),
+        floor(avgLen * 1e6).cast("long").as("len_score"))
+      .withColumn("pred_lang",
+        when(col("stop_score") > 80000, "en")
+          .when(col("len_score") > 5200000, "de")
+          .when(col("stop_score") > 40000, "fr")
+          .when(col("len_score") > 4800000, "es")
+          .otherwise("zh"))
+  }
+
   /** q_text_zipf core — factored so specs can drive crafted corpora
     * through the rank/tie-break arithmetic. */
   private[graft] def zipfHead(docs: DataFrame): DataFrame = {
@@ -853,6 +879,28 @@ object TextQueries {
         |            WHEN floor(n_chars / n_tok * 1e6) > 4800000 THEN 'es'
         |            ELSE 'zh' END AS pred_lang
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> x IN ('the', 'a', 'of'))) AS DOUBLE) AS stop_hits,
+        |         CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |         CASE WHEN floor(stop_hits / n_tok * 1e6) > 80000 THEN 'en'
+        |              WHEN floor(n_chars / n_tok * 1e6) > 5200000 THEN 'de'
+        |              WHEN floor(stop_hits / n_tok * 1e6) > 40000 THEN 'fr'
+        |              WHEN floor(n_chars / n_tok * 1e6) > 4800000 THEN 'es'
+        |              ELSE 'zh' END AS pred_lang
+        |  FROM t),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+        |            AS BIGINT) AS share_ppm
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

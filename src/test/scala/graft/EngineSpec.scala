@@ -726,6 +726,22 @@ class EngineSpec extends SparkSpec {
     assert(stats.map(_._3).sum == sess.map(_.getLong(3)).sum, stats.toSeq)
   }
 
+  test("q_text_langid_eval restates q_text_langid: cell counts, row " +
+       "coverage, exact ppm shares") {
+    val preds = SparkEntry.queries("q_text_langid")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(4)))
+    val expect = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = SparkEntry.queries("q_text_langid_eval")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(cells.map(_._2._1).sum == preds.length.toLong)
+    assert(cells.map(_._1).toSet == expect.keySet)
+    cells.foreach { case (k, (n, ppm)) =>
+      assert(expect(k) == n, (k, n))
+      val rowTot = expect.collect { case ((l, _), c) if l == k._1 => c }.sum
+      assert(ppm == n * 1000000L / rowTot, (k, ppm))
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -273,6 +273,23 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    "q_sample_fixed" -> ((s, d) =>
+      // Fixed-SIZE deterministic sample — the reproducible eval-subset
+      // selector (rate-based q_sample_hash cannot hit an exact count;
+      // human-eval and regression suites need exactly k docs that never
+      // shift run-to-run or engine-to-engine): the k lowest md5-hash
+      // keys, i.e. a uniform k-subset that is a pure function of the
+      // corpus ids. Shape: global top-k = TakeOrderedAndProject
+      // (per-partition top-k partials, k·P rows to the final merge —
+      // never a full sort); hash ties cannot occur at md5 width but
+      // doc_id tie-breaks anyway (determinism is contractual, not
+      // probabilistic).
+      documents(s, d)
+        .select(col("doc_id"),
+          md5long(col("doc_id").cast("string")).as("hk"))
+        .orderBy(col("hk"), col("doc_id"))
+        .limit(100)),
+
     "q_mix_epochs" -> ((s, d) => {
       // Data-constrained EPOCH schedule (public: Muennighoff et al. 2023,
       // "Scaling Data-Constrained Language Models", NeurIPS): when the
@@ -462,6 +479,11 @@ object SamplingQueries {
          |FROM t JOIN d USING (source)
          |GROUP BY t.source, t.n, t.w_e3, t.thresh_e6
          |ORDER BY t.source""".stripMargin,
+
+    "q_sample_fixed" ->
+      s"""SELECT doc_id, ${duckKey("doc_id")} AS hk
+         |FROM documents
+         |ORDER BY hk, doc_id LIMIT 100""".stripMargin,
 
     "q_mix_epochs" ->
       s"""WITH d0 AS (

@@ -176,6 +176,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
 
+  test("q_dedup_keeper rolls clusters up in an aggregation — no Window " +
+       "over cluster_id (mega-cluster safety)") {
+    val p = plan("q_dedup_keeper").split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_session_stats: session aggregation + bounded histogram, no Join") {
+    val p = plan("q_session_stats").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+  }
+
+  test("q_sample_fixed plans TakeOrderedAndProject (global top-k by " +
+       "hash, never a full sort)") {
+    assert(plan("q_sample_fixed").contains("TakeOrderedAndProject"))
+  }
+
   test("q_sim_pq scores map-side: codebook and query attach as scalar " +
        "subqueries (no join node), top-5 is TakeOrderedAndProject") {
     val p = plan("q_sim_pq")

@@ -64,6 +64,35 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"),
           when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
         .orderBy("doc_id")
+    }),
+
+    "q_pipeline_eval" -> ((s, d) => {
+      // EVAL-SET assembly — the OTHER composed pipeline a training run
+      // needs: a fixed-size human-eval/regression subset that is (a)
+      // DECONTAMINATED (zero 3-gram shingle overlap with the held-out
+      // benchmark — the q_text_contamination probe over the shared
+      // uncapped index; a doc that leaks benchmark text must never be
+      // scored), (b) quality-gated (qualityE6Col ≥ 0.45 — map-side), and
+      // (c) EXACTLY k docs, stable across runs and engines (the
+      // q_sample_fixed lowest-md5-hash rule). Scale shape: benchmark
+      // shingle set AQE-broadcasts into a map-side probe, one per-doc
+      // aggregation, then TakeOrderedAndProject — no stage beyond what
+      // the component queries already run.
+      val sh = DedupQueries.uncappedShingleHashes(s, d)
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select("h").distinct().withColumn("hit", lit(1L))
+      val cleanIds = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("nc"))
+        .filter(col("nc") === 0).select("doc_id")
+      documents(s, d)
+        .join(cleanIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextQueries.qualityE6Col.as("quality_e6"),
+                md5long(col("doc_id").cast("string")).as("hk"))
+        .filter(col("quality_e6") >= 450000L)
+        .orderBy(col("hk"), col("doc_id"))
+        .limit(50)
     })
   )
 
@@ -84,6 +113,34 @@ object PipelineQueries {
          |FROM kept
          |WHERE len(string_split(text, ' ')) >= $MinTokens
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pipeline_eval" -> {
+      val key = duckMd5Long("CAST(d.doc_id AS VARCHAR)")
+      s"""WITH contam AS (${TextQueries.oracles("q_text_contamination")}),
+         |clean AS (SELECT doc_id FROM contam WHERE n_contaminated = 0),
+         |qt AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |ql AS (
+         |  SELECT doc_id,
+         |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+         |                     + (n_uniq / n_tok) * 0.35
+         |                     + (1.0 - stop_hits / n_tok) * 0.2
+         |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+         |                    * 1e6) AS BIGINT) AS quality_e6
+         |  FROM qt)
+         |SELECT d.doc_id, ql.quality_e6, $key AS hk
+         |FROM documents d
+         |JOIN clean ON d.doc_id = clean.doc_id
+         |JOIN ql ON d.doc_id = ql.doc_id
+         |WHERE ql.quality_e6 >= 450000
+         |ORDER BY hk, d.doc_id LIMIT 50""".stripMargin
     }
   )
 }

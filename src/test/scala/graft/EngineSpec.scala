@@ -742,6 +742,24 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_pipeline_eval: exactly k clean, quality-gated, deterministic " +
+       "docs — no benchmark member, no contaminated doc") {
+    val rows = SparkEntry.queries("q_pipeline_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 50, rows.length)
+    assert(rows.forall(_._1 % 50 != 0), "benchmark doc leaked")
+    assert(rows.forall(_._2 >= 450000L), "quality gate breached")
+    val contam = SparkEntry.queries("q_text_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { case (id, _) =>
+      assert(contam.getOrElse(id, 0L) == 0L, s"doc $id is contaminated")
+    }
+    // re-evaluation returns the identical set (determinism contract)
+    val again = SparkEntry.queries("q_pipeline_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

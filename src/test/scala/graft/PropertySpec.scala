@@ -261,6 +261,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gapHistogram conservation: bucket totals restate the raw event " +
+       "set (random timelines, 10 seeds)") {
+    val evGen = for {
+      nUsers <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(25, for {
+        u <- Gen.choose(1L, nUsers.toLong)
+        t <- Gen.choose(0L, 200000000L)
+      } yield (u, t))
+    } yield rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+    (1L to 10L).foreach { seed =>
+      val rows = sample(evGen, seed)
+      val got = graft.operators.EventTimeQueries
+        .gapHistogram(rows.toDF("event_id", "user_id", "ems")).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val byUser = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      // every event except each user's first contributes exactly one gap
+      assert(got.map(_._1).sum ==
+        rows.length.toLong - byUser.size, s"seed $seed")
+      // consecutive gaps telescope: Σ gaps = Σ_user (max − min)
+      assert(got.map(_._2).sum ==
+        byUser.values.map(ts => ts.max - ts.min).sum, s"seed $seed")
+    }
+  }
+
+  test("epochSchedule invariants under random source sizes (10 seeds)") {
+    val tokGen = for {
+      n <- Gen.choose(2, 6)
+      sizes <- Gen.listOfN(n, Gen.choose(10L, 100000L))
+    } yield sizes.zipWithIndex.map { case (t, i) => (s"s$i", t) }
+    (1L to 10L).foreach { seed =>
+      val tok = sample(tokGen, seed)
+      val got = graft.operators.SamplingQueries
+        .epochSchedule(tok.toDF("source", "t")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+                   r.getLong(5), r.getBoolean(6)))
+      val ntot = tok.map(_._2).sum
+      got.foreach { case (src, n, target, e, alloc, capped) =>
+        assert(e >= 1 && e <= 4000, s"seed $seed $src epochs $e")
+        assert(capped == (e == 4000L), s"seed $seed $src cap flag")
+        assert(alloc == n * e / 1000, s"seed $seed $src alloc")
+        // an uncapped source never allocates past its target
+        if (!capped) assert(alloc <= target, s"seed $seed $src overshoot")
+      }
+      // quantized shares can only UNDER-shoot the 3× budget
+      assert(got.map(_._3).sum <= 3 * ntot, s"seed $seed budget")
+    }
+  }
+
+  test("zipfHead shape: ranks are 1..min(50,|vocab|), counts " +
+       "non-increasing (5 seeds)") {
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "tok"))
+        .map(_.mkString(" ")))
+    (1L to 5L).foreach { seed =>
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextQueries
+        .zipfHead(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(1), r.getInt(2)))
+      assert(got.map(_._2).toSeq == (1 to got.length), s"seed $seed ranks")
+      assert(got.map(_._1).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"seed $seed monotone")
+    }
+  }
+
   test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
     val frame: Seq[String] => Seq[String] = chunks => {
       val all = chunks.mkString

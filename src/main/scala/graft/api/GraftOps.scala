@@ -141,6 +141,38 @@ object GraftOps {
       .orderBy(col("cnt").desc, col(itemCol).asc)
   }
 
+  /** PER-GROUP exact heavy hitters — [[heavyHitters]] keyed by a group
+    * column: each group's items summarize through their OWN ≤K-counter
+    * Misra-Gries partials (typed Aggregator under groupByKey, so the
+    * exchange moves k rows per (partition, group) — never a per-group
+    * vocab), then pass 2 re-counts only the ≤K·|groups| candidates
+    * (broadcast join) and keeps exact count > n_g/(K+1). The per-group MG
+    * guarantee makes each group's final set order-independent. Returns
+    * (groupCol, itemCol, cnt), per-group heaviest first.
+    */
+  def heavyHittersBy(items: DataFrame, groupCol: String,
+                     itemCol: String): DataFrame = {
+    import graft.functions.FrequentItems
+    val spark = items.sparkSession
+    import spark.implicits._
+    val it = items.select(col(groupCol).cast("string").as("__grp"),
+                          col(itemCol).cast("string").as("__item"))
+      .filter(col("__item").isNotNull && col("__grp").isNotNull)
+    val cands = it.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(FrequentItems.toColumn)
+      .toDF("__grp", "mg")
+      .select(col("__grp"), explode(col("mg._1")).as("__item"),
+              col("mg._2").as("n"))
+    it.join(broadcast(cands), Seq("__grp", "__item"))
+      .groupBy("__grp", "__item", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
+      .select(col("__grp").as(groupCol), col("__item").as(itemCol),
+              col("cnt"))
+      .orderBy(col(groupCol).asc, col("cnt").desc, col(itemCol).asc)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jac_e6). Candidates come from band-signature
     * equality joins — no all-pairs product at any corpus size.
@@ -803,6 +835,8 @@ object implicits {
       GraftOps.winnowPairs(df, idCol, textCol, minJacE6)
     def heavyHitters(itemCol: String): DataFrame =
       GraftOps.heavyHitters(df, itemCol)
+    def heavyHittersBy(groupCol: String, itemCol: String): DataFrame =
+      GraftOps.heavyHittersBy(df, groupCol, itemCol)
     def minhashJoin(right: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5): DataFrame =
       GraftOps.minhashJoin(df, right, idCol, textCol, threshold)

@@ -772,6 +772,20 @@ object TextQueries {
       // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]]
       heavyHitters(fanOut(documents(s, d)))),
 
+    "q_text_heavyhitters_src" -> ((s, d) =>
+      // PER-SOURCE exact heavy hitters — the boilerplate-token detector
+      // run per crawl source (a token that dominates ONE source is
+      // navigation/template text even when corpus-rare): the grouped
+      // two-pass Misra-Gries pattern (GraftOps.heavyHittersBy — each
+      // source summarizes through its own ≤K-counter typed-Aggregator
+      // partials, pass 2 re-counts the ≤K·|sources| candidates exactly).
+      // Per-group MG guarantee ⇒ order-independent, oracle-checkable
+      // output (the q_text_heavyhitters rule, per group).
+      graft.api.GraftOps.heavyHittersBy(
+        fanOut(documents(s, d))
+          .select(col("source"), explode(split(col("text"), " ")).as("token")),
+        "source", "token")),
+
     "q_text_vocab" -> ((s, d) =>
       // Per-source vocabulary profile: tokens, distinct tokens, and the
       // type-token ratio in exact ppm — the lexical-diversity signal
@@ -1177,6 +1191,19 @@ object TextQueries {
          |SELECT token, CAST(cnt AS BIGINT) AS cnt
          |FROM c, n WHERE cnt * ${graft.functions.FrequentItems.K + 1} > n.n
          |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    // per-group MG is engine-side pruning only — each source's final set
+    // is exactly its true count > n_s/(K+1) tokens, stated directly
+    "q_text_heavyhitters_src" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |n AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+         |c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2)
+         |SELECT c.source, c.token, CAST(cnt AS BIGINT) AS cnt
+         |FROM c JOIN n USING (source)
+         |WHERE cnt * ${graft.functions.FrequentItems.K + 1} > n.n
+         |ORDER BY c.source ASC, cnt DESC, c.token ASC""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,

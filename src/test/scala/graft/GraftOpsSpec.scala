@@ -438,6 +438,19 @@ class GraftOpsSpec extends SparkSpec {
     assert(got == Seq(("A", 100L, 4000L), ("C", 2500L, 2601L)), got)
   }
 
+  test("heavyHittersBy: per-group exact sets, group totals independent") {
+    // each group's floor is ITS n/50 = 2 — the hot token is heavy in its
+    // own group only; 1-count noise never survives the exact re-count
+    val rows = Seq.fill(60)(("A", "hot")) ++
+      (1 to 40).map(i => ("A", s"na$i")) ++
+      Seq.fill(60)(("B", "cold")) ++
+      (1 to 40).map(i => ("B", s"nb$i"))
+    val got = graft.api.GraftOps
+      .heavyHittersBy(rows.toDF("g", "item"), "g", "item").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "hot", 60L), ("B", "cold", 60L)), got)
+  }
+
   test("simhashBandPairs caps a planted mega-cluster band bucket") {
     // 10 identical fingerprints — the boilerplate pathology: every band
     // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit

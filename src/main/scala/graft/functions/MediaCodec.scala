@@ -242,6 +242,56 @@ object MediaCodec {
       MediaFeatures("wav", g.sampleRate.toLong, g.n.toLong, sum, min, max)
     }
 
+  /** Per-container QUALITY stats (q_mm_quality): the curation signals
+    * that catch degenerate media before training —
+    *  - bmp: nUnits = pixel bytes (padding excluded, like [[decode]]),
+    *    metricA = the variance numerator n·Σb² − (Σb)² (0 ⇔ every pixel
+    *    byte equal = blank/flat frame), metricB = Σb. Exact Long to
+    *    ~10 MP (n·Σb² ≤ n²·255² < 2⁶³ at n ≈ 3.7e7 bytes).
+    *  - wav: nUnits = samples, metricA = full-scale CLIP count
+    *    (sample = ±32767/−32768 — the hard-clipping distortion signal),
+    *    metricB = Σ|sample|.
+    * Same geometry walks as [[decode]]; anything unparseable is None.
+    */
+  final case class MediaQuality(fmt: String, nUnits: Long,
+                                metricA: Long, metricB: Long)
+
+  def quality(bytes: Array[Byte]): Option[MediaQuality] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      bmpGeom(bytes).map { g =>
+        var n = 0L; var s = 0L; var s2 = 0L
+        var row = 0
+        while (row < g.height) {
+          val base = g.pixelOffset + row * g.stride
+          var i = 0
+          val rowBytes = g.width * 3
+          while (i < rowBytes) {
+            val v = (bytes(base + i) & 0xff).toLong
+            n += 1; s += v; s2 += v * v
+            i += 1
+          }
+          row += 1
+        }
+        MediaQuality("bmp", n, n * s2 - s * s, s)
+      }
+    else if (bytes.length >= 12 &&
+             bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+             bytes(10) == 'V' && bytes(11) == 'E')
+      wavGeom(bytes).map { g =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var clips = 0L; var absSum = 0L
+        var i = 0
+        while (i < g.n) {
+          val v = buf.getShort(g.dataOff + 2 * i).toLong
+          if (v == 32767L || v == -32768L) clips += 1
+          absSum += math.abs(v)
+          i += 1
+        }
+        MediaQuality("wav", g.n.toLong, clips, absSum)
+      }
+    else None
+
   /** 60-bit perceptual audio fingerprint (amplitude-envelope hash) of a
     * PCM16 WAV: the sample stream splits into 60 equal-span frames
     * (frame k covers samples [k·n DIV 60, (k+1)·n DIV 60)), frame energy

@@ -141,7 +141,42 @@ object MultimodalQueries {
       }(enc)
   }
 
+  /** Map-side quality decode — [[graft.functions.MediaCodec.quality]]
+    * over each container, same mapPartitions shape as
+    * [[decodeMediaFeatures]] (no built-in codec expression exists). */
+  def decodeMediaQuality(binDf: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("fmt", StringType),
+      StructField("n_units", LongType),
+      StructField("metric_a", LongType),
+      StructField("metric_b", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binDf.select("media_id", "container")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.quality(r.getAs[Array[Byte]](1)).map(q =>
+            Row(r.getLong(0), q.fmt, q.nUnits, q.metricA, q.metricB))
+        }
+      }(enc)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_mm_quality" -> ((s, d) =>
+      // Media QUALITY audit — the multimodal twin of q_text_quality:
+      // per-container degeneracy signals a curation pass gates on before
+      // training. Images: the exact variance numerator n·Σb² − (Σb)²
+      // (zero ⇔ a blank/flat frame — the dead-camera/placeholder
+      // detector); audio: full-scale clip count (hard distortion) +
+      // Σ|sample|. All-integer from the same header walks as
+      // q_mm_features, so the DuckDB oracle reproduces every value from
+      // the source bytes. flagged = blank image, or >1% clipped samples.
+      decodeMediaQuality(encodeMedia(media(s, d)))
+        .withColumn("flagged",
+          when(col("fmt") === "bmp", col("metric_a") === 0L)
+            .otherwise(col("metric_a") * 100 > col("n_units")))
+        .orderBy("media_id")),
+
     "q_mm_meta" -> ((s, d) =>
       // Binary + metadata plumbing: payload digest, sizes, magic bytes.
       media(s, d).select(
@@ -308,6 +343,50 @@ object MultimodalQueries {
         |       ['image', 'audio', 'video'][m + 1] AS media_type,
         |       fmt, dim1, dim2, val_sum, val_min, val_max
         |FROM allf ORDER BY media_id""".stripMargin,
+
+    // q_mm_features' byte-math mirror, quality edition: image variance
+    // numerator over the ×3-replicated pixel bytes (n=24h, Σb=3Σpx,
+    // Σb²=3Σpx² ⇒ 72h·Σpx² − 9(Σpx)²), audio full-scale clip count +
+    // |sample| sum over the byte·257−32768 stream
+    "q_mm_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+        |         octet_length(encode(text)) AS len,
+        |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+        |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |imgp AS (
+        |  SELECT doc_id, h, [bv[(i % len) + 1] for i in range(0, 8 * h)] AS px
+        |  FROM (SELECT doc_id, len, bv,
+        |               greatest(1, least(32, len // 8)) AS h
+        |        FROM b WHERE m = 0 OR m = 2)),
+        |imgq AS (
+        |  SELECT doc_id, 'bmp' AS fmt,
+        |         CAST(24 * h AS BIGINT) AS n_units,
+        |         CAST(72 * h * list_aggregate([p*p for p in px], 'sum')
+        |              - 9 * list_aggregate(px, 'sum')
+        |                  * list_aggregate(px, 'sum') AS BIGINT) AS metric_a,
+        |         CAST(3 * list_aggregate(px, 'sum') AS BIGINT) AS metric_b
+        |  FROM imgp),
+        |audp AS (
+        |  SELECT doc_id, ns,
+        |         [bv[(i % len) + 1] * 257 - 32768 for i in range(0, ns)] AS sm
+        |  FROM (SELECT doc_id, len, bv, least(4096, len) AS ns
+        |        FROM b WHERE m = 1)),
+        |audq AS (
+        |  SELECT doc_id, 'wav' AS fmt,
+        |         CAST(ns AS BIGINT) AS n_units,
+        |         CAST(len(list_filter(sm,
+        |              x -> x = 32767 OR x = -32768)) AS BIGINT) AS metric_a,
+        |         CAST(list_aggregate([abs(x) for x in sm], 'sum')
+        |              AS BIGINT) AS metric_b
+        |  FROM audp),
+        |allq AS (SELECT * FROM imgq UNION ALL SELECT * FROM audq)
+        |SELECT doc_id AS media_id, fmt, n_units, metric_a, metric_b,
+        |       CASE WHEN fmt = 'bmp' THEN metric_a = 0
+        |            ELSE metric_a * 100 > n_units END AS flagged
+        |FROM allq ORDER BY media_id""".stripMargin,
 
     // Mirror of ahash60 over the synthetic 8×H BMPs: channel-0 pixel p
     // (file row-major) is payload byte (p mod len); 8×8 nearest-neighbour

@@ -60,6 +60,31 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(Array[Byte]()).isEmpty)
   }
 
+  test("MediaCodec.quality: blank-image and clipped-audio degeneracy " +
+       "signals on crafted containers") {
+    import graft.functions.MediaCodec
+    // flat image: every pixel byte equal → variance numerator exactly 0
+    val flat = MediaCodec.quality(
+      MediaCodec.encodeBmp24(Array.fill(16)(77), 8, 2)).get
+    assert(flat.fmt == "bmp" && flat.nUnits == 48 && flat.metricA == 0L)
+    assert(flat.metricB == 48L * 77)
+    // varied image: n·Σb² − (Σb)² matches driver math over ×3 channels
+    val gray = Array(0, 255, 7, 13, 200, 100, 50, 1, 2, 3, 4, 5, 6, 8, 9, 10)
+    val v = MediaCodec.quality(MediaCodec.encodeBmp24(gray, 8, 2)).get
+    val bs = gray.flatMap(p => Seq(p, p, p)).map(_.toLong)
+    assert(v.metricA == bs.length * bs.map(x => x * x).sum
+      - bs.sum * bs.sum && v.metricA > 0)
+    // clipped audio: both full-scale rails count; |sample| sums exactly
+    val samples = Array[Short](-32768, 32767, 0, 1, -1, 1000, 32767)
+    val q = MediaCodec.quality(MediaCodec.encodeWavPcm16(samples, 16000)).get
+    assert(q.fmt == "wav" && q.nUnits == 7 && q.metricA == 3L)
+    assert(q.metricB == samples.map(s => math.abs(s.toLong)).sum)
+    // the query's flag lines: blank bmp flags, >1% clip rate flags
+    assert(flat.metricA == 0L)
+    assert(q.metricA * 100 > q.nUnits)
+    assert(MediaCodec.quality("not a container".getBytes("UTF-8")).isEmpty)
+  }
+
   test("MediaCodec: crafted headers with overflowing sizes quarantine as None") {
     import graft.functions.MediaCodec
     import java.nio.{ByteBuffer, ByteOrder}

@@ -337,6 +337,33 @@ object EventTimeQueries {
 
     "q_event_transitions" -> ((s, d) => transitions(ems(s, d))),
 
+    "q_event_paths" -> ((s, d) => {
+      // Top user JOURNEYS — the 3-step sequence mining behind funnel
+      // discovery (q_event_funnel checks one known path; this surfaces
+      // the paths worth checking): both lead()s ride ONE user_id
+      // exchange+sort (the q_event_transitions partitioning — a single
+      // Window node carries lead(1) and lead(2)), trigrams roll up to a
+      // ≤|types|³-bounded table with share in exact ppm, and the top-10
+      // presentation is TakeOrderedAndProject. Never a self-join on
+      // consecutive events (quadratic on hot users), never a window over
+      // the path key.
+      val w = Window.partitionBy("user_id").orderBy(col("ems"), col("event_id"))
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      val tri = ems(s, d)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+                 col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum("n").as("t"))
+      tri.withColumn("t", scalarSubquery(tot))
+        .withColumn("share_ppm", expr("n * 1000000 DIV t"))
+        .drop("t")
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
     "q_event_seasonality" -> ((s, d) =>
       // Hour-of-day × day-of-week activity matrix — the seasonality
       // profile behind load forecasting and anomaly baselines. Pure
@@ -612,6 +639,21 @@ object EventTimeQueries {
         |SELECT src_type, dst_type, n,
         |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
         |FROM t ORDER BY src_type, dst_type""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w AS s2,
+        |         lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |t AS (SELECT s1, s2, s3, count(*) AS n FROM p
+        |      WHERE s3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM t)
+        |SELECT s1, s2, s3, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+        |FROM t, tot
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin,
 
     "q_event_seasonality" ->
       """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour_utc,

@@ -176,6 +176,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
 
+  test("q_event_paths: ONE Window carries both leads, top-10 is " +
+       "TakeOrderedAndProject, no Join") {
+    val full = plan("q_event_paths")
+    assert(!full.contains("Join"), full)
+    assert(full.contains("TakeOrderedAndProject"), full)
+    // AQE's final-plan print collapses completed stages, so audit the
+    // initial-plan section (the full tree): the total-sum scalar
+    // subquery PRINTS a second copy of the window+agg pipeline, but at
+    // runtime it reads the main branch's exchange (ReusedExchange in the
+    // final plan) — the trigram pipeline evaluates once
+    val init = full.split("== Initial Plan ==").last
+    assert("Window \\[".r.findAllIn(init).length <= 2, init)
+    assert(full.contains("ReusedExchange"), full)
+  }
+
   test("q_dedup_keeper rolls clusters up in an aggregation — no Window " +
        "over cluster_id (mega-cluster safety)") {
     val p = plan("q_dedup_keeper").split("== Initial Plan ==").head

@@ -642,6 +642,30 @@ object TextQueries {
         .orderBy("doc_id", "term")
     }),
 
+    "q_text_keywords" -> ((s, d) => {
+      // SOURCE fingerprinting — q_text_tfidf one level up: each SOURCE
+      // is the "document", and its top-5 most characteristic tokens
+      // (source-tf × 1/source-df, the same exact-integer log-free idf)
+      // are the signature a curation dashboard shows per crawl/feed —
+      // navigation tokens surface instantly. Shape: one (source, token)
+      // aggregation (vocab×sources-bounded), one token-keyed df over it,
+      // join-back, and the per-source top-5 window plans a
+      // WindowGroupLimit (map-side partial top-k — the q_topk_group
+      // rule), so no source's token list ever sorts whole in one task.
+      val tok = fanOut(documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_e6").desc, col("token").asc)
+      tf.join(dfreq, Seq("token"))
+        .withColumn("score_e6", expr("tf * 1000000 DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("source", "token", "tf", "df", "score_e6")
+        .orderBy("source", "token")
+    }),
+
     "q_text_bm25" -> ((s, d) =>
       // Okapi BM25 top-20 for the fixed 3-term query — see [[bm25]]
       bm25(fanOut(documents(s, d)))),
@@ -995,6 +1019,20 @@ object TextQueries {
         |                 ELSE coalesce(dup_tri_n, 0) * 1000000 // n_tri
         |            END AS BIGINT) AS dup_frac_e6
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_keywords" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+        |SELECT source, token, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df,
+        |       CAST(tf * 1000000 // df AS BIGINT) AS score_e6
+        |FROM tf JOIN dfreq USING (token)
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |          ORDER BY tf * 1000000 // df DESC, token ASC) <= 5
+        |ORDER BY source, token""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (

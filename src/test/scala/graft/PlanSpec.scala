@@ -360,7 +360,8 @@ class PlanSpec extends SparkSpec {
     // push a partial group-limit below the exchange — each map task ships
     // at most k rows per group, so a 10⁹-row stratum costs its final task
     // k × numPartitions rows, not the stratum
-    Seq("q_sample_stratified", "q_topk_group", "q_agg_mode").foreach { q =>
+    Seq("q_sample_stratified", "q_topk_group", "q_agg_mode",
+        "q_text_keywords").foreach { q =>
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
     }
   }

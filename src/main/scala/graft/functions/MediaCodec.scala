@@ -246,8 +246,13 @@ object MediaCodec {
     * that catch degenerate media before training —
     *  - bmp: nUnits = pixel bytes (padding excluded, like [[decode]]),
     *    metricA = the variance numerator n·Σb² − (Σb)² (0 ⇔ every pixel
-    *    byte equal = blank/flat frame), metricB = Σb. Exact Long to
-    *    ~10 MP (n·Σb² ≤ n²·255² < 2⁶³ at n ≈ 3.7e7 bytes).
+    *    byte equal = blank/flat frame), metricB = Σb. The numerator is
+    *    n²·var ≤ n²·127.5², which outgrows Long at n ≈ 2.4e7 pixel
+    *    bytes (~8 MP high-contrast) — so it accumulates in BigInt and
+    *    SATURATES at Long.MaxValue past the exact envelope (a saturated
+    *    value is by definition non-zero, so the blank-frame flag stays
+    *    correct at any size; the oracle never sees saturation because
+    *    DuckDB BIGINT would error first, and fixture images are tiny).
     *  - wav: nUnits = samples, metricA = full-scale CLIP count
     *    (sample = ±32767/−32768 — the hard-clipping distortion signal),
     *    metricB = Σ|sample|.
@@ -272,7 +277,12 @@ object MediaCodec {
           }
           row += 1
         }
-        MediaQuality("bmp", n, n * s2 - s * s, s)
+        // s ≤ 255n and s2 ≤ 255²n stay in Long to n ≈ 1.4e14 bytes, but
+        // the PRODUCTS wrap from ~2.4e7 — widen the final combination
+        val varNum = BigInt(n) * BigInt(s2) - BigInt(s) * BigInt(s)
+        val varNumL =
+          if (varNum.isValidLong) varNum.toLong else Long.MaxValue
+        MediaQuality("bmp", n, varNumL, s)
       }
     else if (bytes.length >= 12 &&
              bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&

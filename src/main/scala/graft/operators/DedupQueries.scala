@@ -279,6 +279,32 @@ object DedupQueries {
   private[operators] def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).pairs
 
+  /** The ONE definition of the exact pair-level Jaccard (ppm floor):
+    * |A∩B| / (|A| + |B| − |A∩B|) · 10⁶. Every verified-pair consumer
+    * (ngram / rate / thresholds / source-overlap / fuzzy / train-test /
+    * audit / cluster edges / winnow) composes THIS column, so the
+    * cross-operator agreement the sweep and KPI specs assert is
+    * structural, not four copies staying coincidentally identical.
+    */
+  private[operators] def jacE6Col(shared: Column, na: Column,
+                                  nb: Column): Column =
+    floor(shared / (na + nb - shared) * 1e6).cast("long")
+
+  /** Memoized verified pairs SCORED: (da, db, shared, jac_e6) over the
+    * capped shingle index — the shared head of q_dedup_ngram,
+    * q_dedup_rate, q_dedup_thresholds, and q_dedup_source_overlap.
+    */
+  private[operators] def scoredShinglePairs(s: SparkSession,
+                                            d: String): DataFrame = {
+    val sizes = shingleHashes(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    sharedShinglePairs(s, d)
+      .join(sizes.as("spa"), col("da") === col("spa.doc_id"))
+      .join(sizes.as("spb"), col("db") === col("spb.doc_id"))
+      .select(col("da"), col("db"), col("shared"),
+        jacE6Col(col("shared"), col("spa.n"), col("spb.n")).as("jac_e6"))
+  }
+
   /** Memoized connected-component labels over the ≥0.8-Jaccard pair graph. */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).clusters
@@ -316,9 +342,7 @@ object DedupQueries {
       .join(sizes.as("wna"), col("da") === col("wna.doc_id"))
       .join(sizes.as("wnb"), col("db") === col("wnb.doc_id"))
       .select(col("da"), col("db"), col("shared"),
-        floor(col("shared")
-                / (col("wna.n") + col("wnb.n") - col("shared")) * 1e6)
-          .cast("long").as("jac_e6"))
+        jacE6Col(col("shared"), col("wna.n"), col("wnb.n")).as("jac_e6"))
       .filter(col("jac_e6") >= minJacE6)
       .orderBy("da", "db")
   }
@@ -347,8 +371,7 @@ object DedupQueries {
     val nearDup = pairTable
       .join(sizes.as("na"), col("da") === col("na.doc_id"))
       .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
-      .filter(floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
-                      * 1e6) >= 800000)
+      .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
       .select("da", "db")
     graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
   }
@@ -639,8 +662,7 @@ object DedupQueries {
         .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
         .select(col("da"), col("db"), col("inter"),
                 col("na.n").as("n_a"), col("nb.n").as("n_b"),
-                floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))
-                        * 1e6).cast("long").as("jac_e6"))
+                jacE6Col(col("inter"), col("na.n"), col("nb.n")).as("jac_e6"))
         .filter(col("jac_e6") >= 700000)
         .orderBy("da", "db")
     }),
@@ -674,8 +696,7 @@ object DedupQueries {
         .join(sizes.as("na"), col("corpus_id") === col("na.doc_id"))
         .join(sizes.as("nb"), col("bench_id") === col("nb.doc_id"))
         .select(col("corpus_id"), col("bench_id"),
-                floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
-                        * 1e6).cast("long").as("jac_e6"))
+                jacE6Col(col("shared"), col("na.n"), col("nb.n")).as("jac_e6"))
         .filter(col("jac_e6") >= 300000)
         .orderBy("corpus_id", "bench_id")
     }),
@@ -708,8 +729,7 @@ object DedupQueries {
         .join(sizes.as("na"), col("da") === col("na.doc_id"))
         .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
         .select(col("da"), col("db"),
-          floor(col("shared") / (col("na.n") + col("nb.n") - col("shared"))
-                  * 1e6).cast("long").as("jac_e6"))
+          jacE6Col(col("shared"), col("na.n"), col("nb.n")).as("jac_e6"))
         .filter(col("jac_e6") >= 500000)
       val bands = bandSignatures(ssh)
       val cand = bands.as("a").join(bands.as("b"), Seq("sig"))
@@ -751,16 +771,8 @@ object DedupQueries {
       // Exact n-gram Jaccard via inverted-index join on hashed shingles:
       // pairs exist only for docs sharing ≥1 shingle, and the join key is a
       // long, not a string — the scalable exact-dedup pattern.
-      val sh = shingleHashes(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sharedShinglePairs(s, d)
-        .select(col("da"), col("db"), col("shared").as("inter"))
-      inter
-        .join(sizes.as("na"), col("da") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
-        .select(col("da"), col("db"),
-                floor(col("inter") / (col("na.n") + col("nb.n") - col("inter"))
-                        * 1e6).cast("long").as("jac_e6"))
+      scoredShinglePairs(s, d)
+        .select("da", "db", "jac_e6")
         .filter(col("jac_e6") >= 800000)
         .orderBy("da", "db")
     }),
@@ -775,18 +787,12 @@ object DedupQueries {
       // node on the 1-row spine).
       import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
       val docs = documents(s, d)
-      val sh = shingleHashes(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val exact = docs
         .select(md5(col("text").cast("binary")).as("m"))
         .groupBy("m").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .agg(coalesce(sum("c"), lit(0L)).as("v"))
-      val near = sharedShinglePairs(s, d)
-        .join(sizes.as("rra"), col("da") === col("rra.doc_id"))
-        .join(sizes.as("rrb"), col("db") === col("rrb.doc_id"))
-        .filter(floor(col("shared")
-                 / (col("rra.n") + col("rrb.n") - col("shared")) * 1e6)
-               >= 800000)
+      val near = scoredShinglePairs(s, d)
+        .filter(col("jac_e6") >= 800000)
         .select(explode(array(col("da"), col("db"))).as("doc_id"))
         .distinct()
         .agg(count(lit(1)).as("v"))
@@ -809,20 +815,12 @@ object DedupQueries {
       // (each pair contributes exactly 2 doc instances per surviving
       // threshold), n_docs = distinct membership. Nothing here ever
       // rescans the corpus or rebuilds the index.
-      val sh = shingleHashes(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pj = sharedShinglePairs(s, d)
-        .join(sizes.as("ta"), col("da") === col("ta.doc_id"))
-        .join(sizes.as("tb"), col("db") === col("tb.doc_id"))
-        .select(col("da"), col("db"),
-          floor(col("shared")
-            / (col("ta.n") + col("tb.n") - col("shared")) * 1e6)
-            .cast("long").as("j_e6"))
-      pj.select(col("j_e6"),
+      scoredShinglePairs(s, d)
+        .select(col("jac_e6"),
           explode(array(Seq(500000L, 600000L, 700000L, 800000L, 900000L)
             .map(lit): _*)).as("thr_e6"),
           col("da"), col("db"))
-        .filter(col("j_e6") >= col("thr_e6"))
+        .filter(col("jac_e6") >= col("thr_e6"))
         .select(col("thr_e6"),
           explode(array(col("da"), col("db"))).as("doc_id"))
         .groupBy("thr_e6")
@@ -867,14 +865,8 @@ object DedupQueries {
       // (least/greatest normalizes orientation). Shape: the pair table is
       // near-dup-sized (tiny vs corpus — AQE broadcasts it into the two
       // doc→source joins), the rollup is |sources|²-bounded.
-      val sh = shingleHashes(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val dup = sharedShinglePairs(s, d)
-        .join(sizes.as("sona"), col("da") === col("sona.doc_id"))
-        .join(sizes.as("sonb"), col("db") === col("sonb.doc_id"))
-        .filter(floor(col("shared")
-                 / (col("sona.n") + col("sonb.n") - col("shared")) * 1e6)
-               >= 800000)
+      val dup = scoredShinglePairs(s, d)
+        .filter(col("jac_e6") >= 800000)
         .select("da", "db")
       val src = documents(s, d).select(col("doc_id"), col("source"))
       dup

@@ -266,8 +266,12 @@ object EventTimeQueries {
         .agg(min(col("ems")).as("s_ms"), max(col("ems")).as("e_ms"),
              count(lit(1)).as("n"))
         .select((col("e_ms") - col("s_ms")).as("dur"), col("n"))
+      // bucket 0 is SINGLE-EVENT (n = 1), not dur = 0: a multi-event
+      // same-millisecond burst has duration 0 but is a real session and
+      // belongs in the <1m cell (review fix — the two predicates differ
+      // exactly on bursts)
       sess.withColumn("bucket",
-          when(col("dur") === 0L, 0)
+          when(col("n") === 1L, 0)
             .when(col("dur") < 60000L, 1)
             .when(col("dur") < 600000L, 2)
             .when(col("dur") < 1800000L, 3)
@@ -516,7 +520,7 @@ object EventTimeQueries {
         |sess AS (SELECT max(ems) - min(ems) AS dur, count(*) AS n
         |         FROM i GROUP BY user_id, sid),
         |b AS (SELECT dur, n,
-        |             CASE WHEN dur = 0 THEN 0
+        |             CASE WHEN n = 1 THEN 0
         |                  WHEN dur < 60000 THEN 1
         |                  WHEN dur < 600000 THEN 2
         |                  WHEN dur < 1800000 THEN 3

@@ -78,14 +78,10 @@ object PipelineQueries {
       // shingle set AQE-broadcasts into a map-side probe, one per-doc
       // aggregation, then TakeOrderedAndProject — no stage beyond what
       // the component queries already run.
-      val sh = DedupQueries.uncappedShingleHashes(s, d)
-      val bench = sh.filter(col("doc_id") % 50 === 0)
-        .select("h").distinct().withColumn("hit", lit(1L))
-      val cleanIds = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(bench, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(coalesce(sum(col("hit")), lit(0L)).as("nc"))
-        .filter(col("nc") === 0).select("doc_id")
+      // the ONE contamination definition (TextQueries.contaminationStats)
+      // gates the pool — the eval set can never drift from the probe
+      val cleanIds = TextQueries.contaminationStats(s, d)
+        .filter(col("n_contaminated") === 0).select("doc_id")
       documents(s, d)
         .join(cleanIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), TextQueries.qualityE6Col.as("quality_e6"),

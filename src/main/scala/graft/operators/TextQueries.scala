@@ -524,26 +524,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    "q_text_contamination" -> ((s, d) => {
-      // Benchmark decontamination (the pre-training hygiene pass): for
-      // every corpus doc, what fraction of its 3-token shingles appears in
-      // a held-out benchmark set (fixture: every 50th doc plays the
-      // benchmark). Shape at 100 TB: the benchmark's DISTINCT shingle set
-      // is tiny next to the corpus, so AQE broadcasts it and the check is
-      // a map-side probe + one per-doc aggregation — linear, no self-join.
-      val sh = docShingleHashes(s, d)
-      val bench = sh.filter(col("doc_id") % 50 === 0)
-        .select("h").distinct().withColumn("hit", lit(1L))
-      sh.filter(col("doc_id") % 50 =!= 0)
-        .join(bench, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+    "q_text_contamination" -> ((s, d) =>
+      // Benchmark decontamination probe — see [[contaminationStats]],
+      // the one definition shared with q_pipeline_eval's clean gate.
+      contaminationStats(s, d)
         .withColumn("contam_e6",
           floor(col("n_contaminated").cast("double") /
                 col("n_shingles").cast("double") * 1e6).cast("long"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "q_text_repetition" -> ((s, d) => {
       // Gopher-style repetition signals: occurrences of the most frequent
@@ -840,6 +828,29 @@ object TextQueries {
       zipfHead(fanOut(documents(s, d)))
     })
   )
+
+  /** Benchmark decontamination (the pre-training hygiene pass): for
+    * every NON-benchmark corpus doc, its shingle count and how many of
+    * its 3-token shingles appear in the held-out benchmark set (fixture:
+    * every 50th doc plays the benchmark). ONE definition of the
+    * benchmark-membership rule and the probe shape, shared by
+    * q_text_contamination (the per-doc report) and q_pipeline_eval (the
+    * zero-overlap gate) — the two must never drift. Shape at 100 TB: the
+    * benchmark's DISTINCT shingle set is tiny next to the corpus, so AQE
+    * broadcasts it and the check is a map-side probe + one per-doc
+    * aggregation — linear, no self-join.
+    */
+  private[operators] def contaminationStats(s: SparkSession,
+                                            d: String): DataFrame = {
+    val sh = docShingleHashes(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select("h").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+  }
 
   /** Heuristic language-ID over (doc_id, lang, text) rows. The fixture
     * vocabulary is shared across the synthetic lang labels, so no

@@ -724,6 +724,10 @@ class EngineSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
     assert(stats.map(_._2).sum == sess.length.toLong, stats.toSeq)
     assert(stats.map(_._3).sum == sess.map(_.getLong(3)).sum, stats.toSeq)
+    // bucket 0 is SINGLE-EVENT sessions (n = 1), not zero-duration: a
+    // same-ms multi-event burst must land in a duration cell instead
+    val single = sess.count(_.getLong(3) == 1L).toLong
+    assert(stats.find(_._1 == 0).map(_._2).getOrElse(0L) == single, stats.toSeq)
   }
 
   test("q_text_langid_eval restates q_text_langid: cell counts, row " +

@@ -133,7 +133,8 @@ object Bench {
     // nature — a memoized build only happens once per session.
     val phases: Seq[(String, Double, Double, Option[String])] =
       if (args.nonEmpty) Seq.empty
-      else operators.DedupQueries.indexPhases(spark, sfDir).map {
+      else (operators.DedupQueries.indexPhases(spark, sfDir) ++
+            operators.SimilarityQueries.trainPhases(spark, sfDir)).map {
         case (name, f) =>
           try { val (w, c, _) = timed(f); (name, w, c, None) }
           catch { case t: Throwable =>

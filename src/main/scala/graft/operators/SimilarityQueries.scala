@@ -111,6 +111,45 @@ object SimilarityQueries {
         .select(lit(m).as("m"), col("cid").as("j"), col("cv"))
     }.reduce(_ union _)
 
+  /** Session-memoized TRAINED models, keyed (session, kind, dir) with
+    * other-dir eviction — the shingle-index pattern for the KMeans side:
+    * at scale a trained model is an artifact you fit once and serve from,
+    * not something every query re-trains, and the bench attributes the
+    * one-time fit as NAMED phases ([[trainPhases]]) so a trained query's
+    * per-run number is query-only cost. `KMeans.fit` is eager (Lloyd's
+    * runs inside the call; the returned frame wraps k×dim driver-resident
+    * rows), so memoizing the result frame skips retraining entirely.
+    * Same immutable-fixture-dir convention as Tables' reader memo.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+                                               DataFrame]()
+
+  private def memoModel(s: SparkSession, kind: String, d: String)
+                       (build: => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    modelCache.keySet.asScala
+      .filter(k => k._1 == s && k._2 == kind && k._3 != d)
+      .toSeq.foreach(modelCache.remove)
+    modelCache.computeIfAbsent((s, kind, d), _ => build)
+  }
+
+  private[graft] def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =
+    memoModel(s, "ivf", d)(
+      graft.api.KMeans.fit(emb(s, d), "vec_id", "v", k = 8, iters = 5))
+
+  private[graft] def trainedPqCodebook(s: SparkSession, d: String): DataFrame =
+    memoModel(s, "pq", d)(pqTrainedCodebook(emb(s, d)))
+
+  /** Named one-time training phases for Bench (the
+    * DedupQueries.indexPhases pattern): forcing each memo here makes the
+    * trained queries' own timings pure query cost, with the fit
+    * attributed to its phase in the artifact.
+    */
+  def trainPhases(s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
+    ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count()),
+    ("kmeans_pq_train", () => trainedPqCodebook(s, d).count()))
+
   private[graft] def pqEncode(e: DataFrame): DataFrame =
     pqEncodeWith(e, pqFixtureCodebook(e))
 
@@ -166,7 +205,7 @@ object SimilarityQueries {
       // (KMeansIvfSpec), fixture twin q_sim_pq stays hash-checked.
       val e = emb(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      pqEncodeWith(fanOut(e), pqTrainedCodebook(e))
+      pqEncodeWith(fanOut(e), trainedPqCodebook(s, d))
         .filter(col("vec_id") =!= 0)
         .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
         .select(col("vec_id"), col("codes"),
@@ -340,7 +379,7 @@ object SimilarityQueries {
       // contract. Shape is annTopK's: bucket-co-residency candidates
       // (id-only until re-attach), per-query top-k window.
       val e = emb(s, d)
-      val cents = graft.api.KMeans.fit(e, "vec_id", "v", k = 8, iters = 5)
+      val cents = trainedIvfCentroids(s, d)
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)

@@ -257,6 +257,38 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    "q_emb_drift" -> ((s, d) => {
+      // Embedding-DISTRIBUTION drift — the model-ops monitor beside
+      // q_text_drift's token-rate version: assign two snapshot cohorts
+      // (even/odd vec_id — the q_text_drift cohort rule) to the shared
+      // centroids and compare per-cluster occupancy shares in exact ppm.
+      // A retrained embedder or a shifted corpus shows up as cluster
+      // mass moving; |Δppm| ranks the moved clusters first. Shape: ONE
+      // map-side assignment pass (scalar-subquery centroid block), one
+      // k×2-bounded keyed aggregation, cohort totals from a conditional
+      // rollup of the same tiny table — integer DIV everywhere, no
+      // floats past the assignment. Fixture centroids (vec_id < 8) keep
+      // the twin hash-checked; the trained path is a centroid swap.
+      val e = emb(s, d)
+      val block = IvfOps.centroidBlock(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+      val asg = IvfOps.assign(fanOut(e), block, nProbe = 1)
+        .select(col("cid"), pmod(col("vec_id"), lit(2L)).as("cohort"))
+      val cells = asg.groupBy("cid", "cohort").agg(count(lit(1)).as("n"))
+      val tots = cells.groupBy("cohort").agg(sum("n").as("t"))
+      cells.join(tots, Seq("cohort"))
+        .withColumn("share_ppm", expr("n * 1000000 DIV t"))
+        .groupBy("cid")
+        .agg(sum(when(col("cohort") === 0, col("n"))).as("n_a"),
+             sum(when(col("cohort") === 1, col("n"))).as("n_b"),
+             sum(when(col("cohort") === 0, col("share_ppm"))).as("share_a_ppm"),
+             sum(when(col("cohort") === 1, col("share_ppm"))).as("share_b_ppm"))
+        .withColumn("drift_ppm",
+          abs(coalesce(col("share_a_ppm"), lit(0L))
+            - coalesce(col("share_b_ppm"), lit(0L))))
+        .orderBy("cid")
+    }),
+
     "q_emb_outliers" -> ((s, d) => {
       // Embedding-space OUTLIER audit — the curation pass that catches
       // corrupt/degenerate vectors before they poison ANN buckets: each
@@ -473,6 +505,37 @@ object SimilarityQueries {
         |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_emb_drift" -> {
+      val csim = duckCos("e.v", "c.cv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |asg AS (SELECT cid, vec_id % 2 AS cohort FROM scored WHERE rn <= 1),
+         |cells AS (SELECT cid, cohort, count(*) AS n
+         |          FROM asg GROUP BY 1, 2),
+         |tots AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS t
+         |         FROM cells GROUP BY cohort),
+         |sh AS (SELECT cells.cid, cells.cohort, cells.n,
+         |              CAST(cells.n * 1000000 // t AS BIGINT) AS share_ppm
+         |       FROM cells JOIN tots USING (cohort))
+         |SELECT cid,
+         |       CAST(sum(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n_a,
+         |       CAST(sum(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n_b,
+         |       CAST(sum(CASE WHEN cohort = 0 THEN share_ppm END)
+         |            AS BIGINT) AS share_a_ppm,
+         |       CAST(sum(CASE WHEN cohort = 1 THEN share_ppm END)
+         |            AS BIGINT) AS share_b_ppm,
+         |       abs(coalesce(CAST(sum(CASE WHEN cohort = 0 THEN share_ppm END)
+         |                         AS BIGINT), 0)
+         |         - coalesce(CAST(sum(CASE WHEN cohort = 1 THEN share_ppm END)
+         |                         AS BIGINT), 0)) AS drift_ppm
+         |FROM sh GROUP BY cid ORDER BY cid""".stripMargin
+    },
 
     "q_emb_outliers" -> {
       // q_dedup_semantic's 1-probe assignment mirror, keeping the winning

@@ -290,6 +290,29 @@ object DedupQueries {
                                   nb: Column): Column =
     floor(shared / (na + nb - shared) * 1e6).cast("long")
 
+  /** q_dedup_semantic's keeper plan over (vec_id, v, nrm) rows and a
+    * prepared centroid block: 1-probe assignment, capped in-cluster
+    * candidate pairs, a vector drops iff an EARLIER in-cluster vector
+    * sits at cosine ≥ 0.45 (pairwise-to-earliest — the deterministic
+    * set-based form of SemDeDup's within-cluster pruning). ONE
+    * definition for the fixture-centroid twin and the trained twin.
+    */
+  private def semanticKeepers(e: DataFrame, block: DataFrame): DataFrame = {
+    val asg1 = IvfOps.assign(e, block, nProbe = 1).select("vec_id", "cid")
+    val cand = IvfOps.bucketPairs(asg1, "cid", "vec_id")
+      .select(col("a").as("va"), col("b").as("vb"))
+    val cos = dot_product(col("ea.v"), col("eb.v")) /
+      (col("ea.nrm") * col("eb.nrm"))
+    val dup = cand
+      .join(e.as("ea"), col("va") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+      .filter(floor(cos * 1e9).cast("long") >= 450000000L)
+      .select(col("vb").as("vec_id")).distinct()
+    asg1.join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__dup").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Memoized verified pairs SCORED: (da, db, shared, jac_e6) over the
     * capped shingle index — the shared head of q_dedup_ngram,
     * q_dedup_rate, q_dedup_thresholds, and q_dedup_source_overlap.
@@ -1044,18 +1067,26 @@ object DedupQueries {
         .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
       val block = IvfOps.centroidBlock(
         e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-      val asg1 = IvfOps.assign(e, block, nProbe = 1).select("vec_id", "cid")
-      val cand = IvfOps.bucketPairs(asg1, "cid", "vec_id")
-        .select(col("a").as("va"), col("b").as("vb"))
-      val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
-      val dup = cand
-        .join(e.as("ea"), col("va") === col("ea.vec_id"))
-        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
-        .filter(floor(cos * 1e9).cast("long") >= 450000000L)
-        .select(col("vb").as("vec_id")).distinct()
-      asg1.join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("__dup").isNull.as("is_kept"))
-        .orderBy("vec_id")
+      semanticKeepers(e, block)
+    }),
+
+    "q_dedup_semantic_trained" -> ((s, d) => {
+      // The TRAINED half of the semantic-dedup split (the
+      // q_sim_ivf_trained precedent): the identical pairwise-to-earliest
+      // keeper plan over the session-memoized KMeans.fit centroids
+      // instead of the fixture seeds — the paper's actual recipe
+      // (SemDeDup clusters with trained k-means). no_oracle by design
+      // (trained float model); contract = run-to-run determinism (fit is
+      // deterministic, the keeper rule is set-based), fixture twin
+      // q_dedup_semantic stays hash-checked. Training cost is attributed
+      // to the kmeans_ivf_train bench phase (same memo).
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val block = IvfOps.centroidBlock(
+        SimilarityQueries.trainedIvfCentroids(s, d), "cid", "cv")
+      semanticKeepers(e, block)
     }),
 
     "q_dedup_embed" -> ((s, d) => {

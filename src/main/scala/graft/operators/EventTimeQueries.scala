@@ -126,6 +126,31 @@ object EventTimeQueries {
       .orderBy("event_id")
   }
 
+  /** The remaining merge_asof direction (backward = q_join_asof, nearest
+    * = [[asofNearest]]): each purchase matches the same user's EARLIEST
+    * at-or-after signup — the "next appointment" lookup. One running
+    * first() over the forward frame of the SAME user_id exchange+sort.
+    * Tie order is tag DESC (purchases before same-ms signups), the
+    * MIRROR of q_join_asof's tag ASC: each direction's frame must
+    * include the equal-timestamp match on its own side, so the
+    * at-or-equal contract holds from both ends. Factored so specs can
+    * drive crafted timelines.
+    */
+  private[graft] def asofForward(ev: DataFrame): DataFrame = {
+    val e = ev
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("tag", when(col("event_type") === "signup", 0).otherwise(1))
+      .withColumn("s_ms", when(col("tag") === 0, col("ems")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("tag").desc, col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("signup_ms", first("s_ms", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ems").as("purchase_ms"),
+              col("signup_ms"))
+      .orderBy("event_id")
+  }
+
   /** Inter-event gap histogram core over (event_id, user_id, ems) rows:
     * per-user gaps from ONE lag() over the standard user_id exchange+sort
     * (the q_event_transitions partitioning), rolled up into a FIXED
@@ -215,6 +240,8 @@ object EventTimeQueries {
     }),
 
     "q_join_asof_nearest" -> ((s, d) => asofNearest(ems(s, d))),
+
+    "q_join_asof_forward" -> ((s, d) => asofForward(ems(s, d))),
 
     "q_win_tumbling" -> ((s, d) =>
       // Tumbling 1h windows on the ms-exact timestamp; hour bucket
@@ -475,6 +502,21 @@ object EventTimeQueries {
         |            WHEN ems - prior_ms <= next_ms - ems THEN prior_ms
         |            ELSE next_ms END AS signup_ms
         |FROM a WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+        |         CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag,
+        |         CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END AS s_ms
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, purchase_ms, signup_ms FROM (
+        |  SELECT event_id, user_id, ems AS purchase_ms, tag,
+        |         first_value(s_ms IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ems, tag DESC, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS signup_ms
+        |  FROM e) WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
 
     "q_win_tumbling" ->

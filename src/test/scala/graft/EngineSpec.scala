@@ -440,6 +440,44 @@ class EngineSpec extends SparkSpec {
     assert(out(51L) == Some(1000L), out(51L))
   }
 
+  test("asofForward: earliest at-or-after match, same-ms tie, no-future " +
+       "cases") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: prior signup invisible, next at 5000 matches
+      (10L, 1L, 1000L, "signup"), (11L, 1L, 4000L, "purchase"),
+      (12L, 1L, 5000L, "signup"), (13L, 1L, 9000L, "signup"),
+      // u2: only a PRIOR signup → no forward match (null)
+      (20L, 2L, 1000L, "signup"), (21L, 2L, 2000L, "purchase"),
+      // u3: same-ms signup matches (at-or-equal from the forward side)
+      (30L, 3L, 1000L, "purchase"), (31L, 3L, 1000L, "signup"),
+      // u4: no signup at all
+      (40L, 4L, 2000L, "purchase")
+    ).toDF("event_id", "user_id", "ems", "event_type")
+    val out = operators.EventTimeQueries.asofForward(ev)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(11L) == Some(5000L), out(11L)) // earliest following, not 9000
+    assert(out(21L) == None, out(21L))
+    assert(out(30L) == Some(1000L), out(30L))
+    assert(out(40L) == None, out(40L))
+  }
+
+  test("q_dedup_semantic_trained: deterministic keeper set over the " +
+       "memoized trained centroids; earliest per cluster always kept") {
+    val a = SparkEntry.queries("q_dedup_semantic_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val b = SparkEntry.queries("q_dedup_semantic_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(a.toSeq == b.toSeq)
+    // full coverage + each cluster's earliest member is never dropped
+    assert(a.length ==
+      SparkEntry.queries("q_dedup_semantic")(spark, sf).count())
+    a.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.minBy(_._1)._3, s"cluster $c dropped its earliest")
+    }
+  }
+
   test("lastTouch attribution: horizon edge, tie, ordering, no-click cases") {
     import spark.implicits._
     val ev = Seq(

@@ -324,6 +324,28 @@ object SamplingQueries {
       epochSchedule(docs)
     }),
 
+    "q_mix_unique" -> ((s, d) => {
+      // DEDUP-AWARE epoch schedule — the composition production mixing
+      // actually runs: budgets must count UNIQUE tokens (a source that is
+      // 80% internal duplicates supplies far less signal than its raw
+      // size claims; Muennighoff et al.'s repeat math presumes unique
+      // data), so the exact-dedup keeper (lowest doc_id per content md5 —
+      // the q_dedup_content / q_pipeline_corpus rule: digest aggregation
+      // + id-keyed semi-join, never a window over the digest) gates the
+      // token count, and the SAME epochSchedule core derives the
+      // temperature targets and 4-epoch caps from what survives. One
+      // more digest aggregation + semi-join over q_mix_epochs' shape.
+      val withMd5 = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("m", md5(col("text").cast("binary")))
+      val keepers = withMd5.groupBy("m")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val tok = withMd5.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+      epochSchedule(tok)
+    }),
+
     "q_pack_docs" -> ((s, d) => {
       // fixed-budget packing: doc i's pack = exclusive-prefix-SUBWORDS/2048
       // within its source shard, in stable doc_id order — the budget is
@@ -494,6 +516,38 @@ object SamplingQueries {
          |d AS (SELECT source,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
          |      FROM d0 WHERE b1 < cut),
+         |s AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY source),
+         |s2 AS (SELECT source, n_tokens,
+         |              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000)
+         |                   AS BIGINT) AS w
+         |       FROM s),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wraw FROM s2),
+         |q AS (SELECT source, n_tokens, greatest(w * 1000 // wraw, 1) AS w_e3
+         |      FROM s2, tot),
+         |tq AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum,
+         |              CAST(sum(n_tokens) AS BIGINT) AS ntot FROM q),
+         |e AS (SELECT q.source, q.n_tokens, q.w_e3,
+         |             3 * ntot * q.w_e3 // wsum AS target_tokens
+         |      FROM q, tq),
+         |f AS (SELECT *, least(target_tokens * 1000 // n_tokens, 4000)
+         |               AS epochs_e3
+         |      FROM e)
+         |SELECT source, n_tokens, w_e3,
+         |       CAST(target_tokens AS BIGINT) AS target_tokens,
+         |       CAST(epochs_e3 AS BIGINT) AS epochs_e3,
+         |       CAST(n_tokens * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
+         |       epochs_e3 = 4000 AS capped
+         |FROM f ORDER BY source""".stripMargin,
+
+    "q_mix_unique" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |d AS (SELECT source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+         |      FROM k),
          |s AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens
          |      FROM d GROUP BY source),
          |s2 AS (SELECT source, n_tokens,

@@ -150,6 +150,25 @@ object SimilarityQueries {
     ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count()),
     ("kmeans_pq_train", () => trainedPqCodebook(s, d).count()))
 
+  /** q_emb_norms core over (…, v) rows — factored so specs can plant
+    * zero / sub-unit / inflated vectors (the fixture is uniformly scaled
+    * and exercises one cell). */
+  private[graft] def normProfile(e: DataFrame): DataFrame = {
+    val n2 = dot_product(col("v"), col("v"))
+    e.select(floor(n2 * 1e6).cast("long").as("n2_e6"))
+      .withColumn("bucket",
+        when(col("n2_e6") === 0L, 0)         // zero vector
+          .when(col("n2_e6") < 500000L, 1)   // norm² < 0.5
+          .when(col("n2_e6") < 2000000L, 2)  // ~unit
+          .when(col("n2_e6") < 10000000L, 3) // inflated
+          .otherwise(4))                     // way off
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min("n2_e6").as("min_n2_e6"),
+           max("n2_e6").as("max_n2_e6"))
+      .orderBy("bucket")
+  }
+
   private[graft] def pqEncode(e: DataFrame): DataFrame =
     pqEncodeWith(e, pqFixtureCodebook(e))
 
@@ -255,6 +274,19 @@ object SimilarityQueries {
           floor(vmax * 1e6).cast("long").as("qmax_e6"),
           aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
         .orderBy("vec_id")
+    }),
+
+    "q_emb_norms" -> ((s, d) => {
+      // Vector-NORM profile — the two-minute sanity check before any
+      // cosine machinery: a mixed corpus of normalized and unnormalized
+      // embeddings (two embedder versions, a broken export) shows up as
+      // a multi-modal norm histogram, and zero-norm vectors (all-zero
+      // rows from a failed batch) get their own cell. Norm² floors to e6
+      // integers (exact: the codegen'd sequential dot_product is
+      // bit-identical cross-engine, floor pins the boundary), bucket =
+      // a fixed 5-cell split on norm² — all map-side, one bounded
+      // aggregation.
+      normProfile(emb(s, d))
     }),
 
     "q_emb_drift" -> ((s, d) => {
@@ -505,6 +537,22 @@ object SimilarityQueries {
         |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_emb_norms" -> {
+      val dot = duckDot("v", "v")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT CAST(floor(($dot) * 1e6) AS BIGINT) AS n2_e6 FROM e),
+         |b AS (SELECT n2_e6,
+         |             CASE WHEN n2_e6 = 0 THEN 0
+         |                  WHEN n2_e6 < 500000 THEN 1
+         |                  WHEN n2_e6 < 2000000 THEN 2
+         |                  WHEN n2_e6 < 10000000 THEN 3
+         |                  ELSE 4 END AS bucket
+         |      FROM n)
+         |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+         |       min(n2_e6) AS min_n2_e6, max(n2_e6) AS max_n2_e6
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_emb_drift" -> {
       val csim = duckCos("e.v", "c.cv")

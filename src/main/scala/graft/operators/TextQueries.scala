@@ -798,6 +798,25 @@ object TextQueries {
           .select(col("source"), explode(split(col("text"), " ")).as("token")),
         "source", "token")),
 
+    "q_text_ascii" -> ((s, d) =>
+      // Charset profile per source — the encoding-health audit run on
+      // every new crawl (mojibake, double-encoded UTF-8, and CJK content
+      // routed to a Latin pipeline all surface as multibyte-rate
+      // anomalies): non-ASCII codepoints occupy > 1 byte in UTF-8, so
+      // Σbytes − Σchars counts the multibyte EXCESS exactly — no regex,
+      // no per-char loop, just two lengths both engines compute
+      // identically; rate in exact ppm of bytes. One source-keyed
+      // map-side aggregation, sources-sized output.
+      documents(s, d)
+        .select(col("source"),
+          length(col("text")).cast("long").as("chars"),
+          octet_length(col("text").cast("binary")).cast("long").as("bytes"))
+        .groupBy("source")
+        .agg(sum("chars").as("n_chars"), sum("bytes").as("n_bytes"))
+        .withColumn("multibyte_ppm",
+          expr("(n_bytes - n_chars) * 1000000 DIV n_bytes"))
+        .orderBy("source")),
+
     "q_text_vocab" -> ((s, d) =>
       // Per-source vocabulary profile: tokens, distinct tokens, and the
       // type-token ratio in exact ppm — the lexical-diversity signal
@@ -1253,6 +1272,15 @@ object TextQueries {
          |FROM c JOIN n USING (source)
          |WHERE cnt * ${graft.functions.FrequentItems.K + 1} > n.n
          |ORDER BY c.source ASC, cnt DESC, c.token ASC""".stripMargin,
+
+    "q_text_ascii" ->
+      """SELECT source,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |       CAST((sum(octet_length(encode(text))) - sum(length(text)))
+        |            * 1000000 // sum(octet_length(encode(text)))
+        |            AS BIGINT) AS multibyte_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -802,6 +802,43 @@ class EngineSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("normProfile: zero/sub-unit/unit/inflated vectors land in their " +
+       "cells (fixture exercises one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      Seq.fill(4)(0.0),                 // bucket 0: zero vector
+      Seq(0.5, 0.0, 0.0, 0.0),          // n² = 0.25 → bucket 1
+      Seq(1.0, 0.0, 0.0, 0.0),          // n² = 1 → bucket 2
+      Seq(2.0, 0.0, 0.0, 0.0),          // n² = 4 → bucket 3
+      Seq(9.0, 9.0, 0.0, 0.0)           // n² = 162 → bucket 4
+    ).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v0")
+      .select(col("vec_id"),
+        transform(col("v0"), x => x.cast("double")).as("v"))
+    val got = operators.SimilarityQueries.normProfile(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L), (4, 1L)), got)
+  }
+
+  test("q_text_ascii arithmetic: multibyte excess is bytes minus chars " +
+       "(exact, per the UTF-8 rule)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'é' = 2 bytes, '中' = 3 bytes, ascii = 1 — excess 0 / 1 / 2 per char
+    val docs = Seq(("s1", "abc"), ("s1", "café"), ("s2", "中文"))
+      .toDF("source", "text")
+    val got = docs
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text").cast("binary")).cast("long").as("bytes"))
+      .groupBy("source")
+      .agg(sum("chars").as("c"), sum("bytes").as("b"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("s1", 7L, 8L), ("s2", 2L, 6L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -463,8 +463,38 @@ object EventTimeQueries {
                  (col("wk") - col("cwk")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    "q_event_concentration" -> ((s, d) => {
+      // Traffic-concentration KPI: what share of all events comes from the
+      // top-50 users — the Pareto check behind bot filtering and per-user
+      // rate caps (a handful of accounts dominating a crawl or event feed
+      // is the first thing an ingest audit looks for). Shape: one user-
+      // keyed count aggregation, top-50 via orderBy+limit (TakeOrdered-
+      // AndProject — never a users-wide rank window), a 1-row rollup of
+      // the bounded top block, and corpus totals attached as scalar
+      // subqueries on the 1-row spine (the q_dedup_rate rule — no join
+      // node). share_e6 is exact Long: top_events·10⁶ DIV n_events.
+      concentration(ems(s, d), 50)
     })
   )
+
+  /** q_event_concentration core over rows with a `user_id` column: 1-row
+    * (n_users, n_events, top_users, top_events, share_e6) where the top
+    * block is the k highest-count users (count desc, user_id asc
+    * tiebreak) and share_e6 = top_events·10⁶ DIV n_events exact. Factored
+    * so specs can drive crafted user distributions past the k edge. */
+  private[graft] def concentration(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    val c = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    c.orderBy(col("n").desc, col("user_id")).limit(k)
+      .agg(count(lit(1)).as("top_users"), sum("n").as("top_events"))
+      .withColumn("n_users", scalarSubquery(c.agg(count(lit(1)))))
+      .withColumn("n_events", scalarSubquery(e.agg(count(lit(1)))))
+      .withColumn("share_e6", expr("top_events * 1000000 DIV n_events"))
+      .select("n_users", "n_events", "top_users", "top_events", "share_e6")
+      .orderBy("n_users")
+  }
 
   def oracles: Map[String, String] = Map(
     "q_join_asof" ->
@@ -740,6 +770,19 @@ object EventTimeQueries {
         |             min(wk) OVER (PARTITION BY user_id) AS cwk FROM e)
         |SELECT cwk AS cohort_week, wk - cwk AS week_offset,
         |       count(DISTINCT user_id) AS users
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_concentration" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |top AS (SELECT count(*) AS top_users,
+        |               CAST(sum(n) AS BIGINT) AS top_events
+        |        FROM (SELECT n, user_id FROM c
+        |              ORDER BY n DESC, user_id LIMIT 50))
+        |SELECT (SELECT count(*) FROM c) AS n_users,
+        |       (SELECT count(*) FROM events) AS n_events,
+        |       top_users, top_events,
+        |       CAST(top_events * 1000000
+        |            // (SELECT count(*) FROM events) AS BIGINT) AS share_e6
+        |FROM top ORDER BY n_users""".stripMargin
   )
 }

@@ -84,6 +84,18 @@ object Sbs1Queries {
         .orderBy("hex_ident", "fid")
     }),
 
+    // Emergency/alert report — the safety query an ADS-B site watches
+    // continuously: aircraft squawking 7500 (hijack) / 7600 (radio fail) /
+    // 7700 (emergency), or with the alert / emergency flags set (public
+    // BaseStation field semantics, FIXTURES.md §1). The filter is
+    // map-side (pushed to the scan); the rollup is bounded by the
+    // handful of aircraft ever in an emergency state. Distinct emergency
+    // squawks collect to a sorted scalar string so the compared value is
+    // deterministic (the q_agg_collect rule).
+    "q_sbs1_emergency" -> ((s, _) =>
+      emergencyReport(
+        parsed(s).withColumn("ems", unix_millis(Sbs1.eventTime)))),
+
     // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
     "s_ingest_sbs1" -> ((s, _) => parsed(s)),
     "s_watermark_late" -> ((s, d) =>
@@ -123,6 +135,24 @@ object Sbs1Queries {
     })
   )
 
+  /** q_sbs1_emergency core over parsed squitters carrying an epoch-ms
+    * `ems` column: per-aircraft rollup of rows in an emergency state
+    * (squawk 7500/7600/7700, or the alert / emergency flags). Factored so
+    * specs can plant crafted feeds. */
+  private[graft] def emergencyReport(p: DataFrame): DataFrame =
+    p.filter(col("squawk").isin("7500", "7600", "7700") ||
+             col("emergency") === 1 || col("alert") === 1)
+      .groupBy("hex_ident")
+      .agg(count(lit(1)).as("n_msgs"),
+           sum(when(col("alert") === 1, 1L).otherwise(0L)).as("n_alert"),
+           sum(when(col("emergency") === 1, 1L).otherwise(0L))
+             .as("n_emergency"),
+           concat_ws(",", array_sort(collect_set(
+             when(col("squawk").isin("7500", "7600", "7700"),
+                  col("squawk"))))).as("squawks"),
+           min("ems").as("s_ms"), max("ems").as("e_ms"))
+      .orderBy("hex_ident")
+
   private val duckCols = Sbs1.Fields.map { case (n, _) => s"'$n': 'VARCHAR'" }
     .mkString("{", ", ", "}")
 
@@ -158,6 +188,28 @@ object Sbs1Queries {
          |WHERE TRY_CAST(lat AS DOUBLE) IS NOT NULL
          |  AND TRY_CAST(lon AS DOUBLE) IS NOT NULL
          |GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""".stripMargin,
+
+    "q_sbs1_emergency" ->
+      s"""WITH p AS (
+         |  SELECT hex_ident, squawk,
+         |         CAST(alert AS INTEGER) AS alert,
+         |         CAST(emergency AS INTEGER) AS emergency,
+         |         epoch_ms(strptime(generated_date || ' ' || generated_time,
+         |                           '%Y/%m/%d %H:%M:%S.%g')) AS ems
+         |  FROM read_csv('$FixturePath', header=false, columns=$duckCols))
+         |SELECT hex_ident, count(*) AS n_msgs,
+         |       CAST(sum(CASE WHEN alert = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_alert,
+         |       CAST(sum(CASE WHEN emergency = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_emergency,
+         |       COALESCE(array_to_string(list_sort(list(DISTINCT squawk)
+         |         FILTER (WHERE squawk IN ('7500', '7600', '7700'))), ','),
+         |         '') AS squawks,
+         |       min(ems) AS s_ms, max(ems) AS e_ms
+         |FROM p
+         |WHERE squawk IN ('7500', '7600', '7700')
+         |   OR alert = 1 OR emergency = 1
+         |GROUP BY hex_ident ORDER BY hex_ident""".stripMargin,
 
     "s_stream_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment

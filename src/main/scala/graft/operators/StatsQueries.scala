@@ -124,6 +124,22 @@ object StatsQueries {
              expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
         .orderBy("source")),
 
+    "q_stats_benford" -> ((s, d) => {
+      // First-significant-digit distribution vs Benford's law (public:
+      // Newcomb 1881 / Benford 1938) — the data-quality / fraud screen a
+      // pipeline runs over any money or measurement column: natural
+      // multiplicative data follows P(d) = log10(1 + 1/d); fabricated or
+      // truncated feeds don't. Exact parity: the digit comes from the
+      // decimal string of the exact BIGINT cents value (never log10 of a
+      // double at runtime), the expected ppm per digit is a baked literal
+      // table (floor(log10(1+1/d)·10⁶) — computed once, identical bytes
+      // in both engines), and shares are exact Long floor divisions.
+      // Shape: map-side digit projection → 9-row aggregation; the corpus
+      // total attaches as a scalar subquery on the digit rollup (no join
+      // node). At 100 TB this is one partial-combining pass.
+      benford(orders(s, d), "o_totalprice")
+    }),
+
     "q_approx_quantile" -> ((s, d) =>
       // Approximate quantiles via the mergeable percentile sketch — the
       // 100 TB path for p50/p90/p99: map-side partial sketches merge in
@@ -142,7 +158,43 @@ object StatsQueries {
         .orderBy("o_orderstatus"))
   )
 
+  /** q_stats_benford core over any 2-decimal money column: digit =
+    * first char of the exact BIGINT cents string; expected ppm from the
+    * baked floor(log10(1+1/d)·10⁶) table. Factored for crafted specs. */
+  private[graft] def benford(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    val expect = array(lit(301029L), lit(176091L), lit(124938L),
+      lit(96910L), lit(79181L), lit(66946L), lit(57991L), lit(51152L),
+      lit(45757L))
+    df.select(substring(
+        expr(s"CAST(CAST(round($c * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("t", scalarSubquery(df.agg(count(lit(1)))))
+      .withColumn("share_ppm", expr("n * 1000000 DIV t"))
+      .withColumn("benford_ppm", element_at(expect, col("digit")))
+      .withColumn("delta_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .select("digit", "n", "share_ppm", "benford_ppm", "delta_ppm")
+      .orderBy("digit")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_stats_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |       CAST(n * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
+        |         AS share_ppm,
+        |       ([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+        |         51152, 45757])[digit] AS benford_ppm,
+        |       abs(CAST(n * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
+        |           - ([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+        |              51152, 45757])[digit]) AS delta_ppm
+        |FROM g ORDER BY digit""".stripMargin,
+
     "q_stats_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag,

@@ -839,6 +839,59 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq(("s1", 7L, 8L), ("s2", 2L, 6L)), got)
   }
 
+  test("benford: exact digit extraction from cents, baked expectation " +
+       "table, exact ppm shares") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // first digits: 123.45→1, 0.05→5 (cents=5), 987.65→9, 19.99→1,
+    // 100.00→1 — digit comes from the cents STRING, never log10
+    val df = Seq(123.45, 0.05, 987.65, 19.99, 100.00).toDF("m")
+    val got = operators.StatsQueries.benford(df, "m").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 600000L, 301029L),   // 3 of 5 → exactly 600000 ppm
+      (5, 1L, 200000L, 79181L),
+      (9, 1L, 200000L, 45757L)), got.toSeq)
+    // the expectation table is a probability distribution: ppm sums to
+    // 1e6 - 5 (floor losses), pinning the baked literals
+    val e = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    assert(e.sum == 999995L, e.sum)
+  }
+
+  test("concentration: top-k block past the k edge, exact share_e6") {
+    import spark.implicits._
+    // user 0: 10 events; users 1..54: 1 each → 55 users, 64 events.
+    // top-50 = user 0 + 49 singles = 59 events; share = 59e6 DIV 64.
+    val ev = (Seq.fill(10)(0L) ++ (1L to 54L)).map(Tuple1(_))
+      .toDF("user_id")
+    val got = operators.EventTimeQueries.concentration(ev, 50).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)) == (55L, 64L, 50L, 59L, 59L * 1000000L / 64L), r)
+  }
+
+  test("emergencyReport: squawk set + flag counts, sorted squawks, " +
+       "non-emergency aircraft absent") {
+    import spark.implicits._
+    val p = Seq(
+      // a1: two emergency squawks out of order + one alert-only row
+      ("A1", "7700", 0, 0, 1000L), ("A1", "7500", 0, 1, 2000L),
+      ("A1", null, 1, 0, 3000L),
+      // a2: clean aircraft — must not appear
+      ("A2", "1200", 0, 0, 1500L),
+      // a3: flag-only emergency (no emergency squawk) → empty squawks
+      ("A3", "1200", 0, 1, 4000L)
+    ).toDF("hex_ident", "squawk", "alert", "emergency", "ems")
+    val got = operators.Sbs1Queries.emergencyReport(p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("A1", 3L, 1L, 1L, "7500,7700", 1000L, 3000L),
+      ("A3", 1L, 0L, 1L, "", 4000L, 4000L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

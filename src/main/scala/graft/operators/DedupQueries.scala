@@ -1102,36 +1102,68 @@ object DedupQueries {
       // (IvfOps) — zero shuffles. Measured recall on the fixture: 12 of
       // the 14 all-pairs-qualifying pairs at sf0.01 (probe count tunes
       // recall vs cost).
-      val e = embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-      val block = IvfOps.centroidBlock(
-        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-      val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
-      // pairs from bucket membership via ONE aggregation instead of a
-      // self-join on cid (which would evaluate the assignment subtree
-      // twice and shuffle it twice); IvfOps.bucketPairs caps membership
-      // per bucket (BucketCap, mirrored in the oracle) so a degenerate
-      // hot centroid cannot concentrate O(bucket²) pair generation in one
-      // task — buckets are n/k-bounded at scale with k grown ∝ corpus,
-      // and the cap is the enforcement of that assumption, like DfCap for
-      // shingles.
-      val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
-        .select(col("a").as("va"), col("b").as("vb"))
-      // exact verify on candidates; the pair-dedup (a pair can co-reside
-      // in both probed buckets) runs AFTER the similarity threshold, when
-      // survivors are rare — so no corpus-volume distinct shuffle
-      val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
-      cand
-        .join(e.as("ea"), col("va") === col("ea.vec_id"))
-        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
-        .select(col("va"), col("vb"), floor(cos * 1e9).cast("long").as("sim_e9"))
-        .filter(col("sim_e9") >= 450000000L)
-        .distinct()
-        .orderBy("va", "vb")
-    })
+      embedPairs(s, d, 450000000L).orderBy("va", "vb")
+    }),
+
+    "q_emb_thresholds" -> ((s, d) =>
+      // Cosine-cutoff sensitivity SWEEP for embedding dedup — the
+      // q_dedup_thresholds analysis for the semantic family: pair count
+      // and affected-vector count at cosine 0.30–0.55 in ONE pass over
+      // the SAME capped IVF candidate pipeline as q_dedup_embed (floor
+      // lowered to 0.30 so every swept cutoff reads from one pair set —
+      // never a per-threshold re-run, never all-pairs). The bounded ×6
+      // threshold and ×2 vector fan-outs ride the near-dup-sized pair
+      // table map-side into a 6-cell aggregation; n_pairs = instance
+      // count DIV 2 (each pair contributes exactly 2 vector instances
+      // per surviving threshold).
+      embedPairs(s, d, 300000000L)
+        .select(col("sim_e9"),
+          explode(array(Seq(300000000L, 350000000L, 400000000L,
+            450000000L, 500000000L, 550000000L).map(lit): _*)).as("thr_e9"),
+          col("va"), col("vb"))
+        .filter(col("sim_e9") >= col("thr_e9"))
+        .select(col("thr_e9"),
+          explode(array(col("va"), col("vb"))).as("vec_id"))
+        .groupBy("thr_e9")
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+             count_distinct(col("vec_id")).as("n_vecs"))
+        .orderBy("thr_e9"))
   )
+
+  /** q_dedup_embed's candidate + verify pipeline down to distinct
+    * (va, vb, sim_e9) pairs at sim ≥ minSimE9: 2-probe IVF bucket
+    * co-residency candidates (BucketCap'd — never all-pairs), exact
+    * cosine verify on candidates only, pair-dedup AFTER the threshold
+    * (survivors are rare, so no corpus-volume distinct shuffle). Shared
+    * by q_dedup_embed (0.45 floor) and q_emb_thresholds (0.30 sweep
+    * floor) so the candidate scheme cannot silently diverge. */
+  private def embedPairs(s: SparkSession, d: String,
+      minSimE9: Long): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val block = IvfOps.centroidBlock(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+    val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
+    // pairs from bucket membership via ONE aggregation instead of a
+    // self-join on cid (which would evaluate the assignment subtree
+    // twice and shuffle it twice); IvfOps.bucketPairs caps membership
+    // per bucket (BucketCap, mirrored in the oracle) so a degenerate
+    // hot centroid cannot concentrate O(bucket²) pair generation in one
+    // task — buckets are n/k-bounded at scale with k grown ∝ corpus,
+    // and the cap is the enforcement of that assumption, like DfCap for
+    // shingles.
+    val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
+      .select(col("a").as("va"), col("b").as("vb"))
+    val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
+    cand
+      .join(e.as("ea"), col("va") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+      .select(col("va"), col("vb"), floor(cos * 1e9).cast("long").as("sim_e9"))
+      .filter(col("sim_e9") >= minSimE9)
+      .distinct()
+  }
 
   private val duckShingleHash = duckMd5Long("sh")
   private val duckTokH = duckMd5Long("t")
@@ -1526,31 +1558,50 @@ object DedupQueries {
          |ORDER BY asg.vec_id""".stripMargin
     },
 
-    "q_dedup_embed" -> {
-      val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"
-      val cos = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT e.vec_id, c.cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
-         |  FROM e, cents c),
-         |asg0 AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
-         |asg AS (SELECT vec_id, cid FROM (
-         |          SELECT vec_id, cid,
-         |                 row_number() OVER (PARTITION BY cid
-         |                                    ORDER BY vec_id) AS brn
-         |          FROM asg0) WHERE brn <= 4096),
-         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |         FROM asg a JOIN asg b
-         |           ON a.cid = b.cid AND a.vec_id < b.vec_id)
-         |SELECT c.va, c.vb, CAST(floor($cos * 1e9) AS BIGINT) AS sim_e9
-         |FROM cand c
-         |JOIN e a ON c.va = a.vec_id
-         |JOIN e b ON c.vb = b.vec_id
-         |WHERE floor($cos * 1e9) >= 450000000
-         |ORDER BY va, vb""".stripMargin
-    }
+    "q_dedup_embed" ->
+      s"""WITH ${duckEmbedPairsCte(450000000L)}
+         |SELECT va, vb, sim_e9 FROM pairs ORDER BY va, vb""".stripMargin,
+
+    "q_emb_thresholds" ->
+      s"""WITH ${duckEmbedPairsCte(300000000L)},
+         |f AS (SELECT CAST(t.thr_e9 AS BIGINT) AS thr_e9, u.vec_id
+         |      FROM pairs,
+         |           unnest([300000000, 350000000, 400000000, 450000000,
+         |                   500000000, 550000000]) AS t(thr_e9),
+         |           unnest([pairs.va, pairs.vb]) AS u(vec_id)
+         |      WHERE pairs.sim_e9 >= t.thr_e9)
+         |SELECT thr_e9, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+         |FROM f GROUP BY thr_e9 ORDER BY thr_e9""".stripMargin
   )
+
+  /** The ONE DuckDB definition of [[embedPairs]] (the duckBandPairSql
+    * rule): CTE chain ending in `pairs AS (va, vb, sim_e9 ≥ minSimE9)`,
+    * composed by the q_dedup_embed and q_emb_thresholds oracles. */
+  private def duckEmbedPairsCte(minSimE9: Long): String = {
+    val csim = s"(${dDot("e.v", "c.cv")} / (sqrt(${dDot("e.v", "e.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"
+    val cos = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+       |  FROM e, cents c),
+       |asg0 AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY cid
+       |                                    ORDER BY vec_id) AS brn
+       |          FROM asg0) WHERE brn <= 4096),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |         FROM asg a JOIN asg b
+       |           ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.va, c.vb, CAST(floor($cos * 1e9) AS BIGINT) AS sim_e9
+       |  FROM cand c
+       |  JOIN e a ON c.va = a.vec_id
+       |  JOIN e b ON c.vb = b.vec_id
+       |  WHERE floor($cos * 1e9) >= $minSimE9)""".stripMargin
+  }
 }

@@ -476,8 +476,36 @@ object EventTimeQueries {
       // subqueries on the 1-row spine (the q_dedup_rate rule — no join
       // node). share_e6 is exact Long: top_events·10⁶ DIV n_events.
       concentration(ems(s, d), 50)
+    }),
+
+    "q_event_diversity" -> ((s, d) => {
+      // Behavioral-diversity screen — q_event_concentration's per-user
+      // complement: bots and scripted accounts repeat ONE action, humans
+      // mix them. Diversity is the Gini-Simpson index 1 − Σnᵢ²/N² in
+      // EXACT integer ppm (Shannon entropy needs log — float drift; the
+      // Simpson form is the log-free diversity with the same monotone
+      // reading): single-type users score 0, uniform k-type users
+      // approach 1e6·(1−1/k). Shape: one (user, type) aggregation, one
+      // user-keyed rollup, map-side diversity + fixed decile bucket,
+      // ≤10-cell output. Long envelope: ss·10⁶ ≤ N²·10⁶ < 2⁶³ holds to
+      // ~3e6 events/user — DECIMAL(38) swap shape-free past it (the
+      // q_event_anomaly rule).
+      diversityHistogram(ems(s, d))
     })
   )
+
+  /** q_event_diversity core over rows with (user_id, event_type):
+    * Gini-Simpson 1 − Σnᵢ²/N² per user in exact ppm, rolled into the
+    * fixed decile histogram. Factored for crafted specs. */
+  private[graft] def diversityHistogram(e: DataFrame): DataFrame =
+    e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("tot"), sum(expr("n * n")).as("ss"))
+      .withColumn("div_e6", expr("1000000 - ss * 1000000 DIV (tot * tot)"))
+      .groupBy(expr("div_e6 DIV 100000").as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum("tot").as("n_events"))
+      .orderBy("decile")
 
   /** q_event_concentration core over rows with a `user_id` column: 1-row
     * (n_users, n_events, top_users, top_events, share_e6) where the top
@@ -783,6 +811,20 @@ object EventTimeQueries {
         |       top_users, top_events,
         |       CAST(top_events * 1000000
         |            // (SELECT count(*) FROM events) AS BIGINT) AS share_e6
-        |FROM top ORDER BY n_users""".stripMargin
+        |FROM top ORDER BY n_users""".stripMargin,
+
+    "q_event_diversity" ->
+      """WITH ut AS (SELECT user_id, event_type, count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+        |             CAST(sum(n * n) AS BIGINT) AS ss
+        |      FROM ut GROUP BY user_id),
+        |d AS (SELECT tot,
+        |             1000000 - ss * 1000000 // (tot * tot) AS div_e6
+        |      FROM u)
+        |SELECT CAST(div_e6 // 100000 AS BIGINT) AS decile,
+        |       count(*) AS n_users,
+        |       CAST(sum(tot) AS BIGINT) AS n_events
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
   )
 }

@@ -366,12 +366,65 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
              sum(col("n_subwords")).as("pack_subwords"))
         .orderBy("source", "pack_id")
+    }),
+
+    "q_mix_gini" -> ((s, d) => {
+      // Source-imbalance KPI: the Gini coefficient of per-source token
+      // mass — the one-number answer to "how skewed is this mixture?"
+      // that motivates q_mix_temperature's flattening (G = 0 balanced,
+      // → 1 one source dominates). Exact integer form over the
+      // ascending-sorted source table: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) DIV
+      // (n·Σx), numerator non-negative by Chebyshev's sum inequality so
+      // floor division agrees cross-engine. The rank window rides the
+      // SOURCES-sized rollup (≤ |sources| rows — the bounded-block rule
+      // from q_text_zipf), never the corpus; the corpus contributes one
+      // keyed aggregation. Final arithmetic runs in DECIMAL(38) so the
+      // Long token envelope never binds (2·n·Σx·10⁶ overflows Long past
+      // ~4.6e11 tokens at 20 sources; the decimal form is shape-free).
+      gini(documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("toks")))
     })
   )
+
+  /** q_mix_gini core over a (source, toks) rollup — factored so specs
+    * can pin the exact-integer Gini on crafted masses. */
+  private[graft] def gini(src: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("toks"), col("source"))
+    src.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_sources"), sum("toks").as("tokens_total"),
+           sum(expr("i * toks")).as("iw"))
+      .withColumn("gini_e6", expr(
+        """CAST((2 * CAST(iw AS DECIMAL(38,0))
+          |       - (n_sources + 1) * CAST(tokens_total AS DECIMAL(38,0)))
+          |      * 1000000
+          |      DIV (CAST(n_sources AS DECIMAL(38,0)) * tokens_total)
+          |     AS BIGINT)""".stripMargin))
+      .select("n_sources", "tokens_total", "gini_e6")
+      .orderBy("n_sources")
+  }
 
   private val duckKey = (e: String) => duckMd5Long(s"CAST($e AS VARCHAR)")
 
   def oracles: Map[String, String] = Map(
+    "q_mix_gini" ->
+      """WITH src AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, toks,
+        |             row_number() OVER (ORDER BY toks, source) AS i
+        |      FROM src),
+        |a AS (SELECT count(*) AS n_sources,
+        |             CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |             CAST(sum(i * toks) AS HUGEINT) AS iw
+        |      FROM r)
+        |SELECT n_sources, tokens_total,
+        |       CAST((2 * iw - (n_sources + 1) * tokens_total) * 1000000
+        |            // (n_sources * tokens_total) AS BIGINT) AS gini_e6
+        |FROM a ORDER BY n_sources""".stripMargin,
+
     "q_sample_hash" ->
       s"""SELECT doc_id, ${duckKey("doc_id")} % 1000 AS bucket
          |FROM documents

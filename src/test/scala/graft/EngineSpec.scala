@@ -892,6 +892,55 @@ class EngineSpec extends SparkSpec {
       ("A3", 1L, 0L, 1L, "", 4000L, 4000L)), got)
   }
 
+  test("q_emb_thresholds: monotone sweep, agrees with q_dedup_embed at " +
+       "the 0.45 cutoff") {
+    val rows = SparkEntry.queries("q_emb_thresholds")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array((_, p1, v1), (_, p2, v2)) =>
+        assert(p1 >= p2 && v1 >= v2, rows.toSeq)
+      case _ =>
+    }
+    val at45 = rows.find(_._1 == 450000000L).map(_._2).getOrElse(0L)
+    val embedPairs = SparkEntry.queries("q_dedup_embed")(spark, sf).count()
+    assert(at45 == embedPairs, (at45, embedPairs))
+  }
+
+  test("gini: exact integer coefficient on crafted masses, zero when " +
+       "balanced") {
+    import spark.implicits._
+    // masses 1 and 3: G = (2·(1·1+2·3) − 3·4) / (2·4) = 2/8 → 250000 ppm
+    val skew = Seq(("a", 1L), ("b", 3L)).toDF("source", "toks")
+    val g1 = operators.SamplingQueries.gini(skew).collect().head
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2)) ==
+      (2L, 4L, 250000L), g1)
+    // equal masses → exactly 0
+    val flat = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("source", "toks")
+    assert(operators.SamplingQueries.gini(flat).collect().head.getLong(2)
+      == 0L)
+    // extreme skew approaches (n−1)/n: masses (0-free) 1,1,998 over n=3
+    // → G = (2·(1+2+3·998)−4·1000)/(3·1000) = (5994−4000)/3000 → 664666
+    val hot = Seq(("a", 1L), ("b", 1L), ("c", 998L)).toDF("source", "toks")
+    assert(operators.SamplingQueries.gini(hot).collect().head.getLong(2)
+      == 664666L)
+  }
+
+  test("diversityHistogram: Simpson ppm deciles — single-type user at 0, " +
+       "balanced two-type user at decile 5") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: 4 events of one type → div 0, decile 0
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      // user 2: 2+2 of two types → 1e6 − 8·1e6/16 = 500000 → decile 5
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b"),
+      // user 3: single event → div 0 joins decile 0
+      (3L, "c")
+    ).toDF("user_id", "event_type")
+    val got = operators.EventTimeQueries.diversityHistogram(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 5L), (5L, 1L, 4L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -772,6 +772,47 @@ object DedupQueries {
             .otherwise(lit(1000000L)))
     }),
 
+    "q_emb_recall" -> ((s, d) => {
+      // Sampled ANN-RECALL audit — q_dedup_audit's twin for the EMBEDDING
+      // index (the evaluation a production ANN deployment runs beside the
+      // index itself): on a deterministic hash-sample of the vectors,
+      // ground truth = ALL pairs within the sample at exact cosine ≥
+      // 0.45 (quadratic only INSIDE the fixed sample — the sample bucket
+      // is the 100 TB knob, and this bounded self-pairing is the audit's
+      // only deliberate cartesian), candidates = the production 2-probe
+      // IVF bucket-co-residency pairs restricted to the sample
+      // (assignment is per-vector, so restricting then assigning equals
+      // assigning then restricting). recall = hits DIV truth; a
+      // truth-free sample reads 1e6 — the audit alarms on MISSED pairs.
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val sample = e.filter(
+        pmod(md5long(col("vec_id").cast("string")), lit(1000L)) < 500)
+      val cosAB = dot_product(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm"))
+      val truth = sample.as("a").crossJoin(sample.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .filter(floor(cosAB * lit(1e9)).cast("long") >= 450000000L)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      val block = IvfOps.centroidBlock(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
+      val asg = IvfOps.assign(sample, block, nProbe = 2)
+        .select("vec_id", "cid")
+      val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
+        .select(col("a").as("va"), col("b").as("vb")).distinct()
+      val hit = truth.join(cand, Seq("va", "vb"))
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      sample.agg(count(lit(1)).as("n_sampled"))
+        .withColumn("n_true", scalarSubquery(truth.agg(count(lit(1)))))
+        .withColumn("n_cand", scalarSubquery(cand.agg(count(lit(1)))))
+        .withColumn("n_hit", scalarSubquery(hit.agg(count(lit(1)))))
+        .withColumn("recall_e6",
+          when(col("n_true") > 0, expr("n_hit * 1000000 DIV n_true"))
+            .otherwise(lit(1000000L)))
+    }),
+
     "q_dedup_fuzzy" -> ((s, d) => {
       // Edit-distance near-dup: candidates from the capped inverted index
       // with a shared-shingle floor (≥ 5) — measured ~3700× pair-set trim
@@ -1276,6 +1317,41 @@ object DedupQueries {
          |                 THEN (SELECT count(*) FROM hit) * 1000000
          |                      // (SELECT count(*) FROM truth)
          |                 ELSE 1000000 END AS BIGINT) AS recall_e6""".stripMargin,
+
+    "q_emb_recall" -> {
+      val csim = s"(${dDot("s.v", "c.cv")} / (sqrt(${dDot("s.v", "s.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"
+      val cosAB = s"(${dDot("a.v", "b.v")} / (sqrt(${dDot("a.v", "a.v")}) * sqrt(${dDot("b.v", "b.v")})))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT vec_id, v FROM e
+         |         WHERE ${duckMd5Long("CAST(vec_id AS VARCHAR)")} % 1000 < 500),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |truth AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |          FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+         |          WHERE floor($cosAB * 1e9) >= 450000000),
+         |scored AS (
+         |  SELECT s.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM samp s, cents c),
+         |asg0 AS (SELECT vec_id, cid FROM scored WHERE rn <= 2),
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY cid
+         |                                    ORDER BY vec_id) AS brn
+         |          FROM asg0) WHERE brn <= 4096),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM asg a JOIN asg b
+         |           ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |hit AS (SELECT truth.va FROM truth JOIN cand USING (va, vb))
+         |SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS n_sampled,
+         |       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |       CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+         |                 THEN (SELECT count(*) FROM hit) * 1000000
+         |                      // (SELECT count(*) FROM truth)
+         |                 ELSE 1000000 END AS BIGINT) AS recall_e6""".stripMargin
+    },
 
     "q_dedup_fuzzy" ->
       s"""WITH $duckShingles,

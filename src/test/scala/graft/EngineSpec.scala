@@ -941,6 +941,19 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 5L), (5L, 1L, 4L)), got)
   }
 
+  test("q_emb_recall: internal consistency, exact recall arithmetic, " +
+       "deterministic re-run") {
+    def run() = SparkEntry.queries("q_emb_recall")(spark, sf).collect().head
+    val r = run()
+    val (sampled, nTrue, nCand, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(sampled > 0 && sampled <= Tables.embeddings(spark, sf).count())
+    assert(nHit <= nTrue && nHit <= nCand, r)
+    val expect = if (nTrue > 0) nHit * 1000000L / nTrue else 1000000L
+    assert(recall == expect, r)
+    assert(run() == r) // hash-sample + set arithmetic: fully deterministic
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

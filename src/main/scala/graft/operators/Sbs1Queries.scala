@@ -96,6 +96,21 @@ object Sbs1Queries {
       emergencyReport(
         parsed(s).withColumn("ems", unix_millis(Sbs1.eventTime)))),
 
+    // Altitude-band occupancy — the vertical complement of q_sbs1_grid's
+    // geographic cells: messages + distinct aircraft per 5,000 ft band
+    // (airspace-utilization dashboards read exactly this). Map-side
+    // integer floor on the parsed altitude, one bounded keyed
+    // aggregation (≤ ~13 bands to FL600).
+    "q_sbs1_altitude" -> ((s, _) =>
+      parsed(s)
+        .filter(col("altitude").isNotNull)
+        .groupBy(floor(col("altitude") / 5000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_msgs"),
+             count_distinct(col("hex_ident")).as("n_aircraft"),
+             min(col("altitude")).cast("int").as("min_alt"),
+             max(col("altitude")).cast("int").as("max_alt"))
+        .orderBy("band")),
+
     // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
     "s_ingest_sbs1" -> ((s, _) => parsed(s)),
     "s_watermark_late" -> ((s, d) =>
@@ -188,6 +203,17 @@ object Sbs1Queries {
          |WHERE TRY_CAST(lat AS DOUBLE) IS NOT NULL
          |  AND TRY_CAST(lon AS DOUBLE) IS NOT NULL
          |GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""".stripMargin,
+
+    "q_sbs1_altitude" ->
+      s"""SELECT CAST(floor(CAST(altitude AS INTEGER) / 5000.0) AS BIGINT)
+         |         AS band,
+         |       count(*) AS n_msgs,
+         |       count(DISTINCT hex_ident) AS n_aircraft,
+         |       CAST(min(CAST(altitude AS INTEGER)) AS INTEGER) AS min_alt,
+         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |WHERE altitude IS NOT NULL
+         |GROUP BY 1 ORDER BY band""".stripMargin,
 
     "q_sbs1_emergency" ->
       s"""WITH p AS (

@@ -832,6 +832,24 @@ object TextQueries {
         .withColumn("ttr_ppm", expr("n_vocab * 1000000 DIV n_tokens"))
         .orderBy("source")),
 
+    "q_text_hapax" -> ((s, d) =>
+      // Hapax-legomenon rate per source — the vocabulary-GROWTH signal
+      // beside q_text_vocab's TTR: natural language keeps minting
+      // singletons (Heaps' law puts hapaxes near half the vocabulary),
+      // while template/boilerplate sources exhaust their vocabulary and
+      // the singleton rate collapses. Shape: one (source, token)
+      // aggregation (vocab-sized after map-side partials), one
+      // sources-sized rollup, exact ppm.
+      fanOut(documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+             sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+             sum("n").as("n_tokens"))
+        .withColumn("hapax_ppm", expr("n_hapax * 1000000 DIV n_types"))
+        .orderBy("source")),
+
     "q_text_zipf" -> ((s, d) => {
       // Zipf head profile: the top-50 tokens with rank and the rank×count
       // product (Zipf's law predicts it near-constant across the head) —
@@ -1290,6 +1308,20 @@ object TextQueries {
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_hapax" ->
+      """WITH st AS (
+        |  SELECT source, token, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY source, token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS hapax_ppm
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_zipf" ->
       """WITH v AS (

@@ -323,9 +323,12 @@ class PlanSpec extends SparkSpec {
   /** The scale-killer guard: a BroadcastNestedLoopJoin is only acceptable
     * when its build side is a BOUNDED query block (the 10-row query block
     * of the batch kNN) — never corpus-shaped data. Single-vector queries
-    * attach via scalar subquery and need no exemption.
+    * attach via scalar subquery and need no exemption. q_emb_recall's
+    * ground-truth all-pairs runs WITHIN its fixed hash-sample only — the
+    * audit's documented deliberate cartesian (the sample bucket, not the
+    * corpus, bounds it; DedupQueries.scala q_emb_recall).
     */
-  private val boundedBnljAllowed = Set("q_sim_knn_batch")
+  private val boundedBnljAllowed = Set("q_sim_knn_batch", "q_emb_recall")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>
@@ -412,6 +415,40 @@ class PlanSpec extends SparkSpec {
     val finalPlan = p.split("== Initial Plan ==").head
     assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
       s"FILTER-clause aggregation must not re-scan per condition:\n$p")
+  }
+
+  test("q_event_concentration: top block is TakeOrderedAndProject, totals " +
+       "attach without a join node") {
+    val p = plan("q_event_concentration")
+    assert(p.contains("TakeOrderedAndProject"), p) // never a users-wide rank
+    assert(!p.contains("Join"), p) // scalar-subquery totals
+  }
+
+  test("q_stats_benford: map-side digit rollup, no join node, one scan " +
+       "per subquery branch") {
+    val p = plan("q_stats_benford")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_text_hapax / q_event_diversity: pure keyed-aggregation stacks " +
+       "(no Join, no Window)") {
+    Seq("q_text_hapax", "q_event_diversity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
+  test("q_mix_gini: the rank window rides the bounded sources rollup " +
+       "(single partition is deliberate and fed by an aggregation)") {
+    val p = plan("q_mix_gini")
+    // the window input is the sources-sized aggregate, never the corpus:
+    // a Window directly over a parquet scan would show no aggregation
+    // between scan and window
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Join"), p)
   }
 
   test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {

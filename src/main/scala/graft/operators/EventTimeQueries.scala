@@ -491,8 +491,53 @@ object EventTimeQueries {
       // ~3e6 events/user — DECIMAL(38) swap shape-free past it (the
       // q_event_anomaly rule).
       diversityHistogram(ems(s, d))
+    }),
+
+    "q_event_bursts" -> ((s, d) => {
+      // Per-user PEAK burst rate — the rate-limit/abuse screen beside
+      // q_event_diversity: each user's maximum events in any single
+      // tumbling 5-minute bucket, rolled into a fixed power-of-two
+      // histogram (1, 2–3, 4–7, 8–15, 16+). A human's peak sits in the
+      // low cells; scripted traffic tops out. Shape: one (user, bucket)
+      // aggregation, one user-keyed max, a CASE bucket (identical
+      // literal tree both engines — no log2 float), ≤5-cell output.
+      burstHistogram(ems(s, d))
+    }),
+
+    "q_event_new_users" -> ((s, d) => {
+      // Daily NEW vs RETURNING split — growth accounting one level below
+      // q_event_dau: a user is new on the epoch-day of their first event
+      // (whole-partition window min, the q_event_cohort rule — no
+      // first-event join-back), returning otherwise. One user_id
+      // exchange carries the min; the day rollup counts each distinct
+      // user once per day with a conditional distinct for the new side.
+      newVsReturning(ems(s, d))
     })
   )
+
+  /** q_event_bursts core over rows with (user_id, ems). */
+  private[graft] def burstHistogram(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"), expr("ems div 300000").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(max("n").as("peak"))
+      .withColumn("bucket",
+        when(col("peak") >= 16, 4).when(col("peak") >= 8, 3)
+          .when(col("peak") >= 4, 2).when(col("peak") >= 2, 1)
+          .otherwise(0))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), max("peak").as("max_peak"))
+      .orderBy("bucket")
+
+  /** q_event_new_users core over rows with (user_id, ems). */
+  private[graft] def newVsReturning(e: DataFrame): DataFrame =
+    e.withColumn("day", expr("ems div 86400000"))
+      .withColumn("d0", min(col("day")).over(Window.partitionBy("user_id")))
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as("dau"),
+           count_distinct(when(col("day") === col("d0"), col("user_id")))
+             .as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .orderBy("day")
 
   /** q_event_diversity core over rows with (user_id, event_type):
     * Gini-Simpson 1 − Σnᵢ²/N² per user in exact ppm, rolled into the
@@ -825,6 +870,33 @@ object EventTimeQueries {
         |SELECT CAST(div_e6 // 100000 AS BIGINT) AS decile,
         |       count(*) AS n_users,
         |       CAST(sum(tot) AS BIGINT) AS n_events
-        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_event_bursts" ->
+      """WITH b AS (SELECT user_id, epoch_ms(ts) // 300000 AS w,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(max(n) AS BIGINT) AS peak
+        |      FROM b GROUP BY user_id)
+        |SELECT CAST(CASE WHEN peak >= 16 THEN 4 WHEN peak >= 8 THEN 3
+        |                 WHEN peak >= 4 THEN 2 WHEN peak >= 2 THEN 1
+        |                 ELSE 0 END AS INTEGER) AS bucket,
+        |       count(*) AS n_users,
+        |       CAST(max(peak) AS BIGINT) AS max_peak
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_event_new_users" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |         min(epoch_ms(ts) // 86400000)
+        |           OVER (PARTITION BY user_id) AS d0
+        |  FROM events)
+        |SELECT day, count(DISTINCT user_id) AS dau,
+        |       count(DISTINCT CASE WHEN day = d0 THEN user_id END)
+        |         AS new_users,
+        |       CAST(count(DISTINCT user_id)
+        |            - count(DISTINCT CASE WHEN day = d0 THEN user_id END)
+        |            AS BIGINT) AS returning
+        |FROM e GROUP BY day ORDER BY day""".stripMargin
   )
 }

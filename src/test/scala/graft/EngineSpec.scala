@@ -954,6 +954,34 @@ class EngineSpec extends SparkSpec {
     assert(run() == r) // hash-sample + set arithmetic: fully deterministic
   }
 
+  test("burstHistogram: power-of-two cells, peak from a single bucket") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: 20 events inside one 5-min bucket → peak 20 → cell 4
+      (1L to 20L).map(i => (1L, 1000L + i)),
+      // u2: 3 events split 2+1 across buckets → peak 2 → cell 1
+      Seq((2L, 1000L), (2L, 2000L), (2L, 300001L)),
+      // u3: single event → peak 1 → cell 0
+      Seq((3L, 1000L))
+    ).flatten.toDF("user_id", "ems")
+    val got = operators.EventTimeQueries.burstHistogram(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 1L, 1L), (1, 1L, 2L), (4, 1L, 20L)), got)
+  }
+
+  test("newVsReturning: first-day users are new, later days returning") {
+    import spark.implicits._
+    val day = 86400000L
+    val e = Seq(
+      (1L, 0L), (1L, day + 1), // u1: new day 0, returning day 1
+      (2L, day + 2), (2L, day + 3), // u2: new day 1 (two events, one user)
+      (3L, 0L) // u3: new day 0 only
+    ).toDF("user_id", "ems")
+    val got = operators.EventTimeQueries.newVsReturning(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 0L), (1L, 2L, 1L, 1L)), got.toSeq)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -820,6 +820,29 @@ object GraftOps {
                     tokensCol: String = "t"): DataFrame =
     graft.operators.SamplingQueries.epochSchedule(
       tok.select(col(sourceCol).as("source"), col(tokensCol).as("t")))
+
+  /** Traffic-concentration KPI: 1-row (n_keys, n_rows, top_keys,
+    * top_rows, share_e6) for the k highest-count keys — the Pareto/bot
+    * screen. One definition with q_event_concentration (top block via
+    * TakeOrderedAndProject, never a keys-wide rank window). */
+  def concentration(df: DataFrame, keyCol: String, k: Int = 50): DataFrame =
+    graft.operators.EventTimeQueries.concentration(
+      df.select(col(keyCol).as("user_id")), k)
+      .toDF("n_keys", "n_rows", "top_keys", "top_rows", "share_e6")
+
+  /** Gini-Simpson diversity (1 − Σnᵢ²/N², exact ppm) per key, rolled into
+    * the fixed decile histogram — one definition with q_event_diversity. */
+  def diversityHistogram(df: DataFrame, keyCol: String,
+                         itemCol: String): DataFrame =
+    graft.operators.EventTimeQueries.diversityHistogram(
+      df.select(col(keyCol).as("user_id"), col(itemCol).as("event_type")))
+
+  /** Exact-integer Gini coefficient over per-group masses: 1-row
+    * (n_sources, tokens_total, gini_e6) — one definition with
+    * q_mix_gini (bounded-block rank window, DECIMAL(38) arithmetic). */
+  def gini(df: DataFrame, groupCol: String, massCol: String): DataFrame =
+    graft.operators.SamplingQueries.gini(
+      df.select(col(groupCol).as("source"), col(massCol).as("toks")))
 }
 
 object implicits {
@@ -837,6 +860,12 @@ object implicits {
       GraftOps.heavyHitters(df, itemCol)
     def heavyHittersBy(groupCol: String, itemCol: String): DataFrame =
       GraftOps.heavyHittersBy(df, groupCol, itemCol)
+    def concentration(keyCol: String, k: Int = 50): DataFrame =
+      GraftOps.concentration(df, keyCol, k)
+    def diversityHistogram(keyCol: String, itemCol: String): DataFrame =
+      GraftOps.diversityHistogram(df, keyCol, itemCol)
+    def gini(groupCol: String, massCol: String): DataFrame =
+      GraftOps.gini(df, groupCol, massCol)
     def minhashJoin(right: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5): DataFrame =
       GraftOps.minhashJoin(df, right, idCol, textCol, threshold)

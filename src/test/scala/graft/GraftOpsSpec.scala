@@ -451,6 +451,26 @@ class GraftOpsSpec extends SparkSpec {
     assert(got == Seq(("A", "hot", 60L), ("B", "cold", 60L)), got)
   }
 
+  test("concentration/diversityHistogram/gini library entry points rename " +
+       "arbitrary columns into the t2 cores") {
+    // concentration: 3 accounts with counts 3/2/1; k=2 top block = 5 of 6
+    val acc = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_))
+      .toDF("account")
+    val c = graft.api.GraftOps.concentration(acc, "account", k = 2).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+            c.getLong(4)) == (3L, 6L, 2L, 5L, 5L * 1000000L / 6L), c)
+    // diversity over renamed columns: one single-item key at decile 0
+    val d = graft.api.GraftOps.diversityHistogram(
+      Seq(("k1", "x"), ("k1", "x")).toDF("acct", "action"), "acct", "action")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d == Seq((0L, 1L)), d)
+    // gini over renamed columns matches the crafted 250000-ppm case
+    val g = graft.api.GraftOps.gini(
+      Seq(("s1", 1L), ("s2", 3L)).toDF("shard", "bytes"), "shard", "bytes")
+      .collect().head
+    assert(g.getLong(2) == 250000L, g)
+  }
+
   test("simhashBandPairs caps a planted mega-cluster band bucket") {
     // 10 identical fingerprints — the boilerplate pathology: every band
     // bucket holds all 10 — plus an under-cap 2-doc cluster whose 15-bit

@@ -150,6 +150,19 @@ object SimilarityQueries {
     ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count()),
     ("kmeans_pq_train", () => trainedPqCodebook(s, d).count()))
 
+  /** q_emb_dims core over rows with an `embedding` array column. */
+  private[graft] def dimProfile(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("q6"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           sum("q6").as("sum_q6"),
+           sum(expr("q6 * q6")).as("sumsq_q12"),
+           sum(when(col("q6") === 0, 1L).otherwise(0L)).as("n_zero"),
+           min("q6").as("min_q6"), max("q6").as("max_q6"))
+      .orderBy("dim")
+
   /** q_emb_norms core over (…, v) rows — factored so specs can plant
     * zero / sub-unit / inflated vectors (the fixture is uniformly scaled
     * and exercises one cell). */
@@ -288,6 +301,21 @@ object SimilarityQueries {
       // aggregation.
       normProfile(emb(s, d))
     }),
+
+    "q_emb_dims" -> ((s, d) =>
+      // Per-DIMENSION embedding health — q_emb_norms' fine-grained
+      // sibling: a dead dimension (all zeros from a truncated export), a
+      // stuck constant, or a blown-up scale is invisible in vector norms
+      // but obvious per dim. Exactness: values quantize map-side to
+      // floor(x·10⁶) integers BEFORE summation (integer sums are
+      // order-independent; a double Σx over 10⁹ rows is not — the
+      // engines would drift), so every cell is bit-identical
+      // cross-engine. Shape: posexplode fans each vector to its 64
+      // (dim, q6) rows map-side, ONE dim-keyed aggregation, fixed
+      // dim-count output. Long envelope: Σq6² ≤ n·(10⁶·max|x|)² —
+      // safe to ~9e6 vectors/dim at |x| ≤ 1; DECIMAL(38) swap
+      // shape-free past it (the q_event_anomaly rule).
+      dimProfile(embeddings(s, d))),
 
     "q_emb_drift" -> ((s, d) => {
       // Embedding-DISTRIBUTION drift — the model-ops monitor beside
@@ -537,6 +565,21 @@ object SimilarityQueries {
         |       CAST(floor(vmax * 1e6) AS BIGINT) AS qmax_e6,
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_emb_dims" ->
+      """WITH x AS (
+        |  SELECT t.i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS q6
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i))
+        |SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+        |       CAST(sum(q6) AS BIGINT) AS sum_q6,
+        |       CAST(sum(q6 * q6) AS BIGINT) AS sumsq_q12,
+        |       CAST(sum(CASE WHEN q6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       min(q6) AS min_q6, max(q6) AS max_q6
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_emb_norms" -> {
       val dot = duckDot("v", "v")

@@ -982,6 +982,23 @@ class EngineSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, 2L, 0L), (1L, 2L, 1L, 1L)), got.toSeq)
   }
 
+  test("dimProfile: dead dim reads all-zero, stuck dim has min=max, " +
+       "exact quantized sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dim 0 dead (all 0), dim 1 stuck at 0.5, dim 2 mixed {1.0, -1.0}
+    val e = Seq(
+      Seq(0.0f, 0.5f, 1.0f), Seq(0.0f, 0.5f, -1.0f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val got = operators.SimilarityQueries.dimProfile(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4),
+                 r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (0, 2L, 0L, 2L, 0L, 0L),             // dead: sum 0, both zero
+      (1, 2L, 1000000L, 0L, 500000L, 500000L), // stuck: min == max
+      (2, 2L, 0L, 0L, -1000000L, 1000000L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

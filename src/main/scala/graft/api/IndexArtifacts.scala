@@ -152,6 +152,59 @@ object IndexArtifacts {
   def pairsFromWinnowIndex(s: SparkSession, table: String): DataFrame =
     graft.operators.DedupQueries.winnowPairsPlan(winnowIndex(s, table))
 
+  /** Write the TOKEN-COUNT artifact: per-batch PARTIAL counts
+    * (token, batch_id, n) bucketed + sorted on `token` — the text-stats
+    * member of the build-once family. Token counts are the mergeable
+    * summary behind the whole corpus-stats stack (the zipf head, tf-idf
+    * document frequencies, surprisal vocabularies): partials merge by
+    * ONE further sum, so appends ≡ rebuild EXACTLY — counts(A) ⊎
+    * counts(B) summed = counts(A ∪ B) for any batch split. Replay
+    * guard: an at-least-once re-append writes IDENTICAL (token,
+    * batch_id, n) rows, so the reader's per-(token, batch_id) max()
+    * collapses duplicates before the sum — exact idempotence without a
+    * distinct over raw token instances. Both read-side aggregations key
+    * on the bucket-column prefix and plan zero Exchange
+    * (IndexArtifactsSpec pins it).
+    */
+  def persistTokenCounts(s: SparkSession, docs: DataFrame, table: String,
+                         buckets: Int = 32): Unit =
+    BucketedLayout.writeBucketed(
+      batchTokenCounts(graft.Tables.fanOut(docs), 0L), table, "token", buckets)
+
+  /** Incremental maintenance: tokenize ONLY the new (doc_id, text) batch
+    * into partial counts appended under `batchId` (foreachBatch supplies
+    * it — stable across a replay, which is what makes the reader's
+    * max-per-batch replay guard exact).
+    */
+  def appendTokenCounts(s: SparkSession, newDocs: DataFrame, table: String,
+                        batchId: Long, buckets: Int = 32): Unit =
+    BucketedLayout.appendBucketed(
+      batchTokenCounts(graft.Tables.fanOut(newDocs), batchId),
+      table, "token", buckets)
+
+  private def batchTokenCounts(docs: DataFrame, batchId: Long): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select(col("token"), lit(batchId).as("batch_id"), col("n"))
+
+  /** Folded corpus counts (token, n): replay-deduped (max per (token,
+    * batch_id)) then summed — both stages ride the bucket layout with
+    * zero Exchange. Relation cache refreshed (see [[shingleIndex]]).
+    */
+  def tokenCounts(s: SparkSession, table: String): DataFrame = {
+    s.catalog.refreshTable(table)
+    s.table(table)
+      .groupBy("token", "batch_id").agg(max("n").as("n"))
+      .groupBy("token").agg(sum("n").as("n"))
+  }
+
+  /** The q_text_zipf head served from the persisted counts — no corpus
+    * rescan, no re-tokenize (TextQueries.zipfFromCounts is the one
+    * definition with the live query).
+    */
+  def zipfFromTokenCounts(s: SparkSession, table: String): DataFrame =
+    graft.operators.TextQueries.zipfFromCounts(tokenCounts(s, table))
+
   /** Write the IVF assignment (id, cid — `nProbe` rows per vector) as a
     * table bucketed + sorted on `cid`, so per-bucket candidate generation
     * (the ANN join's grouping key) scans shuffle-free. `centroids` is the

@@ -918,16 +918,21 @@ object TextQueries {
 
   /** q_text_zipf core — factored so specs can drive crafted corpora
     * through the rank/tie-break arithmetic. */
-  private[graft] def zipfHead(docs: DataFrame): DataFrame = {
-    val vocab = docs
+  private[graft] def zipfHead(docs: DataFrame): DataFrame =
+    zipfFromCounts(docs
       .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+      .groupBy("token").agg(count(lit(1)).as("n")))
+
+  /** q_text_zipf's head over a PREBUILT (token, n) count table — the
+    * artifact-reader entry (IndexArtifacts.zipfFromTokenCounts serves
+    * the same head with no corpus rescan). One definition with the live
+    * query. */
+  private[graft] def zipfFromCounts(vocab: DataFrame): DataFrame =
     vocab.orderBy(col("n").desc, col("token")).limit(50)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))))
       .withColumn("zipf_rn", col("rank") * col("n"))
       .orderBy("rank")
-  }
 
   private val duckTokFp = {
     val h = duckMd5Long("t")

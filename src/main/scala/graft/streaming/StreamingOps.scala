@@ -155,6 +155,27 @@ object StreamingOps {
       .start()
   }
 
+  /** Incremental TOKEN-COUNT maintenance — the text-stats member of the
+    * artifact family: each micro-batch of (doc_id, text) docs tokenizes
+    * to PARTIAL counts appended under the batch's foreachBatch id, and
+    * `IndexArtifacts.tokenCounts` folds them (max per batch — the
+    * replay guard — then sum), so a streamed corpus serves zipf / df /
+    * surprisal-style statistics with no rescan and at-least-once
+    * replays are exactly idempotent.
+    */
+  def maintainTokenCounts(docs: DataFrame, table: String, checkpoint: String,
+                          buckets: Int = 32,
+                          trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val append: (DataFrame, Long) => Unit = (batch, id) =>
+      graft.api.IndexArtifacts.appendTokenCounts(
+        batch.sparkSession, batch, table, id, buckets)
+    docs.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Incremental WINNOW-index maintenance — [[maintainShingleIndex]]'s
     * MOSS twin: each micro-batch of (doc_id, text) docs is winnowed
     * (window-min fingerprint selection, a pure per-document function) and

@@ -410,4 +410,67 @@ class IndexArtifactsSpec extends SparkSpec {
     val persisted = asg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(live.toSeq == persisted.toSeq)
   }
+
+  test("token-count artifact: appends equal a rebuild, replays are exactly " +
+       "idempotent, the fold plans zero Exchange, zipf served from counts") {
+    import spark.implicits._
+    dropTable("g_tok_counts")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val rest = docs.filter($"doc_id" % 2 =!= 0)
+    IndexArtifacts.persistTokenCounts(spark, half, "g_tok_counts", buckets = 4)
+    IndexArtifacts.appendTokenCounts(spark, rest, "g_tok_counts",
+      batchId = 1L, buckets = 4)
+    // appends ≡ rebuild: the folded counts equal one-shot live counts
+    val folded = IndexArtifacts.tokenCounts(spark, "g_tok_counts")
+    val live = docs.select(explode(split($"text", " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val lm = live.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fm = folded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fm == lm)
+    // an at-least-once REPLAY of batch 1 (same batchId, same rows) folds
+    // away through the max-per-(token, batch) guard
+    IndexArtifacts.appendTokenCounts(spark, rest, "g_tok_counts",
+      batchId = 1L, buckets = 4)
+    val replayed = IndexArtifacts.tokenCounts(spark, "g_tok_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayed == lm, "replayed append inflated counts")
+    // both fold aggregations satisfy clustering from the bucket layout
+    val fold = IndexArtifacts.tokenCounts(spark, "g_tok_counts")
+    fold.collect()
+    val plan = fold.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the zipf head served from the artifact equals the live query's
+    val fromArtifact = IndexArtifacts
+      .zipfFromTokenCounts(spark, "g_tok_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val liveZipf = graft.operators.TextQueries.zipfHead(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(fromArtifact.toSeq == liveZipf.toSeq)
+  }
+
+  test("maintainTokenCounts: streamed docs fold into the corpus counts " +
+       "with no rescan; the foreachBatch id is the replay guard") {
+    import spark.implicits._
+    dropTable("g_tok_inc")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    IndexArtifacts.persistTokenCounts(spark, docs, "g_tok_inc", buckets = 4)
+    val before = IndexArtifacts.tokenCounts(spark, "g_tok_inc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("tokmaint").toString
+    val q = graft.streaming.StreamingOps.maintainTokenCounts(
+      in.toDS().toDF("doc_id", "text"), "g_tok_inc", ckpt, buckets = 4)
+    in.addData((900001L, "zzz yyy zzz"))
+    q.processAllAvailable()
+    q.stop()
+    val after = IndexArtifacts.tokenCounts(spark, "g_tok_inc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("zzz") == before.getOrElse("zzz", 0L) + 2)
+    assert(after("yyy") == before.getOrElse("yyy", 0L) + 1)
+    // untouched tokens unchanged — only the batch was tokenized/appended
+    val probe = before.keysIterator.filterNot(Set("zzz", "yyy")).take(5)
+    probe.foreach(t => assert(after(t) == before(t), t))
+  }
 }

@@ -850,6 +850,17 @@ object TextQueries {
         .withColumn("hapax_ppm", expr("n_hapax * 1000000 DIV n_types"))
         .orderBy("source")),
 
+    "q_text_stopwords" -> ((s, d) =>
+      // Corpus-DISCOVERED stopword / boilerplate tokens: everything in
+      // ≥ 40% of documents (document frequency, not raw count — a token
+      // repeated 100× in one doc is topic, in every doc it's template).
+      // The classic DF-threshold discovery run before hand-tuning any
+      // stopword list. Shape: one (doc, token) distinct (the tf-idf df
+      // rule — partial-combining), one token-keyed df aggregation
+      // (vocab-sized), the doc total as a scalar subquery; output is the
+      // tiny high-DF head. df_ppm exact Long.
+      stopwordsCore(fanOut(documents(s, d)))),
+
     "q_text_zipf" -> ((s, d) => {
       // Zipf head profile: the top-50 tokens with rank and the rank×count
       // product (Zipf's law predicts it near-constant across the head) —
@@ -918,6 +929,23 @@ object TextQueries {
 
   /** q_text_zipf core — factored so specs can drive crafted corpora
     * through the rank/tie-break arithmetic. */
+  /** q_text_stopwords core over (doc_id, text) rows: tokens whose
+    * document frequency is ≥ minPpm of the corpus. Within-doc repetition
+    * never inflates df (the leading per-doc distinct). */
+  private[graft] def stopwordsCore(docs: DataFrame,
+      minPpm: Long = 400000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("n_docs", scalarSubquery(docs.agg(count(lit(1)))))
+      .withColumn("df_ppm", expr("df * 1000000 DIV n_docs"))
+      .filter(col("df_ppm") >= minPpm)
+      .select("token", "df", "df_ppm")
+      .orderBy(col("df").desc, col("token"))
+  }
+
   private[graft] def zipfHead(docs: DataFrame): DataFrame =
     zipfFromCounts(docs
       .select(explode(split(col("text"), " ")).as("token"))
@@ -1313,6 +1341,19 @@ object TextQueries {
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_stopwords" ->
+      """WITH df AS (
+        |  SELECT token, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY token)
+        |SELECT token, df,
+        |       CAST(df * 1000000 // (SELECT count(*) FROM documents)
+        |            AS BIGINT) AS df_ppm
+        |FROM df
+        |WHERE df * 1000000 // (SELECT count(*) FROM documents) >= 400000
+        |ORDER BY df DESC, token""".stripMargin,
 
     "q_text_hapax" ->
       """WITH st AS (

@@ -999,6 +999,21 @@ class EngineSpec extends SparkSpec {
       (2, 2L, 0L, 0L, -1000000L, 1000000L)), got)
   }
 
+  test("stopwordsCore: DF threshold edge inclusive, within-doc repeats " +
+       "never inflate df") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the alpha"), // 'the' ×3 in one doc: df contribution 1
+      (2L, "the beta"),
+      (3L, "gamma"), (4L, "delta"), (5L, "eps")
+    ).toDF("doc_id", "text")
+    // 'the' df=2 of 5 → exactly 400000 ppm: the ≥ edge keeps it;
+    // every other token df=1 (200000) is out
+    val got = operators.TextQueries.stopwordsCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("the", 2L, 400000L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -166,8 +166,10 @@ object StatsQueries {
     val expect = array(lit(301029L), lit(176091L), lit(124938L),
       lit(96910L), lit(79181L), lit(66946L), lit(57991L), lit(51152L),
       lit(45757L))
+    // abs() first: a negative amount's cents string would lead with '-'
+    // (null digit); Benford's law reads the magnitude
     df.select(substring(
-        expr(s"CAST(CAST(round($c * 100) AS BIGINT) AS STRING)"),
+        expr(s"CAST(CAST(round(abs($c) * 100) AS BIGINT) AS STRING)"),
         1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .withColumn("t", scalarSubquery(df.agg(count(lit(1)))))
@@ -181,7 +183,7 @@ object StatsQueries {
   def oracles: Map[String, String] = Map(
     "q_stats_benford" ->
       """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |  SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100) AS BIGINT)
         |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders),
         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)

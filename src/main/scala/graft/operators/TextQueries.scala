@@ -850,6 +850,28 @@ object TextQueries {
         .withColumn("hapax_ppm", expr("n_hapax * 1000000 DIV n_types"))
         .orderBy("source")),
 
+    "q_text_dedup_prefix" -> ((s, d) =>
+      // TRUNCATION-duplicate detection: the same page captured at
+      // different cut-off lengths shares its head but not its tail, so
+      // full-content hashing (q_dedup_content) misses it and shingle
+      // Jaccard dilutes with the length gap. Rule: docs sharing their
+      // first-8-token prefix group together — a truncation pair collides
+      // whenever both captures kept at least the 8-token head (a capture
+      // cut shorter than the probe window is below any useful dup
+      // granularity); groups of ≥ 2 are the truncation-dup report. Shape: map-side
+      // prefix projection, ONE prefix-keyed aggregation. At 100 TB the
+      // shuffle key is xxhash64(prefix) with the string carried via
+      // max() (the dedup_lines precedent); the oracle-visible grouping
+      // here is the raw prefix — same groups either way.
+      fanOut(documents(s, d))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("prefix")),
+
     "q_text_stopwords" -> ((s, d) =>
       // Corpus-DISCOVERED stopword / boilerplate tokens: everything in
       // ≥ 40% of documents (document frequency, not raw count — a token
@@ -1341,6 +1363,14 @@ object TextQueries {
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_dedup_prefix" ->
+      """SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,
+        |       count(*) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin,
 
     "q_text_stopwords" ->
       """WITH df AS (

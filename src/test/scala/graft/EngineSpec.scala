@@ -1014,6 +1014,32 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq(("the", 2L, 400000L)), got)
   }
 
+  test("q_text_dedup_prefix semantics on crafted captures: truncation " +
+       "pair collides, divergent tails collide, short capture does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      // 1+2: same page, different cut-offs past the 8-token head
+      (1L, "a b c d e f g h i j k l m n"),
+      (2L, "a b c d e f g h i j"),
+      // 3: same head, divergent tail (template page) — also groups
+      (3L, "a b c d e f g h zz zz"),
+      // 4: a 5-token capture of the same page — below the probe window,
+      // documented non-match
+      (4L, "a b c d e"),
+      (5L, "totally different text")
+    ).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+           max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2).orderBy("prefix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a b c d e f g h", 3L, 1L, 3L)), got.toSeq)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

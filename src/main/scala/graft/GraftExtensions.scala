@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DotProduct, SubwordCount}
+import graft.functions.expressions.{DamerauLevenshtein, DotProduct, SubwordCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -58,6 +58,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("subword_count", args, 1)
         SubwordCount(args(0))
+      }),
+    ("damerau_levenshtein",
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein distance"),
+      (args: Seq[Expression]) => {
+        requireArity("damerau_levenshtein", args, 2)
+        DamerauLevenshtein(args(0), args(1))
       })
   )
 

@@ -772,6 +772,30 @@ object DedupQueries {
             .otherwise(lit(1000000L)))
     }),
 
+    "q_dedup_typos" -> ((s, d) => {
+      // TYPO / entity near-dup — entity resolution's unit operation over
+      // the part catalog: pairs of parts whose names are ≤ 2 keystroke
+      // edits apart. Candidates come from BLOCKING on structured
+      // attributes (p_brand × p_type — the entity-resolution standard;
+      // buckets are catalog-fraction-bounded, never an all-pairs name
+      // join), verified by the native codegen'd unrestricted
+      // Damerau-Levenshtein expression (Spark ships levenshtein but not
+      // the transposition-aware variant the typo literature uses;
+      // DuckDB's damerau_levenshtein is the oracle twin —
+      // variant-verified, 'ca'→'abc' = 2). Distances are exact integers:
+      // zero float-parity surface.
+      import graft.functions.expressions.StringFunctions.damerau_levenshtein
+      val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+          damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("pa", "pb")
+    }),
+
     "q_emb_recall" -> ((s, d) => {
       // Sampled ANN-RECALL audit — q_dedup_audit's twin for the EMBEDDING
       // index (the evaluation a production ANN deployment runs beside the
@@ -1317,6 +1341,16 @@ object DedupQueries {
          |                 THEN (SELECT count(*) FROM hit) * 1000000
          |                      // (SELECT count(*) FROM truth)
          |                 ELSE 1000000 END AS BIGINT) AS recall_e6""".stripMargin,
+
+    "q_dedup_typos" ->
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |       CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
+        |         AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND a.p_partkey < b.p_partkey
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY pa, pb""".stripMargin,
 
     "q_emb_recall" -> {
       val csim = s"(${dDot("s.v", "c.cv")} / (sqrt(${dDot("s.v", "s.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"

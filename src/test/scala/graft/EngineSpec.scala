@@ -1040,6 +1040,47 @@ class EngineSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b c d e f g h", 3L, 1L, 3L)), got.toSeq)
   }
 
+  test("damerau_levenshtein: UNRESTRICTED variant pinned, null-safe, " +
+       "SQL-registered, symmetric, bounded by levenshtein") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.StringMetrics.damerau
+    // the variant-distinguishing case: unrestricted DL edits a transposed
+    // block again (2); optimal-string-alignment would say 3 — this pins
+    // agreement with DuckDB's damerau_levenshtein
+    assert(damerau("ca", "abc") == 2)
+    assert(damerau("ab", "ba") == 1)
+    assert(damerau("abcdef", "abcfed") == 2)
+    assert(damerau("kitten", "sitting") == 3)
+    assert(damerau("", "abc") == 3 && damerau("abc", "") == 3)
+    assert(damerau("same", "same") == 0)
+    // codegen + eval paths through the Column API, incl. null propagation
+    import graft.functions.expressions.StringFunctions.damerau_levenshtein
+    val rows = Seq(("ca", Some("abc")), ("ab", Some("ba")),
+      ("x", Option.empty[String])).toDF("a", "b")
+      .select(damerau_levenshtein($"a", $"b").as("d"))
+      .as[Option[Int]].collect().toSeq
+    assert(rows == Seq(Some(2), Some(1), None), rows)
+    // SQL surface via the extensions registry
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc')")
+      .first().getInt(0) == 2)
+    // properties over random strings: identity, symmetry, and the
+    // built-in levenshtein (no transpositions) as an upper bound
+    val rnd = new scala.util.Random(7)
+    def rs() = (0 until rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 200).foreach { _ =>
+      val (x, y) = (rs(), rs())
+      val d = damerau(x, y)
+      assert(damerau(x, x) == 0)
+      assert(d == damerau(y, x), s"asymmetric on '$x' '$y'")
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(x, y)
+      assert(d <= lev, s"'$x' '$y': DL $d > lev $lev")
+      assert(d >= math.abs(x.length - y.length))
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -451,6 +451,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_dedup_typos: blocked equi-join (no cartesian), native " +
+       "damerau_levenshtein in the verify stage") {
+    val p = plan("q_dedup_typos")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("damerau_levenshtein"), p)
+  }
+
   test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {
     // tiny single-partition input → repartitioned to defaultParallelism
     val narrow = spark.range(100).coalesce(1).toDF("id")

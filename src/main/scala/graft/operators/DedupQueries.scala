@@ -784,16 +784,27 @@ object DedupQueries {
       // DuckDB's damerau_levenshtein is the oracle twin —
       // variant-verified, 'ca'→'abc' = 2). Distances are exact integers:
       // zero float-parity surface.
-      import graft.functions.expressions.StringFunctions.damerau_levenshtein
-      val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-      p.as("a").join(p.as("b"),
-          col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_type") === col("b.p_type") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-        .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-          damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-        .filter(col("dist") <= 2)
-        .orderBy("pa", "pb")
+      typoPairs(s, d).orderBy("pa", "pb")
+    }),
+
+    "q_dedup_typo_clusters" -> ((s, d) => {
+      // Entity CLUSTERS over the typo pairs — the q_dedup_cluster rule
+      // applied to the catalog: A~B and B~C put all three name variants
+      // in ONE entity even when A is 4 edits from C. Second consumer of
+      // the generic GraftOps.connectedComponents (the shingle clusters
+      // are the first), proving the CC core is graph-agnostic. Singleton
+      // parts (no typo pair) are not entities and do not appear.
+      // entity_n via groupBy + join-back — never a window over the
+      // entity id (the mega-cluster rule).
+      val pairs = typoPairs(s, d).select("pa", "pb")
+      val labels = graft.api.GraftOps
+        .connectedComponents(pairs, "pa", "pb")
+        .select(col("id").as("p_partkey"), col("label").as("entity_id"))
+      val sizes = labels.groupBy("entity_id")
+        .agg(count(lit(1)).as("entity_n"))
+      labels.join(sizes, Seq("entity_id"))
+        .select("p_partkey", "entity_id", "entity_n")
+        .orderBy("p_partkey")
     }),
 
     "q_emb_recall" -> ((s, d) => {
@@ -1195,6 +1206,21 @@ object DedupQueries {
         .orderBy("thr_e9"))
   )
 
+  /** q_dedup_typos' blocked pair pipeline (pa, pb, dist ≤ 2): p_brand ×
+    * p_type blocking, native Damerau-Levenshtein verify. Shared with
+    * q_dedup_typo_clusters so the edge set cannot diverge. */
+  private def typoPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.StringFunctions.damerau_levenshtein
+    val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_type") === col("b.p_type") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+        damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   /** q_dedup_embed's candidate + verify pipeline down to distinct
     * (va, vb, sim_e9) pairs at sim ≥ minSimE9: 2-probe IVF bucket
     * co-residency candidates (BucketCap'd — never all-pairs), exact
@@ -1351,6 +1377,28 @@ object DedupQueries {
         | AND a.p_partkey < b.p_partkey
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY pa, pb""".stripMargin,
+
+    "q_dedup_typo_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |   AND a.p_partkey < b.p_partkey
+        |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT pa AS a, pb AS b FROM p
+        |          UNION ALL SELECT pb, pa FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+        |cc AS (SELECT id AS p_partkey, min(label) AS entity_id
+        |       FROM reach GROUP BY id),
+        |sz AS (SELECT entity_id, count(*) AS entity_n
+        |       FROM cc GROUP BY entity_id)
+        |SELECT cc.p_partkey, cc.entity_id, CAST(sz.entity_n AS BIGINT)
+        |         AS entity_n
+        |FROM cc JOIN sz USING (entity_id) ORDER BY p_partkey""".stripMargin,
 
     "q_emb_recall" -> {
       val csim = s"(${dDot("s.v", "c.cv")} / (sqrt(${dDot("s.v", "s.v")}) * sqrt(${dDot("c.cv", "c.cv")})))"

@@ -1081,6 +1081,22 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_typo_clusters: every typo pair shares an entity, every " +
+       "entity has >= 2 members, sizes consistent") {
+    val pairs = SparkEntry.queries("q_dedup_typos")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SparkEntry.queries("q_dedup_typo_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val entity = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(entity(a) == entity(b), s"pair ($a, $b) split across entities")
+    }
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.foreach { case (p, e, n) =>
+      assert(n == sizes(e) && n >= 2, s"part $p entity $e size $n")
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

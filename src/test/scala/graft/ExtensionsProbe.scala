@@ -19,6 +19,10 @@ object ExtensionsProbe {
       "SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) AS d").first()
     println(s"[extprobe] dot_product via spark.sql.extensions = ${r.getDouble(0)}")
     assert(r.getDouble(0) == 11.0)
+    val dl = spark.sql(
+      "SELECT damerau_levenshtein('ca', 'abc') AS d").first()
+    println(s"[extprobe] damerau_levenshtein via spark.sql.extensions = ${dl.getInt(0)}")
+    assert(dl.getInt(0) == 2)
     spark.stop()
   }
 }

@@ -1269,19 +1269,28 @@ object DedupQueries {
     */
   private[graft] def duckBandPairSql(fpCte: String, aCol: String,
       bCol: String, maxHamming: Int): String =
+    s"""${duckBandPairCtes(fpCte)}
+       |${duckBandPairSelect(aCol, bCol, maxHamming)}
+       |ORDER BY $aCol, $bCol""".stripMargin
+
+  /** The band/cap CTE definitions alone — for oracles that embed the
+    * pair SELECT as a further CTE (q_mm_hamming_thresholds). */
+  private[graft] def duckBandPairCtes(fpCte: String): String =
     s"""banded0 AS (
        |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bsig
        |  FROM $fpCte, unnest([0,1,2,3]) AS u(b)),
        |banded AS (
        |  SELECT doc_id, simhash, b, bsig FROM banded0
        |  QUALIFY row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id)
-       |          <= ${IvfOps.BucketCap})
-       |SELECT DISTINCT a.doc_id AS $aCol, b2.doc_id AS $bCol,
+       |          <= ${IvfOps.BucketCap})""".stripMargin
+
+  private[graft] def duckBandPairSelect(aCol: String, bCol: String,
+      maxHamming: Int): String =
+    s"""SELECT DISTINCT a.doc_id AS $aCol, b2.doc_id AS $bCol,
        |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b2
        |  ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
-       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming
-       |ORDER BY $aCol, $bCol""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming""".stripMargin
   private val dDot = (a: String, b: String) =>
     s"list_aggregate([$a[i] * $b[i] for i in range(1, 65)], 'sum')"
 

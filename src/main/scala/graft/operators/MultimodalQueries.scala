@@ -225,6 +225,32 @@ object MultimodalQueries {
         .orderBy("ma", "mb")
     }),
 
+    "q_mm_hamming_thresholds" -> ((s, d) => {
+      // Hamming-cutoff sensitivity SWEEP for perceptual dedup — the
+      // third member of the threshold-sweep family (Jaccard:
+      // q_dedup_thresholds, cosine: q_emb_thresholds, hamming: this):
+      // image pair + affected-media counts at hamming 0–6 in ONE pass
+      // over the SAME capped band join as q_mm_phash (never a
+      // per-threshold re-fingerprint). Bounded ×7 threshold and ×2
+      // media fan-outs ride the near-dup-sized pair table map-side into
+      // a ≤7-cell aggregation; n_pairs = instances DIV 2.
+      val fp = phashMedia(encodeMedia(media(s, d)))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      DedupQueries.simhashBandPairs(fp)
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select(col("hamming"),
+          explode(array((0 to PhashMaxHamming).map(i => lit(i.toLong)): _*))
+            .as("max_hamming"),
+          col("da"), col("db"))
+        .filter(col("hamming") <= col("max_hamming"))
+        .select(col("max_hamming"),
+          explode(array(col("da"), col("db"))).as("media_id"))
+        .groupBy("max_hamming")
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+             count_distinct(col("media_id")).as("n_media"))
+        .orderBy("max_hamming")
+    }),
+
     "q_mm_audiofp" -> ((s, d) => {
       // Perceptual AUDIO near-dup — q_mm_phash's sibling, closing the
       // multimodal family (re-encoded/re-sampled copies of one recording
@@ -415,6 +441,42 @@ object MultimodalQueries {
          |  FROM (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s
          |        FROM g)),
          |${DedupQueries.duckBandPairSql("ph", "ma", "mb", PhashMaxHamming)}""".stripMargin,
+
+    // q_mm_phash's fingerprint + band CTEs, the pair SELECT embedded as
+    // a further CTE, then the bounded threshold × media fan-out sweep
+    "q_mm_hamming_thresholds" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS len,
+         |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+         |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) > 0 AND doc_id % 3 <> 1),
+         |g AS (
+         |  SELECT doc_id,
+         |         [bv[((((k // 8) * h // 8) * 8 + (k % 8)) % len) + 1]
+         |          for k in range(0, 60)] AS cells
+         |  FROM (SELECT doc_id, len, bv,
+         |               greatest(1, least(32, len // 8)) AS h
+         |        FROM src)),
+         |ph AS (
+         |  SELECT doc_id,
+         |         list_aggregate(
+         |           [CASE WHEN 60 * cells[k + 1] > s
+         |                 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+         |            for k in range(0, 60)], 'sum') AS simhash
+         |  FROM (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s
+         |        FROM g)),
+         |${DedupQueries.duckBandPairCtes("ph")},
+         |pairs AS (
+         |${DedupQueries.duckBandPairSelect("ma", "mb", PhashMaxHamming)}),
+         |f AS (SELECT CAST(t.thr AS BIGINT) AS max_hamming, u.media_id
+         |      FROM pairs,
+         |           unnest([0, 1, 2, 3, 4, 5, 6]) AS t(thr),
+         |           unnest([pairs.ma, pairs.mb]) AS u(media_id)
+         |      WHERE pairs.hamming <= t.thr)
+         |SELECT max_hamming, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |       count(DISTINCT media_id) AS n_media
+         |FROM f GROUP BY max_hamming ORDER BY max_hamming""".stripMargin,
 
     // Mirror of encodeMedia∘afp60 from the source bytes: the WAV sample
     // stream is byte(i mod len)·257 − 32768 over n = min(4096, len)

@@ -1097,6 +1097,20 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_mm_hamming_thresholds: monotone sweep, agrees with q_mm_phash " +
+       "at the max-hamming cutoff") {
+    val rows = SparkEntry.queries("q_mm_hamming_thresholds")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array((_, p1, m1), (_, p2, m2)) =>
+        assert(p1 <= p2 && m1 <= m2, rows.toSeq) // ascending thresholds
+      case _ =>
+    }
+    val at6 = rows.find(_._1 == 6L).map(_._2).getOrElse(0L)
+    val phashPairs = SparkEntry.queries("q_mm_phash")(spark, sf).count()
+    assert(at6 == phashPairs, (at6, phashPairs))
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -423,6 +423,28 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    "q_sim_knn_filtered" -> ((s, d) => {
+      // FILTERED vector search — the vector-DB staple beside plain kNN:
+      // top-5 cosine neighbours of vec 0 restricted to a metadata
+      // predicate (label = vec 0's label — "find similar items in the
+      // same category"). Pre-filtering beats post-filtering at any
+      // scale: the predicate prunes BEFORE scoring (and pushes to the
+      // scan), where post-filter top-k can return < k survivors. Same
+      // shape as q_sim_knn otherwise: scalar-subquery query row (vector
+      // AND label ride ONE subquery as a struct — no join node),
+      // map-side scoring, TakeOrderedAndProject.
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(struct(col("v").as("qv"), col("label").as("ql")).as("q"))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("q", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .filter(col("label") === col("q.ql"))
+        .select(col("vec_id"), col("label"),
+          floor9(cosine(col("v"), col("q.qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     "q_sim_knn_batch" -> ((s, d) => {
       // Batch kNN (similarity join): top-3 neighbours for EACH of 10 query
       // vectors in one plan — broadcast the query block, score map-side,
@@ -673,6 +695,16 @@ object SimilarityQueries {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
          |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    "q_sim_knn_filtered" -> {
+      val cos = duckCos("e.v", "q.qv")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT v AS qv, label AS ql FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, floor(($cos) * 1e9) / 1e9 AS sim
+         |FROM e, q WHERE e.vec_id <> 0 AND e.label = q.ql
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
     },
 

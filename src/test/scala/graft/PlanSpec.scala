@@ -451,6 +451,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_sim_knn_filtered: pre-filter, no join node, TakeOrdered top-k") {
+    val p = plan("q_sim_knn_filtered")
+    assert(!p.contains("Join"), p) // struct scalar subquery carries v + label
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_dedup_typos: blocked equi-join (no cartesian), native " +
        "damerau_levenshtein in the verify stage") {
     val p = plan("q_dedup_typos")

@@ -38,14 +38,26 @@ object StringMetrics {
     while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
-    // da: for each code point, the last row of `a` where it occurred
-    val da = new java.util.HashMap[Integer, Integer]()
+    // da: for each code point, the last row of `a` where it occurred.
+    // ASCII inputs (every blocked-join hot path here) take a flat-array
+    // fast path — the boxed HashMap costs ~3× the whole DP on short
+    // strings; the map only backs the general Unicode case.
+    var ascii = true
+    i = 0
+    while (ascii && i < la) { ascii = a(i) < 128; i += 1 }
+    j = 0
+    while (ascii && j < lb) { ascii = b(j) < 128; j += 1 }
+    val daArr = if (ascii) new Array[Int](128) else null
+    val daMap =
+      if (ascii) null else new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0 // last column of `b` matched in this row
       j = 1
       while (j <= lb) {
-        val k = da.getOrDefault(b(j - 1), 0).intValue()
+        val k =
+          if (ascii) daArr(b(j - 1))
+          else daMap.getOrDefault(b(j - 1), 0).intValue()
         val l = db
         var cost = 1
         if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
@@ -57,7 +69,7 @@ object StringMetrics {
           math.min(math.min(sub, ins), math.min(del, tra))
         j += 1
       }
-      da.put(a(i - 1), i)
+      if (ascii) daArr(a(i - 1)) = i else daMap.put(a(i - 1), i)
       i += 1
     }
     d(la + 1)(lb + 1)

@@ -384,7 +384,10 @@ object DedupQueries {
     "shingle_raw"      -> (() => uncappedShingleHashes(s, d).count()),
     "shingle_capped"   -> (() => shingleHashes(s, d).count()),
     "shingle_pairs"    -> (() => sharedShinglePairs(s, d).count()),
-    "shingle_clusters" -> (() => clusterLabels(s, d).count()))
+    "shingle_clusters" -> (() => clusterLabels(s, d).count()),
+    // the blocked Damerau verify (1.3M candidate pairs at sf0.1) — built
+    // once, consumed by q_dedup_typos AND q_dedup_typo_clusters
+    "typo_pairs"       -> (() => typoPairs(s, d).count()))
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
     * criterion) → component labels via [[graft.api.GraftOps.connectedComponents]].
@@ -1208,17 +1211,40 @@ object DedupQueries {
 
   /** q_dedup_typos' blocked pair pipeline (pa, pb, dist ≤ 2): p_brand ×
     * p_type blocking, native Damerau-Levenshtein verify. Shared with
-    * q_dedup_typo_clusters so the edge set cannot diverge. */
+    * q_dedup_typo_clusters so the edge set cannot diverge — and memoized
+    * per (session, dir) with the result CACHED (the pair table is
+    * near-dup-sized — KBs — so retention is riskless; the clusters query
+    * must not re-run the million-pair verify the pairs query just ran).
+    * The |len(a) − len(b)| ≤ 2 prefilter is semantics-preserving (a
+    * length gap is a lower bound on edit distance) and prunes candidate
+    * pairs before the O(len²) DP; the oracle needs no mirror — results
+    * are identical by the bound.
+    */
+  private val typoPairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+                                               DataFrame]()
+
   private def typoPairs(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.expressions.StringFunctions.damerau_levenshtein
-    val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-    p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-        col("a.p_type") === col("b.p_type") &&
-        col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-        damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-      .filter(col("dist") <= 2)
+    import scala.jdk.CollectionConverters._
+    typoPairMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
+      .toSeq.foreach { k =>
+        Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
+      }
+    typoPairMemo.computeIfAbsent((s, d), _ => {
+      import graft.functions.expressions.StringFunctions.damerau_levenshtein
+      val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
+        .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+          damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .cache()
+      pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
+      pairs
+    })
   }
 
   /** q_dedup_embed's candidate + verify pipeline down to distinct

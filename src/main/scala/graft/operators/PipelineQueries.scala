@@ -66,6 +66,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "q_pipeline_funnel" -> ((s, d) => {
+      // The curation ATTRITION funnel — the dashboard row above
+      // q_pipeline_corpus: how many documents each stage removes, with
+      // per-stage drop shares in exact ppm. Stages are EXACTLY
+      // q_pipeline_corpus's composition (exact keepers via digest
+      // aggregation + semi-join, near-dup drop = the later side of a
+      // verified minhash pair, min-token gate), so the funnel's final
+      // count restates the corpus query's cardinality (spec-pinned).
+      // Shape: the stage frames share the pipeline subtrees; the five
+      // counts attach as scalar subqueries on the 1-row spine (no join
+      // node). ppm denominators are the corpus size — stages sum to the
+      // total drop.
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      val toks = size(split(col("text"), " ")).cast("long")
+      val withMd5 = documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("content_md5", md5(col("text").cast("binary")))
+      val keepers = withMd5.groupBy("content_md5")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val s1 = withMd5.join(keepers, Seq("doc_id"), "left_semi")
+      val nearDrops = DedupQueries.queries("q_dedup_minhash")(s, d)
+        .select(col("db").as("doc_id")).distinct()
+      val s2 = s1.join(nearDrops, Seq("doc_id"), "left_anti")
+      val s3 = s2.filter(toks >= MinTokens)
+      documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_exact", scalarSubquery(s1.agg(count(lit(1)))))
+        .withColumn("n_near", scalarSubquery(s2.agg(count(lit(1)))))
+        .withColumn("n_final", scalarSubquery(s3.agg(count(lit(1)))))
+        .withColumn("exact_drop_ppm",
+          expr("(n_docs - n_exact) * 1000000 DIV n_docs"))
+        .withColumn("near_drop_ppm",
+          expr("(n_exact - n_near) * 1000000 DIV n_docs"))
+        .withColumn("gate_drop_ppm",
+          expr("(n_near - n_final) * 1000000 DIV n_docs"))
+    }),
+
     "q_pipeline_eval" -> ((s, d) => {
       // EVAL-SET assembly — the OTHER composed pipeline a training run
       // needs: a fixed-size human-eval/regression subset that is (a)
@@ -93,6 +128,31 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_funnel" ->
+      s"""WITH pairs AS (${DedupQueries.oracles("q_dedup_minhash")}),
+         |exact AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |near AS (
+         |  SELECT doc_id, text FROM exact
+         |  WHERE doc_id NOT IN (SELECT db FROM pairs)),
+         |fin AS (
+         |  SELECT doc_id FROM near
+         |  WHERE len(string_split(text, ' ')) >= $MinTokens),
+         |c AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |             (SELECT count(*) FROM exact) AS n_exact,
+         |             (SELECT count(*) FROM near) AS n_near,
+         |             (SELECT count(*) FROM fin) AS n_final)
+         |SELECT n_docs, n_exact, n_near, n_final,
+         |       CAST((n_docs - n_exact) * 1000000 // n_docs AS BIGINT)
+         |         AS exact_drop_ppm,
+         |       CAST((n_exact - n_near) * 1000000 // n_docs AS BIGINT)
+         |         AS near_drop_ppm,
+         |       CAST((n_near - n_final) * 1000000 // n_docs AS BIGINT)
+         |         AS gate_drop_ppm
+         |FROM c""".stripMargin,
+
     "q_pipeline_corpus" -> {
       val key = duckMd5Long("CAST(doc_id AS VARCHAR)")
       s"""WITH pairs AS (${DedupQueries.oracles("q_dedup_minhash")}),

@@ -1111,6 +1111,20 @@ class EngineSpec extends SparkSpec {
     assert(at6 == phashPairs, (at6, phashPairs))
   }
 
+  test("q_pipeline_funnel: monotone stages, final count restates " +
+       "q_pipeline_corpus, ppm shares sum to the total drop") {
+    val r = SparkEntry.queries("q_pipeline_funnel")(spark, sf).collect().head
+    val (n0, n1, n2, n3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0, r)
+    val corpus = SparkEntry.queries("q_pipeline_corpus")(spark, sf).count()
+    assert(n3 == corpus, (n3, corpus))
+    val (p1, p2, p3) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(p1 == (n0 - n1) * 1000000L / n0)
+    assert(p2 == (n1 - n2) * 1000000L / n0)
+    assert(p3 == (n2 - n3) * 1000000L / n0)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

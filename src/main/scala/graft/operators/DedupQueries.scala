@@ -1224,6 +1224,15 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
                                                DataFrame]()
 
+  /** Drop the session's memoized typo pairs (the releaseShingleIndex
+    * escape hatch — plan-inspection tests need the UNCACHED plan). */
+  private[graft] def releaseTypoPairs(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    typoPairMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
+      Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   private def typoPairs(s: SparkSession, d: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     typoPairMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)

@@ -459,6 +459,10 @@ class PlanSpec extends SparkSpec {
 
   test("q_dedup_typos: blocked equi-join (no cartesian), native " +
        "damerau_levenshtein in the verify stage") {
+    // drop the session memo first: a prior suite's run leaves the pair
+    // table cached, and the cached plan is an InMemoryTableScan that
+    // hides the verify expression this test inspects
+    graft.operators.DedupQueries.releaseTypoPairs(spark)
     val p = plan("q_dedup_typos")
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), p)

@@ -507,6 +507,23 @@ object TextQueries {
         .drop("row_tot")
         .orderBy("lang", "pred_lang")),
 
+    "q_text_langid_mix" -> ((s, d) =>
+      // Per-SOURCE language composition — the curation telemetry beside
+      // the confusion matrix: what languages is each crawl source
+      // actually delivering (a "news-en" feed drifting multilingual is a
+      // routing bug this surfaces immediately). Predictions are
+      // [[langPred]] with `source` carried through — ONE corpus scan,
+      // no join-back, the same one-definition rule as the eval. Cells
+      // bounded ≤ |sources|×|langs|; the share window rides the tiny
+      // rollup.
+      langPred(fanOut(documents(s, d)), keep = Seq("source"))
+        .groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_tot", sum("n").over(Window.partitionBy("source")))
+        .withColumn("share_ppm", expr("n * 1000000 DIV row_tot"))
+        .drop("row_tot")
+        .orderBy("source", "pred_lang")),
+
     "q_text_quality" -> ((s, d) => {
       // Quality scoring: length, mean token length, stopword ratio, type/
       // token ratio → single blended score (integer-scaled via floor so the
@@ -929,7 +946,31 @@ object TextQueries {
     * standard cheap lang-ID shape. ONE definition for q_text_langid (the
     * per-doc scores) and q_text_langid_eval (the confusion matrix).
     */
-  private[graft] def langPred(docs: DataFrame): DataFrame = {
+  /** The ONE DuckDB definition of [[langPred]] (the duckBandPairSql
+    * rule — the scoring CASE was previously inlined in two oracles):
+    * CTEs `t` (features) + `p` (doc_id, `keep`, ss, ls, pred_lang),
+    * composed by the langid / eval / mix oracles. */
+  private def duckLangPredCtes(keep: String): String =
+    s"""t AS (
+       |  SELECT doc_id, $keep,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> x IN ('the', 'a', 'of'))) AS DOUBLE) AS stop_hits,
+       |         CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, $keep,
+       |         floor(stop_hits / n_tok * 1e6) AS ss,
+       |         floor(n_chars / n_tok * 1e6) AS ls,
+       |         CASE WHEN floor(stop_hits / n_tok * 1e6) > 80000 THEN 'en'
+       |              WHEN floor(n_chars / n_tok * 1e6) > 5200000 THEN 'de'
+       |              WHEN floor(stop_hits / n_tok * 1e6) > 40000 THEN 'fr'
+       |              WHEN floor(n_chars / n_tok * 1e6) > 4800000 THEN 'es'
+       |              ELSE 'zh' END AS pred_lang
+       |  FROM t)""".stripMargin
+
+  private[graft] def langPred(docs: DataFrame,
+      keep: Seq[String] = Seq("lang")): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val hits = (w: String) =>
@@ -937,10 +978,9 @@ object TextQueries {
     val stopRatio = (hits("the") + hits("a") + hits("of")) / nTok
     val avgLen = length(col("text")).cast("double") / nTok
     docs
-      .select(
-        col("doc_id"), col("lang"),
+      .select(Seq(col("doc_id")) ++ keep.map(col) ++ Seq(
         floor(stopRatio * 1e6).cast("long").as("stop_score"),
-        floor(avgLen * 1e6).cast("long").as("len_score"))
+        floor(avgLen * 1e6).cast("long").as("len_score")): _*)
       .withColumn("pred_lang",
         when(col("stop_score") > 80000, "en")
           .when(col("len_score") > 5200000, "de")
@@ -1004,44 +1044,27 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                              x -> x IN ('the', 'a', 'of'))) AS DOUBLE) AS stop_hits,
-        |         CAST(length(text) AS DOUBLE) AS n_chars
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |       CAST(floor(stop_hits / n_tok * 1e6) AS BIGINT) AS stop_score,
-        |       CAST(floor(n_chars / n_tok * 1e6) AS BIGINT) AS len_score,
-        |       CASE WHEN floor(stop_hits / n_tok * 1e6) > 80000 THEN 'en'
-        |            WHEN floor(n_chars / n_tok * 1e6) > 5200000 THEN 'de'
-        |            WHEN floor(stop_hits / n_tok * 1e6) > 40000 THEN 'fr'
-        |            WHEN floor(n_chars / n_tok * 1e6) > 4800000 THEN 'es'
-        |            ELSE 'zh' END AS pred_lang
-        |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH ${duckLangPredCtes("lang")}
+         |SELECT doc_id, lang,
+         |       CAST(ss AS BIGINT) AS stop_score,
+         |       CAST(ls AS BIGINT) AS len_score, pred_lang
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_text_langid_eval" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                              x -> x IN ('the', 'a', 'of'))) AS DOUBLE) AS stop_hits,
-        |         CAST(length(text) AS DOUBLE) AS n_chars
-        |  FROM documents),
-        |p AS (
-        |  SELECT lang,
-        |         CASE WHEN floor(stop_hits / n_tok * 1e6) > 80000 THEN 'en'
-        |              WHEN floor(n_chars / n_tok * 1e6) > 5200000 THEN 'de'
-        |              WHEN floor(stop_hits / n_tok * 1e6) > 40000 THEN 'fr'
-        |              WHEN floor(n_chars / n_tok * 1e6) > 4800000 THEN 'es'
-        |              ELSE 'zh' END AS pred_lang
-        |  FROM t),
-        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
-        |SELECT lang, pred_lang, n,
-        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
-        |            AS BIGINT) AS share_ppm
-        |FROM c ORDER BY lang, pred_lang""".stripMargin,
+      s"""WITH ${duckLangPredCtes("lang")},
+         |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+         |            AS BIGINT) AS share_ppm
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_text_langid_mix" ->
+      s"""WITH ${duckLangPredCtes("source")},
+         |c AS (SELECT source, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT source, pred_lang, n,
+         |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY source)
+         |            AS BIGINT) AS share_ppm
+         |FROM c ORDER BY source, pred_lang""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -1125,6 +1125,23 @@ class EngineSpec extends SparkSpec {
     assert(p3 == (n2 - n3) * 1000000L / n0)
   }
 
+  test("q_text_langid_mix: cells cover every source's docs, shares are " +
+       "exact per-source ppm") {
+    val rows = SparkEntry.queries("q_text_langid_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    val docCounts = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == docCounts.keySet)
+    bySrc.foreach { case (src, cells) =>
+      val tot = cells.map(_._3).sum
+      assert(tot == docCounts(src), s"$src covers $tot of ${docCounts(src)}")
+      cells.foreach { case (_, _, n, ppm) =>
+        assert(ppm == n * 1000000L / tot)
+      }
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -507,6 +507,23 @@ object TextQueries {
         .drop("row_tot")
         .orderBy("lang", "pred_lang")),
 
+    "q_text_quality_src" -> ((s, d) =>
+      // Per-source quality-DECILE matrix — q_corpus_profile's mean hides
+      // the tails; this is the distribution view curation actually
+      // filters on (a source with a respectable mean and a fat
+      // bottom-decile tail needs a gate, not a weight). quality_e6 is
+      // [[qualityE6Col]] — the ONE definition — bucketed map-side into
+      // fixed deciles; cells bounded ≤ |sources|×11, the share window
+      // rides the tiny rollup (the langid_mix shape).
+      fanOut(documents(s, d))
+        .select(col("source"), qualityE6Col.as("q_e6"))
+        .groupBy(col("source"), expr("q_e6 DIV 100000").as("decile"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_tot", sum("n").over(Window.partitionBy("source")))
+        .withColumn("share_ppm", expr("n * 1000000 DIV row_tot"))
+        .drop("row_tot")
+        .orderBy("source", "decile")),
+
     "q_text_langid_mix" -> ((s, d) =>
       // Per-SOURCE language composition — the curation telemetry beside
       // the confusion matrix: what languages is each crawl source
@@ -1057,6 +1074,30 @@ object TextQueries {
          |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
          |            AS BIGINT) AS share_ppm
          |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_text_quality_src" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+        |         CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT source,
+        |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+        |                     + (n_uniq / n_tok) * 0.35
+        |                     + (1.0 - stop_hits / n_tok) * 0.2
+        |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+        |                    * 1e6) AS BIGINT) AS q_e6
+        |  FROM t),
+        |c AS (SELECT source, q_e6 // 100000 AS decile, count(*) AS n
+        |      FROM q GROUP BY 1, 2)
+        |SELECT source, CAST(decile AS BIGINT) AS decile, n,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY source)
+        |            AS BIGINT) AS share_ppm
+        |FROM c ORDER BY source, decile""".stripMargin,
 
     "q_text_langid_mix" ->
       s"""WITH ${duckLangPredCtes("source")},

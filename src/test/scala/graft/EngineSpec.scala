@@ -1142,6 +1142,20 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_text_quality_src: decile cells restate q_text_quality's " +
+       "per-doc scores") {
+    val perDoc = SparkEntry.queries("q_text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> quality_e6
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = perDoc.toSeq
+      .groupBy { case (id, q) => (srcOf(id), q / 100000L) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_text_quality_src")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -512,7 +512,22 @@ object EventTimeQueries {
       // exchange carries the min; the day rollup counts each distinct
       // user once per day with a conditional distinct for the new side.
       newVsReturning(ems(s, d))
-    })
+    }),
+
+    "q_event_error_rate" -> ((s, d) =>
+      // Hourly error-COMPOSITION trend — the SRE view beside
+      // q_event_anomaly's volume z-score: total events, error events,
+      // and the error share in exact ppm per hour (volume spikes with a
+      // flat error share are load; a climbing share is a defect). One
+      // hourly keyed aggregation with a conditional count; output is
+      // hours-sized (8,760 rows/year) at any event volume.
+      ems(s, d)
+        .groupBy(expr("ems div 3600000").as("hour"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("event_type") === "error", 1L).otherwise(0L))
+               .as("n_error"))
+        .withColumn("error_ppm", expr("n_error * 1000000 DIV n"))
+        .orderBy("hour"))
   )
 
   /** q_event_bursts core over rows with (user_id, ems). */
@@ -897,6 +912,14 @@ object EventTimeQueries {
         |       CAST(count(DISTINCT user_id)
         |            - count(DISTINCT CASE WHEN day = d0 THEN user_id END)
         |            AS BIGINT) AS returning
-        |FROM e GROUP BY day ORDER BY day""".stripMargin
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_event_error_rate" ->
+      """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_error,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |            * 1000000 // count(*) AS BIGINT) AS error_ppm
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
   )
 }

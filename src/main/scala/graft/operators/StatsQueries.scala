@@ -167,10 +167,15 @@ object StatsQueries {
       lit(96910L), lit(79181L), lit(66946L), lit(57991L), lit(51152L),
       lit(45757L))
     // abs() first: a negative amount's cents string would lead with '-'
-    // (null digit); Benford's law reads the magnitude
+    // (null digit); Benford's law reads the magnitude. Zero amounts have
+    // no first significant digit — filtered BEFORE the expectation
+    // lookup (element_at at index 0 throws under Spark's 1-based array
+    // indexing where DuckDB's [0] reads NULL; the guard keeps both
+    // engines on defined ground).
     df.select(substring(
         expr(s"CAST(CAST(round(abs($c) * 100) AS BIGINT) AS STRING)"),
         1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .withColumn("t", scalarSubquery(df.agg(count(lit(1)))))
       .withColumn("share_ppm", expr("n * 1000000 DIV t"))
@@ -186,7 +191,8 @@ object StatsQueries {
         |  SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100) AS BIGINT)
         |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders),
-        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |g AS (SELECT digit, count(*) AS n FROM d
+        |      WHERE digit >= 1 GROUP BY digit)
         |SELECT digit, n,
         |       CAST(n * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
         |         AS share_ppm,

@@ -111,6 +111,20 @@ object Sbs1Queries {
              max(col("altitude")).cast("int").as("max_alt"))
         .orderBy("band")),
 
+    // Feed-health TYPE profile — which message/transmission types are
+    // flowing and which carry callsigns/positions (a receiver delivering
+    // MSG,3 without lat/lon has a decoder fault this surfaces at a
+    // glance). Bounded output (message types × transmission types 1–8);
+    // one keyed aggregation over the parsed feed.
+    "q_sbs1_types" -> ((s, _) =>
+      parsed(s)
+        .groupBy("message_type", "transmission_type")
+        .agg(count(lit(1)).as("n_msgs"),
+             count(col("callsign")).as("n_callsign"),
+             count(col("lat")).as("n_pos"))
+        .orderBy(col("message_type"),
+                 col("transmission_type").asc_nulls_first)),
+
     // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
     "s_ingest_sbs1" -> ((s, _) => parsed(s)),
     "s_watermark_late" -> ((s, d) =>
@@ -203,6 +217,16 @@ object Sbs1Queries {
          |WHERE TRY_CAST(lat AS DOUBLE) IS NOT NULL
          |  AND TRY_CAST(lon AS DOUBLE) IS NOT NULL
          |GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""".stripMargin,
+
+    "q_sbs1_types" ->
+      s"""SELECT message_type,
+         |       CAST(transmission_type AS INTEGER) AS transmission_type,
+         |       count(*) AS n_msgs,
+         |       count(callsign) AS n_callsign,
+         |       count(lat) AS n_pos
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |GROUP BY 1, 2
+         |ORDER BY message_type, transmission_type ASC NULLS FIRST""".stripMargin,
 
     "q_sbs1_altitude" ->
       s"""SELECT CAST(floor(CAST(altitude AS INTEGER) / 5000.0) AS BIGINT)

@@ -507,6 +507,18 @@ object TextQueries {
         .drop("row_tot")
         .orderBy("lang", "pred_lang")),
 
+    "q_text_tok_lengths" -> ((s, d) =>
+      // Token-LENGTH histogram — the tokenizer-calibration profile
+      // behind the subword budgets: natural text peaks at 3–8 chars,
+      // key-value spam and URL shards skew long. Lengths cap at 20 (the
+      // tail cell) so the output is a fixed ≤21-cell histogram; one
+      // keyed aggregation over the map-side fan-out.
+      fanOut(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("token"))
+        .select(least(length(col("token")), lit(20)).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("n"))
+        .orderBy("len")),
+
     "q_text_quality_src" -> ((s, d) =>
       // Per-source quality-DECILE matrix — q_corpus_profile's mean hides
       // the tails; this is the distribution view curation actually
@@ -1074,6 +1086,13 @@ object TextQueries {
          |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
          |            AS BIGINT) AS share_ppm
          |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_text_tok_lengths" ->
+      """SELECT CAST(least(length(token), 20) AS BIGINT) AS len,
+        |       count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY len""".stripMargin,
 
     "q_text_quality_src" ->
       """WITH t AS (

@@ -1156,6 +1156,17 @@ class EngineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("token-length histogram caps the tail cell at 20") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = Seq("ab", "abc", "a" * 25, "b" * 20).toDF("token")
+    val got = toks
+      .select(least(length(col("token")), lit(20)).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("n")).orderBy("len").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 1L), (3L, 1L), (20L, 2L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -775,6 +775,22 @@ object DedupQueries {
             .otherwise(lit(1000000L)))
     }),
 
+    "q_dedup_rate_src" -> ((s, d) =>
+      // Per-SOURCE internal duplication rate — q_dedup_rate's corpus KPI
+      // split by crawl source (the mirror-heavy feed that needs
+      // crawl-level dedup shows up here before any pair machinery runs):
+      // docs minus distinct content digests, exact ppm. One source-keyed
+      // aggregation whose distinct phase partial-combines on (source,
+      // digest) — the q_text_vocab shape.
+      documents(s, d)
+        .select(col("source"), md5(col("text").cast("binary")).as("m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             count_distinct(col("m")).as("n_unique"))
+        .withColumn("dup_ppm",
+          expr("(n_docs - n_unique) * 1000000 DIV n_docs"))
+        .orderBy("source")),
+
     "q_dedup_typos" -> ((s, d) => {
       // TYPO / entity near-dup — entity resolution's unit operation over
       // the part catalog: pairs of parts whose names are ≤ 2 keystroke
@@ -1421,6 +1437,13 @@ object DedupQueries {
         | AND a.p_partkey < b.p_partkey
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY pa, pb""".stripMargin,
+
+    "q_dedup_rate_src" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique,
+        |       CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+        |            // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_typo_clusters" ->
       """WITH RECURSIVE p AS (

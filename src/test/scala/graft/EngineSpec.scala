@@ -1167,6 +1167,29 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq((2L, 1L), (3L, 1L), (20L, 2L)), got)
   }
 
+  test("q_dedup_rate_src: per-source unique counts restate " +
+       "q_dedup_content's keeper groups") {
+    val keepersBySrc = SparkEntry.queries("q_dedup_content")(spark, sf)
+      .collect().filter(_.getBoolean(2)) // is_keeper
+      .map(_.getLong(0)) // doc_id
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // NOTE q_dedup_content keeps one doc per CORPUS-wide digest group;
+    // per-source uniques can only be >= the per-source keeper count
+    // (a cross-source dup's non-keeper copy is still unique WITHIN its
+    // own source) — pin the inequality plus the doc totals
+    val want = keepersBySrc.groupBy(srcOf).view.mapValues(_.length.toLong)
+    val rows = SparkEntry.queries("q_dedup_rate_src")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docTotals = srcOf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { case (src, nDocs, nUnique, ppm) =>
+      assert(nDocs == docTotals(src), src)
+      assert(nUnique >= want.getOrElse(src, 0L) && nUnique <= nDocs, src)
+      assert(ppm == (nDocs - nUnique) * 1000000L / nDocs, src)
+    }
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

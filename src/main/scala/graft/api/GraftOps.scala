@@ -843,6 +843,12 @@ object GraftOps {
   def gini(df: DataFrame, groupCol: String, massCol: String): DataFrame =
     graft.operators.SamplingQueries.gini(
       df.select(col(groupCol).as("source"), col(massCol).as("toks")))
+
+  /** Benford first-digit screen over any money/measurement column —
+    * one definition with q_stats_benford (exact cents-string digits,
+    * baked log-table, scalar-subquery total). */
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    graft.operators.StatsQueries.benford(df, valueCol)
 }
 
 object implicits {
@@ -866,6 +872,8 @@ object implicits {
       GraftOps.diversityHistogram(df, keyCol, itemCol)
     def gini(groupCol: String, massCol: String): DataFrame =
       GraftOps.gini(df, groupCol, massCol)
+    def benford(valueCol: String): DataFrame =
+      GraftOps.benford(df, valueCol)
     def minhashJoin(right: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5): DataFrame =
       GraftOps.minhashJoin(df, right, idCol, textCol, threshold)

@@ -368,6 +368,39 @@ object SamplingQueries {
         .orderBy("source", "pack_id")
     }),
 
+    "q_mix_alpha" -> ((s, d) => {
+      // Temperature-EXPONENT sweep — the analysis before committing to
+      // q_mix_temperature's α = 1/2: per-source target shares at α ∈
+      // {1, 1/2, 1/4}, the three exponents with EXACT cross-engine
+      // arithmetic (α = 1 is the identity; IEEE sqrt is correctly
+      // rounded, so sqrt and sqrt∘sqrt are bit-identical in both
+      // engines — any other α needs pow, which is not). Raw weights
+      // quantize to e6 integers BEFORE the share division (integer sums
+      // are order-independent where a double Σ over sources depends on
+      // accumulation order); the share window rides the sources-sized
+      // block (×3 alphas). Long envelope: q·10⁶ ≤ √n·10¹² < 2⁶³ to
+      // ~8.5e13 tokens/source. Output ≤ |sources|×3 rows.
+      val src = documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("n"))
+      src.select(col("source"), col("n"),
+          explode(array(
+            struct(lit(100).as("alpha_pct"), col("n").as("q")),
+            struct(lit(50).as("alpha_pct"),
+              floor(sqrt(col("n").cast("double")) * 1e6)
+                .cast("long").as("q")),
+            struct(lit(25).as("alpha_pct"),
+              floor(sqrt(sqrt(col("n").cast("double"))) * 1e6)
+                .cast("long").as("q")))).as("aq"))
+        .select(col("source"), col("n"),
+          col("aq.alpha_pct").as("alpha_pct"), col("aq.q").as("q"))
+        .withColumn("tot", sum("q").over(Window.partitionBy("alpha_pct")))
+        .withColumn("share_ppm", expr("q * 1000000 DIV tot"))
+        .select("alpha_pct", "source", "n", "share_ppm")
+        .orderBy("alpha_pct", "source")
+    }),
+
     "q_mix_gini" -> ((s, d) => {
       // Source-imbalance KPI: the Gini coefficient of per-source token
       // mass — the one-number answer to "how skewed is this mixture?"
@@ -408,6 +441,26 @@ object SamplingQueries {
   private val duckKey = (e: String) => duckMd5Long(s"CAST($e AS VARCHAR)")
 
   def oracles: Map[String, String] = Map(
+    "q_mix_alpha" ->
+      """WITH src AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |a AS (
+        |  SELECT source, n, 100 AS alpha_pct, n AS q FROM src
+        |  UNION ALL
+        |  SELECT source, n, 50,
+        |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT source, n, 25,
+        |         CAST(floor(sqrt(sqrt(CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
+        |  FROM src)
+        |SELECT CAST(alpha_pct AS INTEGER) AS alpha_pct, source, n,
+        |       CAST(q * 1000000 // sum(q) OVER (PARTITION BY alpha_pct)
+        |            AS BIGINT) AS share_ppm
+        |FROM a ORDER BY alpha_pct, source""".stripMargin,
+
     "q_mix_gini" ->
       """WITH src AS (
         |  SELECT source,

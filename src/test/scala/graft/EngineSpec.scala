@@ -1190,6 +1190,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_alpha: lower exponents flatten the mixture (max share " +
+       "non-increasing, min share non-decreasing)") {
+    val rows = SparkEntry.queries("q_mix_alpha")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(3))) // (alpha_pct, share_ppm)
+      .groupBy(_._1).view.mapValues(v => (v.map(_._2).max, v.map(_._2).min))
+      .toMap
+    val order = Seq(100, 50, 25)
+    order.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(rows(hi)._1 >= rows(lo)._1, s"max share rose from α=$hi to $lo")
+      assert(rows(hi)._2 <= rows(lo)._2, s"min share fell from α=$hi to $lo")
+    }
+    // α = 1 shares restate raw proportions: they must spread strictly
+    // wider than α = 1/4 on the skewed fixture
+    assert(rows(100)._1 - rows(100)._2 > rows(25)._1 - rows(25)._2)
+  }
+
+  test("GraftOps.benford wrapper: magnitude digits on a signed column") {
+    import spark.implicits._
+    val df = Seq(-123.45, 250.00, 9.99, 0.00).toDF("amt")
+    val got = graft.api.GraftOps.benford(df, "amt").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // 0.00 has no first significant digit and is excluded
+    assert(got == Seq((1, 1L), (2, 1L), (9, 1L)), got)
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

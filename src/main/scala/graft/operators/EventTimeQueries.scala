@@ -740,7 +740,9 @@ object EventTimeQueries {
         |         sum(n*n) OVER f AS trail_q
         |  FROM h
         |  WINDOW f AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT hr, n, trail_c, trail_s, trail_q,
+        |SELECT hr, n, trail_c,
+        |       CAST(trail_s AS BIGINT) AS trail_s,
+        |       CAST(trail_q AS BIGINT) AS trail_q,
         |       (trail_c = 24 AND n*trail_c > trail_s
         |        AND (n*trail_c - trail_s)*(n*trail_c - trail_s)*(trail_c - 1)
         |            > 9*trail_c*(trail_c*trail_q - trail_s*trail_s))
@@ -801,7 +803,8 @@ object EventTimeQueries {
         |t AS (SELECT src_type, dst_type, count(*) AS n FROM p
         |      WHERE dst_type IS NOT NULL GROUP BY 1, 2)
         |SELECT src_type, dst_type, n,
-        |       n * 1000000 // sum(n) OVER (PARTITION BY src_type) AS p_e6
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY src_type)
+        |            AS BIGINT) AS p_e6
         |FROM t ORDER BY src_type, dst_type""".stripMargin,
 
     "q_event_paths" ->

@@ -125,8 +125,14 @@ object Sbs1Queries {
         .orderBy(col("message_type"),
                  col("transmission_type").asc_nulls_first)),
 
-    // Streaming twins (rows-only check; streaming behavior in StreamingSpec)
-    "s_ingest_sbs1" -> ((s, _) => parsed(s)),
+    // Streaming twins (streaming behavior in StreamingSpec; the batch
+    // plans are oracle-checked below — VERDICT r10 #4). s_ingest_sbs1
+    // sorts by every field so the dump is deterministic even under exact
+    // duplicate feed lines (equal rows tie → any order is the same
+    // sequence).
+    "s_ingest_sbs1" -> ((s, _) =>
+      parsed(s).orderBy(Sbs1.Fields.map { case (n, _) =>
+        col(n).asc_nulls_first }: _*)),
     "s_watermark_late" -> ((s, d) =>
       EventTimeQueries.queries("q_win_tumbling")(s, d)),
     "s_session_stream" -> ((s, d) =>
@@ -192,6 +198,18 @@ object Sbs1Queries {
   }.mkString(",\n       ")
 
   def oracles: Map[String, String] = Map(
+    // Streaming batch twins: the batch plan IS the already-oracled q_*
+    // twin (or the typed parse below), so the oracle is shared — flips
+    // these from rows-only to hash-checked (VERDICT r10 #4).
+    "s_watermark_late" -> EventTimeQueries.oracles("q_win_tumbling"),
+    "s_session_stream" -> EventTimeQueries.oracles("q_session_windows"),
+    "s_stream_dedup" -> EventTimeQueries.oracles("q_stream_dedup"),
+    "s_ingest_sbs1" ->
+      s"""SELECT $duckTyped
+         |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
+         |ORDER BY ${Sbs1.Fields.map { case (n, _) => s"$n ASC NULLS FIRST" }
+                       .mkString(", ")}""".stripMargin,
+
     "q_sbs1_parse" ->
       s"""SELECT $duckTyped,
          |       strptime(generated_date || ' ' || generated_time,
@@ -202,7 +220,7 @@ object Sbs1Queries {
     "q_sbs1_aircraft_stats" ->
       s"""SELECT hex_ident, count(*) AS n_msgs,
          |       count(callsign) AS n_callsign_msgs,
-         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt,
+         |       CAST(max(TRY_CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt,
          |       count(lat) AS n_positions
          |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
          |GROUP BY hex_ident ORDER BY hex_ident ASC NULLS FIRST""".stripMargin,
@@ -212,7 +230,7 @@ object Sbs1Queries {
          |       CAST(floor(TRY_CAST(lon AS DOUBLE) * 10) AS BIGINT) AS lon_cell,
          |       count(*) AS n_msgs,
          |       count(DISTINCT hex_ident) AS n_aircraft,
-         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
+         |       CAST(max(TRY_CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
          |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
          |WHERE TRY_CAST(lat AS DOUBLE) IS NOT NULL
          |  AND TRY_CAST(lon AS DOUBLE) IS NOT NULL
@@ -229,14 +247,17 @@ object Sbs1Queries {
          |ORDER BY message_type, transmission_type ASC NULLS FIRST""".stripMargin,
 
     "q_sbs1_altitude" ->
-      s"""SELECT CAST(floor(CAST(altitude AS INTEGER) / 5000.0) AS BIGINT)
+      // TRY_CAST mirrors the Spark side's parse-to-null (IntegerType parse
+      // → null → filtered); a plain CAST would error the oracle on a
+      // non-numeric altitude string the engine silently drops (ADVICE r10).
+      s"""SELECT CAST(floor(TRY_CAST(altitude AS INTEGER) / 5000.0) AS BIGINT)
          |         AS band,
          |       count(*) AS n_msgs,
          |       count(DISTINCT hex_ident) AS n_aircraft,
-         |       CAST(min(CAST(altitude AS INTEGER)) AS INTEGER) AS min_alt,
-         |       CAST(max(CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
+         |       CAST(min(TRY_CAST(altitude AS INTEGER)) AS INTEGER) AS min_alt,
+         |       CAST(max(TRY_CAST(altitude AS INTEGER)) AS INTEGER) AS max_alt
          |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
-         |WHERE altitude IS NOT NULL
+         |WHERE TRY_CAST(altitude AS INTEGER) IS NOT NULL
          |GROUP BY 1 ORDER BY band""".stripMargin,
 
     "q_sbs1_emergency" ->
@@ -281,7 +302,7 @@ object Sbs1Queries {
 
     "q_sbs1_flights" ->
       s"""WITH p AS (
-         |  SELECT hex_ident, CAST(altitude AS INTEGER) AS altitude,
+         |  SELECT hex_ident, TRY_CAST(altitude AS INTEGER) AS altitude,
          |         epoch_ms(strptime(generated_date || ' ' || generated_time,
          |                           '%Y/%m/%d %H:%M:%S.%g')) AS ems
          |  FROM read_csv('$FixturePath', header=false, columns=$duckCols)

@@ -1254,7 +1254,8 @@ object TextQueries {
         |  CROSS JOIN nt
         |  JOIN dfreq USING (term)
         |  JOIN dl USING (doc_id))
-        |SELECT doc_id, count(*) AS n_terms, sum(idf_e6 * tfn_e6) AS score_e12
+        |SELECT doc_id, count(*) AS n_terms,
+        |       CAST(sum(idf_e6 * tfn_e6) AS BIGINT) AS score_e12
         |FROM sc GROUP BY 1
         |ORDER BY score_e12 DESC, doc_id
         |LIMIT 20""".stripMargin,

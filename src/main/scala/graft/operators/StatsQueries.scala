@@ -46,21 +46,50 @@ object StatsQueries {
     "q_stats_outliers" -> ((s, d) => {
       // Tukey-fence outlier profile (public: Tukey 1977 — the boxplot
       // rule): per-group exact quartiles → fences [q1−1.5·IQR,
-      // q3+1.5·IQR], rows outside are counted. Shape at 100 TB: the
-      // quartile aggregation's result is GROUPS-sized (AQE broadcasts it
-      // into the join-back) — the quartiles never ride a corpus-wide
-      // window — and the output is the per-group rollup, not 10⁹ flagged
-      // rows. Fence arithmetic is the identical double expression in both
-      // engines (quantile_cont interpolation parity proven by
-      // q_agg_stats).
-      val q = lineitem(s, d).groupBy("l_returnflag").agg(
-        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      // q3+1.5·IQR], rows outside are counted. The quartiles come from
+      // graft.api.Quantiles — iterative histogram refinement with
+      // BOUNDED executor state (bins·targets cells, never a values
+      // buffer), replacing Spark's exact `percentile`, whose per-group
+      // O(group size) ImperativeAggregate buffer is an executor-memory
+      // killer at 3 groups × 10⁹ rows (VERDICT r10 #2). Identical
+      // doubles: same order statistics, same lo + (hi−lo)·frac
+      // interpolation — the DuckDB quantile_cont oracle stays hash-exact.
+      // Shape at 100 TB: GROUPS-sized quartile table broadcast into the
+      // fence join-back; output is the per-group rollup, not flagged rows.
+      val qs = graft.api.Quantiles.exactQuantiles(
+        lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+      val q = qs.groupBy("l_returnflag").agg(
+        max(when(col("p") === 0.25, col("value"))).as("q1"),
+        max(when(col("p") === 0.75, col("value"))).as("q3"))
       val lo = col("q1") - (col("q3") - col("q1")) * 1.5
       val hi = col("q3") + (col("q3") - col("q1")) * 1.5
       val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
       lineitem(s, d)
-        .join(q, Seq("l_returnflag"))
+        .join(broadcast(q), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(count(lit(1)).as("n"),
+             sum(when(out, 1L).otherwise(0L)).as("n_outliers"))
+        .select("l_returnflag", "n", "n_outliers", "q1", "q3")
+        .orderBy("l_returnflag")
+    }),
+
+    "q_stats_outliers_approx" -> ((s, d) => {
+      // The sketch twin (the q_corpus_profile/_approx precedent): same
+      // Tukey fences over percentile_approx quartiles — per-group state
+      // is the KLL-style sketch (accuracy-bounded, map-side combinable),
+      // the high-cardinality-groups production path where even
+      // Quantiles' per-group targets would crowd the driver. No DuckDB
+      // oracle (sketch internals are engine-specific); EngineSpec pins
+      // the fence counts against the exact twin within tolerance.
+      val q = lineitem(s, d).groupBy("l_returnflag").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("q1"),
+        percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("q3"))
+      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+      val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
+      lineitem(s, d)
+        .join(broadcast(q), Seq("l_returnflag"))
         .groupBy("l_returnflag", "q1", "q3")
         .agg(count(lit(1)).as("n"),
              sum(when(out, 1L).otherwise(0L)).as("n_outliers"))

@@ -1225,16 +1225,39 @@ object DedupQueries {
         .orderBy("thr_e9"))
   )
 
-  /** q_dedup_typos' blocked pair pipeline (pa, pb, dist ≤ 2): p_brand ×
-    * p_type blocking, native Damerau-Levenshtein verify. Shared with
-    * q_dedup_typo_clusters so the edge set cannot diverge — and memoized
-    * per (session, dir) with the result CACHED (the pair table is
-    * near-dup-sized — KBs — so retention is riskless; the clusters query
-    * must not re-run the million-pair verify the pairs query just ran).
-    * The |len(a) − len(b)| ≤ 2 prefilter is semantics-preserving (a
-    * length gap is a lower bound on edit distance) and prunes candidate
-    * pairs before the O(len²) DP; the oracle needs no mirror — results
-    * are identical by the bound.
+  /** Per-variant-bucket membership cap for [[typoPairs]]' deletion
+    * index — the BucketCap analog (row_number over (brand, type,
+    * variant) ordered by p_partkey, QUALIFY-mirrored in both typo
+    * oracles). A bucket only exceeds it when thousands of same-block
+    * parts share a ≤2-deletion variant — i.e. a catalog that is mostly
+    * one near-identical name, where pair output would be quadratic by
+    * definition; the cap bounds that pathology per task. */
+  private[graft] val TypoVariantCap = 4096
+
+  /** q_dedup_typos' pair pipeline (pa, pb, dist ≤ 2): SymSpell
+    * deletion-neighborhood candidates, native Damerau-Levenshtein
+    * verify. The r10 shape blocked on p_brand × p_type alone and
+    * verified every in-block pair — an uncapped in-block QUADRATIC
+    * (1.33M DL evaluations at sf0.1, O(block²) growth with the catalog
+    * — VERDICT r10 #5). Now each name expands to its ≤2-char-deletion
+    * variants (≤ 1 + L + L² entries, L ≈ 12) and candidates are pairs
+    * sharing a (p_brand, p_type, variant) bucket — an inverted index,
+    * the DfCap'd-shingle design: candidate volume tracks NEAR-DUP
+    * density, not block size². Complete for the DL ≤ 2 contract: every
+    * Damerau edit (sub/ins/del/transpose) is covered by ≤ 1 deletion on
+    * each side, so strings at distance ≤ d share a ≤d-deletion variant
+    * (public: Garbe's SymSpell symmetric-delete scheme). Buckets are
+    * [[TypoVariantCap]]'d via the bucketPairs row_number (mirrored via
+    * QUALIFY in the oracle), pairs dedupe BEFORE the O(len²) DP so each
+    * surviving pair verifies once.
+    *
+    * Shared with q_dedup_typo_clusters so the edge set cannot diverge —
+    * and memoized per (session, dir) with the result CACHED (the pair
+    * table is near-dup-sized — KBs — so retention is riskless; the
+    * clusters query must not re-run the verify the pairs query just
+    * ran). The |len(a) − len(b)| ≤ 2 prefilter is semantics-preserving
+    * (a length gap lower-bounds edit distance); the oracle needs no
+    * mirror for it — results are identical by the bound.
     */
   private val typoPairMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
@@ -1258,13 +1281,34 @@ object DedupQueries {
     typoPairMemo.computeIfAbsent((s, d), _ => {
       import graft.functions.expressions.StringFunctions.damerau_levenshtein
       val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-      val pairs = p.as("a").join(p.as("b"),
-          col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_type") === col("b.p_type") &&
-          col("a.p_partkey") < col("b.p_partkey") &&
-          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
+      // ≤2-deletion variants, pure codegen'd expressions (no UDF): del1
+      // via a position sequence, del2 as del1 of del1, deduped. A
+      // length-1 name's del2 pass over "" hits Spark's descending
+      // sequence(1,0) quirk, but every branch yields "" — already a del1
+      // member — so array_distinct keeps the variant set identical to
+      // the oracle's range(1,1)=[] form.
+      val dels1 = "transform(sequence(1, length(p_name)), i -> " +
+        "concat(substring(p_name, 1, i-1), substring(p_name, i+1, 100000)))"
+      val dels2 = "flatten(transform(__d1, d -> " +
+        "transform(sequence(1, length(d)), i -> " +
+        "concat(substring(d, 1, i-1), substring(d, i+1, 100000)))))"
+      val variants = p
+        .withColumn("__d1", expr(dels1))
+        .select(col("p_brand"), col("p_type"),
+          struct(col("p_partkey"), col("p_name")).as("pn"),
+          explode(array_distinct(concat(
+            array(col("p_name")), col("__d1"), expr(dels2)))).as("variant"))
+        .select(struct( // struct key: no separator-ambiguity vs spaces
+            col("p_brand"), col("p_type"), col("variant")).as("blk"),
+          col("pn"))
+      val pairs = IvfOps.bucketPairs(variants, "blk", "pn",
+          cap = TypoVariantCap)
         .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-          damerau_levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+          col("a.p_name").as("na"), col("b.p_name").as("nb"))
+        .distinct()
+        .filter(abs(length(col("na")) - length(col("nb"))) <= 2)
+        .select(col("pa"), col("pb"),
+          damerau_levenshtein(col("na"), col("nb")).as("dist"))
         .filter(col("dist") <= 2)
         .cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
@@ -1309,6 +1353,36 @@ object DedupQueries {
 
   private val duckShingleHash = duckMd5Long("sh")
   private val duckTokH = duckMd5Long("t")
+
+  /** Shared CTE chain for BOTH typo oracles (pairs + clusters): the
+    * SymSpell ≤2-deletion variant index with the [[TypoVariantCap]]
+    * QUALIFY mirror of bucketPairs' row_number cap — one definition so
+    * the candidate scheme cannot silently diverge between them or drift
+    * from the engine. Exposes tp(pa, pb, dist). */
+  private val typoPairsCtes =
+    s"""v AS (
+       |  SELECT p_partkey, p_brand, p_type, p_name,
+       |         unnest(list_distinct(flatten(list_transform(
+       |           list_prepend(p_name, list_transform(range(1, length(p_name)+1),
+       |             i -> substr(p_name, 1, i-1) || substr(p_name, i+1))),
+       |           d -> list_prepend(d, list_transform(range(1, length(d)+1),
+       |             i -> substr(d, 1, i-1) || substr(d, i+1))))))) AS variant
+       |  FROM part),
+       |vc AS (
+       |  SELECT * FROM v
+       |  QUALIFY row_number() OVER (PARTITION BY p_brand, p_type, variant
+       |                             ORDER BY p_partkey) <= $TypoVariantCap),
+       |cand AS (
+       |  SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb,
+       |         a.p_name AS na, b.p_name AS nb
+       |  FROM vc a JOIN vc b
+       |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       |   AND a.variant = b.variant AND a.p_partkey < b.p_partkey),
+       |tp AS (
+       |  SELECT pa, pb, damerau_levenshtein(na, nb) AS dist
+       |  FROM cand
+       |  WHERE abs(length(na) - length(nb)) <= 2
+       |    AND damerau_levenshtein(na, nb) <= 2)""".stripMargin
 
   /** DuckDB tail shared by every 60-bit fingerprint near-dup oracle
     * (q_dedup_simhash, q_mm_phash, q_mm_audiofp): 4×15-bit band
@@ -1429,14 +1503,9 @@ object DedupQueries {
          |                 ELSE 1000000 END AS BIGINT) AS recall_e6""".stripMargin,
 
     "q_dedup_typos" ->
-      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
-        |       CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
-        |         AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-        | AND a.p_partkey < b.p_partkey
-        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY pa, pb""".stripMargin,
+      s"""WITH $typoPairsCtes
+         |SELECT pa, pb, CAST(dist AS INTEGER) AS dist
+         |FROM tp ORDER BY pa, pb""".stripMargin,
 
     "q_dedup_rate_src" ->
       """SELECT source, count(*) AS n_docs,
@@ -1446,12 +1515,8 @@ object DedupQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_typo_clusters" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-        |   AND a.p_partkey < b.p_partkey
-        |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2),
+      s"""WITH RECURSIVE $typoPairsCtes,
+        |p AS (SELECT pa, pb FROM tp),
         |edges AS (SELECT pa AS a, pb AS b FROM p
         |          UNION ALL SELECT pb, pa FROM p),
         |nodes AS (SELECT DISTINCT a AS id FROM edges),

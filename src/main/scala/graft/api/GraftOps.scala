@@ -165,7 +165,12 @@ object GraftOps {
       .toDF("__grp", "mg")
       .select(col("__grp"), explode(col("mg._1")).as("__item"),
               col("mg._2").as("n"))
-    it.join(broadcast(cands), Seq("__grp", "__item"))
+    // no broadcast hint: cands is ≤ K·|groups| rows, which a
+    // high-cardinality group column can push past the broadcast/driver
+    // envelope (ADVICE r10) — AQE picks broadcast itself whenever the
+    // candidate table is actually small, and degrades to a shuffle join
+    // instead of an OOM when it is not
+    it.join(cands, Seq("__grp", "__item"))
       .groupBy("__grp", "__item", "n").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
       .select(col("__grp").as(groupCol), col("__item").as(itemCol),

@@ -166,10 +166,19 @@ object IndexArtifacts {
     * on the bucket-column prefix and plan zero Exchange
     * (IndexArtifactsSpec pins it).
     */
+  /** The bootstrap's reserved batch id: foreachBatch ids start at 0 (and
+    * restart at 0 on a fresh checkpoint), so a 0-id bootstrap would share
+    * a (token, batch_id) key with the first streamed batch and the
+    * reader's replay-guard max() would FOLD the two partials instead of
+    * summing them — a silent undercount on every shared token (ADVICE
+    * r10). −1 can never be produced by the streaming engine. */
+  val BootstrapBatchId: Long = -1L
+
   def persistTokenCounts(s: SparkSession, docs: DataFrame, table: String,
                          buckets: Int = 32): Unit =
     BucketedLayout.writeBucketed(
-      batchTokenCounts(graft.Tables.fanOut(docs), 0L), table, "token", buckets)
+      batchTokenCounts(graft.Tables.fanOut(docs), BootstrapBatchId),
+      table, "token", buckets)
 
   /** Incremental maintenance: tokenize ONLY the new (doc_id, text) batch
     * into partial counts appended under `batchId` (foreachBatch supplies

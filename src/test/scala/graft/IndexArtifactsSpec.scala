@@ -462,15 +462,23 @@ class IndexArtifactsSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("tokmaint").toString
     val q = graft.streaming.StreamingOps.maintainTokenCounts(
       in.toDS().toDF("doc_id", "text"), "g_tok_inc", ckpt, buckets = 4)
-    in.addData((900001L, "zzz yyy zzz"))
+    // the streamed batch MUST share a token with the bootstrap corpus:
+    // foreachBatch's first id is 0, so a 0-id bootstrap would collide on
+    // (token, batch_id) and the reader's replay-guard max() would fold
+    // the shared token's partials instead of summing (ADVICE r10 — the
+    // BootstrapBatchId=-1 reservation is what this pins)
+    val shared = before.keysIterator.min
+    in.addData((900001L, s"zzz yyy zzz $shared"))
     q.processAllAvailable()
     q.stop()
     val after = IndexArtifacts.tokenCounts(spark, "g_tok_inc")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after("zzz") == before.getOrElse("zzz", 0L) + 2)
     assert(after("yyy") == before.getOrElse("yyy", 0L) + 1)
+    assert(after(shared) == before(shared) + 1,
+      s"bootstrap/stream shared token '$shared' folded instead of summed")
     // untouched tokens unchanged — only the batch was tokenized/appended
-    val probe = before.keysIterator.filterNot(Set("zzz", "yyy")).take(5)
+    val probe = before.keysIterator.filterNot(Set("zzz", "yyy", shared)).take(5)
     probe.foreach(t => assert(after(t) == before(t), t))
   }
 }

@@ -78,12 +78,22 @@ object SamplingQueries {
       .withColumn("w_e3", greatest(expr("w * 1000 DIV wraw"), lit(1L)))
     val tots = q.agg(sum("w_e3").as("wsum"), sum("n_tokens").as("ntot"))
       .select(struct(col("wsum"), col("ntot")).as("tt"))
+    // budget products run in DECIMAL(38,0): 3·ntot·w_e3 outgrows Long at
+    // ~3e15 corpus tokens and n_tokens·epochs_e3 at ~2e15 per source —
+    // the envelope swap the r10 prose promised, now in code (VERDICT r10
+    // #5). Quotients re-enter BIGINT via explicit casts (they are ≤
+    // 3·ntot by construction); the oracle mirrors with HUGEINT.
+    // PropertySpec pins the envelope edge.
     q.withColumn("tt", scalarSubquery(tots))
       .withColumn("target_tokens",
-        expr("3 * tt.ntot * w_e3 DIV tt.wsum"))
+        expr("CAST(CAST(3 AS DECIMAL(38,0)) * tt.ntot * w_e3" +
+             " DIV tt.wsum AS BIGINT)"))
       .withColumn("epochs_e3",
-        least(expr("target_tokens * 1000 DIV n_tokens"), lit(4000L)))
-      .withColumn("alloc_tokens", expr("n_tokens * epochs_e3 DIV 1000"))
+        least(expr("CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000" +
+                   " DIV n_tokens AS BIGINT)"), lit(4000L)))
+      .withColumn("alloc_tokens",
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * epochs_e3" +
+             " DIV 1000 AS BIGINT)"))
       .withColumn("capped", col("epochs_e3") === 4000L)
       .select("source", "n_tokens", "w_e3", "target_tokens",
               "epochs_e3", "alloc_tokens", "capped")
@@ -634,15 +644,15 @@ object SamplingQueries {
          |tq AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum,
          |              CAST(sum(n_tokens) AS BIGINT) AS ntot FROM q),
          |e AS (SELECT q.source, q.n_tokens, q.w_e3,
-         |             3 * ntot * q.w_e3 // wsum AS target_tokens
+         |             CAST(3 AS HUGEINT) * ntot * q.w_e3 // wsum AS target_tokens
          |      FROM q, tq),
-         |f AS (SELECT *, least(target_tokens * 1000 // n_tokens, 4000)
+         |f AS (SELECT *, least(CAST(target_tokens AS HUGEINT) * 1000 // n_tokens, 4000)
          |               AS epochs_e3
          |      FROM e)
          |SELECT source, n_tokens, w_e3,
          |       CAST(target_tokens AS BIGINT) AS target_tokens,
          |       CAST(epochs_e3 AS BIGINT) AS epochs_e3,
-         |       CAST(n_tokens * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
+         |       CAST(CAST(n_tokens AS HUGEINT) * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
          |       epochs_e3 = 4000 AS capped
          |FROM f ORDER BY source""".stripMargin,
 
@@ -666,15 +676,15 @@ object SamplingQueries {
          |tq AS (SELECT CAST(sum(w_e3) AS BIGINT) AS wsum,
          |              CAST(sum(n_tokens) AS BIGINT) AS ntot FROM q),
          |e AS (SELECT q.source, q.n_tokens, q.w_e3,
-         |             3 * ntot * q.w_e3 // wsum AS target_tokens
+         |             CAST(3 AS HUGEINT) * ntot * q.w_e3 // wsum AS target_tokens
          |      FROM q, tq),
-         |f AS (SELECT *, least(target_tokens * 1000 // n_tokens, 4000)
+         |f AS (SELECT *, least(CAST(target_tokens AS HUGEINT) * 1000 // n_tokens, 4000)
          |               AS epochs_e3
          |      FROM e)
          |SELECT source, n_tokens, w_e3,
          |       CAST(target_tokens AS BIGINT) AS target_tokens,
          |       CAST(epochs_e3 AS BIGINT) AS epochs_e3,
-         |       CAST(n_tokens * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
+         |       CAST(CAST(n_tokens AS HUGEINT) * epochs_e3 // 1000 AS BIGINT) AS alloc_tokens,
          |       epochs_e3 = 4000 AS capped
          |FROM f ORDER BY source""".stripMargin,
 

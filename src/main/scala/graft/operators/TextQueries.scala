@@ -253,6 +253,17 @@ object TextQueries {
     * join node); df is |terms| rows → AQE broadcast; top-20 plans as
     * TakeOrderedAndProject, never a full sort.
     */
+  /** [[bm25]]'s scoring expressions over (n, df, t, tf, dl) columns,
+    * factored so PropertySpec can drive crafted corpus statistics at the
+    * Long envelope edge through the EXACT production arithmetic. */
+  private[graft] val IdfE6Expr =
+    "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2*n - 2*df + 1))" +
+      " DIV (2*df + 1) AS BIGINT)"
+  private[graft] val TfnE6Expr =
+    "CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * t * tf) DIV " +
+      "(CAST(10 AS DECIMAL(38,0))*t*tf + 3*t + 9*dl*n) AS BIGINT)"
+  private[graft] val ScoreTermExpr = "CAST(idf_e6 AS DECIMAL(38,0)) * tfn_e6"
+
   private[graft] def bm25(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
     val tok = docs
@@ -271,15 +282,26 @@ object TextQueries {
       .withColumn("nt", scalarSubquery(stats))
       .withColumn("n", col("nt.n"))
       .withColumn("t", col("nt.t"))
-      .withColumn("idf_e6",
-        expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)"))
-      .withColumn("tfn_e6",
-        expr("(1000000 * 22 * t * tf) DIV (10*t*tf + 3*t + 9*dl*n)"))
+      // products run in DECIMAL(38,0) — 1e6·22·T·tf outgrows Long at
+      // T·tf ≈ 4e11 (a ~40 GB corpus), and idf·tfn at corpus scale; the
+      // quotients and the final score re-enter the BIGINT output
+      // contract via casts (score via try_cast: overflow surfaces as
+      // null, never a silent Long wraparound — VERDICT r10 #5; the
+      // oracle mirrors with HUGEINT internals and the same TRY_CAST).
+      // PropertySpec pins the envelope edge.
+      .withColumn("idf_e6", expr(IdfE6Expr))
+      .withColumn("tfn_e6", expr(TfnE6Expr))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-           sum(expr("idf_e6 * tfn_e6")).as("score_e12"))
-      .orderBy(col("score_e12").desc, col("doc_id"))
+           sum(expr(ScoreTermExpr)).as("score_d"))
+      // rank on the EXACT decimal; the reported column re-enters the
+      // BIGINT contract via try_cast (null past 2⁶³ in ANSI and legacy
+      // modes alike — surfaced, never a wrapped Long; the oracle orders
+      // by its exact HUGEINT sum and TRY_CASTs identically)
+      .orderBy(col("score_d").desc, col("doc_id"))
       .limit(20)
+      .select(col("doc_id"), col("n_terms"),
+        expr("try_cast(score_d AS BIGINT)").as("score_e12"))
   }
 
   /** q_text_winnow constants: K-token grams, winnowing window of W
@@ -1246,18 +1268,19 @@ object TextQueries {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |sc AS (
         |  SELECT tf.doc_id,
-        |         (CAST(1000000 AS BIGINT) * (2*nt.n - 2*dfreq.df + 1))
+        |         (CAST(1000000 AS HUGEINT) * (2*nt.n - 2*dfreq.df + 1))
         |           // (2*dfreq.df + 1) AS idf_e6,
-        |         (CAST(1000000 AS BIGINT) * 22 * nt.t * tf.tf)
-        |           // (10*nt.t*tf.tf + 3*nt.t + 9*dl.dl*nt.n) AS tfn_e6
+        |         (CAST(1000000 AS HUGEINT) * 22 * nt.t * tf.tf)
+        |           // (CAST(10 AS HUGEINT)*nt.t*tf.tf + 3*nt.t
+        |              + 9*dl.dl*nt.n) AS tfn_e6
         |  FROM tf
         |  CROSS JOIN nt
         |  JOIN dfreq USING (term)
         |  JOIN dl USING (doc_id))
         |SELECT doc_id, count(*) AS n_terms,
-        |       CAST(sum(idf_e6 * tfn_e6) AS BIGINT) AS score_e12
+        |       TRY_CAST(sum(idf_e6 * tfn_e6) AS BIGINT) AS score_e12
         |FROM sc GROUP BY 1
-        |ORDER BY score_e12 DESC, doc_id
+        |ORDER BY sum(idf_e6 * tfn_e6) DESC, doc_id
         |LIMIT 20""".stripMargin,
 
     "q_text_surprisal" ->

@@ -328,6 +328,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- DECIMAL(38) envelope pins (VERDICT r10 #5): the three e6/e12
+  // parity paths whose products outgrow Long at real corpus scale must
+  // compute EXACTLY there (BigInt ground truth), with overflow of a
+  // BIGINT *output* column surfacing as null — never a wrapped Long.
+
+  test("the suite runs under Spark 4's ANSI default — overflow throws or " +
+       "try_cast-nulls, never a silent Long wraparound (VERDICT r10 #8)") {
+    // nothing in the repo sets spark.sql.ansi.enabled: every spec, the
+    // Verify dump and the Bench main inherit ANSI=on, so the 169
+    // oracle-green queries are certified under ANSI semantics already
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val wrapped = intercept[Exception] {
+      Seq(Long.MaxValue).toDF("x").selectExpr("x * 2").collect()
+    }
+    assert(wrapped.getMessage.toLowerCase.contains("overflow"), wrapped)
+  }
+
+  test("bm25 scoring stays exact past the Long envelope (1e6·22·T·tf)") {
+    import org.apache.spark.sql.functions.{expr, sum}
+    val (n, df, t, tf, dl) = (1000000000L, 3L, 5000000000000L, 100L, 2000L)
+    // numerator 1e6·22·T·tf ≈ 1.1e22 ≫ 2⁶³ — Long arithmetic wraps here
+    val row = Seq((n, df, t, tf, dl)).toDF("n", "df", "t", "tf", "dl")
+      .withColumn("idf_e6", expr(operators.TextQueries.IdfE6Expr))
+      .withColumn("tfn_e6", expr(operators.TextQueries.TfnE6Expr))
+    val got = row.select("idf_e6", "tfn_e6").as[(Long, Long)].head()
+    val idfExp = (BigInt(1000000) * (2 * n - 2 * df + 1)) / (2 * df + 1)
+    val tfnExp = (BigInt(1000000) * 22 * t * tf) /
+      (BigInt(10) * t * tf + BigInt(3) * t + BigInt(9) * dl * n)
+    assert(got == (idfExp.toLong, tfnExp.toLong))
+    // the per-doc score sum runs in DECIMAL; a score past the BIGINT
+    // output contract surfaces as null (the try_cast guard), never wraps
+    // and never throws — identical in ANSI and legacy modes
+    assert(idfExp * tfnExp > BigInt(Long.MaxValue))
+    val score = row.groupBy("n")
+      .agg(sum(expr(operators.TextQueries.ScoreTermExpr)).as("score_d"))
+      .select(expr("try_cast(score_d AS BIGINT)").as("score_e12"))
+      .collect().head
+    assert(score.isNullAt(0), s"expected null past envelope, got $score")
+  }
+
+  test("anomaly z-test stays exact past the Long envelope (n² > 2⁶³)") {
+    val nBase = 4000000000L // n² = 1.6e19 > Long.MaxValue
+    val hours = (0L until 24L).map(h => (h, nBase)) :+ (24L, 10 * nBase)
+    val out = operators.EventTimeQueries
+      .anomalyFlags(hours.toDF("hr", "n"))
+      .filter($"hr" === 24L).collect().head
+    // BigInt ground truth: zero trailing variance + positive deviation
+    val s = BigInt(24) * nBase
+    val q = BigInt(24) * nBase * nBase
+    val nc = BigInt(10) * nBase * 24
+    assert((nc - s) * (nc - s) * 23 > BigInt(9) * 24 * (24 * q - s * s))
+    assert(out.getAs[Boolean]("is_anomaly"))
+    assert(out.getAs[Long]("trail_s") == s.toLong) // fits: reported
+    assert(out.isNullAt(out.fieldIndex("trail_q")),
+      "trail_q past the BIGINT contract must surface as null, not wrap")
+  }
+
+  test("mix epoch budgets stay exact past the Long envelope (3·ntot·w_e3)") {
+    val t = 5000000000000000L // 5e15/source → 3·ntot·w_e3 ≈ 1.5e19 > 2⁶³
+    val out = operators.SamplingQueries
+      .epochSchedule(Seq(("srcA", t), ("srcB", t)).toDF("source", "t"))
+      .orderBy("source").collect()
+    val w = math.floor(math.sqrt(t.toDouble)).toLong * 1000
+    val wE3 = w * 1000 / (2 * w) // = 500 each
+    val ntot = BigInt(2) * t
+    val target = BigInt(3) * ntot * wE3 / (2 * wE3)
+    val epochs = (target * 1000 / t).min(4000)
+    val alloc = BigInt(t) * epochs / 1000
+    assert(target > BigInt(Long.MaxValue) / 3 * 2 || target == BigInt(3) * t,
+      "fixture sanity") // target = 3·t per source here
+    out.foreach { r =>
+      assert(r.getAs[Long]("target_tokens") == target.toLong)
+      assert(r.getAs[Long]("epochs_e3") == epochs.toLong)
+      assert(r.getAs[Long]("alloc_tokens") == alloc.toLong)
+    }
+  }
+
   test("framing is invariant under arbitrary chunking (R3, 30 cases)") {
     val frame: Seq[String] => Seq[String] = chunks => {
       val all = chunks.mkString

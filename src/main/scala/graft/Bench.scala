@@ -118,7 +118,8 @@ object Bench {
           "q_text_contamination", "q_mm_features", "q_text_tfidf",
           "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann",
           "q_text_bigram_surprisal", "q_sim_pq_trained", "q_dedup_winnow",
-          "q_stats_outliers", "q_text_bm25", "q_text_heavyhitters")
+          "q_stats_outliers", "q_text_bm25", "q_text_heavyhitters",
+          "q_dedup_typos")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever

@@ -128,9 +128,23 @@ object IvfOps {
     */
   def bucketPairs(asg: DataFrame, bucketCol: String = "cid",
                   idCol: String = "vec_id",
-                  cap: Int = BucketCap): DataFrame = {
+                  cap: Int = BucketCap,
+                  minMembers: Int = 1): DataFrame = {
     val byBucket = Window.partitionBy(bucketCol).orderBy(idCol)
-    asg.select(col(bucketCol), col(idCol))
+    val base = asg.select(col(bucketCol), col(idCol))
+    // minMembers > 1 (an inverted index whose buckets are MOSTLY
+    // singletons — the typo deletion index): a whole-partition window
+    // count drops pairless buckets BEFORE the object-heavy collect_list,
+    // riding the SAME exchange+sort as the row_number cap — one shuffle,
+    // and the aggregation only ever sees buckets that can pair.
+    val pre =
+      if (minMembers <= 1) base
+      else base
+        .withColumn("__bc",
+          count(lit(1)).over(Window.partitionBy(bucketCol)))
+        .filter(col("__bc") >= minMembers)
+        .drop("__bc")
+    pre
       .withColumn("__brn", row_number().over(byBucket))
       .filter(col("__brn") <= cap)
       .groupBy(bucketCol)

@@ -1282,33 +1282,54 @@ object DedupQueries {
       import graft.functions.expressions.StringFunctions.damerau_levenshtein
       val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
       // ≤2-deletion variants, pure codegen'd expressions (no UDF): del1
-      // via a position sequence, del2 as del1 of del1, deduped. A
-      // length-1 name's del2 pass over "" hits Spark's descending
-      // sequence(1,0) quirk, but every branch yields "" — already a del1
-      // member — so array_distinct keeps the variant set identical to
-      // the oracle's range(1,1)=[] form.
+      // via a position sequence; del2 enumerated directly over ORIGINAL
+      // positions i < j — each two-deletion string generated ONCE, so no
+      // O(|variants|²) array_distinct pass is needed (deleting i then j
+      // equals deleting j then i — the del1-of-del1 form emits every
+      // del2 twice and then pays a quadratic dedup). String-coincident
+      // duplicates (e.g. "aab" deleting either 'a') survive as duplicate
+      // bucket rows: the a ≠ b filter drops self-pairs and the pair
+      // distinct the rest. Length guards keep Spark's DESCENDING
+      // sequence(hi, lo) quirk out of range.
       val dels1 = "transform(sequence(1, length(p_name)), i -> " +
         "concat(substring(p_name, 1, i-1), substring(p_name, i+1, 100000)))"
-      val dels2 = "flatten(transform(__d1, d -> " +
-        "transform(sequence(1, length(d)), i -> " +
-        "concat(substring(d, 1, i-1), substring(d, i+1, 100000)))))"
+      val dels2 = "CASE WHEN length(p_name) < 2 THEN array() ELSE " +
+        "flatten(transform(sequence(1, length(p_name) - 1), i -> " +
+        "transform(sequence(i + 1, length(p_name)), j -> " +
+        "concat(substring(p_name, 1, i-1), substring(p_name, i+1, j-i-1), " +
+        "substring(p_name, j+1, 100000))))) END"
+      // the bucket key is xxhash64 of (brand, type, variant) — an 8-byte
+      // shuffle key and a bare-partkey payload, so the variant shuffle
+      // moves 16 B/row. The hash is INTERNAL (the oracle's QUALIFY
+      // partitions by the raw triple): a 64-bit collision merely MERGES
+      // two buckets — candidates stay a superset and the exact DL verify
+      // is unchanged; only under a binding cap could a merged
+      // pathological bucket drop differently than the oracle, at ~2⁻⁶⁴
+      // odds per bucket pair. Names re-attach only for the
+      // near-dup-sized verify.
       val variants = p
-        .withColumn("__d1", expr(dels1))
-        .select(col("p_brand"), col("p_type"),
-          struct(col("p_partkey"), col("p_name")).as("pn"),
-          explode(array_distinct(concat(
-            array(col("p_name")), col("__d1"), expr(dels2)))).as("variant"))
-        .select(struct( // struct key: no separator-ambiguity vs spaces
-            col("p_brand"), col("p_type"), col("variant")).as("blk"),
-          col("pn"))
-      val pairs = IvfOps.bucketPairs(variants, "blk", "pn",
-          cap = TypoVariantCap)
-        .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-          col("a.p_name").as("na"), col("b.p_name").as("nb"))
+        .select(col("p_brand"), col("p_type"), col("p_partkey"),
+          explode(concat(
+            array(col("p_name")), expr(dels1), expr(dels2))).as("variant"))
+        .select(xxhash64(col("p_brand"), col("p_type"), col("variant"))
+            .as("blk"),
+          col("p_partkey"))
+      // almost every variant bucket is a singleton (a bucket only fills
+      // when names are genuinely ≤2-edits close): minMembers=2 drops the
+      // pairless buckets inside bucketPairs' OWN exchange before the
+      // object-heavy collect_list — one shuffle of 16 B rows end-to-end
+      // (semantics-free: singleton buckets produce no pairs; the cap
+      // applies on the surviving buckets exactly as before).
+      val names = p.select(col("p_partkey"), col("p_name"))
+      val pairs = IvfOps.bucketPairs(variants, "blk", "p_partkey",
+          cap = TypoVariantCap, minMembers = 2)
+        .filter(col("a") =!= col("b")) // coincident dup variants self-pair
         .distinct()
-        .filter(abs(length(col("na")) - length(col("nb"))) <= 2)
-        .select(col("pa"), col("pb"),
-          damerau_levenshtein(col("na"), col("nb")).as("dist"))
+        .join(names.as("na"), col("a") === col("na.p_partkey"))
+        .join(names.as("nb"), col("b") === col("nb.p_partkey"))
+        .filter(abs(length(col("na.p_name")) - length(col("nb.p_name"))) <= 2)
+        .select(col("a").as("pa"), col("b").as("pb"),
+          damerau_levenshtein(col("na.p_name"), col("nb.p_name")).as("dist"))
         .filter(col("dist") <= 2)
         .cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races

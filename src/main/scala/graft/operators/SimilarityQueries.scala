@@ -131,7 +131,25 @@ object SimilarityQueries {
     modelCache.keySet.asScala
       .filter(k => k._1 == s && k._2 == kind && k._3 != d)
       .toSeq.foreach(modelCache.remove)
-    modelCache.computeIfAbsent((s, kind, d), _ => build)
+    modelCache.computeIfAbsent((s, kind, d), _ => {
+      // serve-from-artifact first (VERDICT r10 #6): the fit is
+      // deterministic, so a persisted model trained on THIS exact input
+      // (fileFingerprint guards staleness — a regenerated fixture
+      // refits) is byte-identical to re-running Lloyd's; repeat sessions
+      // pay a KB-sized read instead of iters corpus scans.
+      val fp = graft.api.IndexArtifacts
+        .fileFingerprint(s"$d/embeddings.parquet")
+      // table keyed by DIR as well as kind: a warmup fit at another
+      // scale must not clobber the measured dir's artifact (each dir
+      // keeps its own; the fingerprint still guards content staleness)
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val table = s"g_model_${kind}_$slug"
+      graft.api.IndexArtifacts.readModel(s, table, fp).getOrElse {
+        val m = build
+        graft.api.IndexArtifacts.persistModel(s, m, table, fp)
+        m
+      }
+    })
   }
 
   private[graft] def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =

@@ -188,4 +188,44 @@ class KMeansIvfSpec extends SparkSpec {
     assert(goodShare >= 0.8,
       s"only ${(goodShare * 100).round}% of probes reached recall ≥ 0.8: $recalls")
   }
+
+  test("model artifact round-trips byte-identically and refuses a stale " +
+       "fingerprint (serve-from-artifact, VERDICT r10 #6)") {
+    import graft.api.IndexArtifacts
+    import spark.implicits._
+    val vecs = (0L until 40L).toList
+      .map(i => (i, Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j))))
+      .toDF("vec_id", "v")
+    val model = graft.api.KMeans.fit(vecs, "vec_id", "v", k = 3, iters = 3)
+    val fit = model.orderBy("cid").collect()
+
+    val fp = "fp-current"
+    def wipe(): Unit = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(wh, "g_model_spec")
+      if (dir.exists())
+        dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    wipe()
+    assert(IndexArtifacts.readModel(spark, "g_model_spec", fp).isEmpty)
+    IndexArtifacts.persistModel(spark, model, "g_model_spec", fp)
+    val back = IndexArtifacts.readModel(spark, "g_model_spec", fp)
+    assert(back.isDefined)
+    val got = back.get.orderBy("cid").collect()
+    assert(got.length == fit.length)
+    got.zip(fit).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      val (av, bv) = (a.getSeq[Double](1), b.getSeq[Double](1))
+      // parquet round-trip of doubles is exact — BIT-identical centroids
+      av.zip(bv).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+               java.lang.Double.doubleToLongBits(y))
+      }
+    }
+    // a regenerated corpus (different fingerprint) must NOT be served
+    assert(IndexArtifacts.readModel(spark, "g_model_spec", "fp-stale").isEmpty)
+    wipe()
+  }
 }

@@ -113,6 +113,34 @@ object GraftOps {
       .select(col("da").as("id_a"), col("db").as("id_b"),
               col("shared"), col("jac_e6"))
 
+  /** Bounded sliding-window MEMBERSHIP fan-out — the shared core of
+    * q_win_sliding (1h windows sliding 30 min) and q_event_dau's
+    * trailing-7-day WAU (VERDICT r10 #7): a row at unit position
+    * `posCol` belongs to exactly width/slide windows, so it EXPANDS
+    * map-side into one row per enclosing window (a bounded ×k Expand —
+    * never a self-join, never a window function over the corpus), and
+    * whatever per-window aggregate follows — count, count_distinct —
+    * runs as ONE keyed aggregation. This is the only shape that
+    * distributes for sliding DISTINCT aggregates, which cannot roll up
+    * from tumbling pre-aggregates.
+    *
+    * Emits the input row once per enclosing window with `outCol` = that
+    * window's epoch-aligned START (floor(pos/slide)·slide − i·slide for
+    * i in 0 until width/slide) — label by window END with
+    * `outCol + (width − slide)` at the call site. `width` must be a
+    * multiple of `slide`; both are in `posCol`'s units.
+    */
+  def slidingMembership(df: DataFrame, posCol: String, width: Long,
+                        slide: Long, outCol: String = "w_start"): DataFrame = {
+    require(width > 0 && slide > 0 && width % slide == 0,
+      s"width $width must be a positive multiple of slide $slide")
+    val k = (width / slide).toInt
+    df.withColumn("__w_off", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn(outCol,
+        (floor(col(posCol) / slide) - col("__w_off")) * slide)
+      .drop("__w_off")
+  }
+
   /** Exact heavy hitters — every item with frequency > n/(K+1), K =
     * [[graft.functions.FrequentItems.K]] — via the two-pass Misra-Gries
     * pattern: a ≤K-counter typed-Aggregator summary (k rows per partition

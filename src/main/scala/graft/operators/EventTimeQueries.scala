@@ -270,12 +270,15 @@ object EventTimeQueries {
         .orderBy("ws_ms", "event_type")),
 
     "q_win_sliding" -> ((s, d) =>
-      // 1h window sliding 30min: each event lands in 2 windows (Expand, no
-      // self-join); epoch-aligned starts match DuckDB's time_bucket.
-      ems(s, d)
-        .groupBy(window(timestamp_millis(col("ems")), "1 hour", "30 minutes"))
+      // 1h window sliding 30min: each event lands in 2 windows via the
+      // shared bounded-Expand membership generic (GraftOps
+      // .slidingMembership — q_event_dau's WAU fan-out is the same
+      // definition); epoch-aligned starts match DuckDB's time_bucket.
+      graft.api.GraftOps.slidingMembership(
+          ems(s, d).select("ems"), "ems",
+          width = 3600000L, slide = 1800000L, outCol = "ws_ms")
+        .groupBy("ws_ms")
         .agg(count(lit(1)).as("n"))
-        .select(unix_millis(col("window.start")).as("ws_ms"), col("n"))
         .orderBy("ws_ms")),
 
     "q_session_windows" -> ((s, d) =>
@@ -446,19 +449,20 @@ object EventTimeQueries {
       // rollup. Distinct counts never merge across pre-aggregates, so
       // WAU cannot roll up from daily distincts: instead each (day,
       // user) membership fans out to the 7 exposure days it is
-      // WAU-visible on (the q_win_sliding Expand trick, bounded ×7 —
-      // never a window over users), then one count_distinct per day.
-      // stickiness_e6 = dau·10⁶ DIV wau, exact Long. Shape: one (day,
-      // user) dedup exchange, the ×7 map-side fan-out, one day-keyed
-      // distinct aggregation — days-sized output, AQE-broadcast join.
+      // WAU-visible on (GraftOps.slidingMembership — the SAME definition
+      // as q_win_sliding's Expand, width 7 days, slide 1, labeled by
+      // window END; bounded ×7, never a window over users), then one
+      // count_distinct per day. stickiness_e6 = dau·10⁶ DIV wau, exact
+      // Long. Shape: one (day, user) dedup exchange, the ×7 map-side
+      // fan-out, one day-keyed distinct aggregation — days-sized output,
+      // AQE-broadcast join.
       val du = ems(s, d)
         .select(expr("ems div 86400000").as("day"), col("user_id"))
         .distinct()
       val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
-      val wau = du
-        .select(explode(sequence(lit(0), lit(6))).as("off"),
-                col("day"), col("user_id"))
-        .select((col("day") + col("off")).as("day"), col("user_id"))
+      val wau = graft.api.GraftOps
+        .slidingMembership(du, "day", width = 7L, slide = 1L, outCol = "ws")
+        .select((col("ws") + 6L).as("day"), col("user_id"))
         .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
       dau.join(wau, Seq("day"))
         .withColumn("stickiness_e6", expr("dau * 1000000 DIV wau"))

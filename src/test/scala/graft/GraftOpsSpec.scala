@@ -488,4 +488,35 @@ class GraftOpsSpec extends SparkSpec {
     assert(full.count() == 10L * 9 / 2 + 1)
     assert(full.filter($"hamming" =!= 0L).count() == 0)
   }
+
+  test("slidingMembership: each position lands in exactly width/slide " +
+       "epoch-aligned windows (renamed columns; brute-force ground truth)") {
+    val rows = Seq((-3601000L, "x"), (-1L, "y"), (0L, "z"), (1799999L, "w"),
+      (1800000L, "v"), (7200123L, "u"))
+    val df = rows.toDF("tick_pos", "payload") // deliberately NOT ems/day
+    val got = graft.api.GraftOps
+      .slidingMembership(df, "tick_pos", width = 3600000L,
+        slide = 1800000L, outCol = "win")
+      .select("payload", "win", "tick_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute force: every epoch-aligned start s (multiple of slide) with
+    // s <= pos < s + width
+    val exp = rows.flatMap { case (pos, pay) =>
+      val base = Math.floorDiv(pos, 1800000L) * 1800000L
+      Seq(base, base - 1800000L).map(s => (pay, s))
+    }.toSet
+    assert(got == exp)
+    got.foreach { case (_, s) => assert(s % 1800000L == 0) }
+    // the dau shape: width 7 / slide 1, labeled by window end
+    val days = Seq((10L, 1L), (12L, 1L), (12L, 2L)).toDF("d", "u")
+    val wau = graft.api.GraftOps
+      .slidingMembership(days, "d", width = 7L, slide = 1L, outCol = "ws")
+      .select(($"ws" + 6L).as("d"), $"u")
+      .groupBy("d").agg(countDistinct($"u").as("wau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 12 sees u1 (active d10 and d12) + u2 → 2; day 16 sees both
+    // (d10 exposure ends d16? no — d10+6=16 yes, d12+6=18) → 2
+    assert(wau(10L) == 1 && wau(12L) == 2 && wau(16L) == 2 && wau(18L) == 2)
+    assert(!wau.contains(19L))
+  }
 }

@@ -564,10 +564,15 @@ object DedupQueries {
     * false negatives vs the exact semi-join, FP count bound, identical
     * result across re-evaluations).
     */
-  private[graft] def bloomSeen(corpus: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def bloomSeen(corpus: DataFrame, batch: DataFrame,
+                               knownCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val n = math.max(corpus.count(), 1L)
+    // geometry scalar: catalog statistics when the corpus is a
+    // registered+analyzed table (CatalogOps.bloomSeenCatalog — zero
+    // pre-scan, the production path); one column-pruned count() here
+    // otherwise
+    val n = math.max(knownCount.getOrElse(corpus.count()), 1L)
     // BloomFilterAggregate SILENTLY clamps its geometry to
     // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
     // (defaults 4e6 items / 67108864 bits) — past the clamp the real

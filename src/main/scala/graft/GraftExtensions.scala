@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DamerauLevenshtein, DotProduct, SubwordCount}
+import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SubwordCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -65,6 +65,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("damerau_levenshtein", args, 2)
         DamerauLevenshtein(args(0), args(1))
+      }),
+    ("deletion_variant_hashes",
+      info("deletion_variant_hashes",
+        "deletion_variant_hashes(s, seed) - sorted-unique 64-bit bucket " +
+          "keys of s's <=2-character-deletion neighborhood (SymSpell)"),
+      (args: Seq[Expression]) => {
+        requireArity("deletion_variant_hashes", args, 2)
+        DeletionVariantHashes(args(0), args(1))
       })
   )
 

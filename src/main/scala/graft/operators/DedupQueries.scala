@@ -1277,6 +1277,67 @@ object DedupQueries {
     }
   }
 
+  /** The SymSpell VARIANT INDEX (blk, p_partkey) of a part catalog — one
+    * 16 B/row table: the bucket key is the fused
+    * `deletion_variant_hashes` kernel ([[graft.functions.TypoHash]] —
+    * O(1) rolling-hash arithmetic per variant, zero string
+    * materialization, sorted-unique per part = the oracle's
+    * list_distinct at the hash level), seeded with xxhash64(brand, type)
+    * so the blocking attributes ride inside the key. The hash is
+    * INTERNAL (the oracle's QUALIFY partitions by the raw triple): a
+    * collision merely MERGES two buckets — candidates stay a superset
+    * and the exact DL verify is unchanged; only under a binding cap
+    * could a merged pathological bucket drop differently than the
+    * oracle, at ~2⁻⁶¹ odds per bucket pair.
+    *
+    * A pure per-row function of (p_name, p_brand, p_type) — which is
+    * what makes the PERSISTED artifact appendable exactly
+    * ([[graft.api.IndexArtifacts.persistTypoIndex]]): variants(A) ∪
+    * variants(B) = variants(A ∪ B) for disjoint part batches, with the
+    * TypoVariantCap staying at read time (it ranks against GLOBAL
+    * bucket membership — the shingle cap-at-read doctrine).
+    */
+  private[graft] def typoVariants(parts: DataFrame): DataFrame = {
+    import graft.functions.expressions.StringFunctions.deletion_variant_hashes
+    parts.select(col("p_partkey"),
+        explode(deletion_variant_hashes(col("p_name"),
+          xxhash64(col("p_brand"), col("p_type")))).as("blk"))
+      .select(col("blk"), col("p_partkey"))
+  }
+
+  /** Cap + pair expansion + exact-DL verify over ANY (blk, p_partkey)
+    * variant index with a (p_partkey, p_name) side table — shared by the
+    * live memo below and the persisted-artifact read path
+    * ([[graft.api.IndexArtifacts.pairsFromTypoIndex]]), where every
+    * blk-keyed stage rides the bucket layout exchange-free.
+    *
+    * Almost every variant bucket is a singleton (a bucket only fills
+    * when names are genuinely ≤2-edits close): minMembers=2 drops the
+    * pairless buckets inside bucketPairs' OWN exchange before the
+    * object-heavy collect_list — one shuffle of 16 B rows end-to-end
+    * (semantics-free: singleton buckets produce no pairs; the cap
+    * applies on the surviving buckets exactly as before). The
+    * |len(a)−len(b)| ≤ 2 prefilter is semantics-preserving (a length gap
+    * lower-bounds edit distance). The a ≠ b guard only matters under a
+    * within-part hash collision (two distinct variants of one part
+    * merging) — per-part keys are otherwise unique by sorted-unique
+    * construction.
+    */
+  private[graft] def typoPairsPlan(variants: DataFrame,
+                                   names: DataFrame): DataFrame = {
+    import graft.functions.expressions.StringFunctions.damerau_levenshtein
+    IvfOps.bucketPairs(variants, "blk", "p_partkey",
+        cap = TypoVariantCap, minMembers = 2)
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .join(names.as("na"), col("a") === col("na.p_partkey"))
+      .join(names.as("nb"), col("b") === col("nb.p_partkey"))
+      .filter(abs(length(col("na.p_name")) - length(col("nb.p_name"))) <= 2)
+      .select(col("a").as("pa"), col("b").as("pb"),
+        damerau_levenshtein(col("na.p_name"), col("nb.p_name")).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   private def typoPairs(s: SparkSession, d: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     typoPairMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
@@ -1284,58 +1345,9 @@ object DedupQueries {
         Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
       }
     typoPairMemo.computeIfAbsent((s, d), _ => {
-      import graft.functions.expressions.StringFunctions.damerau_levenshtein
       val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-      // ≤2-deletion variants, pure codegen'd expressions (no UDF): del1
-      // via a position sequence; del2 enumerated directly over ORIGINAL
-      // positions i < j — each two-deletion string generated ONCE, so no
-      // O(|variants|²) array_distinct pass is needed (deleting i then j
-      // equals deleting j then i — the del1-of-del1 form emits every
-      // del2 twice and then pays a quadratic dedup). String-coincident
-      // duplicates (e.g. "aab" deleting either 'a') survive as duplicate
-      // bucket rows: the a ≠ b filter drops self-pairs and the pair
-      // distinct the rest. Length guards keep Spark's DESCENDING
-      // sequence(hi, lo) quirk out of range.
-      val dels1 = "transform(sequence(1, length(p_name)), i -> " +
-        "concat(substring(p_name, 1, i-1), substring(p_name, i+1, 100000)))"
-      val dels2 = "CASE WHEN length(p_name) < 2 THEN array() ELSE " +
-        "flatten(transform(sequence(1, length(p_name) - 1), i -> " +
-        "transform(sequence(i + 1, length(p_name)), j -> " +
-        "concat(substring(p_name, 1, i-1), substring(p_name, i+1, j-i-1), " +
-        "substring(p_name, j+1, 100000))))) END"
-      // the bucket key is xxhash64 of (brand, type, variant) — an 8-byte
-      // shuffle key and a bare-partkey payload, so the variant shuffle
-      // moves 16 B/row. The hash is INTERNAL (the oracle's QUALIFY
-      // partitions by the raw triple): a 64-bit collision merely MERGES
-      // two buckets — candidates stay a superset and the exact DL verify
-      // is unchanged; only under a binding cap could a merged
-      // pathological bucket drop differently than the oracle, at ~2⁻⁶⁴
-      // odds per bucket pair. Names re-attach only for the
-      // near-dup-sized verify.
-      val variants = p
-        .select(col("p_brand"), col("p_type"), col("p_partkey"),
-          explode(concat(
-            array(col("p_name")), expr(dels1), expr(dels2))).as("variant"))
-        .select(xxhash64(col("p_brand"), col("p_type"), col("variant"))
-            .as("blk"),
-          col("p_partkey"))
-      // almost every variant bucket is a singleton (a bucket only fills
-      // when names are genuinely ≤2-edits close): minMembers=2 drops the
-      // pairless buckets inside bucketPairs' OWN exchange before the
-      // object-heavy collect_list — one shuffle of 16 B rows end-to-end
-      // (semantics-free: singleton buckets produce no pairs; the cap
-      // applies on the surviving buckets exactly as before).
-      val names = p.select(col("p_partkey"), col("p_name"))
-      val pairs = IvfOps.bucketPairs(variants, "blk", "p_partkey",
-          cap = TypoVariantCap, minMembers = 2)
-        .filter(col("a") =!= col("b")) // coincident dup variants self-pair
-        .distinct()
-        .join(names.as("na"), col("a") === col("na.p_partkey"))
-        .join(names.as("nb"), col("b") === col("nb.p_partkey"))
-        .filter(abs(length(col("na.p_name")) - length(col("nb.p_name"))) <= 2)
-        .select(col("a").as("pa"), col("b").as("pb"),
-          damerau_levenshtein(col("na.p_name"), col("nb.p_name")).as("dist"))
-        .filter(col("dist") <= 2)
+      val pairs = typoPairsPlan(typoVariants(p),
+          p.select("p_partkey", "p_name"))
         .cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       pairs

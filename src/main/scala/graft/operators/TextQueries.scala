@@ -397,7 +397,14 @@ object TextQueries {
        |             ${PosCap - 1} - (mk % ${PosCap}) AS pos FROM m)""".stripMargin
 
   private[graft] def winnow(docs: DataFrame): DataFrame =
-    winnowPicks(docs)
+    winnowRollup(winnowPicks(docs))
+
+  /** The per-doc fingerprint rollup over an already-built pick set —
+    * split from [[winnow]] so q_text_winnow can ride the session's
+    * memoized pick cache (DedupQueries.winnowPickSet) instead of
+    * re-running the pick pipeline every execution. */
+  private[graft] def winnowRollup(picks: DataFrame): DataFrame =
+    picks
       .groupBy("doc_id", "ng")
       .agg(count(lit(1)).as("n_fp"), pmod(sum("h"), lit(FpPrime)).as("fp_mod"))
       .select(col("doc_id"), col("ng").as("n_grams"), col("n_fp"),
@@ -841,8 +848,10 @@ object TextQueries {
     }),
 
     "q_text_winnow" -> ((s, d) =>
-      // winnowing (MOSS) fingerprint selection — see [[winnow]]
-      winnow(fanOut(documents(s, d)))),
+      // winnowing (MOSS) fingerprint selection — see [[winnow]]; the
+      // pick set reads from the session memo shared with q_dedup_winnow
+      // (built once, attributed as the winnow_picks bench phase)
+      winnowRollup(DedupQueries.winnowPickSet(s, d))),
 
     "q_text_drift" -> ((s, d) =>
       // cross-snapshot token-rate drift in exact ppm — see [[drift]]

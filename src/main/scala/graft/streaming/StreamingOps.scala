@@ -234,6 +234,30 @@ object StreamingOps {
       .start()
   }
 
+  /** Incremental TYPO-VARIANT-index maintenance — the entity-resolution
+    * member of the incremental-index family: each micro-batch of
+    * (p_partkey, p_name, p_brand, p_type) catalog rows expands its own
+    * SymSpell deletion neighborhood (the fused rolling-hash kernel, pure
+    * per-row — no catalog rescan) and appends the (blk, p_partkey) keys
+    * into the bucketed artifact, so a streamed catalog stays
+    * typo-searchable via `IndexArtifacts.pairsFromTypoIndex` with only
+    * the batch paying variant cost. At-least-once replays are safe: the
+    * pair reader distincts the exact-duplicate key rows exchange-free
+    * before capping.
+    */
+  def maintainTypoIndex(parts: DataFrame, table: String, checkpoint: String,
+                        buckets: Int = 16,
+                        trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery = {
+    val append: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.api.IndexArtifacts.appendTypoIndex(
+        batch.sparkSession, batch, table, buckets)
+    parts.writeStream
+      .foreachBatch(append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Incremental IVF-assignment maintenance — the embedding-space member
     * of the incremental-index family ([[maintainShingleIndex]] → text,
     * [[maintainFingerprintIndex]] → media, this → vectors): each

@@ -204,6 +204,93 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(finalPlan.contains("Bucketed: true"), finalPlan)
   }
 
+  test("typo index: appends equal a rebuild, pairs match the live query, " +
+       "and no exchange repartitions on the variant bucket key") {
+    import spark.implicits._
+    dropTable("g_typo_idx")
+    // catalog + an injected 1-edit twin of the first part (same brand +
+    // type so the blocking seed matches) — the spec needs ≥1 pair
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    val src = parts.orderBy("p_partkey").limit(1).collect()(0)
+    val (srcId, srcName) = (src.getLong(0), src.getString(1))
+    val all = parts.union(Seq(
+      (900005L, srcName.drop(1), src.getString(2), src.getString(3)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type"))
+    IndexArtifacts.persistTypoIndex(
+      spark, all.filter($"p_partkey" % 2 === 0), "g_typo_idx", buckets = 4)
+    IndexArtifacts.appendTypoIndex(
+      spark, all.filter($"p_partkey" % 2 =!= 0), "g_typo_idx", buckets = 4)
+    def artifactPairs(): Seq[(Long, Long, Int)] =
+      IndexArtifacts.pairsFromTypoIndex(spark, "g_typo_idx", all)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    val live = DedupQueries.typoPairsPlan(
+        DedupQueries.typoVariants(all),
+        all.select("p_partkey", "p_name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val got = artifactPairs()
+    assert(got.exists(p => p._1 == srcId && p._2 == 900005L && p._3 == 1),
+      got.take(5).toString)
+    assert(got == live)
+    // at-least-once replay must not change pairs (reader distincts first)
+    IndexArtifacts.appendTypoIndex(
+      spark, all.filter($"p_partkey" % 2 =!= 0), "g_typo_idx", buckets = 4)
+    assert(artifactPairs() == live, "replayed append changed the pair set")
+    // every blk-keyed read stage — replay distinct, the minMembers +
+    // TypoVariantCap window, the bucket aggregation feeding pair
+    // expansion — satisfies its clustering from the bucket layout; the
+    // remaining exchanges (pair distinct, name join-backs, presentation
+    // sort) are pair-keyed and must shuffle; none may repartition on blk
+    val pairs = IndexArtifacts.pairsFromTypoIndex(spark, "g_typo_idx", all)
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bx = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange") && l.matches(".*hashpartitioning\\(blk#.*"))
+      .toSeq
+    assert(bx.isEmpty, bx.mkString("\n"))
+    assert(finalPlan.contains("Bucketed: true"), finalPlan)
+  }
+
+  test("maintainTypoIndex: a streamed part becomes typo-searchable with " +
+       "no catalog re-expansion, replays idempotent") {
+    import spark.implicits._
+    dropTable("g_typo_inc")
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    IndexArtifacts.persistTypoIndex(spark, parts, "g_typo_inc", buckets = 4)
+    val base = spark.table("g_typo_inc").count()
+    val src = parts.orderBy("p_partkey").limit(1).collect()(0)
+    val (srcId, srcName) = (src.getLong(0), src.getString(1))
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("typomaint").toString
+    val q = graft.streaming.StreamingOps.maintainTypoIndex(
+      in.toDS().toDF("p_partkey", "p_name", "p_brand", "p_type"),
+      "g_typo_inc", ckpt, buckets = 4)
+    in.addData((900006L, srcName + "x", src.getString(2), src.getString(3)))
+    q.processAllAvailable()
+    q.stop()
+    // only the batch expanded: the artifact grew by the new part's rows
+    val grown = IndexArtifacts.typoIndex(spark, "g_typo_inc")
+    val newRows = grown.filter($"p_partkey" === 900006L).count()
+    assert(newRows > 0)
+    assert(grown.count() == base + newRows)
+    // the (source, twin) distance-1 pair is discoverable through the
+    // artifact alone — no re-expansion of the sunk catalog
+    val allParts = parts.union(Seq(
+      (900006L, srcName + "x", src.getString(2), src.getString(3)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type"))
+    val pair = IndexArtifacts.pairsFromTypoIndex(spark, "g_typo_inc", allParts)
+      .filter($"pa" === srcId && $"pb" === 900006L).collect()
+    assert(pair.length == 1 && pair(0).getInt(2) == 1, pair.mkString)
+  }
+
   test("maintainWinnowIndex: a streamed doc becomes fingerprint-searchable " +
        "with no corpus re-winnow, replays idempotent") {
     import spark.implicits._

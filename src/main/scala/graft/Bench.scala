@@ -119,7 +119,13 @@ object Bench {
           "q_pipeline_corpus", "q_sim_knn_quantized", "q_sim_ann",
           "q_text_bigram_surprisal", "q_sim_pq_trained", "q_dedup_winnow",
           "q_stats_outliers", "q_text_bm25", "q_text_heavyhitters",
-          "q_dedup_typos")
+          "q_dedup_typos",
+          // the window/unpivot/streaming-twin SHAPES: BENCH_r11's window
+          // family floors sat 3-6x above r10 with no code change — the
+          // warm list ran only heavy shapes, so the light families paid
+          // their own JIT inside the timed runs (VERDICT r11 #4)
+          "q_win_rank", "q_win_frame", "q_win_tumbling", "q_unpivot",
+          "s_ingest_sbs1")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever
@@ -131,15 +137,27 @@ object Bench {
     // one-time index builds as NAMED phases (full-suite mode only): each
     // forces one shingle memo layer at the measured dir, so the dedup
     // family's per-query numbers below are query-only cost. N=1 by
-    // nature — a memoized build only happens once per session.
-    val phases: Seq[(String, Double, Double, Option[String])] =
+    // nature — a memoized build only happens once per session. Each
+    // phase reports a SOURCE tag in the durable record — the session
+    // memo builds are "session-build", the trained models report
+    // "artifact" (fingerprint-hit read) vs "fit" (cold Lloyd's), so the
+    // artifact-warm claim is auditable from target/bench.json alone
+    // (VERDICT r11 #5). catalog_analyze registers + ANALYZEs the fixture
+    // tables first, so stats consumers (q_dedup_bloom's sketch sizing)
+    // run their zero-pre-scan path in the timed sweep.
+    val phaseDefs: Seq[(String, () => Long, () => String)] =
       if (args.nonEmpty) Seq.empty
-      else (operators.DedupQueries.indexPhases(spark, sfDir) ++
-            operators.SimilarityQueries.trainPhases(spark, sfDir)).map {
-        case (name, f) =>
-          try { val (w, c, _) = timed(f); (name, w, c, None) }
-          catch { case t: Throwable =>
-            (name, 0.0, 0.0, Some(t.toString.take(300))) }
+      else ("catalog_analyze",
+             () => graft.api.CatalogOps.registerFixture(spark, sfDir).size.toLong,
+             () => "analyze") +:
+           (operators.DedupQueries.indexPhases(spark, sfDir).map {
+              case (n, f) => (n, f, () => "session-build")
+            } ++ operators.SimilarityQueries.trainPhases(spark, sfDir))
+    val phases: Seq[(String, Double, Double, String, Option[String])] =
+      phaseDefs.map { case (name, f, src) =>
+        try { val (w, c, _) = timed(f); (name, w, c, src(), None) }
+        catch { case t: Throwable =>
+          (name, 0.0, 0.0, "err", Some(t.toString.take(300))) }
       }
     // sorted key order: deterministic run order, so residual one-time
     // costs land on the same query every run instead of whichever key Map
@@ -190,7 +208,7 @@ object Bench {
     val total = ok.map(_.min).sum + phasesTotal
     val qs = ok.map(r => "\"" + r.name + "\":" + r3(r.min))
       .mkString("{", ",", "}")
-    val phJson = phases.map { case (n, w, _, e) =>
+    val phJson = phases.map { case (n, w, _, _, e) =>
       "\"" + n + "\":" + e.fold(r3(w))(m => "\"err:" + esc(m) + "\"")
     }.mkString("{", ",", "}")
     val errJson = failed.map(r =>
@@ -216,8 +234,8 @@ object Bench {
       .append(s""""sf":"$sfDir","n_runs":$nRuns,"cpus":$cpus,""").append("\n")
       .append(s""" "bench_wall_sec":${r3(benchWall)},"bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)},""").append("\n")
       .append(s""" "phases":{""").append("\n")
-    detail.append(phases.map { case (n, w, c, e) =>
-      s"""  "$n":{"wall":${r3(w)},"cpu":${r3(c)}""" +
+    detail.append(phases.map { case (n, w, c, src, e) =>
+      s"""  "$n":{"wall":${r3(w)},"cpu":${r3(c)},"source":"${esc(src)}"""" +
         e.fold("")(m => s""","err":"${esc(m)}"""") + "}"
     }.mkString(",\n")).append("\n },\n \"queries\":{\n")
     detail.append(results.map { r =>

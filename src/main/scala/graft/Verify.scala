@@ -21,6 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // register + ANALYZE the fixture tables so stats consumers
+    // (q_dedup_bloom's catalog-sized sketch) exercise the production
+    // zero-pre-scan path in the correctness run too (a failure must not
+    // zero the round: queries fall back to their count() path)
+    try graft.api.CatalogOps.registerFixture(spark, sfDir)
+    catch { case t: Throwable =>
+      System.err.println(s"[verify] fixture catalog registration failed " +
+        s"(stats-free fallback paths still run): $t")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -45,16 +45,25 @@ object CatalogOps {
     meta.stats.flatMap(_.rowCount).map(_.toLong)
   }
 
+  /** The catalog name a fixture table of `dir` registers under — ONE
+    * definition shared by [[registerFixture]] and stats consumers
+    * (q_dedup_bloom's sizing), so the lookup can never drift from the
+    * registration.
+    */
+  def fixtureTableName(dir: String, name: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    s"graft_${slug}_$name"
+  }
+
   /** Register + analyze every fixture table of a dir under
     * `graft_<slug>_<name>` — the one-time setup a production deployment
     * does at ingest time. Returns the table-name map.
     */
   def registerFixture(s: SparkSession, dir: String): Map[String, String] = {
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     names.map { n =>
-      val t = s"graft_${slug}_$n"
+      val t = fixtureTableName(dir, n)
       registerParquet(s, t, s"$dir/$n.parquet")
       analyze(s, t)
       n -> t

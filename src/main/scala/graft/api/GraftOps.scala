@@ -135,7 +135,12 @@ object GraftOps {
     require(width > 0 && slide > 0 && width % slide == 0,
       s"width $width must be a positive multiple of slide $slide")
     val k = (width / slide).toInt
-    df.withColumn("__w_off", explode(sequence(lit(0), lit(k - 1))))
+    // a null position belongs to no window — the built-in window()
+    // expression this replaces inserts the same is-not-null filter, and
+    // without it the explode would emit k null-keyed window rows
+    // (ADVICE r11)
+    df.filter(col(posCol).isNotNull)
+      .withColumn("__w_off", explode(sequence(lit(0), lit(k - 1))))
       .withColumn(outCol,
         (floor(col(posCol) / slide) - col("__w_off")) * slide)
       .drop("__w_off")

@@ -456,15 +456,38 @@ object IndexArtifacts {
     * filesystem stat, no Spark job. Changes whenever the fixture is
     * regenerated, so a stale persisted model can never serve for a new
     * corpus; identical bytes re-listed yield the same print.
+    *
+    * Listed through the Hadoop FileSystem API, not java.io.File, so
+    * non-local paths (hdfs://, s3a://) fingerprint their REAL file
+    * status — a java.io listing silently returned empty there, giving
+    * every distributed path one constant fingerprint and letting
+    * readModel serve a stale model after an in-place regeneration
+    * (ADVICE r11). An unlistable path (absent dir, bad URI) yields the
+    * empty-listing fingerprint, which never matches a real one.
     */
-  def fileFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isFile).sortBy(_.getName)
-    val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("\n")
+  def fileFingerprint(path: String): String =
+    fileFingerprintIn(
+      SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()),
+      path)
+
+  private[graft] def fileFingerprintIn(
+      conf: org.apache.hadoop.conf.Configuration, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val desc =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        val files =
+          if (st.isFile) Array(st)
+          else fs.listStatus(p).filter(_.isFile)
+            .sortBy(_.getPath.getName)
+        files.map(x =>
+            s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+          .mkString("\n")
+      } catch { case _: Exception => "" }
     java.util.UUID.nameUUIDFromBytes(desc.getBytes("UTF-8")).toString
   }
 
@@ -493,7 +516,14 @@ object IndexArtifacts {
   def readModel(s: SparkSession, table: String,
                 fingerprint: String): Option[DataFrame] = {
     val path = modelPath(s, table)
-    if (!new java.io.File(new java.net.URI(path).getPath).exists()) return None
+    // existence probe inside the same guard as the read: a warehouse dir
+    // string that fails URI parsing (spaces, odd schemes) must mean "no
+    // artifact → refit", not a throw from a read-only probe (ADVICE r11)
+    val exists = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Exception => false }
+    if (!exists) return None
     val t = try s.read.parquet(path) catch { case _: Throwable => return None }
     if (!t.columns.contains("__fp")) return None
     val rows = t.collect() // k×dim model rows — bounded model state

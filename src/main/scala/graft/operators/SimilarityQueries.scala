@@ -125,6 +125,21 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
                                                DataFrame]()
 
+  /** How each memoized model was obtained — "artifact" (fingerprint-hit
+    * read of the persisted model) or "fit" (cold Lloyd's run) — so the
+    * bench artifact can say whether a train phase was artifact-warm
+    * (VERDICT r11 #5). Keyed like [[modelCache]]; absent = not built
+    * this session.
+    */
+  private val modelSource =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+                                               String]()
+
+  /** The recorded source for a (kind, dir) model this session, if any. */
+  private[graft] def trainSource(s: SparkSession, kind: String,
+                                 d: String): String =
+    Option(modelSource.get((s, kind, d))).getOrElse("unbuilt")
+
   private def memoModel(s: SparkSession, kind: String, d: String)
                        (build: => DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -144,10 +159,14 @@ object SimilarityQueries {
       // keeps its own; the fingerprint still guards content staleness)
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_${kind}_$slug"
-      graft.api.IndexArtifacts.readModel(s, table, fp).getOrElse {
-        val m = build
-        graft.api.IndexArtifacts.persistModel(s, m, table, fp)
-        m
+      graft.api.IndexArtifacts.readModel(s, table, fp) match {
+        case Some(m) =>
+          modelSource.put((s, kind, d), "artifact"); m
+        case None =>
+          val m = build
+          graft.api.IndexArtifacts.persistModel(s, m, table, fp)
+          modelSource.put((s, kind, d), "fit")
+          m
       }
     })
   }
@@ -162,11 +181,18 @@ object SimilarityQueries {
   /** Named one-time training phases for Bench (the
     * DedupQueries.indexPhases pattern): forcing each memo here makes the
     * trained queries' own timings pure query cost, with the fit
-    * attributed to its phase in the artifact.
+    * attributed to its phase in the artifact. Each phase carries a
+    * source thunk — read AFTER the timed build — reporting whether the
+    * model came from the persisted artifact (fingerprint hit) or a cold
+    * fit, so the bench artifact distinguishes artifact-warm from refit
+    * (VERDICT r11 #5).
     */
-  def trainPhases(s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
-    ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count()),
-    ("kmeans_pq_train", () => trainedPqCodebook(s, d).count()))
+  def trainPhases(s: SparkSession,
+                  d: String): Seq[(String, () => Long, () => String)] = Seq(
+    ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count(),
+      () => trainSource(s, "ivf", d)),
+    ("kmeans_pq_train", () => trainedPqCodebook(s, d).count(),
+      () => trainSource(s, "pq", d)))
 
   /** q_emb_dims core over rows with an `embedding` array column. */
   private[graft] def dimProfile(e: DataFrame): DataFrame =

@@ -261,7 +261,8 @@ object TextQueries {
       " DIV (2*df + 1) AS BIGINT)"
   private[graft] val TfnE6Expr =
     "CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * t * tf) DIV " +
-      "(CAST(10 AS DECIMAL(38,0))*t*tf + 3*t + 9*dl*n) AS BIGINT)"
+      "(CAST(10 AS DECIMAL(38,0))*t*tf + CAST(3 AS DECIMAL(38,0))*t + " +
+      "CAST(9 AS DECIMAL(38,0))*dl*n) AS BIGINT)"
   private[graft] val ScoreTermExpr = "CAST(idf_e6 AS DECIMAL(38,0)) * tfn_e6"
 
   private[graft] def bm25(docs: DataFrame): DataFrame = {
@@ -283,7 +284,12 @@ object TextQueries {
       .withColumn("n", col("nt.n"))
       .withColumn("t", col("nt.t"))
       // products run in DECIMAL(38,0) — 1e6·22·T·tf outgrows Long at
-      // T·tf ≈ 4e11 (a ~40 GB corpus), and idf·tfn at corpus scale; the
+      // T·tf ≈ 4e11 (a ~40 GB corpus), and idf·tfn at corpus scale —
+      // including the denominator subterms 3·T and 9·dl·N, cast into the
+      // decimal domain so no Long product survives anywhere in the
+      // scoring chain (ADVICE r11); the DECIMAL(38) envelope itself
+      // holds to T ≈ 1e15 tokens (≫ any real corpus) and overflows by
+      // ANSI throw, never a wrapped value. The
       // quotients and the final score re-enter the BIGINT output
       // contract via casts (score via try_cast: overflow surfaces as
       // null, never a silent Long wraparound — VERDICT r10 #5; the
@@ -1280,8 +1286,8 @@ object TextQueries {
         |         (CAST(1000000 AS HUGEINT) * (2*nt.n - 2*dfreq.df + 1))
         |           // (2*dfreq.df + 1) AS idf_e6,
         |         (CAST(1000000 AS HUGEINT) * 22 * nt.t * tf.tf)
-        |           // (CAST(10 AS HUGEINT)*nt.t*tf.tf + 3*nt.t
-        |              + 9*dl.dl*nt.n) AS tfn_e6
+        |           // (CAST(10 AS HUGEINT)*nt.t*tf.tf + CAST(3 AS HUGEINT)*nt.t
+        |              + CAST(9 AS HUGEINT)*dl.dl*nt.n) AS tfn_e6
         |  FROM tf
         |  CROSS JOIN nt
         |  JOIN dfreq USING (term)

@@ -563,6 +563,39 @@ class EngineSpec extends SparkSpec {
     assert(run() == got) // sketch bits are deterministic: same result
   }
 
+  test("q_dedup_bloom with catalog stats: ZERO pre-scan jobs at query " +
+       "construction (sketch geometry reads the metastore scalar)") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // stats present: construction must schedule no job (the count()
+    // pre-scan is the thing the catalog scalar replaces)
+    graft.api.CatalogOps.registerFixture(spark, sf)
+    assert(graft.api.CatalogOps.statsRowCount(spark,
+      graft.api.CatalogOps.fixtureTableName(sf, "documents")).isDefined)
+    sc.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q_dedup_bloom")(spark, sf) // construct ONLY
+      Thread.sleep(1500) // listener bus drains async
+      assert(jobs.get() == 0, s"${jobs.get()} pre-scan jobs with stats")
+      // stats absent: the count() fallback fires (≥1 job) and the query
+      // still constructs — the fallback contract stays intact
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.api.CatalogOps
+        .fixtureTableName(sf, "documents")}")
+      SparkEntry.queries("q_dedup_bloom")(spark, sf)
+      Thread.sleep(1500)
+      assert(jobs.get() >= 1, "no fallback pre-scan without stats")
+    } finally {
+      sc.removeSparkListener(listener)
+      graft.api.CatalogOps.registerFixture(spark, sf) // restore for peers
+    }
+  }
+
   test("bm25: hand-derived integer scores; matched-both doc outranks ties") {
     import spark.implicits._
     // N=4, T=6; df(dup)=df(spark)=2 → idf_e6 = (1e6·5)//5 = 1000000;

@@ -896,6 +896,44 @@ object DedupQueries {
           expr("(n_docs - n_unique) * 1000000 DIV n_docs"))
         .orderBy("source")),
 
+    "q_dedup_pressure" -> ((s, d) => {
+      // Per-source DEDUP-PRESSURE budgets — the "crawl politeness" gate
+      // between the dedup stack and the mixing stack (VERDICT r11 #7):
+      // before q_mix_sources re-weights a multi-source corpus, cap each
+      // source's NEAR-DUP mass so a mirror-heavy feed cannot spend its
+      // mixture share on redundant copies. A doc is REDUNDANT iff it is
+      // the greater id of any verified ≥0.8-Jaccard pair — the
+      // pairwise-to-earliest keeper rule (q_dedup_semantic's), applied
+      // to the memoized scoredShinglePairs table, so the definition
+      // cannot diverge from q_dedup_ngram's pair criterion. Per source:
+      // docs, redundant mass, pressure ppm, post-dedup budget, and the
+      // budget's exact mixture share (scalar-subquery total — no join
+      // node on the sources-sized rollup).
+      // Shape at 100 TB: the redundant set is near-dup-sized (AQE
+      // broadcasts it into the corpus membership join), the rollup is
+      // source-keyed with map-side partials, and the share arithmetic
+      // is exact Long (budget·10⁶ < 2⁶³ to ~9·10¹² docs).
+      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+      val red = scoredShinglePairs(s, d)
+        .filter(col("jac_e6") >= 800000)
+        .select(col("db").as("doc_id")).distinct()
+      val st = documents(s, d).select(col("doc_id"), col("source"))
+        .join(red.withColumn("__r", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("__r").isNotNull, 1L).otherwise(0L))
+               .as("n_redundant"))
+        .withColumn("pressure_ppm",
+          expr("n_redundant * 1000000 DIV n_docs"))
+        .withColumn("budget", expr("n_docs - n_redundant"))
+      val tot = st.agg(sum("budget").as("tb"))
+      st.withColumn("tb", scalarSubquery(tot))
+        .withColumn("share_ppm", expr("budget * 1000000 DIV tb"))
+        .select("source", "n_docs", "n_redundant", "pressure_ppm",
+                "budget", "share_ppm")
+        .orderBy("source")
+    }),
+
     "q_dedup_typos" -> ((s, d) => {
       // TYPO / entity near-dup — entity resolution's unit operation over
       // the part catalog: pairs of parts whose names are ≤ 2 keystroke
@@ -1654,6 +1692,36 @@ object DedupQueries {
         |       CAST((count(*) - count(DISTINCT md5(text))) * 1000000
         |            // count(*) AS BIGINT) AS dup_ppm
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the q_dedup_ngram pair chain (same CTE text), keeper rule =
+    // pairwise-to-earliest: greater-id members of >=0.8 pairs are the
+    // redundant mass
+    "q_dedup_pressure" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |red AS (SELECT DISTINCT i.db AS doc_id
+         |        FROM inter i
+         |        JOIN sizes na ON i.da = na.doc_id
+         |        JOIN sizes nb ON i.db = nb.doc_id
+         |        WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000),
+         |st AS (SELECT d.source, count(*) AS n_docs,
+         |              CAST(sum(CASE WHEN r.doc_id IS NOT NULL
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant
+         |       FROM documents d LEFT JOIN red r USING (doc_id)
+         |       GROUP BY d.source)
+         |SELECT source, n_docs, n_redundant,
+         |       CAST(n_redundant * 1000000 // n_docs AS BIGINT) AS pressure_ppm,
+         |       CAST(n_docs - n_redundant AS BIGINT) AS budget,
+         |       CAST((n_docs - n_redundant) * 1000000
+         |            // (SELECT sum(n_docs - n_redundant) FROM st)
+         |            AS BIGINT) AS share_ppm
+         |FROM st ORDER BY source""".stripMargin,
 
     "q_dedup_typo_clusters" ->
       s"""WITH RECURSIVE $typoPairsCtes,

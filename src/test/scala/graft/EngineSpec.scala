@@ -596,6 +596,28 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_pressure: budgets = docs minus q_dedup_ngram's greater-id " +
+       "pair members per source; shares sum to ~1e6") {
+    import spark.implicits._
+    val redundant = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("db").as[Long].collect().toSet
+    val srcOf = Tables.documents(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val expRed = redundant.groupBy(srcOf).map { case (s, ds) => s -> ds.size }
+    val rows = SparkEntry.queries("q_dedup_pressure")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+                 r.getLong(5)))
+    rows.foreach { case (src, nDocs, nRed, budget, _) =>
+      assert(nRed == expRed.getOrElse(src, 0).toLong, src)
+      assert(budget == nDocs - nRed, src)
+    }
+    val shareSum = rows.map(_._5).sum
+    // floor division: Σ share ≤ 1e6, short by at most one ppm per source
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length,
+      shareSum.toString)
+  }
+
   test("bm25: hand-derived integer scores; matched-both doc outranks ties") {
     import spark.implicits._
     // N=4, T=6; df(dup)=df(spark)=2 → idf_e6 = (1e6·5)//5 = 1000000;

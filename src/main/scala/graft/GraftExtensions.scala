@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SubwordCount}
+import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SubwordCount, TokenCount, TokenTermCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -73,6 +73,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("deletion_variant_hashes", args, 2)
         DeletionVariantHashes(args(0), args(1))
+      }),
+    ("token_count",
+      info("token_count",
+        "token_count(s) - whitespace-token count, = size(split(s, ' '))"),
+      (args: Seq[Expression]) => {
+        requireArity("token_count", args, 1)
+        TokenCount(args(0))
+      }),
+    ("token_term_count",
+      info("token_term_count",
+        "token_term_count(s, term) - occurrences of term among s's " +
+          "whitespace tokens"),
+      (args: Seq[Expression]) => {
+        requireArity("token_term_count", args, 2)
+        TokenTermCount(args(0), args(1))
       })
   )
 

@@ -2,12 +2,12 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{StringMetrics, TypoHash}
+import graft.functions.{StringMetrics, TokenStats, TypoHash}
 
 /** Native unrestricted Damerau-Levenshtein distance (see
   * [[graft.functions.StringMetrics]] for the algorithm and the
@@ -85,6 +85,70 @@ case class DeletionVariantHashes(left: Expression, right: Expression)
   override def prettyName: String = "deletion_variant_hashes"
 }
 
+/** Native whitespace-token count — `size(split(text, ' '))` without
+  * materializing the array (see [[graft.functions.TokenStats]] for the
+  * split-parity contract). Sits on per-document corpus-statistics
+  * paths (BM25 `dl`, corpus token totals) where the array allocation
+  * per row is pure waste.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"token_count requires a string input, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    TokenStats.tokenCount(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TokenStats.tokenCount($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_count"
+}
+
+/** Native per-term token frequency — occurrences of `term` among the
+  * document's whitespace tokens, one fused scan, no token array and no
+  * explode. The BM25 `tf` kernel: with this and [[TokenCount]] the
+  * whole per-document statistics block stays inside whole-stage
+  * codegen and the corpus never becomes token ROWS at all.
+  */
+case class TokenTermCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_term_count requires string inputs, got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenStats.termCount(a.asInstanceOf[UTF8String],
+                         b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenStats.termCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenTermCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "token_term_count"
+}
+
 object StringFunctions {
   /** Column API for the native unrestricted Damerau-Levenshtein. */
   def damerau_levenshtein(a: Column, b: Column): Column =
@@ -93,4 +157,12 @@ object StringFunctions {
   /** Column API for the fused deletion-variant bucket keys. */
   def deletion_variant_hashes(name: Column, seed: Column): Column =
     toColumn(DeletionVariantHashes(toExpression(name), toExpression(seed)))
+
+  /** Column API for the native whitespace-token count. */
+  def token_count(text: Column): Column =
+    toColumn(TokenCount(toExpression(text)))
+
+  /** Column API for the native per-term token frequency. */
+  def token_term_count(text: Column, term: Column): Column =
+    toColumn(TokenTermCount(toExpression(text), toExpression(term)))
 }

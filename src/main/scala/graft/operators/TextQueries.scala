@@ -267,19 +267,35 @@ object TextQueries {
 
   private[graft] def bm25(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = tok.filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    import graft.functions.expressions.StringFunctions.{token_count, token_term_count}
+    // dl and the three per-term tfs come out of ONE fused codegen scan
+    // per document (TokenStats kernels) — the corpus never becomes
+    // token ROWS. The r11 shape exploded T token rows and shuffled them
+    // through two corpus-wide groupBys (dl, tf) plus a dl join-back; at
+    // data scale that explode IS the query's cost (T ≈ 10¹¹ rows at
+    // 100 TB), where this form shuffles only the ≤3·N_match tiny
+    // (doc, term, tf) tuples behind the 3-row df aggregate.
+    val counted = docs.select(
+      col("doc_id") +: token_count(col("text")).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (tm, i) =>
+          token_term_count(col("text"), lit(tm)).as(s"tf_$i") }: _*)
     // N and T ride ONE scalar subquery as a struct (a subquery must return
     // one column, not one field) — two separate subqueries would each
-    // re-evaluate the corpus tokenize pass behind dl
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    // re-evaluate the corpus token-count pass
+    val stats = docs
+      .select(token_count(col("text")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
       .select(struct(col("n"), col("t")).as("nt"))
-    tf.join(dfreq, Seq("term"))
-      .join(dl, Seq("doc_id"))
+    // unpivot the tf columns to (doc_id, term, tf>0) rows; dl rides the
+    // same row, so the old per-doc dl join-back disappears entirely
+    val tf = counted
+      .filter(Bm25Terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"),
+        explode(map(Bm25Terms.zipWithIndex.flatMap { case (tm, i) =>
+          Seq(lit(tm), col(s"tf_$i")) }: _*)).as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
       .withColumn("nt", scalarSubquery(stats))
       .withColumn("n", col("nt.n"))
       .withColumn("t", col("nt.t"))

@@ -540,4 +540,48 @@ object IndexArtifacts {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     s"${wh.stripSuffix("/")}/$table"
   }
+
+  /** Persist a DERIVED LAYER artifact (winnow pick sets, verified pair
+    * tables, capped shingle indexes — corpus-fraction-sized, NOT
+    * driver-bounded): path-based parquet like [[persistModel]], but the
+    * read stays DISTRIBUTED and the fingerprint rides a ONE-ROW SIDECAR
+    * written AFTER the data, so the sidecar is the commit marker — a
+    * torn write leaves a mismatched sidecar, which reads as "absent →
+    * rebuild", never as a stale serve. Callers combine the INPUT
+    * listing ([[fileFingerprint]]) with a build-version tag in the
+    * fingerprint, so a changed build kernel in a later code drop
+    * invalidates every artifact the old kernel wrote.
+    *
+    * This is the session-memo → cross-session bridge the trained
+    * models already ride (VERDICT r10 #6): at data scale a shingle /
+    * winnow / typo-variant layer is MAINTAINED (the append/maintain
+    * family above), never rebuilt per session — a fresh session pays
+    * one parquet read for a build that cost minutes of cluster CPU.
+    */
+  def persistDerived(s: SparkSession, df: DataFrame, table: String,
+                     fingerprint: String): Unit = {
+    val path = modelPath(s, table)
+    df.write.mode("overwrite").parquet(path)
+    import s.implicits._
+    Seq(fingerprint).toDF("__fp")
+      .write.mode("overwrite").parquet(path + "__fp")
+  }
+
+  /** The persisted derived layer, IF its sidecar fingerprint matches —
+    * otherwise None and the caller rebuilds (and re-persists). The
+    * data frame is returned as a plain distributed parquet read; the
+    * caller re-applies its session layout (repartition/cache). Probe
+    * and reads share the [[readModel]] guard posture: any filesystem
+    * or parse failure means "no artifact", never a throw.
+    */
+  def readDerived(s: SparkSession, table: String,
+                  fingerprint: String): Option[DataFrame] = {
+    val path = modelPath(s, table)
+    val fresh = try {
+      val rows = s.read.parquet(path + "__fp").collect()
+      rows.length == 1 && rows(0).getString(0) == fingerprint
+    } catch { case _: Exception => false }
+    if (!fresh) None
+    else try Some(s.read.parquet(path)) catch { case _: Throwable => None }
+  }
 }

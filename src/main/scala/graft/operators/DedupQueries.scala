@@ -166,6 +166,62 @@ object DedupQueries {
     * (session, dir) so repeated invocations (Bench/Verify/specs) reuse ONE
     * cache entry instead of leaking a new one per call.
     */
+  /** Build-version tag folded into every derived-layer artifact
+    * fingerprint: bump whenever a layer's BUILD KERNEL changes (shingle
+    * hash arithmetic, winnow pick rule, typo variant scheme, cap
+    * constants), so an artifact a previous code drop wrote can never
+    * serve under new semantics — the input fileFingerprint alone only
+    * guards DATA staleness, not code staleness.
+    */
+  private val DerivedVersion = "v1"
+
+  /** How each derived layer was obtained this session — "artifact"
+    * (fingerprint-hit parquet read) or "rebuild" (cold build, written
+    * back as the artifact) — keyed by bench phase name, so
+    * target/bench.json says whether an index phase was artifact-warm
+    * (the trained-model source-tag convention, VERDICT r11 #5).
+    */
+  private val derivedSource =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def derivedSourceOf(s: SparkSession, phase: String): String =
+    Option(derivedSource.get((s, phase))).getOrElse("unbuilt")
+
+  /** Serve a derived layer from its persisted artifact when the input
+    * fingerprint (+ [[DerivedVersion]]) matches; otherwise the BUILD
+    * EXECUTES EXACTLY ONCE — as the artifact write — and the layer is
+    * read back from parquet, so cold sessions pay build + tiny write
+    * where warm sessions (every later Bench/Verify run on an unchanged
+    * fixture) pay one parquet read for 10s of CPU-seconds of hashing.
+    * The caller re-applies its session layout (repartition/cache/
+    * coalesce) to the returned frame. An unwritable warehouse degrades
+    * to the live build (source stays "rebuild") — never a throw.
+    */
+  private def servedDerived(s: SparkSession, d: String, phase: String,
+                            family: String, input: String)
+                           (build: => DataFrame): DataFrame = {
+    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/$input") +
+      ":" + DerivedVersion
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = s"g_drv_${family}_$slug"
+    graft.api.IndexArtifacts.readDerived(s, table, fp) match {
+      case Some(df) =>
+        derivedSource.put((s, phase), "artifact"); df
+      case None =>
+        derivedSource.put((s, phase), "rebuild")
+        lazy val built = build // once: the write job below IS its execution
+        try {
+          graft.api.IndexArtifacts.persistDerived(s, built, table, fp)
+          // a builder that returns an internally-cached frame (the
+          // connected-components final round) must not leak that pin —
+          // the artifact read below is the layer now (no-op for plain
+          // plans, which were never cached)
+          built.unpersist(blocking = false)
+          graft.api.IndexArtifacts.readDerived(s, table, fp).getOrElse(built)
+        } catch { case _: Exception => built }
+    }
+  }
+
   /** One memoized index entry. Each layer is built on FIRST ACCESS (lazy
     * val — contention serializes per key, not globally), so the cache's
     * monitor is held only for map bookkeeping, never across a multi-job
@@ -260,7 +316,7 @@ object DedupQueries {
       shCache.computeIfAbsent((s, d),
         _ => new IndexHolder(() => buildRaw(s, d), raw => buildCapped(s, d, raw),
                              sh => buildPairs(s, d, sh),
-                             (sh, p) => buildClusters(sh, p)))
+                             (sh, p) => buildClusters(s, d, sh, p)))
     }
   }
 
@@ -433,7 +489,9 @@ object DedupQueries {
       // stage pay 32-task scheduling+codegen floors for KBs of work per
       // task (at scale `natural` is large and this is a no-op)
       val natural = documents(s, d).rdd.getNumPartitions
-      val picks = TextQueries.winnowPicks(fanOut(documents(s, d)))
+      val picks = servedDerived(s, d, "winnow_picks", "winpicks",
+          "documents.parquet")(
+          TextQueries.winnowPicks(fanOut(documents(s, d))))
         .repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       picks
@@ -448,8 +506,10 @@ object DedupQueries {
         Option(winnowScoredMemo.remove(k)).foreach(_.unpersist(blocking = false))
       }
     winnowScoredMemo.computeIfAbsent((s, d), _ => {
-      val scored = winnowScoredPlan(
-        winnowPickSet(s, d).select("doc_id", "h")).cache()
+      val scored = servedDerived(s, d, "winnow_pairs", "winpairs",
+          "documents.parquet")(
+          winnowScoredPlan(winnowPickSet(s, d).select("doc_id", "h")))
+        .cache()
       scored.count() // eager — see winnowPickSet
       scored
     })
@@ -464,32 +524,38 @@ object DedupQueries {
     * consumer measures query-only cost — the session-cache analog of the
     * build-once [[graft.api.IndexArtifacts]] posture.
     */
-  private[graft] def indexPhases(
-      s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
-    "shingle_raw"      -> (() => uncappedShingleHashes(s, d).count()),
-    "shingle_capped"   -> (() => shingleHashes(s, d).count()),
-    "shingle_pairs"    -> (() => sharedShinglePairs(s, d).count()),
-    "shingle_clusters" -> (() => clusterLabels(s, d).count()),
-    // the Rabin-Karp winnow pick build + its scored pair layer —
-    // consumed by q_dedup_winnow (pairs) and q_text_winnow (picks)
-    "winnow_picks"     -> (() => winnowPickSet(s, d).count()),
-    "winnow_pairs"     -> (() => winnowScoredPairs(s, d).count()),
-    // the blocked Damerau verify — built once, consumed by
-    // q_dedup_typos AND q_dedup_typo_clusters
-    "typo_pairs"       -> (() => typoPairs(s, d).count()))
+  private[graft] def indexPhases(s: SparkSession, d: String)
+      : Seq[(String, () => Long, () => String)] = {
+    def ph(name: String, f: () => Long) =
+      (name, f, () => derivedSourceOf(s, name))
+    Seq(
+      ph("shingle_raw",      () => uncappedShingleHashes(s, d).count()),
+      ph("shingle_capped",   () => shingleHashes(s, d).count()),
+      ph("shingle_pairs",    () => sharedShinglePairs(s, d).count()),
+      ph("shingle_clusters", () => clusterLabels(s, d).count()),
+      // the Rabin-Karp winnow pick build + its scored pair layer —
+      // consumed by q_dedup_winnow (pairs) and q_text_winnow (picks)
+      ph("winnow_picks",     () => winnowPickSet(s, d).count()),
+      ph("winnow_pairs",     () => winnowScoredPairs(s, d).count()),
+      // the blocked Damerau verify — built once, consumed by
+      // q_dedup_typos AND q_dedup_typo_clusters
+      ph("typo_pairs",       () => typoPairs(s, d).count()))
+  }
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
     * criterion) → component labels via [[graft.api.GraftOps.connectedComponents]].
     */
-  private def buildClusters(sh: DataFrame, pairTable: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val nearDup = pairTable
-      .join(sizes.as("na"), col("da") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
-      .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
-      .select("da", "db")
-    graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
-  }
+  private def buildClusters(s: SparkSession, d: String,
+                            sh: DataFrame, pairTable: DataFrame): DataFrame =
+    servedDerived(s, d, "shingle_clusters", "shclus", "documents.parquet") {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val nearDup = pairTable
+        .join(sizes.as("na"), col("da") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+        .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
+        .select("da", "db")
+      graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
+    }.cache()
 
   /** Candidate pairs with shared-shingle counts via ONE (h)-keyed bucket
     * aggregation + in-bucket pair expansion — not an index self-join,
@@ -511,7 +577,8 @@ object DedupQueries {
     // consumer's own job (the cache populates when its first stage scans
     // it), so the layer costs zero extra scheduler round-trips — repeat
     // consumers still hit the populated cache
-    pairsPlan(sh).cache()
+    servedDerived(s, d, "shingle_pairs", "shpairs", "documents.parquet")(
+      pairsPlan(sh)).cache()
   }
 
   /** The pair PLAN over any capped (doc_id, h) index — shared by the
@@ -550,7 +617,9 @@ object DedupQueries {
   private def buildRaw(s: SparkSession, d: String): DataFrame =
     // no eager count — the capped build's hot-set aggregation is the
     // first stage to scan this cache and populates it in the same job
-    shingles(s, d).cache()
+    // (on a cold artifact path the persist write IS the materialization)
+    servedDerived(s, d, "shingle_raw", "shraw", "documents.parquet")(
+      shingles(s, d)).cache()
 
   /** Capped index over the raw layer: anti-join away the HOT shingles
     * (df > DfCap) and materialize. The hot set is tiny by construction
@@ -564,7 +633,8 @@ object DedupQueries {
     */
   private def buildCapped(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
     val natural = documents(s, d).rdd.getNumPartitions
-    capIndex(raw).coalesce(natural).cache()
+    servedDerived(s, d, "shingle_capped", "shcap", "documents.parquet")(
+      capIndex(raw)).coalesce(natural).cache()
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned
@@ -1486,10 +1556,11 @@ object DedupQueries {
         Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
       }
     typoPairMemo.computeIfAbsent((s, d), _ => {
-      val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-      val pairs = typoPairsPlan(typoVariants(p),
-          p.select("p_partkey", "p_name"))
-        .cache()
+      val pairs = servedDerived(s, d, "typo_pairs", "typopairs",
+          "part.parquet") {
+          val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
+          typoPairsPlan(typoVariants(p), p.select("p_partkey", "p_name"))
+        }.cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       pairs
     })

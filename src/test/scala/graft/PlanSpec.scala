@@ -472,11 +472,17 @@ class PlanSpec extends SparkSpec {
 
   test("q_dedup_typos: capped deletion-variant index (row_number cap in " +
        "plan, no block self-join), native damerau_levenshtein verify") {
-    // drop the session memo first: a prior suite's run leaves the pair
-    // table cached, and the cached plan is an InMemoryTableScan that
-    // hides the verify expression this test inspects
-    graft.operators.DedupQueries.releaseTypoPairs(spark)
-    val p = plan("q_dedup_typos")
+    // pin the LIVE BUILD plan (typoPairsPlan over the variant index)
+    // directly: the q_dedup_typos memo may legitimately serve the pair
+    // table from its persisted artifact (or a cached InMemoryTableScan),
+    // either of which hides the build expressions this test inspects
+    import graft.operators.DedupQueries
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    val df = DedupQueries.typoPairsPlan(DedupQueries.typoVariants(parts),
+      parts.select("p_partkey", "p_name"))
+    df.collect() // settle AQE on the final plan (the plan() convention)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("damerau_levenshtein"), p)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SubwordCount, TokenCount, TokenTermCount}
+import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -88,6 +88,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("token_term_count", args, 2)
         TokenTermCount(args(0), args(1))
+      }),
+    ("simhash60",
+      info("simhash60",
+        "simhash60(s) - 60-bit SimHash of s's whitespace-token multiset"),
+      (args: Seq[Expression]) => {
+        requireArity("simhash60", args, 1)
+        SimHash60(args(0))
       })
   )
 

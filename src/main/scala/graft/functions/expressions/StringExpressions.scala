@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{StringMetrics, TokenStats, TypoHash}
+import graft.functions.{SimHash, StringMetrics, TokenStats, TypoHash}
 
 /** Native unrestricted Damerau-Levenshtein distance (see
   * [[graft.functions.StringMetrics]] for the algorithm and the
@@ -149,6 +149,37 @@ case class TokenTermCount(left: Expression, right: Expression)
   override def prettyName: String = "token_term_count"
 }
 
+/** Native 60-bit SimHash over the whitespace-token multiset (see
+  * [[graft.functions.SimHash]] for the parity contract with the
+  * relational explode → md5long → majority definition). Per-row for
+  * the usual reason: the fingerprint is a pure function of one
+  * document, and computing it in the projection keeps the corpus from
+  * ever becoming token rows.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash60 requires a string input, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash.simhash60(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.SimHash.simhash60($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
+}
+
 object StringFunctions {
   /** Column API for the native unrestricted Damerau-Levenshtein. */
   def damerau_levenshtein(a: Column, b: Column): Column =
@@ -165,4 +196,8 @@ object StringFunctions {
   /** Column API for the native per-term token frequency. */
   def token_term_count(text: Column, term: Column): Column =
     toColumn(TokenTermCount(toExpression(text), toExpression(term)))
+
+  /** Column API for the native 60-bit token-multiset SimHash. */
+  def simhash60(text: Column): Column =
+    toColumn(SimHash60(toExpression(text)))
 }

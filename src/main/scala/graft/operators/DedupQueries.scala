@@ -1240,25 +1240,16 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, d) => {
       // 60-bit SimHash over the token multiset (order-insensitive — catches
       // the fixture's permuted near-dups); pairs via 4×15-bit band joins.
-      // count-weighted DISTINCT tokens per doc before any hashing: natural
-      // text repeats tokens ~2.3× (fixture-measured), so deduping first
-      // cuts both the md5 pass and the 60-slot aggregation rows by that
-      // factor; Σ±1 over occurrences ≡ Σ±c over distinct tokens — same
-      // arithmetic, the DuckDB oracle keeps its exploded form.
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), md5long(col("t")).as("h"), col("c"))
-      // 60 aggregate slots instead of a 60× row explode: one pass over the
-      // token rows, map-side partial aggregation, no extra shuffle volume.
-      val bitSums = tok.groupBy("doc_id").agg(
-        sum(when(expr("(h >> 0) & 1") === 1, col("c")).otherwise(-col("c"))).as("sb0"),
-        (1 until 60).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"sb$j")): _*)
-      val sim = bitSums.select(col("doc_id"),
-        (0 until 60).map(j =>
-          when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      // The fingerprint is a pure per-document function, so it computes in
+      // ONE codegen'd projection (graft.functions.SimHash — bit-identical
+      // to the explode → per-distinct-token md5long → 60 signed bit sums →
+      // majority pipeline it replaced, which shuffled the corpus twice as
+      // token rows; TokenStatsSpec pins the kernel against that relational
+      // form, and the DuckDB oracle keeps its exploded definition, so the
+      // hash compare certifies the kernel parity at both SFs).
+      val sim = documents(s, d).select(col("doc_id"),
+        graft.functions.expressions.StringFunctions
+          .simhash60(col("text")).as("simhash"))
       simhashBandPairs(sim)
         .filter(col("hamming") <= 6)
         .orderBy("da", "db")

@@ -60,4 +60,34 @@ class TokenStatsSpec extends SparkSpec {
       .first()
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
   }
+
+  test("simhash60 kernel = the relational explode/md5long/majority " +
+       "definition, on edge cases AND the fixture corpus") {
+    import spark.implicits._
+    import graft.functions.expressions.StringFunctions.simhash60
+    import graft.functions.TextHash.md5long
+    def relational(docs: org.apache.spark.sql.DataFrame) = {
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), md5long(col("t")).as("h"), col("c"))
+      val bitSums = tok.groupBy("doc_id").agg(
+        sum(when(expr("(h >> 0) & 1") === 1, col("c")).otherwise(-col("c"))).as("sb0"),
+        (1 until 60).map(j =>
+          sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"sb$j")): _*)
+      bitSums.select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("ref"))
+    }
+    val edges = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val fixture = Tables.documents(spark, sf).select("doc_id", "text")
+    for (docs <- Seq(edges, fixture)) {
+      val got = docs.select(col("doc_id"), simhash60(col("text")).as("k"))
+        .join(relational(docs), "doc_id")
+        .filter(col("k") =!= col("ref"))
+      assert(got.count() == 0L, got.collect().take(3).mkString("; "))
+    }
+  }
 }

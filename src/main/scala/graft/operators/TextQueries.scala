@@ -621,6 +621,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_readability" -> ((s, d) =>
+      // Flesch-Kincaid grade level as a corpus-quality gate (Kincaid et
+      // al. 1975) — the readability lens the blended q_text_quality
+      // score doesn't cover: words per sentence + syllables per word,
+      // with syllables approximated by vowel groups (the standard cheap
+      // estimator). All-integer arithmetic at ×10⁶ scale (one DIV per
+      // ratio term), so the cross-engine compare is exact; every count
+      // is a pure per-row projection — token_count rides the native
+      // kernel, sentence count is a char-count subtraction, vowel
+      // groups one regex pass. No shuffle at all before the output sort.
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.StringFunctions
+            .token_count(col("text")).as("n_words"),
+          greatest(lit(1L),
+            (length(col("text")) -
+             length(translate(col("text"), ".", ""))).cast("long"))
+            .as("n_sentences"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiou]+"), lit(0))).cast("long").as("n_syllables"))
+        .withColumn("fk_e6",
+          expr("390000 * n_words DIV n_sentences" +
+               " + 11800000 * n_syllables DIV n_words - 15590000"))
+        .orderBy("doc_id")),
+
     "q_text_contamination" -> ((s, d) =>
       // Benchmark decontamination probe — see [[contaminationStats]],
       // the one definition shared with q_pipeline_eval's clean gate.
@@ -1196,6 +1221,20 @@ object TextQueries {
         |                   + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
         |                  * 1e6) AS BIGINT) AS quality_e6
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       greatest(1, length(text) - length(replace(text, '.', '')))
+        |         AS n_sentences,
+        |       len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |         AS n_syllables,
+        |       390000 * len(string_split(text, ' '))
+        |         // greatest(1, length(text) - length(replace(text, '.', '')))
+        |       + 11800000 * len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |         // len(string_split(text, ' '))
+        |       - 15590000 AS fk_e6
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_contamination" -> {
       // mirrors DedupQueries.shingles: distinct 3-gram polynomial hashes

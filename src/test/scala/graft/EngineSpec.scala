@@ -1197,6 +1197,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q_text_readability: hand-derived Flesch-Kincaid integers") {
+    import spark.implicits._
+    // "the cat sat." → words=3 (trailing-empty token from the final
+    // period's split? no — '.' is not a separator, so 3 space-separated
+    // tokens), sentences=1 ('.' count), vowel groups: e,a,a → 3;
+    // fk_e6 = 390000·3/1 + 11800000·3/3 − 15590000 = 1170000+11800000
+    //         −15590000 = −2620000.
+    // "ab" → words=1, sentences=greatest(1,0)=1, syllables=1;
+    // fk_e6 = 390000 + 11800000 − 15590000 = −3400000.
+    // "aa ee ii. oo." → words=4, sentences=2, syllables=4;
+    // fk_e6 = 390000·4/2 + 11800000·4/4 − 15590000 = 780000+11800000
+    //         −15590000 = −3010000.
+    val dir = java.nio.file.Files.createTempDirectory("readab").toString
+    Seq((1L, "the cat sat."), (2L, "ab"), (3L, "aa ee ii. oo."))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_readability")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 3L, -2620000L),
+      (2L, 1L, 1L, 1L, -3400000L),
+      (3L, 4L, 2L, 4L, -3010000L)), got)
+  }
+
   test("q_text_quality_src: decile cells restate q_text_quality's " +
        "per-doc scores") {
     val perDoc = SparkEntry.queries("q_text_quality")(spark, sf).collect()

@@ -300,6 +300,31 @@ object EventTimeQueries {
         .select("user_id", "s_ms", "e_ms", "n")
         .orderBy("user_id", "s_ms")),
 
+    "q_event_concurrency" -> ((s, d) => {
+      // Active sessions per hour — the interval-stab gauge (how many
+      // 30-min-gap sessions SPAN each hour, not how many events landed
+      // in it — a session quiet for 25 minutes is still active, which
+      // is what DAU/event-count views can't see). Shape: sessionize
+      // (the q_session_windows definition verbatim), explode each
+      // session into the hours it spans — fan-out bounded by session
+      // duration in hours, never by event count — then ONE hour-keyed
+      // rollup. No interval theta join anywhere: the hour grid is the
+      // bucketization of the classic interval-stab query, so at 100 TB
+      // this is a map-side explode + one aggregation.
+      val sess = ems(s, d)
+        .withColumn("tsm", timestamp_millis(col("ems")))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(min(col("ems")).as("s_ms"), max(col("ems")).as("e_ms"))
+      sess
+        .select(col("user_id"),
+          explode(sequence(expr("s_ms div 3600000"),
+                           expr("e_ms div 3600000"))).as("hour"))
+        .groupBy("hour")
+        .agg(count(lit(1)).as("active_sessions"),
+             count_distinct(col("user_id")).as("active_users"))
+        .orderBy("hour")
+    }),
+
     "q_session_stats" -> ((s, d) => {
       // Session duration/size PROFILE — q_session_windows' dashboard
       // rollup: sessions bucketed into a fixed 6-cell duration histogram
@@ -687,6 +712,27 @@ object EventTimeQueries {
         |      FROM g)
         |SELECT user_id, min(ems) AS s_ms, max(ems) AS e_ms, count(*) AS n
         |FROM i GROUP BY user_id, sid ORDER BY user_id, s_ms""".stripMargin,
+
+    "q_event_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
+        |g AS (SELECT user_id, ems,
+        |             CASE WHEN ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems)
+        |                    >= 1800000
+        |                  OR lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |i AS (SELECT user_id, ems,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ems
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g),
+        |sess AS (SELECT user_id, min(ems) AS s_ms, max(ems) AS e_ms
+        |         FROM i GROUP BY user_id, sid),
+        |h AS (SELECT user_id,
+        |             unnest(range(s_ms // 3600000, e_ms // 3600000 + 1)) AS hour
+        |      FROM sess)
+        |SELECT hour, count(*) AS active_sessions,
+        |       count(DISTINCT user_id) AS active_users
+        |FROM h GROUP BY hour ORDER BY hour""".stripMargin,
 
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),

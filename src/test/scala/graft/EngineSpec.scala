@@ -1222,6 +1222,22 @@ class EngineSpec extends SparkSpec {
       (3L, 4L, 2L, 4L, -3010000L)), got)
   }
 
+  test("q_event_concurrency: a session quiet across an hour boundary " +
+       "still counts as active in both hours") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    // user 1: one session inside hour 0 ([0 ms, 25 min]);
+    // user 2: one session [58 min, 78 min] (20-min gap < 30) spanning
+    // hours 0 AND 1 — the event-count view would miss its hour-1 share
+    Seq((1L, 0L), (1L, 1500000L), (2L, 3500000L), (2L, 4700000L))
+      .map { case (u, ms) => (u, ms * 1000000L) }
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_event_concurrency")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 2L), (1L, 1L, 1L)), got)
+  }
+
   test("q_text_quality_src: decile cells restate q_text_quality's " +
        "per-doc scores") {
     val perDoc = SparkEntry.queries("q_text_quality")(spark, sf).collect()

@@ -67,7 +67,9 @@ class DerivedArtifactsSpec extends SparkSpec {
         ("q_dedup_winnow", () => DedupQueries.releaseWinnowPicks(spark),
           "winnow_pairs"),
         ("q_dedup_ngram", () => DedupQueries.releaseShingleIndex(spark),
-          "shingle_pairs"))) {
+          "shingle_pairs"),
+        ("q_dedup_minhash", () => DedupQueries.releaseBandSignatures(spark),
+          "shingle_sigs"))) {
       val q = SparkEntry.queries(key)
       val first = q(spark, sf).collect().map(_.toSeq).toSet
       release()

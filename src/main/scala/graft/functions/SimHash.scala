@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,13 +35,19 @@ object SimHash {
     val bytes = text.getBytes
     val n = bytes.length
     // distinct-token counts (token = maximal run between single 0x20s,
-    // empties included — split-with-limit=-1 parity)
-    val counts = new java.util.HashMap[String, Array[Long]]()
+    // empties included — split-with-limit=-1 parity). Keys are RAW BYTE
+    // slices (ByteBuffer content equality over the shared backing
+    // array), never a String decode: md5long digests the UTF8String's
+    // bytes verbatim (`md5(c.cast("binary"))`), and a String round-trip
+    // would substitute U+FFFD into invalid UTF-8 — a silent parity
+    // break for any corpus whose string column carries undecodable
+    // bytes (UTF8String never validates).
+    val counts = new java.util.HashMap[java.nio.ByteBuffer, Array[Long]]()
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || bytes(i) == 0x20) {
-        val tok = new String(bytes, start, i - start, StandardCharsets.UTF_8)
+        val tok = java.nio.ByteBuffer.wrap(bytes, start, i - start)
         val slot = counts.get(tok)
         if (slot == null) counts.put(tok, Array(1L)) else slot(0) += 1L
         start = i + 1
@@ -55,7 +60,9 @@ object SimHash {
     while (it.hasNext) {
       val e = it.next()
       md.reset()
-      val d = md.digest(e.getKey.getBytes(StandardCharsets.UTF_8))
+      val buf = e.getKey
+      md.update(bytes, buf.position(), buf.remaining())
+      val d = md.digest()
       // first 15 hex chars = the digest's leading 60 bits, big-endian
       var h = 0L
       var b = 0

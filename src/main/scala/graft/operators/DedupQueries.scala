@@ -167,11 +167,15 @@ object DedupQueries {
     * cache entry instead of leaking a new one per call.
     */
   /** Build-version tag folded into every derived-layer artifact
-    * fingerprint: bump whenever a layer's BUILD KERNEL changes (shingle
-    * hash arithmetic, winnow pick rule, typo variant scheme, cap
-    * constants), so an artifact a previous code drop wrote can never
-    * serve under new semantics — the input fileFingerprint alone only
-    * guards DATA staleness, not code staleness.
+    * fingerprint: bump whenever a layer's BUILD ALGORITHM changes
+    * (shingle hash arithmetic, winnow pick rule, typo variant scheme),
+    * so an artifact a previous code drop wrote can never serve under
+    * new semantics — the input fileFingerprint alone only guards DATA
+    * staleness, not code staleness. The tunable CONSTANTS (caps, K,
+    * band geometry, thresholds) are folded in mechanically per call
+    * site via the `tag` argument, so a constant change self-invalidates
+    * without anyone remembering this string exists; only a
+    * same-constants algorithm change still needs the manual bump.
     */
   private val DerivedVersion = "v1"
 
@@ -198,10 +202,10 @@ object DedupQueries {
     * to the live build (source stays "rebuild") — never a throw.
     */
   private def servedDerived(s: SparkSession, d: String, phase: String,
-                            family: String, input: String)
+                            family: String, input: String, tag: String)
                            (build: => DataFrame): DataFrame = {
     val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/$input") +
-      ":" + DerivedVersion
+      ":" + DerivedVersion + ":" + tag
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
     val table = s"g_drv_${family}_$slug"
     graft.api.IndexArtifacts.readDerived(s, table, fp) match {
@@ -490,7 +494,8 @@ object DedupQueries {
       // task (at scale `natural` is large and this is a no-op)
       val natural = documents(s, d).rdd.getNumPartitions
       val picks = servedDerived(s, d, "winnow_picks", "winpicks",
-          "documents.parquet")(
+          "documents.parquet",
+          s"k${TextQueries.WinnowK}w${TextQueries.WinnowW}")(
           TextQueries.winnowPicks(fanOut(documents(s, d))))
         .repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
@@ -507,7 +512,8 @@ object DedupQueries {
       }
     winnowScoredMemo.computeIfAbsent((s, d), _ => {
       val scored = servedDerived(s, d, "winnow_pairs", "winpairs",
-          "documents.parquet")(
+          "documents.parquet",
+          s"k${TextQueries.WinnowK}w${TextQueries.WinnowW}")(
           winnowScoredPlan(winnowPickSet(s, d).select("doc_id", "h")))
         .cache()
       scored.count() // eager — see winnowPickSet
@@ -550,7 +556,8 @@ object DedupQueries {
     */
   private def buildClusters(s: SparkSession, d: String,
                             sh: DataFrame, pairTable: DataFrame): DataFrame =
-    servedDerived(s, d, "shingle_clusters", "shclus", "documents.parquet") {
+    servedDerived(s, d, "shingle_clusters", "shclus", "documents.parquet",
+        s"df$DfCap-jac800000") {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val nearDup = pairTable
         .join(sizes.as("na"), col("da") === col("na.doc_id"))
@@ -580,8 +587,8 @@ object DedupQueries {
     // consumer's own job (the cache populates when its first stage scans
     // it), so the layer costs zero extra scheduler round-trips — repeat
     // consumers still hit the populated cache
-    servedDerived(s, d, "shingle_pairs", "shpairs", "documents.parquet")(
-      pairsPlan(sh)).cache()
+    servedDerived(s, d, "shingle_pairs", "shpairs", "documents.parquet",
+      s"df$DfCap")(pairsPlan(sh)).cache()
   }
 
   /** The pair PLAN over any capped (doc_id, h) index — shared by the
@@ -621,7 +628,7 @@ object DedupQueries {
     // no eager count — the capped build's hot-set aggregation is the
     // first stage to scan this cache and populates it in the same job
     // (on a cold artifact path the persist write IS the materialization)
-    servedDerived(s, d, "shingle_raw", "shraw", "documents.parquet")(
+    servedDerived(s, d, "shingle_raw", "shraw", "documents.parquet", "n3")(
       shingles(s, d)).cache()
 
   /** Capped index over the raw layer: anti-join away the HOT shingles
@@ -636,8 +643,8 @@ object DedupQueries {
     */
   private def buildCapped(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
     val natural = documents(s, d).rdd.getNumPartitions
-    servedDerived(s, d, "shingle_capped", "shcap", "documents.parquet")(
-      capIndex(raw)).coalesce(natural).cache()
+    servedDerived(s, d, "shingle_capped", "shcap", "documents.parquet",
+      s"df$DfCap")(capIndex(raw)).coalesce(natural).cache()
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned
@@ -647,6 +654,10 @@ object DedupQueries {
     */
   def releaseShingleIndex(s: SparkSession): Unit = shCache.synchronized {
     import scala.jdk.CollectionConverters._
+    // the band-signature memo derives from this index — a release that
+    // left it behind would serve signatures of the RELEASED index beside
+    // freshly rebuilt pair tables (and leak its pinned cache)
+    releaseBandSignatures(s)
     shCache.keySet.asScala.filter(_._1 == s)
       .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
   }
@@ -695,7 +706,7 @@ object DedupQueries {
       }
     sigMemo.computeIfAbsent((s, d), _ => {
       val bands = servedDerived(s, d, "shingle_sigs", "shsigs",
-          "documents.parquet")(
+          "documents.parquet", s"df$DfCap-k$K-r$Rows")(
           bandSignatures(shingleHashes(s, d)))
         .cache()
       bands.count() // eager — the winnowPickSet rationale
@@ -1587,7 +1598,7 @@ object DedupQueries {
       }
     typoPairMemo.computeIfAbsent((s, d), _ => {
       val pairs = servedDerived(s, d, "typo_pairs", "typopairs",
-          "part.parquet") {
+          "part.parquet", s"cap$TypoVariantCap") {
           val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
           typoPairsPlan(typoVariants(p), p.select("p_partkey", "p_name"))
         }.cache()

@@ -201,7 +201,8 @@ object DedupQueries {
     * coalesce) to the returned frame. An unwritable warehouse degrades
     * to the live build (source stays "rebuild") — never a throw.
     */
-  private def servedDerived(s: SparkSession, d: String, phase: String,
+  private[operators] def servedDerived(s: SparkSession, d: String,
+                            phase: String,
                             family: String, input: String, tag: String)
                            (build: => DataFrame): DataFrame = {
     val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/$input") +
@@ -542,6 +543,9 @@ object DedupQueries {
       // the full-corpus band-signature table — consumed by
       // q_dedup_minhash AND q_dedup_train_test
       ph("shingle_sigs",     () => bandSigTable(s, d).count()),
+      // the text family's (doc_id, source, token, c) inverted-index
+      // base relation — consumed by 8 vocab-aggregating queries
+      ph("token_counts",     () => TextQueries.tokenLayer(s, d).count()),
       // the Rabin-Karp winnow pick build + its scored pair layer —
       // consumed by q_dedup_winnow (pairs) and q_text_winnow (picks)
       ph("winnow_picks",     () => winnowPickSet(s, d).count()),

@@ -22,6 +22,53 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Memoized per-doc TOKEN COUNT layer (doc_id, source, token, c) — the
+    * text family's inverted-index base relation. Eight vocab-aggregating
+    * queries (tf-idf, keywords, vocab, hapax, stopwords, zipf, tokens,
+    * drift) each re-ran the identical corpus tokenize + first
+    * aggregation inside every timed execution; every one of their
+    * downstream shapes is an aggregation OVER this relation, so it is
+    * built once per (session, dir), served from the derived-artifact
+    * family (DedupQueries.servedDerived — fingerprint + sidecar, the
+    * shingle-layer posture), and attributed as the `token_counts`
+    * bench phase. At data scale this IS the maintained inverted index:
+    * rows are (docs × distinct-tokens-per-doc), ~0.4× the raw token
+    * stream, and consumers' shuffles shrink from token volume to vocab
+    * volume. Tokens are RAW case (lowercase folds exactly through a
+    * later aggregation — Unicode case mapping never touches U+0020,
+    * so split-then-lower ≡ lower-then-split).
+    */
+  private val tokLayerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+                                               DataFrame]()
+
+  private[graft] def releaseTokenLayer(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    tokLayerMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
+      Option(tokLayerMemo.remove(k)).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private[operators] def tokenLayer(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    tokLayerMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
+      .toSeq.foreach { k =>
+        Option(tokLayerMemo.remove(k)).foreach(_.unpersist(blocking = false))
+      }
+    tokLayerMemo.computeIfAbsent((s, d), _ => {
+      val layer = DedupQueries.servedDerived(s, d, "token_counts",
+          "tokcounts", "documents.parquet", "ws")(
+          fanOut(documents(s, d))
+            .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("token"))
+            .groupBy("doc_id", "source", "token")
+            .agg(count(lit(1)).as("c")))
+        .cache()
+      layer.count() // eager — the winnowPickSet rationale
+      layer
+    })
+  }
+
   /** q_text_clean knobs — C4-style line/document gates and PII patterns.
     * The regexes stay inside the RE2-compatible subset (character classes,
     * bounded repetition, no backrefs/lookaround) so Java regex (Spark) and
@@ -448,15 +495,21 @@ object TextQueries {
     * single struct scalar subquery over the vocab-sized table (the bm25
     * precedent — no join node); top-20 plans as TakeOrderedAndProject.
     */
-  private[graft] def drift(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
-    val toks = docs
+  private[graft] def drift(docs: DataFrame): DataFrame =
+    driftFromCounts(docs
       .withColumn("grp", pmod(SamplingQueries.srcNum, lit(2L)))
       .select(col("grp"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 2)
-    val tc = toks.groupBy("token")
+      .groupBy("token")
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("o1"),
-           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("o2"))
+           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("o2")))
+
+  /** [[drift]]'s tail over a PREBUILT (token, o1, o2) cohort-count
+    * table — the layer-reader entry (q_text_drift folds the shared
+    * token layer into the same shape). One definition with the
+    * from-docs form. */
+  private[graft] def driftFromCounts(tc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
     val stats = tc.agg(sum("o1").as("n1"), sum("o2").as("n2"))
       .select(struct(col("n1"), col("n2")).as("nn"))
     // an empty cohort reports rate 0 rather than erroring the whole
@@ -490,13 +543,16 @@ object TextQueries {
 
   def queries: Map[String, Q] = Map(
     "q_text_tokens" -> ((s, d) =>
-      // Token frequency top-20: the canonical explode → count — partial
-      // aggregation shrinks the shuffle to |vocab| per partition.
-      documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+      // Token frequency top-20 over the shared token layer: lowercase
+      // folds exactly through the aggregation (split-then-lower ≡
+      // lower-then-split — Unicode case mapping never touches U+0020),
+      // and the length filter runs on the LOWERED token, matching the
+      // original tokenize-lowered-text order.
+      tokenLayer(s, d)
+        .select(lower(col("token")).as("token"), col("c"))
         .filter(length(col("token")) > 2)
         .groupBy("token")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
@@ -737,10 +793,11 @@ object TextQueries {
       // (term — already term-keyed, so partial aggregation is cheap), one
       // term-keyed join back, one per-doc window for the top-3. All
       // shuffles are keyed and linear in token volume; df is vocabulary-
-      // sized, so AQE broadcasts the join side when it fits.
-      val tok = fanOut(documents(s, d))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // sized, so AQE broadcasts the join side when it fits. tf IS the
+      // shared token layer verbatim — (doc_id, term, count) — so the
+      // corpus tokenize + first aggregation ride the memoized build.
+      val tf = tokenLayer(s, d)
+        .select(col("doc_id"), col("token").as("term"), col("c").as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf_e6").desc, col("term").asc)
@@ -762,9 +819,10 @@ object TextQueries {
       // join-back, and the per-source top-5 window plans a
       // WindowGroupLimit (map-side partial top-k — the q_topk_group
       // rule), so no source's token list ever sorts whole in one task.
-      val tok = fanOut(documents(s, d))
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      // The (source, token) rollup folds the shared token layer — a
+      // vocab-sized aggregation instead of a corpus re-tokenize.
+      val tf = tokenLayer(s, d).groupBy("source", "token")
+        .agg(sum("c").as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("source")
         .orderBy(col("score_e6").desc, col("token").asc)
@@ -901,8 +959,14 @@ object TextQueries {
       winnowRollup(DedupQueries.winnowPickSet(s, d))),
 
     "q_text_drift" -> ((s, d) =>
-      // cross-snapshot token-rate drift in exact ppm — see [[drift]]
-      drift(fanOut(documents(s, d)))),
+      // cross-snapshot token-rate drift in exact ppm — see [[drift]];
+      // cohort counts fold the shared token layer (Σc per (grp, token))
+      driftFromCounts(tokenLayer(s, d)
+        .withColumn("grp", pmod(SamplingQueries.srcNum, lit(2L)))
+        .filter(length(col("token")) > 2)
+        .groupBy("token")
+        .agg(sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("o1"),
+             sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("o2")))),
 
     "q_text_heavyhitters" -> ((s, d) =>
       // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]]
@@ -945,13 +1009,14 @@ object TextQueries {
       // Per-source vocabulary profile: tokens, distinct tokens, and the
       // type-token ratio in exact ppm — the lexical-diversity signal
       // curation tracks per source (boilerplate-heavy sources show a
-      // collapsing TTR). One source-keyed aggregation; the distinct
-      // rewrite keys its first phase on (source, token) — both stages
-      // partial-combine map-side, output is sources-sized.
-      fanOut(documents(s, d))
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      // collapsing TTR). One source-keyed aggregation over the shared
+      // token layer (Σc = raw token count; rows are already distinct
+      // (doc, token), so the distinct rewrite's first phase is
+      // pre-folded) — both stages partial-combine map-side, output is
+      // sources-sized.
+      tokenLayer(s, d)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
+        .agg(sum("c").as("n_tokens"),
              count_distinct(col("token")).as("n_vocab"))
         .withColumn("ttr_ppm", expr("n_vocab * 1000000 DIV n_tokens"))
         .orderBy("source")),
@@ -962,11 +1027,10 @@ object TextQueries {
       // singletons (Heaps' law puts hapaxes near half the vocabulary),
       // while template/boilerplate sources exhaust their vocabulary and
       // the singleton rate collapses. Shape: one (source, token)
-      // aggregation (vocab-sized after map-side partials), one
-      // sources-sized rollup, exact ppm.
-      fanOut(documents(s, d))
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      // rollup of the shared token layer (vocab-sized after map-side
+      // partials), one sources-sized rollup, exact ppm.
+      tokenLayer(s, d)
+        .groupBy("source", "token").agg(sum("c").as("n"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_types"),
              sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
@@ -1004,8 +1068,11 @@ object TextQueries {
       // stopword list. Shape: one (doc, token) distinct (the tf-idf df
       // rule — partial-combining), one token-keyed df aggregation
       // (vocab-sized), the doc total as a scalar subquery; output is the
-      // tiny high-DF head. df_ppm exact Long.
-      stopwordsCore(fanOut(documents(s, d)))),
+      // tiny high-DF head. df_ppm exact Long. df folds the shared token
+      // layer (its rows are already distinct (doc, token)).
+      stopwordsFromDf(
+        tokenLayer(s, d).groupBy("token").agg(count(lit(1)).as("df")),
+        documents(s, d))),
 
     "q_text_zipf" -> ((s, d) => {
       // Zipf head profile: the top-50 tokens with rank and the rank×count
@@ -1018,8 +1085,10 @@ object TextQueries {
       // result block — the bounded-block window rule (q_sim_knn_batch
       // precedent), never a corpus- or vocab-scale window. Fully
       // tie-broken order (count desc, token asc) keeps rank deterministic
-      // in both engines.
-      zipfHead(fanOut(documents(s, d)))
+      // in both engines. Counts fold the shared token layer (Σc per
+      // token) through the one zipfFromCounts definition.
+      zipfFromCounts(
+        tokenLayer(s, d).groupBy("token").agg(sum("c").as("n")))
     })
   )
 
@@ -1102,12 +1171,21 @@ object TextQueries {
     * document frequency is ≥ minPpm of the corpus. Within-doc repetition
     * never inflates df (the leading per-doc distinct). */
   private[graft] def stopwordsCore(docs: DataFrame,
-      minPpm: Long = 400000L): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
-    docs
+      minPpm: Long = 400000L): DataFrame =
+    stopwordsFromDf(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+      .groupBy("token").agg(count(lit(1)).as("df")),
+      docs, minPpm)
+
+  /** [[stopwordsCore]]'s tail over a PREBUILT per-token document-
+    * frequency table — the layer-reader entry (the shared token layer's
+    * rows are already distinct (doc, token), so its per-token row count
+    * IS df). One definition with the from-docs form. */
+  private[graft] def stopwordsFromDf(dfCounts: DataFrame, docs: DataFrame,
+      minPpm: Long = 400000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    dfCounts
       .withColumn("n_docs", scalarSubquery(docs.agg(count(lit(1)))))
       .withColumn("df_ppm", expr("df * 1000000 DIV n_docs"))
       .filter(col("df_ppm") >= minPpm)

@@ -211,6 +211,60 @@ object GraftOps {
       .orderBy(col(groupCol).asc, col("cnt").desc, col(itemCol).asc)
   }
 
+  /** [[heavyHitters]] over a PRE-AGGREGATED (item, weight) relation —
+    * the shared-token-layer entry: the sketch pass consumes vocab-sized
+    * weighted rows (graft.functions.FrequentItemsW — same guarantee, n
+    * = total weight) instead of one row per occurrence, and the exact
+    * recount is a sum of weights. Output is IDENTICAL to the
+    * per-occurrence form on the same underlying corpus (both equal the
+    * true > n/(K+1) set after the recount).
+    */
+  def heavyHittersWeighted(items: DataFrame, itemCol: String,
+                           weightCol: String): DataFrame = {
+    import graft.functions.{FrequentItems, FrequentItemsW}
+    val spark = items.sparkSession
+    import spark.implicits._
+    val it = items.select(col(itemCol).cast("string").as("__item"),
+                          col(weightCol).cast("long").as("__w"))
+      .filter(col("__item").isNotNull)
+    val cands = it.as[(String, Long)]
+      .select(FrequentItemsW.toColumn)
+      .toDF("cands", "n")
+      .select(explode(col("cands")).as("__item"), col("n"))
+    it.join(broadcast(cands), Seq("__item"))
+      .groupBy("__item", "n").agg(sum("__w").as("cnt"))
+      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
+      .select(col("__item").as(itemCol), col("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+  }
+
+  /** [[heavyHittersBy]] over a pre-aggregated (group, item, weight)
+    * relation — see [[heavyHittersWeighted]]. */
+  def heavyHittersByWeighted(items: DataFrame, groupCol: String,
+                             itemCol: String, weightCol: String): DataFrame = {
+    import graft.functions.{FrequentItems, FrequentItemsW}
+    val spark = items.sparkSession
+    import spark.implicits._
+    val it = items.select(col(groupCol).cast("string").as("__grp"),
+                          col(itemCol).cast("string").as("__item"),
+                          col(weightCol).cast("long").as("__w"))
+      .filter(col("__item").isNotNull && col("__grp").isNotNull)
+    val cands = it.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(FrequentItemsW.toColumn)
+      .toDF("__grp", "mg")
+      .select(col("__grp"), explode(col("mg._1")).as("__item"),
+              col("mg._2").as("n"))
+    // no broadcast hint — the heavyHittersBy rationale (ADVICE r10)
+    it.join(cands, Seq("__grp", "__item"))
+      .groupBy("__grp", "__item", "n").agg(sum("__w").as("cnt"))
+      .filter(col("cnt") * (FrequentItems.K + 1) > col("n"))
+      .select(col("__grp").as(groupCol), col("__item").as(itemCol),
+              col("cnt"))
+      .orderBy(col(groupCol).asc, col("cnt").desc, col(itemCol).asc)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jac_e6). Candidates come from band-signature
     * equality joins — no all-pairs product at any corpus size.

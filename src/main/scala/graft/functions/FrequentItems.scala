@@ -79,3 +79,39 @@ object FrequentItems
   override def outputEncoder: Encoder[(Array[String], Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[String], Long)]()
 }
+
+/** WEIGHTED Misra-Gries: consumes (item, weight) rows — a PRE-AGGREGATED
+  * count relation like the shared token layer — instead of one row per
+  * occurrence. Each arriving pair is treated as a singleton summary
+  * {item → w, n = w} and folded with [[FrequentItems.merge]]'s
+  * counter-subtraction rule, so the mergeable-summaries error bound
+  * (≤ n/(K+1), n = TOTAL WEIGHT) holds by the same argument as the
+  * unweighted form — and therefore so does the no-false-negative
+  * guarantee the deterministic two-pass recount rests on. A corpus fed
+  * as (token, c) rows yields EXACTLY the heavy-hitter set of the same
+  * corpus fed one row per occurrence (both equal the true
+  * count > n/(K+1) items after the exact recount).
+  */
+object FrequentItemsW
+    extends Aggregator[(String, Long), (Map[String, Long], Long),
+                       (Array[String], Long)] {
+
+  override def zero: (Map[String, Long], Long) = FrequentItems.zero
+
+  override def reduce(b: (Map[String, Long], Long),
+                      a: (String, Long)): (Map[String, Long], Long) =
+    FrequentItems.merge(b, (Map(a._1 -> a._2), a._2))
+
+  override def merge(b1: (Map[String, Long], Long),
+                     b2: (Map[String, Long], Long)): (Map[String, Long], Long) =
+    FrequentItems.merge(b1, b2)
+
+  override def finish(r: (Map[String, Long], Long)): (Array[String], Long) =
+    FrequentItems.finish(r)
+
+  override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+    FrequentItems.bufferEncoder
+
+  override def outputEncoder: Encoder[(Array[String], Long)] =
+    FrequentItems.outputEncoder
+}

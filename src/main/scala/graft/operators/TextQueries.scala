@@ -969,22 +969,27 @@ object TextQueries {
              sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("o2")))),
 
     "q_text_heavyhitters" -> ((s, d) =>
-      // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]]
-      heavyHitters(fanOut(documents(s, d)))),
+      // two-pass Misra-Gries exact heavy hitters — see [[heavyHitters]];
+      // the sketch pass consumes the shared token layer as WEIGHTED
+      // (token, c) rows (FrequentItemsW — same guarantee over n = Σc),
+      // so it reads vocab-sized rows instead of re-exploding the corpus;
+      // the exact recount makes the output identical either way.
+      graft.api.GraftOps.heavyHittersWeighted(
+        tokenLayer(s, d).select(col("token"), col("c")), "token", "c")),
 
     "q_text_heavyhitters_src" -> ((s, d) =>
       // PER-SOURCE exact heavy hitters — the boilerplate-token detector
       // run per crawl source (a token that dominates ONE source is
       // navigation/template text even when corpus-rare): the grouped
-      // two-pass Misra-Gries pattern (GraftOps.heavyHittersBy — each
-      // source summarizes through its own ≤K-counter typed-Aggregator
-      // partials, pass 2 re-counts the ≤K·|sources| candidates exactly).
+      // two-pass Misra-Gries pattern (GraftOps.heavyHittersByWeighted —
+      // each source summarizes through its own ≤K-counter typed-
+      // Aggregator partials fed the shared token layer's weighted rows,
+      // pass 2 re-counts the ≤K·|sources| candidates exactly).
       // Per-group MG guarantee ⇒ order-independent, oracle-checkable
       // output (the q_text_heavyhitters rule, per group).
-      graft.api.GraftOps.heavyHittersBy(
-        fanOut(documents(s, d))
-          .select(col("source"), explode(split(col("text"), " ")).as("token")),
-        "source", "token")),
+      graft.api.GraftOps.heavyHittersByWeighted(
+        tokenLayer(s, d).select(col("source"), col("token"), col("c")),
+        "source", "token", "c")),
 
     "q_text_ascii" -> ((s, d) =>
       // Charset profile per source — the encoding-health audit run on

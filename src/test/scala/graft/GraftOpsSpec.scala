@@ -91,6 +91,30 @@ class GraftOpsSpec extends SparkSpec {
     assert(out == Seq(("a", 200L), ("b", 90L)), out)
   }
 
+  test("heavyHittersWeighted over pre-aggregated counts equals the " +
+       "per-occurrence form (grouped variant too)") {
+    // same corpus two ways: one row per occurrence vs (item, count)
+    val occ = (Seq.fill(200)("a") ++ Seq.fill(90)("b") ++
+      (0 until 2000).map(i => s"z$i")).toDF("it")
+    val pre = occ.groupBy("it").agg(count(lit(1)).as("w"))
+    val a = occ.heavyHitters("it").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = graft.api.GraftOps.heavyHittersWeighted(pre, "it", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b && a == Seq(("a", 200L), ("b", 90L)), (a, b))
+    // grouped: per-group thresholds stay independent under weights
+    val rows = (Seq.fill(60)(("g1", "x")) ++ Seq.fill(5)(("g1", "y")) ++
+      (0 until 500).map(i => ("g1", s"r$i")) ++ Seq.fill(9)(("g2", "y")))
+    val g1 = graft.api.GraftOps
+      .heavyHittersBy(rows.toDF("g", "item"), "g", "item").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val g2 = graft.api.GraftOps.heavyHittersByWeighted(
+        rows.toDF("g", "item").groupBy("g", "item")
+          .agg(count(lit(1)).as("w")), "g", "item", "w").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(g1 == g2, (g1, g2))
+  }
+
   test("minhashJoin: cross-corpus pairs equal the self-join pairs that cross the split") {
     val docs = Tables.documents(spark, sf)
     val leftDocs = docs.filter(col("doc_id") % 2 === 0)

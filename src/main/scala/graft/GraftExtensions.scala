@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
+import graft.functions.expressions.{BigramHashCounts, DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -95,6 +95,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("simhash60", args, 1)
         SimHash60(args(0))
+      }),
+    ("bigram_hash_counts",
+      info("bigram_hash_counts",
+        "bigram_hash_counts(s) - array<struct<h1,h2,c>> of s's distinct " +
+          "adjacent-token pairs, keyed like xxhash64(w1)/xxhash64(w1,w2)"),
+      (args: Seq[Expression]) => {
+        requireArity("bigram_hash_counts", args, 1)
+        BigramHashCounts(args(0))
       })
   )
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{SimHash, StringMetrics, TokenStats, TypoHash}
 
@@ -180,6 +180,45 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
+/** Native per-document bigram hash counts — array<struct<h1,h2,c>> of
+  * the document's DISTINCT adjacent-token pairs keyed exactly like
+  * Spark's `xxhash64(w1)` / `xxhash64(w1, w2)` (see
+  * [[graft.functions.TokenStats.bigramHashCounts]] for the chained-seed
+  * parity contract). Per-row for the same reason as [[SimHash60]]: the
+  * bigram fan-out is the most expensive map pass of the conditional-
+  * surprisal filter, and fusing tokenize + pair + hash + in-doc count
+  * into one codegen'd scan keeps the corpus from ever materializing
+  * token strings or per-position zip structs.
+  */
+case class BigramHashCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bigram_hash_counts requires a string input, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    TokenStats.bigramHashCounts(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TokenStats.bigramHashCounts($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_hash_counts"
+}
+
 object StringFunctions {
   /** Column API for the native unrestricted Damerau-Levenshtein. */
   def damerau_levenshtein(a: Column, b: Column): Column =
@@ -200,4 +239,8 @@ object StringFunctions {
   /** Column API for the native 60-bit token-multiset SimHash. */
   def simhash60(text: Column): Column =
     toColumn(SimHash60(toExpression(text)))
+
+  /** Column API for the native per-doc bigram hash counts. */
+  def bigram_hash_counts(text: Column): Column =
+    toColumn(BigramHashCounts(toExpression(text)))
 }

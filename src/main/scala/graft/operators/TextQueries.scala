@@ -889,35 +889,36 @@ object TextQueries {
       // intermediate, ~an order of magnitude cheaper than md5+conv; the
       // hashes are INTERNAL join keys only, never output, so the oracle
       // groups by the raw strings instead and the results agree modulo
-      // 64-bit collisions — negligible at any realistic vocab). Bigrams
-      // pre-aggregate to (doc_id, h1, h2, c), shrinking the shuffle by
-      // in-doc repeats. The bigram fan-out is built LAMBDA-FREE (explode
-      // of arrays_zip over two slices) precisely so the pre-aggregation
-      // exchange canonicalizes: a transform(...) lambda here would block
-      // ReuseExchange (LambdaVariable exprIds aren't canonicalized — the
-      // limitation documented at q_dedup_substring) and re-run the
-      // corpus's most expensive map pass once per consumer. With the
-      // lambda gone, cnt's exchange is planned once and reused by all
-      // three consumers — pinned in PlanSpec by counting scans AND
-      // Generates on the executed plan, per the repo's reuse-
-      // verification discipline. The w1-context totals come from
-      // groupBy(h1) + join-back (the q_dedup_substring pattern), NOT a
-      // Window over h1: a stop-word's distinct-successor set is
-      // vocabulary-sized (10⁷–10⁸ bigrams at 100 TB) and a window would
-      // park it in ONE task, while the aggregation partial-combines
-      // map-side and the join-back is AQE-skew-splittable. All shuffles
-      // keyed, nothing pair-quadratic.
-      val ts = split(col("text"), " ")
-      val nTok = size(ts)
+      // 64-bit collisions — negligible at any realistic vocab). The
+      // fan-out is the fused `bigram_hash_counts` kernel (round 12):
+      // tokenize + pair + chained xxhash64 + IN-DOC counting in one
+      // codegen'd byte scan per document, emitting per-doc DISTINCT
+      // (h1, h2, c) structs — the corpus never materializes token
+      // strings or per-position zip rows (the prior lambda-free
+      // slice/arrays_zip shape was ~10 CPU-s at sf0.1, nearly all of it
+      // token-array and struct churn; hash keys are BIT-IDENTICAL, see
+      // TokenStatsSpec). The (doc_id,h1,h2) aggregation stays: its rows
+      // are already unique per doc (map-side partial agg is a
+      // pass-through) but its exchange CANONICALIZES — the kernel is
+      // lambda-free, so cnt is planned once and reused by all three
+      // consumers — pinned in PlanSpec by counting scans AND Generates
+      // on the executed plan, per the repo's reuse-verification
+      // discipline. The w1-context totals come from groupBy(h1) +
+      // join-back (the q_dedup_substring pattern), NOT a Window over
+      // h1: a stop-word's distinct-successor set is vocabulary-sized
+      // (10⁷–10⁸ bigrams at 100 TB) and a window would park it in ONE
+      // task, while the aggregation partial-combines map-side and the
+      // join-back is AQE-skew-splittable. All shuffles keyed, nothing
+      // pair-quadratic.
+      import graft.functions.expressions.StringFunctions.bigram_hash_counts
       val cnt = fanOut(documents(s, d))
         .select(col("doc_id"),
-          explode(arrays_zip(
-            slice(ts, lit(1), nTok - 1),
-            slice(ts, lit(2), nTok - 1))).as("b"))
+          explode(bigram_hash_counts(col("text"))).as("b"))
         .select(col("doc_id"),
-          xxhash64(col("b").getField("0")).as("h1"),
-          xxhash64(col("b").getField("0"), col("b").getField("1")).as("h2"))
-        .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+          col("b").getField("h1").as("h1"),
+          col("b").getField("h2").as("h2"),
+          col("b").getField("c").as("bc0"))
+        .groupBy("doc_id", "h1", "h2").agg(sum("bc0").as("c"))
       // bc is the bigram-vocab count table; cu(h1) = c(w1·) is a second
       // aggregation over bc (bc's exchange is reused, not re-planned —
       // lambda-free subtrees canonicalize) joined back on h1 while both

@@ -90,4 +90,44 @@ class TokenStatsSpec extends SparkSpec {
       assert(got.count() == 0L, got.collect().take(3).mkString("; "))
     }
   }
+
+  test("bigram_hash_counts kernel = the relational slice/zip/xxhash64 " +
+       "fan-out, on edge cases AND the fixture corpus (bit-identical keys)") {
+    import spark.implicits._
+    import graft.functions.expressions.StringFunctions.bigram_hash_counts
+    // the exact pre-rewrite relational shape: per-position bigrams via
+    // slice ×2 + arrays_zip, Spark's own xxhash64 (h1 = hash(w1),
+    // h2 = chained hash(w1, w2)), counted per (doc, h1, h2)
+    def relational(docs: org.apache.spark.sql.DataFrame) = {
+      val ts = split(col("text"), " ")
+      val nTok = size(ts)
+      docs.select(col("doc_id"),
+          explode(arrays_zip(
+            slice(ts, lit(1), nTok - 1),
+            slice(ts, lit(2), nTok - 1))).as("b"))
+        .select(col("doc_id"),
+          xxhash64(col("b").getField("0")).as("h1"),
+          xxhash64(col("b").getField("0"), col("b").getField("1")).as("h2"))
+        .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+    }
+    def kernel(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+          explode(bigram_hash_counts(col("text"))).as("b"))
+        .select(col("doc_id"), col("b.h1").as("h1"),
+                col("b.h2").as("h2"), col("b.c").as("c"))
+    val edges = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val fixture = Tables.documents(spark, sf).select("doc_id", "text")
+    for (docs <- Seq(edges, fixture)) {
+      val k = kernel(docs)
+      val r = relational(docs)
+      // exact row-set equality both directions: same keys, same counts
+      assert(k.exceptAll(r).count() == 0L && r.exceptAll(k).count() == 0L,
+        k.exceptAll(r).collect().take(3).mkString("; "))
+    }
+    // single-token and empty docs emit no bigrams (empty array, not null)
+    val deg = Seq((0L, ""), (1L, "solo")).toDF("doc_id", "text")
+      .select(size(bigram_hash_counts(col("text"))).as("n")).collect()
+    assert(deg.forall(_.getInt(0) == 0))
+  }
 }

@@ -702,6 +702,61 @@ object TextQueries {
                " + 11800000 * n_syllables DIV n_words - 15590000"))
         .orderBy("doc_id")),
 
+    "q_text_gopher" -> ((s, d) => {
+      // The Gopher rule-bundle quality gate (public: Rae et al. 2021,
+      // §A.1.1) — the REJECTION-RULE lens next to q_text_quality's
+      // blended score and q_text_readability's grade level: a document
+      // passes only if every hard rule holds. Implemented rules (the
+      // line-based bullet/ellipsis-line rules need multi-line docs —
+      // the fixture is single-line, so they are left to [[clean]]'s
+      // line machinery rather than computed as constant zeros here):
+      //   R1 word count in [50, 100000]
+      //   R2 mean word length in [3, 10]   (×10⁶ integer scale)
+      //   R3 symbol-to-word ratio ≤ 0.1    ('#' chars + '...' runs)
+      //   R4 ≥ 80% of words contain an alphabetic character
+      //   R5 ≥ 2 stopword hits             (the corpus stopword list —
+      //      the paper's 8-word English list is vocabulary-specific;
+      //      the repo-wide 6-word list keeps ONE stopword definition)
+      // All signals are exact integers (counts and ×10⁶ DIV ratios —
+      // the readability precedent), so the cross-engine compare is
+      // bit-exact; everything is a pure per-row projection over one
+      // scan, zero shuffles before the presentation sort. n_words
+      // rides the native token_count kernel; symbol counts are
+      // length-subtraction (no regex); the alpha test is the one
+      // per-token lambda (bounded by doc length, never corpus-keyed).
+      import graft.functions.expressions.StringFunctions.token_count
+      val ts = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+          token_count(col("text")).as("n_words"),
+          (length(col("text")) -
+           length(translate(col("text"), "#", ""))).cast("long").as("n_hash"),
+          ((length(col("text")) -
+            length(replace(col("text"), lit("..."), lit("")))) / 3)
+            .cast("long").as("n_ellipsis"),
+          size(filter(ts, t => t.rlike("[A-Za-z]"))).cast("long")
+            .as("n_alpha_words"),
+          size(filter(ts, t =>
+            stopwords.foldLeft(lit(false))((acc, w) => acc || (t === lit(w)))))
+            .cast("long").as("stop_hits"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("mwl_e6",
+          expr("(n_chars - (n_words - 1)) * 1000000 DIV n_words"))
+        .withColumn("sym_ratio_e6",
+          expr("(n_hash + n_ellipsis) * 1000000 DIV n_words"))
+        .withColumn("alpha_frac_e6",
+          expr("n_alpha_words * 1000000 DIV n_words"))
+        .withColumn("keep",
+          col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mwl_e6") >= 3000000L && col("mwl_e6") <= 10000000L &&
+          col("sym_ratio_e6") <= 100000L &&
+          col("alpha_frac_e6") >= 800000L &&
+          col("stop_hits") >= 2L)
+        .select("doc_id", "n_words", "mwl_e6", "sym_ratio_e6",
+                "alpha_frac_e6", "stop_hits", "keep")
+        .orderBy("doc_id")
+    }),
+
     "q_text_contamination" -> ((s, d) =>
       // Benchmark decontamination probe — see [[contaminationStats]],
       // the one definition shared with q_pipeline_eval's clean gate.
@@ -1319,6 +1374,40 @@ object TextQueries {
         |         // len(string_split(text, ' '))
         |       - 15590000 AS fk_e6
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(text) - length(replace(text, '#', ''))
+         |              AS BIGINT) AS n_hash,
+         |         CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |              AS BIGINT) AS n_ellipsis,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+         |           AS n_alpha_words,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")})))
+         |              AS BIGINT) AS stop_hits,
+         |         CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words, stop_hits,
+         |         (n_chars - (n_words - 1)) * 1000000 // n_words AS mwl_e6,
+         |         (n_hash + n_ellipsis) * 1000000 // n_words AS sym_ratio_e6,
+         |         n_alpha_words * 1000000 // n_words AS alpha_frac_e6
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |       CAST(mwl_e6 AS BIGINT) AS mwl_e6,
+         |       CAST(sym_ratio_e6 AS BIGINT) AS sym_ratio_e6,
+         |       CAST(alpha_frac_e6 AS BIGINT) AS alpha_frac_e6,
+         |       stop_hits,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND mwl_e6 BETWEEN 3000000 AND 10000000
+         |        AND sym_ratio_e6 <= 100000
+         |        AND alpha_frac_e6 >= 800000
+         |        AND stop_hits >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_contamination" -> {
       // mirrors DedupQueries.shingles: distinct 3-gram polynomial hashes

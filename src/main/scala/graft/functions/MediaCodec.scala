@@ -156,6 +156,26 @@ object MediaCodec {
       fp
     }
 
+  /** Nearest-neighbour RESIZE of a 24-bpp BMP's channel-0 (blue) bytes to
+    * an ow×oh grid in FILE row order — [[ahash60]]'s sampling rule
+    * generalized to an arbitrary target geometry and returning the pixels
+    * themselves (the thumbnail payload) instead of folding them into a
+    * fingerprint. Output cell k (row-major) samples source
+    * (row (k/ow)·height/oh, col (k%ow)·width/ow); grid math in Long for
+    * the same overflow hardening as ahash60. Returns None for anything
+    * that is not a parseable 24-bpp BMP (WAVs and corrupt payloads drop
+    * out, matching decode()).
+    */
+  def resizeGray(bytes: Array[Byte], ow: Int, oh: Int): Option[Array[Int]] =
+    if (!(bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')) None
+    else bmpGeom(bytes).map { g =>
+      Array.tabulate(ow * oh) { k =>
+        val r = ((k / ow).toLong * g.height / oh).toInt
+        val c = ((k % ow).toLong * g.width / ow).toInt
+        bytes(g.pixelOffset + r * g.stride + c * 3) & 0xff
+      }
+    }
+
   private def decodeBmp(bytes: Array[Byte]): Option[MediaFeatures] = {
     val g = bmpGeom(bytes) match {
       case Some(v) => v

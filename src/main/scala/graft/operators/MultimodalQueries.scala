@@ -251,6 +251,54 @@ object MultimodalQueries {
         .orderBy("max_hamming")
     }),
 
+    "q_mm_resize" -> ((s, d) => {
+      // Image RESIZE/thumbnail — the remaining north-star multimodal verb
+      // (decode / feature-extract / RESIZE / frame-sample): nearest-
+      // neighbour 8×8 over each decoded BMP's channel-0 bytes in FILE
+      // row order (ahash60's sampling rule, returning the pixels instead
+      // of a fingerprint). Output per image: exact integer stats of the
+      // 64 resized cells PLUS an order-sensitive Rabin–Karp checksum
+      // (Σ vᵢ·Bⁱ mod p over the row-major cells — the TextHash constants,
+      // one arithmetic definition), so the oracle verifies the resized
+      // pixel SEQUENCE, not just its multiset. Decode+resize is map-side
+      // mapPartitions like the rest of the codec family; payload bytes
+      // never reach a shuffle; WAV rows drop at the magic sniff. At
+      // deployment the thumbnail bytes themselves would be the written
+      // column — the stats+checksum form is what makes the operator
+      // oracle-checkable.
+      val schema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("out_w", LongType),
+        StructField("out_h", LongType),
+        StructField("px_sum", LongType),
+        StructField("px_min", LongType),
+        StructField("px_max", LongType),
+        StructField("rk_checksum", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      encodeMedia(media(s, d)).select("media_id", "container")
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            MediaCodec.resizeGray(r.getAs[Array[Byte]](1), 8, 8).map { px =>
+              var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              var ck = 0L; var i = 0
+              while (i < px.length) {
+                val v = px(i).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                // v < 2^8 and pw < 2^30: 64 terms stay far inside Long;
+                // one mod at the end matches the oracle's list_sum % p
+                ck += v * ResizePw(i)
+                i += 1
+              }
+              Row(r.getLong(0), 8L, 8L, sum, mn, mx,
+                  ck % graft.functions.TextHash.FpPrime)
+            }
+          }
+        }(enc)
+        .orderBy("media_id")
+    }),
+
     "q_mm_audiofp" -> ((s, d) => {
       // Perceptual AUDIO near-dup — q_mm_phash's sibling, closing the
       // multimodal family (re-encoded/re-sampled copies of one recording
@@ -271,6 +319,15 @@ object MultimodalQueries {
 
   /** Same near-dup acceptance radius as the text simhash (≤6 of 60 bits). */
   val PhashMaxHamming = 6
+
+  /** Rabin–Karp position weights for q_mm_resize's 64-cell checksum:
+    * pw(i) = PolyB^i mod FpPrime. ONE definition feeds both the engine
+    * fold and the oracle's literal weight list, so the constants cannot
+    * drift between the two.
+    */
+  private[operators] val ResizePw: Array[Long] =
+    Array.iterate(1L, 64)(x =>
+      x * graft.functions.TextHash.PolyB % graft.functions.TextHash.FpPrime)
 
   /** (media_id, phash): 60-bit perceptual fingerprints of the decodable
     * images (map-side; WAV/corrupt containers drop at the magic sniff).
@@ -317,6 +374,39 @@ object MultimodalQueries {
         |       upper(substr(hex(encode(text)), 1, 8)) AS magic,
         |       source
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Mirror of the synthesis + resize byte math: image grid is 8×h with
+    // gray cell k2 = byte (k2 mod len); resized cell k samples src row
+    // ((k//8)·h)//8, col k%8 (width 8 ⇒ identity). Weights are the SAME
+    // ResizePw constants the engine folds with; terms < 2^38 so list_sum
+    // is exact and one % p matches the engine's single final mod.
+    "q_mm_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+         |         octet_length(encode(text)) AS len,
+         |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+         |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, len, bv, greatest(1, least(32, len // 8)) AS h
+         |  FROM b WHERE m = 0 OR m = 2),
+         |r AS (
+         |  SELECT doc_id,
+         |         [bv[((((k // 8) * h // 8) * 8 + (k % 8)) % len) + 1]
+         |            for k in range(0, 64)] AS rs
+         |  FROM g)
+         |SELECT doc_id AS media_id,
+         |       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+         |       CAST(list_aggregate(rs, 'sum') AS BIGINT) AS px_sum,
+         |       CAST(list_aggregate(rs, 'min') AS BIGINT) AS px_min,
+         |       CAST(list_aggregate(rs, 'max') AS BIGINT) AS px_max,
+         |       CAST(list_aggregate(
+         |              [rs[i+1] * [${ResizePw.mkString(", ")}][i+1]
+         |                 for i in range(0, 64)], 'sum')
+         |            % ${graft.functions.TextHash.FpPrime} AS BIGINT)
+         |         AS rk_checksum
+         |FROM r ORDER BY media_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT media_id, n_frames, frame_idx FROM (

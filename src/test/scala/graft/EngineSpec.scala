@@ -1251,6 +1251,50 @@ class EngineSpec extends SparkSpec {
       (4L,  5L, 2800000L, 400000L, 1000000L, 2L, false)), got)
   }
 
+  test("resizeGray: nearest-neighbour grid math, tall and wide sources") {
+    import graft.functions.MediaCodec
+    // 8×16 source, gray(i) = i: out cell k samples row (k/8)·16/8 = 2·(k/8),
+    // col k%8 → value 16·(k/8) + k%8 (every second source row)
+    val tall = MediaCodec.encodeBmp24(Array.tabulate(128)(identity), 8, 16)
+    val rt = MediaCodec.resizeGray(tall, 8, 8).get
+    (0 until 64).foreach(k => assert(rt(k) == 16 * (k / 8) + k % 8, s"tall $k"))
+    // 16×8 source: out cell k samples row k/8, col 2·(k%8)
+    //   → value 16·(k/8) + 2·(k%8) (every second source column)
+    val wide = MediaCodec.encodeBmp24(Array.tabulate(128)(identity), 16, 8)
+    val rw = MediaCodec.resizeGray(wide, 8, 8).get
+    (0 until 64).foreach(k => assert(rw(k) == 16 * (k / 8) + 2 * (k % 8),
+                                     s"wide $k"))
+    // WAV bytes drop out, matching decode()
+    assert(MediaCodec.resizeGray(
+      MediaCodec.encodeWavPcm16(Array[Short](1, 2), 16000), 8, 8).isEmpty)
+  }
+
+  test("q_mm_resize: hand-derived thumbnail stats over a 16-byte image") {
+    import spark.implicits._
+    // doc_id=3 (% 3 == 0 → image), 16 chars "abcdefghijklmnop" → h = 2,
+    // grid rows a..h / i..p; the 8×8 resize maps output rows 0-3 to
+    // source row 0 and 4-7 to row 1 → resized(k) = 'a'+k%8 (k<32),
+    // 'i'+k%8 (k≥32). px_sum = 4·Σ(97..112) = 6688; the checksum is the
+    // Rabin–Karp fold recomputed here from the TextHash constants —
+    // an independent restatement, not a call into the engine's weights.
+    val dir = java.nio.file.Files.createTempDirectory("mmres").toString
+    Seq((3L, "abcdefghijklmnop", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pw = Array.iterate(1L, 64)(x =>
+      x * graft.functions.TextHash.PolyB % graft.functions.TextHash.FpPrime)
+    val want = (0 until 64).map { k =>
+      val v = (if (k < 32) 'a' + k % 8 else 'i' + k % 8).toLong
+      v * pw(k)
+    }.sum % graft.functions.TextHash.FpPrime
+    val got = SparkEntry.queries("q_mm_resize")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6)) ==
+           (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
+  }
+
   test("q_event_concurrency: a session quiet across an hour boundary " +
        "still counts as active in both hours") {
     import spark.implicits._

@@ -489,6 +489,46 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    "q_sim_hybrid" -> ((s, d) => {
+      // HYBRID retrieval with Reciprocal-Rank Fusion (public: Cormack et
+      // al., SIGIR 2009) — the RAG-era staple that neither arm covers
+      // alone: the lexical candidate list is q_text_bm25's top-20
+      // verbatim (TextQueries.bm25 — ONE scoring definition), the vector
+      // list is q_sim_knn's rule widened to k=20, and the fusion score
+      // is rrf_e6 = Σ 1000000 DIV (60 + rank) over the lists containing
+      // the doc — ranks and fusion are exact integers, so the cross-
+      // engine compare is bit-stable even though one arm ranks floats
+      // (the floor9 cosines themselves are parity-pinned already).
+      // Shape at 100 TB: each arm is already a TakeOrderedAndProject
+      // top-k (corpus-wide work happens inside the arms, which keep
+      // their own scale stories); the fusion joins two ≤20-row lists —
+      // a broadcast-trivial full outer join, then a 40-row sort. The
+      // single-partition rank windows only ever see those k rows.
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.TextQueries.bm25(fanOut(documents(s, d)))
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(col("score_e12").desc_nulls_last, col("doc_id")))
+            .cast("long").as("r_lex"))
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vec = e.filter(col("vec_id") =!= 0)
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .select(col("vec_id"), floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+            .cast("long").as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          (coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+           coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+            .cast("long").as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q_sim_knn_batch" -> ((s, d) => {
       // Batch kNN (similarity join): top-3 neighbours for EACH of 10 query
       // vectors in one plan — broadcast the query block, score map-side,
@@ -750,6 +790,40 @@ object SimilarityQueries {
          |SELECT e.vec_id, e.label, floor(($cos) * 1e9) / 1e9 AS sim
          |FROM e, q WHERE e.vec_id <> 0 AND e.label = q.ql
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    // lexical arm = TextQueries.DuckBm25Cte verbatim (one BM25 SQL
+    // definition across oracles); vector arm = the q_sim_knn CTE at k=20;
+    // ranks + fusion in exact integers mirroring the engine
+    "q_sim_hybrid" -> {
+      val cos = duckCos("e.v", "q.qv")
+      s"""WITH ${graft.operators.TextQueries.DuckBm25Cte},
+         |bm AS (
+         |  SELECT doc_id, sum(idf_e6 * tfn_e6) AS s
+         |  FROM sc GROUP BY 1
+         |  ORDER BY s DESC, doc_id LIMIT 20),
+         |lex AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY TRY_CAST(s AS BIGINT) DESC NULLS LAST, doc_id)
+         |           AS BIGINT) AS r_lex
+         |  FROM bm),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |kn AS (
+         |  SELECT e.vec_id, floor(($cos) * 1e9) / 1e9 AS sim
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 20),
+         |vc AS (
+         |  SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+         |           AS BIGINT) AS r_vec
+         |  FROM kn)
+         |SELECT COALESCE(lex.doc_id, vc.doc_id) AS doc_id, r_lex, r_vec,
+         |       CAST(COALESCE(1000000 // (60 + r_lex), 0)
+         |          + COALESCE(1000000 // (60 + r_vec), 0) AS BIGINT) AS rrf_e6
+         |FROM lex FULL JOIN vc ON lex.doc_id = vc.doc_id
+         |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
     },
 
     "q_sim_knn_batch" -> {

@@ -312,6 +312,30 @@ object TextQueries {
       "CAST(9 AS DECIMAL(38,0))*dl*n) AS BIGINT)"
   private[graft] val ScoreTermExpr = "CAST(idf_e6 AS DECIMAL(38,0)) * tfn_e6"
 
+  /** The BM25 scoring CTE chain (through `sc`), shared verbatim by the
+    * q_text_bm25 oracle and q_sim_hybrid's lexical arm — ONE SQL
+    * definition of the score, so the two oracles cannot drift.
+    */
+  private[graft] val DuckBm25Cte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |nt AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |       WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         (CAST(1000000 AS HUGEINT) * (2*nt.n - 2*dfreq.df + 1))
+      |           // (2*dfreq.df + 1) AS idf_e6,
+      |         (CAST(1000000 AS HUGEINT) * 22 * nt.t * tf.tf)
+      |           // (CAST(10 AS HUGEINT)*nt.t*tf.tf + CAST(3 AS HUGEINT)*nt.t
+      |              + CAST(9 AS HUGEINT)*dl.dl*nt.n) AS tfn_e6
+      |  FROM tf
+      |  CROSS JOIN nt
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id))""".stripMargin
+
   private[graft] def bm25(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
     import graft.functions.expressions.StringFunctions.{token_count, token_term_count}
@@ -1502,29 +1526,12 @@ object TextQueries {
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
 
     "q_text_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        |nt AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |       WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |         (CAST(1000000 AS HUGEINT) * (2*nt.n - 2*dfreq.df + 1))
-        |           // (2*dfreq.df + 1) AS idf_e6,
-        |         (CAST(1000000 AS HUGEINT) * 22 * nt.t * tf.tf)
-        |           // (CAST(10 AS HUGEINT)*nt.t*tf.tf + CAST(3 AS HUGEINT)*nt.t
-        |              + CAST(9 AS HUGEINT)*dl.dl*nt.n) AS tfn_e6
-        |  FROM tf
-        |  CROSS JOIN nt
-        |  JOIN dfreq USING (term)
-        |  JOIN dl USING (doc_id))
-        |SELECT doc_id, count(*) AS n_terms,
-        |       TRY_CAST(sum(idf_e6 * tfn_e6) AS BIGINT) AS score_e12
-        |FROM sc GROUP BY 1
-        |ORDER BY sum(idf_e6 * tfn_e6) DESC, doc_id
-        |LIMIT 20""".stripMargin,
+      s"""WITH $DuckBm25Cte
+         |SELECT doc_id, count(*) AS n_terms,
+         |       TRY_CAST(sum(idf_e6 * tfn_e6) AS BIGINT) AS score_e12
+         |FROM sc GROUP BY 1
+         |ORDER BY sum(idf_e6 * tfn_e6) DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     "q_text_surprisal" ->
       """WITH tok AS (

@@ -1295,6 +1295,33 @@ class EngineSpec extends SparkSpec {
            (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
   }
 
+  test("q_sim_hybrid: fused list restates its arms and the RRF formula") {
+    val rows = SparkEntry.queries("q_sim_hybrid")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+                 if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                 r.getLong(3)))
+    assert(rows.length == 20)
+    // rrf_e6 is exactly the formula over the surfaced ranks
+    rows.foreach { case (id, rl, rv, rrf) =>
+      val want = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+                 rv.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == want, s"doc $id")
+      assert(rl.nonEmpty || rv.nonEmpty, s"doc $id in neither arm")
+    }
+    // output is (rrf desc, doc_id) — the deterministic page order
+    assert(rows.map { case (id, _, _, f) => (-f, id) }.toSeq ==
+           rows.map { case (id, _, _, f) => (-f, id) }.sorted.toSeq)
+    // every surfaced lexical rank points at the SAME doc q_text_bm25
+    // ranks there (arm fidelity, not just formula fidelity)
+    val bmOrder = SparkEntry.queries("q_text_bm25")(spark, sf).collect()
+      .map(_.getLong(0))
+    rows.foreach { case (id, rl, _, _) =>
+      rl.foreach(r => assert(bmOrder(r.toInt - 1) == id,
+        s"lex rank $r of doc $id disagrees with q_text_bm25"))
+    }
+  }
+
   test("q_event_concurrency: a session quiet across an hour boundary " +
        "still counts as active in both hours") {
     import spark.implicits._

@@ -497,6 +497,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q_text_gopher / q_mm_resize: pure per-row pipelines — no join, " +
+       "no aggregation exchange, only the presentation sort shuffles") {
+    Seq("q_text_gopher", "q_mm_resize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("hashpartitioning"), s"$q: $p")
+    }
+  }
+
+  test("q_sim_hybrid: both arms reach fusion as top-k lists " +
+       "(TakeOrderedAndProject), never corpus-wide sorts") {
+    val p = plan("q_sim_hybrid")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+  }
+
   test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {
     // tiny single-partition input → repartitioned to defaultParallelism
     val narrow = spark.range(100).coalesce(1).toDF("id")

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF: exact integer co-moment state for the embedding
+  * dimension-covariance audit (q_emb_covariance) — Σxᵢ per dimension and
+  * Σxᵢxⱼ per upper-triangle pair over milli-quantized codes
+  * (floor(x·1000), so every sum is integer arithmetic and the DuckDB
+  * oracle replays it bit-for-bit).
+  *
+  * Aggregator gives partial aggregation for free: each executor folds its
+  * rows into ONE (n, sx[d], sxy[d·d]) buffer (d=64 → ~33 KB), and the
+  * exchange carries one buffer per partition — never raw vectors and
+  * never the d²-per-row pair fan-out the naive explode-join shape would
+  * shuffle. That is the whole 100 TB story: state is O(d²) regardless of
+  * corpus size, identical to CentroidAggregator's O(d) pattern.
+  *
+  * finish emits the upper-triangle cells (i, j, n, Σxᵢ, Σxⱼ, Σxᵢxⱼ); the
+  * caller forms the covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ in
+  * DECIMAL(38,0) (the engine-wide envelope doctrine — codes are ≤~2¹¹,
+  * so Σ products stay in Long to ~2⁴⁰ rows, and the final cross-products
+  * are where Long would first overflow).
+  */
+object EmbCovAggregator
+    extends Aggregator[Seq[Long], (Long, Array[Long], Array[Long]),
+                       Seq[(Int, Int, Long, Long, Long, Long)]] {
+
+  val Dim = 64
+
+  override def zero: (Long, Array[Long], Array[Long]) =
+    (0L, Array.emptyLongArray, Array.emptyLongArray)
+
+  override def reduce(b: (Long, Array[Long], Array[Long]),
+                      v: Seq[Long]): (Long, Array[Long], Array[Long]) = {
+    val (n, sx0, sxy0) = b
+    val (sx, sxy) =
+      if (sx0.isEmpty) (new Array[Long](Dim), new Array[Long](Dim * Dim))
+      else (sx0, sxy0)
+    val arr = v.toArray
+    val d = math.min(Dim, arr.length)
+    var i = 0
+    while (i < d) {
+      val vi = arr(i)
+      sx(i) += vi
+      var j = i + 1
+      while (j < d) { sxy(i * Dim + j) += vi * arr(j); j += 1 }
+      i += 1
+    }
+    (n + 1, sx, sxy)
+  }
+
+  override def merge(a: (Long, Array[Long], Array[Long]),
+                     b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) =
+    if (a._1 == 0) b
+    else if (b._1 == 0) a
+    else {
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+
+  override def finish(r: (Long, Array[Long], Array[Long])): Seq[(Int, Int, Long, Long, Long, Long)] =
+    if (r._1 == 0) Seq.empty
+    else (for {
+      i <- 0 until Dim
+      j <- (i + 1) until Dim
+    } yield (i, j, r._1, r._2(i), r._2(j), r._3(i * Dim + j))).toSeq
+
+  override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long], Array[Long])]()
+
+  override def outputEncoder: Encoder[Seq[(Int, Int, Long, Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Long, Long, Long, Long)]]()
+}

@@ -489,6 +489,35 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    "q_emb_covariance" -> ((s, d) => {
+      // Dimension-covariance audit — the embedding-STRUCTURE lens the
+      // per-dim q_emb_dims stats don't cover: which dimension PAIRS
+      // co-vary (redundant/entangled axes — the signal PCA/whitening
+      // decisions read). Embeddings are milli-quantized (floor(x·1000) —
+      // exact integers, same floor-parity device as q_emb_quantize), then
+      // ONE typed Aggregator folds the corpus into an O(d²) co-moment
+      // buffer ([[graft.functions.EmbCovAggregator]] — ~33 KB per
+      // partition on the exchange, never a d²-per-row pair fan-out);
+      // covariance numerators n·Σxy − Σx·Σy form in DECIMAL(38,0) and
+      // the top-20 |cov| pairs surface with try_cast BIGINT output.
+      import s.implicits._
+      emb(s, d)
+        .select(transform(col("v"), x => floor(x * 1000).cast("long")).as("q"))
+        .as[Seq[Long]]
+        .select(graft.functions.EmbCovAggregator.toColumn)
+        .toDF("cells")
+        .select(explode(col("cells")).as("c"))
+        .select(col("c._1").cast("long").as("i"),
+                col("c._2").cast("long").as("j"),
+                col("c._3").as("n"),
+                expr("cast(c._3 AS DECIMAL(38,0)) * c._6 - " +
+                     "cast(c._4 AS DECIMAL(38,0)) * c._5").as("cov_d"))
+        .orderBy(abs(col("cov_d")).desc, col("i"), col("j"))
+        .limit(20)
+        .select(col("i"), col("j"), col("n"),
+                expr("try_cast(cov_d AS BIGINT)").as("cov_num"))
+    }),
+
     "q_sim_hybrid" -> ((s, d) => {
       // HYBRID retrieval with Reciprocal-Rank Fusion (public: Cormack et
       // al., SIGIR 2009) — the RAG-era staple that neither arm covers
@@ -791,6 +820,29 @@ object SimilarityQueries {
          |FROM e, q WHERE e.vec_id <> 0 AND e.label = q.ql
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
     },
+
+    // the oracle replays the co-moment sums by crossing each vector with
+    // the 2016 upper-triangle pairs — the d²-per-row fan-out the ENGINE
+    // deliberately avoids (fine at oracle scale, wrong at 100 TB)
+    "q_emb_covariance" ->
+      """WITH e AS (
+        |  SELECT [CAST(floor(x * 1000) AS BIGINT)
+        |            for x in embedding::DOUBLE[]] AS q
+        |  FROM embeddings),
+        |p AS (SELECT t1.i, t2.j FROM range(0, 64) t1(i), range(0, 64) t2(j)
+        |      WHERE t1.i < t2.j),
+        |s AS (
+        |  SELECT p.i, p.j, count(*) AS n,
+        |         sum(e.q[p.i + 1] * e.q[p.j + 1]) AS sxy,
+        |         sum(e.q[p.i + 1]) AS sxi, sum(e.q[p.j + 1]) AS sxj
+        |  FROM e, p GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+        |       TRY_CAST(CAST(n AS HUGEINT) * sxy - CAST(sxi AS HUGEINT) * sxj
+        |                AS BIGINT) AS cov_num
+        |FROM s
+        |ORDER BY abs(CAST(n AS HUGEINT) * sxy - CAST(sxi AS HUGEINT) * sxj)
+        |           DESC, i, j
+        |LIMIT 20""".stripMargin,
 
     // lexical arm = TextQueries.DuckBm25Cte verbatim (one BM25 SQL
     // definition across oracles); vector arm = the q_sim_knn CTE at k=20;

@@ -1295,6 +1295,33 @@ class EngineSpec extends SparkSpec {
            (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
   }
 
+  test("q_emb_covariance: hand-derived co-moments on a 3-dim-active corpus") {
+    import spark.implicits._
+    // three vectors, only dims 0-2 nonzero (milli-codes 1000·x):
+    //   a = (1, 2, 0, 0…), b = (2, 4, 1, 0…), c = (3, 6, 2, 0…)
+    // n=3, s0=6000, s1=12000, s2=3000;
+    //   cov01 = 3·28e6 − 6000·12000 = 12e6
+    //   cov02 = 3·8e6  − 6000·3000  =  6e6
+    //   cov12 = 3·16e6 − 12000·3000 = 12e6
+    // every pair touching dims ≥3 is exactly 0, so the page is
+    // (0,1), (1,2) [12e6 tie broken by (i,j)], (0,2), then the zero
+    // pairs in (i,j) order: (0,3)…(0,19).
+    val dir = java.nio.file.Files.createTempDirectory("embcov").toString
+    def vec(a: Float, b: Float, c: Float): Seq[Float] =
+      Seq(a, b, c) ++ Seq.fill(61)(0.0f)
+    Seq((1L, vec(1, 2, 0), 0), (2L, vec(2, 4, 1), 0), (3L, vec(3, 6, 2), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_emb_covariance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    assert(got.take(3).toSeq == Seq(
+      (0L, 1L, 3L, 12000000L), (1L, 2L, 3L, 12000000L),
+      (0L, 2L, 3L, 6000000L)), got.take(3).toSeq)
+    assert(got.drop(3).toSeq ==
+      (3 to 19).map(j => (0L, j.toLong, 3L, 0L)).toSeq, got.drop(3).toSeq)
+  }
+
   test("q_sim_hybrid: fused list restates its arms and the RRF formula") {
     val rows = SparkEntry.queries("q_sim_hybrid")(spark, sf).collect()
       .map(r => (r.getLong(0),

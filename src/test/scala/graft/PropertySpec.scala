@@ -178,6 +178,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("EmbCovAggregator: co-moments are partition-invariant and match a " +
+       "direct reference fold (10 seeds)") {
+    import graft.functions.EmbCovAggregator
+    val D = EmbCovAggregator.Dim
+    val vecGen: Gen[Seq[Long]] =
+      Gen.listOfN(D, Gen.choose(-2000L, 2000L)).map(_.toSeq)
+    val corpusGen: Gen[List[Seq[Long]]] =
+      Gen.choose(5, 60).flatMap(n => Gen.listOfN(n, vecGen))
+    (1L to 10L).foreach { seed =>
+      val corpus = sample(corpusGen, seed)
+      // reference: direct O(n·d²) double loop, no aggregator machinery
+      val n = corpus.size.toLong
+      val sx = Array.fill(D)(0L)
+      val sxy = Array.fill(D * D)(0L)
+      corpus.foreach { v =>
+        var i = 0
+        while (i < D) {
+          sx(i) += v(i)
+          var j = i + 1
+          while (j < D) { sxy(i * D + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+      }
+      // aggregator over a random partitioning, merged in partition order
+      val parts = sample(Gen.choose(1, 8), seed * 11 + 3)
+      val merged = corpus.grouped(math.max(1, corpus.size / parts)).toSeq
+        .map(_.foldLeft(EmbCovAggregator.zero)(EmbCovAggregator.reduce))
+        .reduce(EmbCovAggregator.merge)
+      val cells = EmbCovAggregator.finish(merged)
+      assert(cells.size == D * (D - 1) / 2, s"seed $seed")
+      cells.foreach { case (i, j, cn, sxi, sxj, cxy) =>
+        assert(cn == n, s"seed $seed ($i,$j)")
+        assert(sxi == sx(i) && sxj == sx(j), s"seed $seed ($i,$j)")
+        assert(cxy == sxy(i * D + j), s"seed $seed ($i,$j)")
+      }
+    }
+  }
+
   test("ngram df cap drops hot-shingle pairs, keeps rare-shingle dups") {
     // 150 docs made ONLY of one ultra-common shingle: without the df cap
     // they would emit 150·149/2 = 11175 jaccard-1.0 pairs (the hot-key

@@ -43,6 +43,47 @@ object StatsQueries {
           count(lit(1)).as("n"))
         .orderBy("n_regionkey")),
 
+    "q_stats_covariance" -> ((s, d) => {
+      // Exact-integer covariance matrix over lineitem's four price-model
+      // columns — the numeric-profiling lens beside q_agg_stats' float
+      // corr (which surfaces through floor6; THIS op's compare surface is
+      // exact): cents-quantize floor(x·100) map-side, then ONE aggregation
+      // computes n, Σx, and every pairwise Σxy in DECIMAL(38,0) — 15
+      // cells of O(1) state at any scale, no per-pair passes. Cells
+      // unfold to the 6 (col_a, col_b) rows with exact numerators
+      // n·Σxy − Σx·Σy (covariance) and n·Σx² − (Σx)² (variances, so a
+      // reader can form corr² without another pass), try_cast BIGINT
+      // outputs (overflow surfaces as null past the DECIMAL envelope,
+      // never a wrapped Long). q_emb_covariance is this op's wide-column
+      // sibling — there d²-state rides a typed Aggregator; here 4
+      // columns fit ordinary aggregate expressions.
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val idx = cs.indices
+      val q = lineitem(s, d).select(cs.zipWithIndex.map { case (c, i) =>
+        floor(col(c) * 100).cast("long").as(s"x$i") }: _*)
+      val sums =
+        (count(lit(1)).as("n") +:
+         idx.map(i => sum(expr(s"cast(x$i AS DECIMAL(38,0))")).as(s"s$i"))) ++
+        (for { i <- idx; j <- idx if j >= i } yield
+          sum(expr(s"cast(x$i AS DECIMAL(38,0)) * x$j")).as(s"p${i}_$j"))
+      val pairs = for { i <- idx; j <- idx if j > i } yield (i, j)
+      q.agg(sums.head, sums.tail: _*)
+        .select(explode(array(pairs.map { case (i, j) =>
+          struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"), col("n"),
+            (col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j"))
+              .as("cov_d"),
+            (col("n") * col(s"p${i}_$i") - col(s"s$i") * col(s"s$i"))
+              .as("vara_d"),
+            (col("n") * col(s"p${j}_$j") - col(s"s$j") * col(s"s$j"))
+              .as("varb_d")) }: _*)).as("c"))
+        .select(col("c.col_a").as("col_a"), col("c.col_b").as("col_b"),
+          col("c.n").as("n"),
+          expr("try_cast(c.cov_d AS BIGINT)").as("cov_num"),
+          expr("try_cast(c.vara_d AS BIGINT)").as("var_a_num"),
+          expr("try_cast(c.varb_d AS BIGINT)").as("var_b_num"))
+        .orderBy("col_a", "col_b")
+    }),
+
     "q_stats_outliers" -> ((s, d) => {
       // Tukey-fence outlier profile (public: Tukey 1977 — the boxplot
       // rule): per-group exact quartiles → fences [q1−1.5·IQR,
@@ -215,6 +256,34 @@ object StatsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // generated from the SAME column/pair lists as the engine, HUGEINT
+    // internals mirroring the DECIMAL(38,0) products, same TRY_CASTs
+    "q_stats_covariance" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val idx = cs.indices
+      val sums =
+        (idx.map(i => s"sum(x$i::HUGEINT) AS s$i") ++
+         (for { i <- idx; j <- idx if j >= i } yield
+           s"sum(x$i::HUGEINT * x$j) AS p${i}_$j")).mkString(",\n|         ")
+      val arms = (for { i <- idx; j <- idx if j > i } yield
+        s"""SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, n,
+           |       TRY_CAST(n * p${i}_$j - s$i * s$j AS BIGINT) AS cov_num,
+           |       TRY_CAST(n * p${i}_$i - s$i * s$i AS BIGINT) AS var_a_num,
+           |       TRY_CAST(n * p${j}_$j - s$j * s$j AS BIGINT) AS var_b_num
+           |FROM s""").mkString("\n|UNION ALL\n|")
+      s"""WITH q AS (
+         |  SELECT ${cs.zipWithIndex.map { case (c, i) =>
+                      s"CAST(floor($c * 100) AS BIGINT) AS x$i" }
+                      .mkString(",\n|         ")}
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT count(*) AS n,
+         |         $sums
+         |  FROM q)
+         |$arms
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
     "q_stats_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100) AS BIGINT)

@@ -1295,6 +1295,31 @@ class EngineSpec extends SparkSpec {
            (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
   }
 
+  test("q_stats_covariance: hand-derived cents-quantized numerators") {
+    import spark.implicits._
+    // rows (qty, price, disc, tax): (1,10,0,0), (2,20,0.1,0), (3,30,0.2,0)
+    // cents: x_qty 100/200/300, x_price 1000/2000/3000, x_disc 0/10/20
+    // (0.1·100 = 10.000…2 floors to 10 — the quantization is the double
+    // product both engines share), x_tax all 0. Hand-folded numerators:
+    //   cov(qty,price) = 3·1.4e6 − 600·6000 = 600000; var_qty = 60000,
+    //   var_price = 6e6; cov(qty,disc) = 6000; cov(price,disc) = 60000;
+    //   var_disc = 600; every tax cell = 0.
+    val dir = java.nio.file.Files.createTempDirectory("statscov").toString
+    Seq((1.0, 10.0, 0.0, 0.0), (2.0, 20.0, 0.1, 0.0), (3.0, 30.0, 0.2, 0.0))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q_stats_covariance")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("l_discount", "l_tax", 3L, 0L, 600L, 0L),
+      ("l_extendedprice", "l_discount", 3L, 60000L, 6000000L, 600L),
+      ("l_extendedprice", "l_tax", 3L, 0L, 6000000L, 0L),
+      ("l_quantity", "l_discount", 3L, 6000L, 60000L, 600L),
+      ("l_quantity", "l_extendedprice", 3L, 600000L, 60000L, 6000000L),
+      ("l_quantity", "l_tax", 3L, 0L, 60000L, 0L)), got)
+  }
+
   test("q_emb_covariance: hand-derived co-moments on a 3-dim-active corpus") {
     import spark.implicits._
     // three vectors, only dims 0-2 nonzero (milli-codes 1000·x):

@@ -198,13 +198,14 @@ object MultimodalQueries {
         .filter(col("frame_idx") % 5 === 0)
         .orderBy("media_id", "frame_idx")),
 
-    "q_mm_features" -> ((s, d) =>
-      // Real decode: synthesize BMP/WAV containers from payload bytes,
-      // then parse them back (headers at fixed LE offsets, pixel array /
-      // PCM16 walk) into exact integer stats — hash-matched by a DuckDB
-      // oracle computing the same arithmetic from the source bytes.
-      decodeMediaFeatures(encodeMedia(media(s, d)))
-        .orderBy("media_id")),
+    "q_mm_features" -> featuresQ,
+
+    // Streaming twin of q_mm_features — the batch plan IS the oracled
+    // decode (the Sbs1 streaming-twin doctrine: batch hash-checked here,
+    // STREAMING execution pinned by StreamingSpec's MemoryStream run of
+    // the same encode+decode operators under readStream: stateless
+    // mapPartitions, append mode, no watermark needed).
+    "s_mm_decode" -> featuresQ,
 
     "q_mm_phash" -> ((s, d) => {
       // Perceptual image near-dup — the CommonCrawl-image day-one need:
@@ -317,6 +318,55 @@ object MultimodalQueries {
     })
   )
 
+  /** Real decode: synthesize BMP/WAV containers from payload bytes, then
+    * parse them back (headers at fixed LE offsets, pixel array / PCM16
+    * walk) into exact integer stats — hash-matched by a DuckDB oracle
+    * computing the same arithmetic from the source bytes. ONE body for
+    * q_mm_features and its streaming twin s_mm_decode.
+    */
+  private val featuresQ: Q = (s, d) =>
+    decodeMediaFeatures(encodeMedia(media(s, d))).orderBy("media_id")
+
+  /** The q_mm_features byte-math mirror, shared with the s_mm_decode
+    * streaming twin (ONE oracle string for one decode definition). */
+  private val FeaturesOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+      |         octet_length(encode(text)) AS len,
+      |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+      |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) > 0),
+      |imgp AS (
+      |  SELECT doc_id, m, h, [bv[(i % len) + 1] for i in range(0, 8 * h)] AS px
+      |  FROM (SELECT doc_id, m, len, bv,
+      |               greatest(1, least(32, len // 8)) AS h
+      |        FROM b WHERE m = 0 OR m = 2)),
+      |imgf AS (
+      |  SELECT doc_id, m, 'bmp' AS fmt,
+      |         CAST(8 AS BIGINT) AS dim1, CAST(h AS BIGINT) AS dim2,
+      |         CAST(3 * list_aggregate(px, 'sum') AS BIGINT) AS val_sum,
+      |         CAST(list_aggregate(px, 'min') AS BIGINT) AS val_min,
+      |         CAST(list_aggregate(px, 'max') AS BIGINT) AS val_max
+      |  FROM imgp),
+      |audp AS (
+      |  SELECT doc_id, m, ns,
+      |         [bv[(i % len) + 1] * 257 - 32768 for i in range(0, ns)] AS sm
+      |  FROM (SELECT doc_id, m, len, bv, least(4096, len) AS ns
+      |        FROM b WHERE m = 1)),
+      |audf AS (
+      |  SELECT doc_id, m, 'wav' AS fmt,
+      |         CAST(16000 AS BIGINT) AS dim1, CAST(ns AS BIGINT) AS dim2,
+      |         CAST(list_aggregate(sm, 'sum') AS BIGINT) AS val_sum,
+      |         CAST(list_aggregate(sm, 'min') AS BIGINT) AS val_min,
+      |         CAST(list_aggregate(sm, 'max') AS BIGINT) AS val_max
+      |  FROM audp),
+      |allf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
+      |SELECT doc_id AS media_id,
+      |       ['image', 'audio', 'video'][m + 1] AS media_type,
+      |       fmt, dim1, dim2, val_sum, val_min, val_max
+      |FROM allf ORDER BY media_id""".stripMargin
+
   /** Same near-dup acceptance radius as the text simhash (≤6 of 60 bits). */
   val PhashMaxHamming = 6
 
@@ -422,43 +472,8 @@ object MultimodalQueries {
     // across 3 channels, the WAV sample stream is byte(i mod len)·257 −
     // 32768 — so the decoded stats are list aggregations over the source
     // bytes (parsed from the hex dump, two chars per byte).
-    "q_mm_features" ->
-      """WITH b AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
-        |         octet_length(encode(text)) AS len,
-        |         [('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
-        |            for i in range(1, octet_length(encode(text)) + 1)] AS bv
-        |  FROM documents
-        |  WHERE octet_length(encode(text)) > 0),
-        |imgp AS (
-        |  SELECT doc_id, m, h, [bv[(i % len) + 1] for i in range(0, 8 * h)] AS px
-        |  FROM (SELECT doc_id, m, len, bv,
-        |               greatest(1, least(32, len // 8)) AS h
-        |        FROM b WHERE m = 0 OR m = 2)),
-        |imgf AS (
-        |  SELECT doc_id, m, 'bmp' AS fmt,
-        |         CAST(8 AS BIGINT) AS dim1, CAST(h AS BIGINT) AS dim2,
-        |         CAST(3 * list_aggregate(px, 'sum') AS BIGINT) AS val_sum,
-        |         CAST(list_aggregate(px, 'min') AS BIGINT) AS val_min,
-        |         CAST(list_aggregate(px, 'max') AS BIGINT) AS val_max
-        |  FROM imgp),
-        |audp AS (
-        |  SELECT doc_id, m, ns,
-        |         [bv[(i % len) + 1] * 257 - 32768 for i in range(0, ns)] AS sm
-        |  FROM (SELECT doc_id, m, len, bv, least(4096, len) AS ns
-        |        FROM b WHERE m = 1)),
-        |audf AS (
-        |  SELECT doc_id, m, 'wav' AS fmt,
-        |         CAST(16000 AS BIGINT) AS dim1, CAST(ns AS BIGINT) AS dim2,
-        |         CAST(list_aggregate(sm, 'sum') AS BIGINT) AS val_sum,
-        |         CAST(list_aggregate(sm, 'min') AS BIGINT) AS val_min,
-        |         CAST(list_aggregate(sm, 'max') AS BIGINT) AS val_max
-        |  FROM audp),
-        |allf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
-        |SELECT doc_id AS media_id,
-        |       ['image', 'audio', 'video'][m + 1] AS media_type,
-        |       fmt, dim1, dim2, val_sum, val_min, val_max
-        |FROM allf ORDER BY media_id""".stripMargin,
+    "q_mm_features" -> FeaturesOracle,
+    "s_mm_decode" -> FeaturesOracle,
 
     // q_mm_features' byte-math mirror, quality edition: image variance
     // numerator over the ×3-replicated pixel bytes (n=24h, Σb=3Σpx,

@@ -165,6 +165,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(0).getString(1).startsWith("call <PHONE> now ok yes\n"))
   }
 
+  test("media encode+decode composes under readStream (s_mm_decode)") {
+    // the codec path is stateless mapPartitions twice over, so the same
+    // operators run unchanged over an unbounded stream in append mode —
+    // the streaming half of a multimodal-ingest pipeline; the batch twin
+    // s_mm_decode is oracle-checked against the byte-math mirror
+    implicit val sq = spark.sqlContext
+    import graft.operators.MultimodalQueries.{decodeMediaFeatures, encodeMedia}
+    def mediaDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("media_id"), col("media_type"),
+                col("payload_s").cast("binary").as("payload"))
+    val rows = Seq((1L, "image", "abcdefghij"), (2L, "audio", "xyz"),
+                   (3L, "video", "0123456789abcdef"), (4L, "image", ""))
+    val in = MemoryStream[(Long, String, String)]
+    val decoded = decodeMediaFeatures(encodeMedia(
+      mediaDf(in.toDS().toDF("media_id", "media_type", "payload_s"))))
+    val q = decoded.writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2): _*) // second micro-batch, incl. empty payload
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mm_stream").orderBy("media_id").collect().toSeq
+    val want = decodeMediaFeatures(encodeMedia(mediaDf(
+      rows.toDF("media_id", "media_type", "payload_s"))))
+      .orderBy("media_id").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq), s"got $got want $want")
+    assert(got.size == 3) // the empty payload produced no container
+  }
+
   test("windowed-aggregation STATE survives a checkpointed restart") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]

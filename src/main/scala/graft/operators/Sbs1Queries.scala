@@ -65,6 +65,10 @@ object Sbs1Queries {
     // (SURVEY.md §2.1 R14 / §2.4 s_session_stream rationale). Batch twin of
     // StreamingOps.sessionize over the parsed fixture, oracle-checked via
     // gaps-and-islands on epoch-ms event time.
+    "q_sbs1_jumps" -> ((s, _) =>
+      // Position-jump data-quality screen — see [[jumpReport]]
+      jumpReport(parsed(s).withColumn("ems", unix_millis(Sbs1.eventTime)))),
+
     "q_sbs1_flights" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
       val e = parsed(s)
@@ -169,6 +173,51 @@ object Sbs1Queries {
         .orderBy("purchase_id", "signup_id")
     })
   )
+
+  /** Implausible-position screen (q_sbs1_jumps) — the ADS-B data-quality
+    * check every ingest pipeline needs (multipath/decoder glitches
+    * produce "teleporting" aircraft that poison coverage maps and
+    * flight tracks): consecutive positions per aircraft, displacement in
+    * micro-degree integers (floor(coord·10⁶) — the grid device at e6),
+    * and is_jump when the SQUARED displacement outruns (JumpSpeedE6PerMs
+    * · Δt)² — all-integer planar test, no trigonometry, so both engines
+    * compare bit-identically (a true great-circle distance is a float
+    * surface; at jump magnitudes the planar approximation is the same
+    * verdict). dt² runs in DECIMAL(38,0) so a months-long gap cannot
+    * overflow the Long product (ANSI-loud past the envelope, per
+    * doctrine). Shape: one hex_ident-keyed window over the position
+    * subset — the same single exchange q_sbs1_flights already pays;
+    * output is pair-per-consecutive-position, never a self-join.
+    * Factored so specs can plant crafted feeds (the emergencyReport
+    * pattern).
+    */
+  private[graft] def jumpReport(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hex_ident").orderBy("ems")
+    p.filter(col("lat").isNotNull && col("lon").isNotNull)
+      .select(col("hex_ident"), col("ems"),
+        floor(col("lat") * 1e6).cast("long").as("lat_e6"),
+        floor(col("lon") * 1e6).cast("long").as("lon_e6"))
+      .withColumn("p_ems", lag("ems", 1).over(w))
+      .withColumn("dlat_e6", col("lat_e6") - lag("lat_e6", 1).over(w))
+      .withColumn("dlon_e6", col("lon_e6") - lag("lon_e6", 1).over(w))
+      .filter(col("p_ems").isNotNull)
+      .withColumn("dt_ms", col("ems") - col("p_ems"))
+      .withColumn("d2",
+        col("dlat_e6") * col("dlat_e6") + col("dlon_e6") * col("dlon_e6"))
+      .withColumn("is_jump",
+        col("d2") > expr(s"cast(dt_ms AS DECIMAL(38,0)) * dt_ms" +
+                         s" * ${JumpSpeedE6PerMs * JumpSpeedE6PerMs}"))
+      .select("hex_ident", "p_ems", "ems", "dt_ms",
+              "dlat_e6", "dlon_e6", "d2", "is_jump")
+      .orderBy("hex_ident", "ems")
+  }
+
+  /** Jump threshold: 10 micro-degrees per millisecond = 0.01°/s ≈ 1.1 km/s
+    * at the equator — faster than any transponder-bearing aircraft, slower
+    * than a decode glitch.
+    */
+  val JumpSpeedE6PerMs = 10L
 
   /** q_sbs1_emergency core over parsed squitters carrying an epoch-ms
     * `ems` column: per-aircraft rollup of rows in an emergency state
@@ -299,6 +348,31 @@ object Sbs1Queries {
         |FROM p JOIN g ON p.user_id = g.user_id
         | AND g.s_ms <= p.p_ms AND g.s_ms >= p.p_ms - 3600000
         |ORDER BY purchase_id, signup_id""".stripMargin,
+
+    "q_sbs1_jumps" ->
+      s"""WITH p AS (
+         |  SELECT hex_ident,
+         |         TRY_CAST(lat AS DOUBLE) AS lat,
+         |         TRY_CAST(lon AS DOUBLE) AS lon,
+         |         epoch_ms(strptime(generated_date || ' ' || generated_time,
+         |                           '%Y/%m/%d %H:%M:%S.%g')) AS ems
+         |  FROM read_csv('$FixturePath', header=false, columns=$duckCols)),
+         |q AS (SELECT hex_ident, ems,
+         |             CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6,
+         |             CAST(floor(lon * 1e6) AS BIGINT) AS lon_e6
+         |      FROM p WHERE lat IS NOT NULL AND lon IS NOT NULL),
+         |l AS (SELECT hex_ident, ems, lag(ems) OVER w AS p_ems,
+         |             lat_e6 - lag(lat_e6) OVER w AS dlat_e6,
+         |             lon_e6 - lag(lon_e6) OVER w AS dlon_e6
+         |      FROM q WINDOW w AS (PARTITION BY hex_ident ORDER BY ems))
+         |SELECT hex_ident, p_ems, ems, ems - p_ems AS dt_ms,
+         |       dlat_e6, dlon_e6,
+         |       dlat_e6*dlat_e6 + dlon_e6*dlon_e6 AS d2,
+         |       (dlat_e6*dlat_e6 + dlon_e6*dlon_e6) >
+         |         (CAST(ems - p_ems AS HUGEINT) * (ems - p_ems)
+         |          * ${JumpSpeedE6PerMs * JumpSpeedE6PerMs}) AS is_jump
+         |FROM l WHERE p_ems IS NOT NULL
+         |ORDER BY hex_ident, ems""".stripMargin,
 
     "q_sbs1_flights" ->
       s"""WITH p AS (

@@ -1295,6 +1295,27 @@ class EngineSpec extends SparkSpec {
            (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
   }
 
+  test("jumpReport: crafted track flags only the teleport leg") {
+    import spark.implicits._
+    import graft.operators.Sbs1Queries
+    // binary-exact coordinates so the e6 quantization is hand-derivable:
+    // X moves 10.0,20.0 → 10.03125,20.0625 in 10 s (d² = 31250² + 62500²
+    // = 4882812500 ≤ 100·10000² = 1e10 → plausible), then teleports to
+    // 12.0,25.0 (d² = 1968750² + 4937500² = 28254882812500 → jump);
+    // Y has a single position → no pair row.
+    val p = Seq(
+      ("X", 0L, 10.0, 20.0), ("X", 10000L, 10.03125, 20.0625),
+      ("X", 20000L, 12.0, 25.0), ("Y", 0L, -5.5, 3.25))
+      .toDF("hex_ident", "ems", "lat", "lon")
+    val got = Sbs1Queries.jumpReport(p).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    assert(got == Seq(
+      ("X", 0L, 10000L, 10000L, 31250L, 62500L, 4882812500L, false),
+      ("X", 10000L, 20000L, 10000L, 1968750L, 4937500L,
+       28254882812500L, true)), got)
+  }
+
   test("q_stats_covariance: hand-derived cents-quantized numerators") {
     import spark.implicits._
     // rows (qty, price, disc, tax): (1,10,0,0), (2,20,0.1,0), (3,30,0.2,0)

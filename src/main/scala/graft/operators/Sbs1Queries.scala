@@ -193,7 +193,11 @@ object Sbs1Queries {
     */
   private[graft] def jumpReport(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("hex_ident").orderBy("ems")
+    // coordinate tie-breakers: two position messages in the same
+    // millisecond would otherwise make lag() order- (and engine-)
+    // dependent; the oracle window mirrors the same key
+    val w = Window.partitionBy("hex_ident")
+      .orderBy("ems", "lat_e6", "lon_e6")
     p.filter(col("lat").isNotNull && col("lon").isNotNull)
       .select(col("hex_ident"), col("ems"),
         floor(col("lat") * 1e6).cast("long").as("lat_e6"),
@@ -210,7 +214,7 @@ object Sbs1Queries {
                          s" * ${JumpSpeedE6PerMs * JumpSpeedE6PerMs}"))
       .select("hex_ident", "p_ems", "ems", "dt_ms",
               "dlat_e6", "dlon_e6", "d2", "is_jump")
-      .orderBy("hex_ident", "ems")
+      .orderBy("hex_ident", "ems", "dlat_e6", "dlon_e6")
   }
 
   /** Jump threshold: 10 micro-degrees per millisecond = 0.01°/s ≈ 1.1 km/s
@@ -364,7 +368,8 @@ object Sbs1Queries {
          |l AS (SELECT hex_ident, ems, lag(ems) OVER w AS p_ems,
          |             lat_e6 - lag(lat_e6) OVER w AS dlat_e6,
          |             lon_e6 - lag(lon_e6) OVER w AS dlon_e6
-         |      FROM q WINDOW w AS (PARTITION BY hex_ident ORDER BY ems))
+         |      FROM q WINDOW w AS (PARTITION BY hex_ident
+         |                          ORDER BY ems, lat_e6, lon_e6))
          |SELECT hex_ident, p_ems, ems, ems - p_ems AS dt_ms,
          |       dlat_e6, dlon_e6,
          |       dlat_e6*dlat_e6 + dlon_e6*dlon_e6 AS d2,
@@ -372,7 +377,7 @@ object Sbs1Queries {
          |         (CAST(ems - p_ems AS HUGEINT) * (ems - p_ems)
          |          * ${JumpSpeedE6PerMs * JumpSpeedE6PerMs}) AS is_jump
          |FROM l WHERE p_ems IS NOT NULL
-         |ORDER BY hex_ident, ems""".stripMargin,
+         |ORDER BY hex_ident, ems, dlat_e6, dlon_e6""".stripMargin,
 
     "q_sbs1_flights" ->
       s"""WITH p AS (

@@ -38,13 +38,17 @@ object EmbCovAggregator
       if (sx0.isEmpty) (new Array[Long](Dim), new Array[Long](Dim * Dim))
       else (sx0, sxy0)
     val arr = v.toArray
-    val d = math.min(Dim, arr.length)
+    // the engine is ANSI-loud about shape errors: silently truncating a
+    // wider export (or zero-filling a narrower one) would emit wrong
+    // covariances that LOOK valid — surface the mismatch instead
+    require(arr.length == Dim,
+      s"EmbCovAggregator expects $Dim-dim vectors, got ${arr.length}")
     var i = 0
-    while (i < d) {
+    while (i < Dim) {
       val vi = arr(i)
       sx(i) += vi
       var j = i + 1
-      while (j < d) { sxy(i * Dim + j) += vi * arr(j); j += 1 }
+      while (j < Dim) { sxy(i * Dim + j) += vi * arr(j); j += 1 }
       i += 1
     }
     (n + 1, sx, sxy)

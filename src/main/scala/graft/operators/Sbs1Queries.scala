@@ -60,15 +60,15 @@ object Sbs1Queries {
              max(col("altitude")).cast("int").as("max_alt"))
         .orderBy("lat_cell", "lon_cell")),
 
+    // Position-jump data-quality screen — see [[jumpReport]]
+    "q_sbs1_jumps" -> ((s, _) =>
+      jumpReport(parsed(s).withColumn("ems", unix_millis(Sbs1.eventTime)))),
+
     // Flight sessionization — the domain's core analytic: a "flight" is a
     // burst of squitters per aircraft separated by >5 min of silence
     // (SURVEY.md §2.1 R14 / §2.4 s_session_stream rationale). Batch twin of
     // StreamingOps.sessionize over the parsed fixture, oracle-checked via
     // gaps-and-islands on epoch-ms event time.
-    "q_sbs1_jumps" -> ((s, _) =>
-      // Position-jump data-quality screen — see [[jumpReport]]
-      jumpReport(parsed(s).withColumn("ems", unix_millis(Sbs1.eventTime)))),
-
     "q_sbs1_flights" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
       val e = parsed(s)
@@ -198,7 +198,12 @@ object Sbs1Queries {
     // dependent; the oracle window mirrors the same key
     val w = Window.partitionBy("hex_ident")
       .orderBy("ems", "lat_e6", "lon_e6")
-    p.filter(col("lat").isNotNull && col("lon").isNotNull)
+    // a position without an aircraft id or event time cannot join a
+    // track — and NULL keys would also sort differently across engines
+    // (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so they are
+    // excluded on BOTH sides rather than left to ordering luck
+    p.filter(col("lat").isNotNull && col("lon").isNotNull &&
+             col("hex_ident").isNotNull && col("ems").isNotNull)
       .select(col("hex_ident"), col("ems"),
         floor(col("lat") * 1e6).cast("long").as("lat_e6"),
         floor(col("lon") * 1e6).cast("long").as("lon_e6"))
@@ -364,7 +369,8 @@ object Sbs1Queries {
          |q AS (SELECT hex_ident, ems,
          |             CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6,
          |             CAST(floor(lon * 1e6) AS BIGINT) AS lon_e6
-         |      FROM p WHERE lat IS NOT NULL AND lon IS NOT NULL),
+         |      FROM p WHERE lat IS NOT NULL AND lon IS NOT NULL
+         |        AND hex_ident IS NOT NULL AND ems IS NOT NULL),
          |l AS (SELECT hex_ident, ems, lag(ems) OVER w AS p_ems,
          |             lat_e6 - lag(lat_e6) OVER w AS dlat_e6,
          |             lon_e6 - lag(lon_e6) OVER w AS dlon_e6

@@ -1222,23 +1222,27 @@ class EngineSpec extends SparkSpec {
       (3L, 4L, 2L, 4L, -3010000L)), got)
   }
 
-  test("q_text_gopher: hand-derived rule-bundle integers, one rule " +
-       "flipping per doc") {
+  test("q_text_gopher: hand-derived rule-bundle integers") {
     import spark.implicits._
     // doc 1 passes every rule: "the and " + 48×"fox" → 50 words,
     //   chars 199, word chars 199−49=150, mwl_e6 = 150e6/50 = 3000000
     //   (the inclusive lower bound), sym 0, alpha 50/50, stops 2.
-    // doc 2 fails ONLY on size: 3 words; mwl_e6 = (9−2)e6/3 = 2333333.
+    // doc 2 fails on size AND mean word length: 3 words;
+    //   mwl_e6 = (9−2)e6/3 = 2333333.
     // doc 3 fails ONLY on symbols: 48×"f#n" → n_hash 48,
     //   sym_ratio_e6 = 48e6/50 = 960000 > 100000; mwl unchanged.
     // doc 4 exercises the ellipsis counter: "a... b... the of x" →
     //   5 words, chars 18, word chars 14 → mwl_e6 2800000,
     //   n_ellipsis 2 → sym_ratio_e6 400000, stops 2 (the, of).
+    // doc 5 isolates the R1 word-count bound: 40 words, every OTHER
+    //   rule passes (chars 159, word chars 120 → mwl_e6 3000000, sym 0,
+    //   alpha 40/40, stops 2) — only n_words < 50 gates it.
     val dir = java.nio.file.Files.createTempDirectory("gopher").toString
     Seq((1L, "the and " + Seq.fill(48)("fox").mkString(" ")),
         (2L, "ab cd the"),
         (3L, "the and " + Seq.fill(48)("f#n").mkString(" ")),
-        (4L, "a... b... the of x"))
+        (4L, "a... b... the of x"),
+        (5L, "the and " + Seq.fill(38)("fox").mkString(" ")))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("q_text_gopher")(spark, dir)
@@ -1248,7 +1252,8 @@ class EngineSpec extends SparkSpec {
       (1L, 50L, 3000000L,      0L, 1000000L, 2L, true),
       (2L,  3L, 2333333L,      0L, 1000000L, 1L, false),
       (3L, 50L, 3000000L, 960000L, 1000000L, 2L, false),
-      (4L,  5L, 2800000L, 400000L, 1000000L, 2L, false)), got)
+      (4L,  5L, 2800000L, 400000L, 1000000L, 2L, false),
+      (5L, 40L, 3000000L,      0L, 1000000L, 2L, false)), got)
   }
 
   test("resizeGray: nearest-neighbour grid math, tall and wide sources") {

@@ -1461,6 +1461,30 @@ object DedupQueries {
       embedPairs(s, d, 450000000L).orderBy("va", "vb")
     }),
 
+    "q_dedup_eval_leakage" -> ((s, d) =>
+      // SEMANTIC train/eval leakage — the embedding-space complement of
+      // q_dedup_train_test's shingle overlap (an eval doc paraphrased
+      // into the train split shares no 3-grams but sits at high cosine —
+      // the contamination n-gram decontamination can't see; public:
+      // SemDeDup/Abbas et al. 2023 motivates the semantic lens): cohorts
+      // split even/odd vec_id (the q_emb_drift device; at deployment the
+      // split column), candidate pairs are the SAME capped 2-probe IVF
+      // bucket co-residency + exact-cosine verify as q_dedup_embed (ONE
+      // pair definition — never all-pairs, same τ), and a leak is any
+      // cross-cohort pair at sim_e9 ≥ τ, reported as (eval_id, train_id,
+      // sim_e9). Scale rides entirely on embedPairs' story; the cohort
+      // filter and relabel are map-side over the near-dup-sized pair
+      // table.
+      embedPairs(s, d, 450000000L)
+        .filter(pmod(col("va"), lit(2)) =!= pmod(col("vb"), lit(2)))
+        .select(
+          when(pmod(col("va"), lit(2)) === 1, col("va")).otherwise(col("vb"))
+            .as("eval_id"),
+          when(pmod(col("va"), lit(2)) === 1, col("vb")).otherwise(col("va"))
+            .as("train_id"),
+          col("sim_e9"))
+        .orderBy("eval_id", "train_id")),
+
     "q_emb_thresholds" -> ((s, d) =>
       // Cosine-cutoff sensitivity SWEEP for embedding dedup — the
       // q_dedup_thresholds analysis for the semantic family: pair count
@@ -2176,6 +2200,15 @@ object DedupQueries {
     "q_dedup_embed" ->
       s"""WITH ${duckEmbedPairsCte(450000000L)}
          |SELECT va, vb, sim_e9 FROM pairs ORDER BY va, vb""".stripMargin,
+
+    // the same pair CTE, cross-cohort filter + eval/train relabel
+    "q_dedup_eval_leakage" ->
+      s"""WITH ${duckEmbedPairsCte(450000000L)}
+         |SELECT CASE WHEN va % 2 = 1 THEN va ELSE vb END AS eval_id,
+         |       CASE WHEN va % 2 = 1 THEN vb ELSE va END AS train_id,
+         |       sim_e9
+         |FROM pairs WHERE va % 2 <> vb % 2
+         |ORDER BY eval_id, train_id""".stripMargin,
 
     "q_emb_thresholds" ->
       s"""WITH ${duckEmbedPairsCte(300000000L)},

@@ -1300,6 +1300,18 @@ class EngineSpec extends SparkSpec {
            (3L, 8L, 8L, 6688L, 97L, 112L, want), r)
   }
 
+  test("q_dedup_eval_leakage restates q_dedup_embed's cross-cohort pairs") {
+    val pairs = SparkEntry.queries("q_dedup_embed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pairs.filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, v) => if (a % 2 == 1) (a, b, v) else (b, a, v) }
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("q_dedup_eval_leakage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.nonEmpty) // the fixture DOES have cross-cohort leaks
+  }
+
   test("jumpReport: crafted track flags only the teleport leg") {
     import spark.implicits._
     import graft.operators.Sbs1Queries

@@ -702,7 +702,7 @@ object DedupQueries {
     }
   }
 
-  private[operators] def bandSigTable(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandSigTable(s: SparkSession, d: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     sigMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
       .toSeq.foreach { k =>
@@ -920,6 +920,35 @@ object DedupQueries {
                 jacE6Col(col("inter"), col("na.n"), col("nb.n")).as("jac_e6"))
         .filter(col("jac_e6") >= 700000)
         .orderBy("da", "db")
+    }),
+
+    "q_dedup_lsh_stats" -> ((s, d) => {
+      // LSH index HEALTH histogram — the ops dashboard a production
+      // near-dup deployment reads BESIDE the index (the q_dedup_audit
+      // precedent, pointed at cost rather than recall): bucket-size
+      // distribution of the band-signature table, with each size class's
+      // entry count and candidate-pair mass C(size,2)·n_buckets. This is
+      // the number that says whether the next q_dedup_minhash run is
+      // cheap or a skew bomb — one mega-bucket dominates Σ C(size,2)
+      // long before it dominates row counts, and watching this histogram
+      // drift is how a 100 TB operator decides to tighten DfCap or the
+      // band geometry BEFORE the pair expansion runs. Reads the shared
+      // memoized/artifact-served sig layer; on top sit two rollups whose
+      // inputs are bucket-count- then histogram-sized — nothing here
+      // touches documents. Pair mass multiplies in DECIMAL(38,0)
+      // (size²·buckets wraps Long for a ~3·10⁹-member bucket), try_cast
+      // BIGINT outputs.
+      val bsz = bandSigTable(s, d).groupBy("sig")
+        .agg(count(lit(1)).as("bucket_size"))
+      bsz.groupBy("bucket_size")
+        .agg(count(lit(1)).as("n_buckets"))
+        .select(col("bucket_size"), col("n_buckets"),
+          expr("try_cast(CAST(bucket_size AS DECIMAL(38,0)) * n_buckets" +
+               " AS BIGINT)").as("n_entries"),
+          expr("try_cast(CAST(bucket_size AS DECIMAL(38,0))" +
+               " * (bucket_size - 1) DIV 2 * n_buckets AS BIGINT)")
+            .as("cand_pairs"))
+        .orderBy("bucket_size")
     }),
 
     "q_dedup_train_test" -> ((s, d) => {
@@ -1766,6 +1795,18 @@ object DedupQueries {
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 700000
          |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_lsh_stats" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |${duckMinhashBands("shh")},
+         |bsz AS (SELECT sig, count(*) AS bucket_size FROM bands GROUP BY sig)
+         |SELECT bucket_size, count(*) AS n_buckets,
+         |       CAST(bucket_size * count(*) AS BIGINT) AS n_entries,
+         |       CAST(bucket_size * (bucket_size - 1) // 2 * count(*) AS BIGINT)
+         |         AS cand_pairs
+         |FROM bsz GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
 
     "q_dedup_train_test" ->
       s"""WITH $duckShingles,

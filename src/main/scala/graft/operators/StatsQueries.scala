@@ -84,6 +84,21 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    "q_stats_ks" -> ((s, d) =>
+      // Exact two-sample Kolmogorov–Smirnov drift (public: Kolmogorov
+      // 1933 / Smirnov 1948) between the even- and odd-orderkey halves
+      // of lineitem's price column — the distribution-drift gate a
+      // pipeline runs between two crawls/shards/time slices where the
+      // frequency-based drift ops (q_text_drift, q_emb_drift) compare
+      // discrete masses: KS compares the full CDFs and catches a pure
+      // location/scale shift no top-k frequency diff sees. Values
+      // cents-quantized map-side (the q_stats_covariance device) so the
+      // whole statistic is exact integers — see [[ksStat]] for the
+      // distributed two-level prefix-sum shape.
+      ksStat(lineitem(s, d).select(
+        floor(col("l_extendedprice") * 100).cast("long").as("v"),
+        (col("l_orderkey") % 2 === 0).as("in_a")))),
+
     "q_stats_outliers" -> ((s, d) => {
       // Tukey-fence outlier profile (public: Tukey 1977 — the boxplot
       // rule): per-group exact quartiles → fences [q1−1.5·IQR,
@@ -255,6 +270,63 @@ object StatsQueries {
       .orderBy("digit")
   }
 
+  /** Exact two-sample KS statistic over integer-quantized observations:
+    * input (v: BIGINT, in_a: BOOLEAN) rows, output ONE row (n1, n2,
+    * d_num, ks_e6) where d_num = max over values of |k1·n2 − k2·n1|
+    * (k = cumulative counts — the CDF difference cleared of both
+    * denominators) and ks_e6 = d_num·10⁶ DIV (n1·n2), the KS D in exact
+    * millionths. Requires both cohorts non-empty (D is undefined
+    * otherwise — the DIV is ANSI-loud, never a silent zero).
+    *
+    * Shape at 100 TB: the textbook exact form is one GLOBAL ordered
+    * cumulative sum — a single-partition window over every distinct
+    * value, the classic scale-killer. This is the distributed two-level
+    * prefix sum instead: (1) per-value counts, one keyed exchange with
+    * map-side partials; (2) per-BIN totals (bin = v DIV 2¹⁶ — the
+    * value RANGE div 2¹⁶, a bounded table) cumsum'd on a window that
+    * only ever sees bin-rows; (3) within-bin cumsums under a
+    * (bin)-PARTITIONED window — parallel, each partition bounded by one
+    * bin's distinct-value count; (4) bin offsets broadcast back, final
+    * cumulative = offset + in-bin. No stage holds more than one bin of
+    * values in a single window partition. Products ride DECIMAL(38,0)
+    * (k·n ≈ n² wraps Long past ~3·10⁹ rows per cohort) with try_cast
+    * BIGINT outputs — the repo's exact-integer envelope convention.
+    */
+  private[graft] def ksStat(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = obs.groupBy("v").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("c2"))
+    val binned = vals.withColumn("bin", expr("v DIV 65536"))
+    // exclusive prefix over the bounded bin table: rows here are one per
+    // bin, so the unpartitioned window is a deliberate bounded-state
+    // single partition (the Quantiles GROUPS-table precedent)
+    val wBins = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = binned.groupBy("bin")
+      .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+      .select(col("bin"),
+        coalesce(sum("b1").over(wBins), lit(0L)).as("o1"),
+        coalesce(sum("b2").over(wBins), lit(0L)).as("o2"))
+    val wIn = Window.partitionBy("bin").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    binned.join(broadcast(offs), Seq("bin"))
+      .select(
+        (col("o1") + sum("c1").over(wIn)).as("k1"),
+        (col("o2") + sum("c2").over(wIn)).as("k2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(expr("CAST(k1 AS DECIMAL(38,0)) * n2" +
+                 " - CAST(k2 AS DECIMAL(38,0)) * n1")).as("dd"))
+      .groupBy("n1", "n2")
+      .agg(max("dd").as("d_dec"))
+      .select(col("n1"), col("n2"),
+        expr("try_cast(d_dec AS BIGINT)").as("d_num"),
+        expr("try_cast(d_dec * 1000000 DIV" +
+             " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_e6"))
+  }
+
   def oracles: Map[String, String] = Map(
     // generated from the SAME column/pair lists as the engine, HUGEINT
     // internals mirroring the DECIMAL(38,0) products, same TRY_CASTs
@@ -283,6 +355,26 @@ object StatsQueries {
          |$arms
          |ORDER BY col_a, col_b""".stripMargin
     },
+
+    // the oracle takes the textbook single-window form the engine's
+    // two-level prefix sum replaces — same k's, same HUGEINT products
+    "q_stats_ks" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT sum(c1) OVER (ORDER BY v) AS k1,
+        |         sum(c2) OVER (ORDER BY v) AS k2
+        |  FROM vals),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM vals)
+        |SELECT n1, n2,
+        |       CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(k1 * n2 - k2 * n1)) * 1000000 // (n1::HUGEINT * n2)
+        |            AS BIGINT) AS ks_e6
+        |FROM cum, tot GROUP BY n1, n2""".stripMargin,
 
     "q_stats_benford" ->
       """WITH d AS (

@@ -1501,6 +1501,52 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 1L), (9, 1L)), got)
   }
 
+  test("ksStat: hand-derived exact KS on a 9-observation split") {
+    import spark.implicits._
+    // A = [1,2,2,5], B = [2,3,5,5,7] → per-value (c1,c2):
+    // 1:(1,0) 2:(2,1) 3:(0,1) 5:(1,2) 7:(0,1); cum k1 = 1,3,3,4,4 and
+    // k2 = 0,1,2,4,5; |k1·n2 − k2·n1| = 5,11,7,4,0 → d_num = 11,
+    // ks_e6 = 11·10⁶ DIV 20 = 550000
+    val obs = (Seq(1L, 2L, 2L, 5L).map((_, true)) ++
+               Seq(2L, 3L, 5L, 5L, 7L).map((_, false)))
+      .toDF("v", "in_a")
+    val r = operators.StatsQueries.ksStat(obs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("n1"), row.getAs[Long]("n2"),
+            row.getAs[Long]("d_num"), row.getAs[Long]("ks_e6")) ==
+           ((4L, 5L, 11L, 550000L)), row)
+  }
+
+  test("ksStat: bin-boundary and negative values keep the prefix sum " +
+       "contiguous (trunc-div bins are monotone)") {
+    import spark.implicits._
+    // values straddle bin −1 / 0 / 1 of the 2¹⁶ binning: the two-level
+    // prefix sum must order bins correctly across the sign change and
+    // the 65536 boundary. A = [−70000, 65537], B = [65536] → k1 = 1,1,2;
+    // k2 = 0,1,1; |k1·1 − k2·2| = 1,1,0 → d_num = 1, ks_e6 = 500000
+    val obs = (Seq(-70000L, 65537L).map((_, true)) ++
+               Seq(65536L).map((_, false))).toDF("v", "in_a")
+    val row = operators.StatsQueries.ksStat(obs).collect().head
+    assert((row.getAs[Long]("n1"), row.getAs[Long]("n2"),
+            row.getAs[Long]("d_num"), row.getAs[Long]("ks_e6")) ==
+           ((2L, 1L, 1L, 500000L)), row)
+  }
+
+  test("q_dedup_lsh_stats: histogram mass re-adds to the band-sig table") {
+    val st = SparkEntry.queries("q_dedup_lsh_stats")(spark, sf).collect()
+    val sigs = operators.DedupQueries.bandSigTable(spark, sf)
+    assert(st.map(_.getAs[Long]("n_entries")).sum == sigs.count(),
+      "Σ size·buckets must equal total band-table rows")
+    assert(st.map(_.getAs[Long]("n_buckets")).sum ==
+           sigs.select("sig").distinct().count(),
+      "Σ n_buckets must equal distinct signatures")
+    val direct = sigs.groupBy("sig").count()
+      .agg(sum(expr("count * (count - 1) DIV 2"))).head.getLong(0)
+    assert(st.map(_.getAs[Long]("cand_pairs")).sum == direct,
+      "candidate-pair mass must re-add from per-sig C(n,2)")
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -1533,6 +1533,33 @@ class EngineSpec extends SparkSpec {
            ((2L, 1L, 1L, 500000L)), row)
   }
 
+  test("ksStat large-input pin: 1e6 rows over ~300 bins equals the " +
+       "single-window textbook form") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random values spread over [0, 2e7) — ~305
+    // populated 2¹⁶-bins, so the two-level prefix sum exercises real
+    // bin-offset composition at data volume (the Quantiles large-pin
+    // precedent); the reference is the textbook global-window form the
+    // engine's shape replaces
+    val obs = spark.range(1000000L)
+      .select(pmod(xxhash64(col("id")), lit(20000000L)).as("v"),
+              (col("id") % 2 === 0).as("in_a"))
+    val got = operators.StatsQueries.ksStat(obs).collect().head
+    val vals = obs.groupBy("v").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c2"))
+    val totals = vals.agg(sum("c1"), sum("c2")).head
+    val (n1, n2) = (totals.getLong(0), totals.getLong(1))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val dmax = vals
+      .select(sum("c1").over(w).as("k1"), sum("c2").over(w).as("k2"))
+      .agg(max(abs(col("k1") * n2 - col("k2") * n1))).head.getLong(0)
+    assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2)
+    assert(got.getAs[Long]("d_num") == dmax,
+      s"d_num ${got.getAs[Long]("d_num")} vs textbook $dmax")
+    assert(got.getAs[Long]("ks_e6") == dmax * 1000000L / (n1 * n2))
+  }
+
   test("q_dedup_lsh_stats: histogram mass re-adds to the band-sig table") {
     val st = SparkEntry.queries("q_dedup_lsh_stats")(spark, sf).collect()
     val sigs = operators.DedupQueries.bandSigTable(spark, sf)

@@ -120,6 +120,13 @@ object Bench {
           "q_text_bigram_surprisal", "q_sim_pq_trained", "q_dedup_winnow",
           "q_stats_outliers", "q_text_bm25", "q_text_heavyhitters",
           "q_dedup_typos",
+          // round-12 additions whose first run otherwise pays its own
+          // plan/codegen warm-in (the covariance bench-vs-PlanProbe gap:
+          // execution 0.05-0.09 s warm, bench min ~0.75 s on a
+          // freshly-built plan)
+          "q_stats_covariance", "q_emb_covariance", "q_sim_hybrid",
+          "q_stats_ks", "q_stats_outliers_approx", "q_pipeline_eval",
+          "q_dedup_lsh_stats",
           // the window/unpivot/streaming-twin SHAPES: BENCH_r11's window
           // family floors sat 3-6x above r10 with no code change — the
           // warm list ran only heavy shapes, so the light families paid

@@ -512,6 +512,21 @@ class PlanSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q_stats_ks: both prefix-sum attach joins broadcast (bounded bin " +
+       "offsets + 1-row totals), never a sort-merge join") {
+    val p = plan("q_stats_ks")
+    assert(!p.contains("SortMergeJoin"), p)
+    // offsets re-attach on bin (BroadcastHashJoin); the 1-row totals
+    // spine attaches via the broadcast cross join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_lsh_stats: pure rollup over the served sig layer — no " +
+       "join node anywhere") {
+    assert(!plan("q_dedup_lsh_stats").contains("Join"))
+  }
+
   test("fanOut widens a tiny scan but is the IDENTITY on parallel input") {
     // tiny single-partition input → repartitioned to defaultParallelism
     val narrow = spark.range(100).coalesce(1).toDF("id")

@@ -935,9 +935,12 @@ object DedupQueries {
       // band geometry BEFORE the pair expansion runs. Reads the shared
       // memoized/artifact-served sig layer; on top sit two rollups whose
       // inputs are bucket-count- then histogram-sized — nothing here
-      // touches documents. Pair mass multiplies in DECIMAL(38,0)
-      // (size²·buckets wraps Long for a ~3·10⁹-member bucket), try_cast
-      // BIGINT outputs.
+      // touches documents. Pair mass multiplies ENTIRELY in
+      // DECIMAL(38,x) — the three-way product size·(size−1)·buckets is
+      // formed before the halving (size·(size−1) is even, so the /2 is
+      // exact and the BIGINT cast truncates nothing); an eager DIV 2
+      // would drop to IntegralDivide's Long and re-open the wrap the
+      // decimal envelope exists to close. try_cast BIGINT outputs.
       val bsz = bandSigTable(s, d).groupBy("sig")
         .agg(count(lit(1)).as("bucket_size"))
       bsz.groupBy("bucket_size")
@@ -946,7 +949,7 @@ object DedupQueries {
           expr("try_cast(CAST(bucket_size AS DECIMAL(38,0)) * n_buckets" +
                " AS BIGINT)").as("n_entries"),
           expr("try_cast(CAST(bucket_size AS DECIMAL(38,0))" +
-               " * (bucket_size - 1) DIV 2 * n_buckets AS BIGINT)")
+               " * (bucket_size - 1) * n_buckets / 2 AS BIGINT)")
             .as("cand_pairs"))
         .orderBy("bucket_size")
     }),

@@ -231,11 +231,16 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    val gens = p.linesIterator.count(_.contains("Generate"))
-    // pick pipeline = 2 generators (gram posexplode + window-offset
-    // explode), pair expansion = 2 more; a re-evaluated pick subtree
-    // would double the first two
-    assert(gens <= 4, s"$gens generators — pick pipeline re-evaluated:\n$p")
+    // the pick pipeline's SIGNATURE generator (the arrays_zip gram
+    // posexplode) must appear exactly once — a re-evaluated pick subtree
+    // duplicates it. Pinning this node, not the total Generate count:
+    // the sizes-branch member explode renders 0 or 1 times depending on
+    // whether AQE prints its shared stage as a ReusedQueryStage, which
+    // varies with suite-concurrency timing (flaked at 5-total under
+    // full-suite load while green in isolation).
+    val picks = p.linesIterator
+      .count(l => l.contains("Generate posexplode(arrays_zip"))
+    assert(picks == 1, s"$picks pick generators — pipeline re-evaluated:\n$p")
     assert(p.contains("ReusedExchange"), p)
   }
 
@@ -339,9 +344,13 @@ class PlanSpec extends SparkSpec {
     * attach via scalar subquery and need no exemption. q_emb_recall's
     * ground-truth all-pairs runs WITHIN its fixed hash-sample only — the
     * audit's documented deliberate cartesian (the sample bucket, not the
-    * corpus, bounds it; DedupQueries.scala q_emb_recall).
+    * corpus, bounds it; DedupQueries.scala q_emb_recall). q_stats_ks's
+    * BNLJ build side is its ONE-ROW (n1, n2) totals aggregate — the
+    * DataFrame-API spelling of a scalar subquery; the dedicated
+    * q_stats_ks plan test pins it stays a broadcast.
     */
-  private val boundedBnljAllowed = Set("q_sim_knn_batch", "q_emb_recall")
+  private val boundedBnljAllowed =
+    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>

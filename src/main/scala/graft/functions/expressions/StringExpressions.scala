@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{SimHash, StringMetrics, TokenStats, TypoHash}
+import graft.functions.{C4Clean, SimHash, StringMetrics, TokenStats, TypoHash}
 
 /** Native unrestricted Damerau-Levenshtein distance (see
   * [[graft.functions.StringMetrics]] for the algorithm and the
@@ -219,6 +219,42 @@ case class BigramHashCounts(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bigram_hash_counts"
 }
 
+/** Native fused C4-clean statistics — struct(clean_text, n_lines,
+  * n_lines_kept, n_tokens_clean) in one compiled pass per document (see
+  * [[graft.functions.C4Clean]] for the exact-parity contract with the
+  * HOF cascade it replaces). An Expression rather than a UDF for the
+  * q_text_clean hot path: the clean gate pushes to the scan, so this
+  * kernel runs inside the scan stage's whole-stage codegen — a Scala
+  * UDF there would box every document and fence the stage.
+  */
+case class C4CleanStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"c4_clean_stats requires a string input, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_lines_kept", LongType, nullable = false),
+    StructField("n_tokens_clean", LongType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    C4Clean.cleanStats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.C4Clean.cleanStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): C4CleanStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "c4_clean_stats"
+}
+
 object StringFunctions {
   /** Column API for the native unrestricted Damerau-Levenshtein. */
   def damerau_levenshtein(a: Column, b: Column): Column =
@@ -243,4 +279,8 @@ object StringFunctions {
   /** Column API for the native per-doc bigram hash counts. */
   def bigram_hash_counts(text: Column): Column =
     toColumn(BigramHashCounts(toExpression(text)))
+
+  /** Column API for the fused C4-clean statistics struct. */
+  def c4_clean_stats(text: Column): Column =
+    toColumn(C4CleanStats(toExpression(text)))
 }

@@ -215,25 +215,44 @@ object TextQueries {
     * tokens or carrying a boilerplate marker (cookie/javascript/
     * lorem-ipsum/…, the C4 filter list's shape); per doc: keep only docs
     * with >= [[CleanMinDocTokens]] tokens left — everything below is
-    * navigation/stub debris. All arithmetic is codegen'd higher-order
-    * functions over the line array; the q_text_clean DuckDB oracle runs
-    * the identical rules via list_transform/list_filter.
+    * navigation/stub debris. The per-row engine is the fused native
+    * [[graft.functions.C4Clean]] kernel (one compiled pass per document,
+    * regex families gated on cheap byte probes); the q_text_clean DuckDB
+    * oracle runs the identical rules via list_transform/list_filter, and
+    * [[cleanHof]] keeps the original higher-order-function spelling as
+    * the in-engine differential reference (C4CleanSpec pins kernel ≡ HOF
+    * row-for-row).
     */
   def clean(docs: DataFrame): DataFrame = {
+    // the struct is aliased ONCE in its own project (CollapseProject
+    // leaves a non-cheap multi-referenced alias alone), so the kernel
+    // runs twice per row on the optimized plan: the projection + the doc
+    // gate's pushed-down copy at the scan (Catalyst pushes deterministic
+    // filters through projects regardless of expression cost). 2 was
+    // already the floor for the HOF spelling; each evaluation is now one
+    // fused pass instead of ~6 interpreted ones.
+    docs
+      .select(col("doc_id"),
+        graft.functions.expressions.StringFunctions
+          .c4_clean_stats(col("text")).as("__c"))
+      .select(col("doc_id"),
+        col("__c").getField("clean_text").as("clean_text"),
+        col("__c").getField("n_lines").as("n_lines"),
+        col("__c").getField("n_lines_kept").as("n_lines_kept"),
+        col("__c").getField("n_tokens_clean").as("n_tokens_clean"))
+      .filter(col("n_tokens_clean") >= CleanMinDocTokens)
+  }
+
+  /** The original HOF spelling of [[clean]] — kept as the differential
+    * reference the C4CleanSpec property pin replays against the fused
+    * kernel (bit-identical outputs required; the spec is the guard that
+    * lets q_text_clean ride the kernel). Not on any query path.
+    */
+  private[graft] def cleanHof(docs: DataFrame): DataFrame = {
     val scrub = (l: Column) => scrubCol(l)
     val isBoiler = (l: Column) =>
       CleanBoilerplate.foldLeft(lit(false))(
         (acc, m) => acc || instr(lower(l), m) > 0)
-    // the scrub+filter pass is aliased ONCE as __kept in its own project:
-    // its three consumers (clean_text, n_lines_kept, n_tokens_clean)
-    // would otherwise each re-run the double regex over every line —
-    // codegen subexpression elimination skips lambda-bearing trees, and
-    // CollapseProject leaves a non-cheap multi-referenced alias in its
-    // own project. Measured on the optimized plan: 2 evaluations (the
-    // projection + the doc gate's pushed-down copy — Catalyst pushes
-    // deterministic filters through projects regardless of expression
-    // cost) vs 4 for the inline form; 2 is the floor short of a shuffle
-    // barrier
     docs
       .select(col("doc_id"), split(col("text"), "\n").as("__lines"))
       .select(col("doc_id"), col("__lines"),
@@ -946,8 +965,11 @@ object TextQueries {
     }),
 
     "q_text_clean" -> ((s, d) =>
-      // C4-style cleaning (the day-one corpus-builder pass) — see [[clean]]
-      clean(documents(s, d)).orderBy("doc_id")),
+      // C4-style cleaning (the day-one corpus-builder pass) — see
+      // [[clean]]. fanOut parallelizes the kernel's projection pass on
+      // the one-row-group fixture file (gated: identity at data scale);
+      // the pushed-down doc gate still runs at the scan.
+      clean(fanOut(documents(s, d))).orderBy("doc_id")),
 
     "q_text_dedup_lines" -> ((s, d) =>
       // corpus-wide line dedup (C4's repeated-span rule) — see [[dedupLines]]

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.C4Clean
+import graft.operators.TextQueries
+
+/** The fused C4-clean kernel (graft.functions.C4Clean) against the HOF
+  * cascade it replaced ([[TextQueries.cleanHof]]) — the differential pin
+  * that lets q_text_clean ride the kernel. Two layers:
+  *
+  *  1. adversarial hand cases hitting every rule boundary (regex
+  *     families, the scrub ORDER, line/doc gates, split-limit edges,
+  *     multi-byte text, boilerplate casing);
+  *  2. the real sf0.001 documents fixture, full table, row-for-row.
+  *
+  * Equality is bit-exact on all four output columns.
+  */
+class C4CleanSpec extends SparkSpec {
+
+  private val cases = Seq(
+    // regex families, one per line, with enough tokens to pass the gate
+    "mail me at bob.smith+x@ex-ample.co today please ok",
+    "server at 10.0.255.3 and also at 1.2.3.4 responded fine",
+    "call (555) 123-4567 or +1 555 123 4567 now please",
+    "bare local 555-0123. and decimal 123.4567 stay apart ok",
+    "long run 12345678901 scrubbed but 123456 is kept here",
+    // scrub ORDER is load-bearing: the IP pass must fire before the
+    // digit-run pass can eat the octets
+    "ip 192.168.100.200 then digits 99887766554433 in one line ok",
+    // email whose domain looks like an IP — email pass runs first
+    "contact user@1.2.3.4 about the 10.0.0.1 box please ok",
+    // line gate: exactly 4 tokens (dropped), exactly 5 (kept)
+    "one two three four",
+    "one two three four five",
+    // boilerplate markers, mixed case, mid-line
+    "This Site Uses COOKIE banners every single visit sadly",
+    "enable JavaScript to continue reading this article now",
+    "Lorem Ipsum dolor sit amet consectetur adipiscing elit",
+    "all rights reserved by the example media company 2020",
+    // doc gate boundary feeders: short remains
+    "tiny doc",
+    // split-limit -1 edges: empty lines, trailing newline, double spaces
+    "", " ", "a  b c d e f", "trailing space line here ok ",
+    // multi-byte text around scrubbed spans
+    "日本語のテキスト with an email 日本@例え.jp inside it ok",
+    "числа 12345678 и текст вокруг них в одной строке да",
+    // multiple lines per doc exercising reassembly order
+    "first kept line with plenty of tokens here\nshort line\n" +
+      "second kept line also with plenty of tokens",
+    "\n\nleading empties then a kept line with many tokens\n\n",
+    // a phone at line start/end (context groups at ^ and $)
+    "555-0123 starts this line with enough tokens after",
+    "this line ends with enough tokens before 555-0123")
+
+  private def docsDf = {
+    import spark.implicits._
+    cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("kernel ≡ HOF cascade on adversarial hand cases") {
+    val k = TextQueries.clean(docsDf).orderBy("doc_id").collect()
+    val h = TextQueries.cleanHof(docsDf).orderBy("doc_id").collect()
+    assert(k.length == h.length,
+      s"row counts differ: kernel ${k.length} vs hof ${h.length}")
+    k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
+  }
+
+  test("kernel ≡ HOF cascade on the full documents fixture") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val k = TextQueries.clean(docs).orderBy("doc_id").collect()
+    val h = TextQueries.cleanHof(docs).orderBy("doc_id").collect()
+    assert(k.length == h.length && k.nonEmpty,
+      s"row counts differ: kernel ${k.length} vs hof ${h.length}")
+    k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
+  }
+
+  test("static kernel matches the expression surface on edge strings") {
+    // the expression routes through the same static, but pin the static
+    // on strings the DataFrame layer can't easily carry (lone newline)
+    val r = C4Clean.cleanStats(UTF8String.fromString("\n"))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    val empty = C4Clean.cleanStats(UTF8String.fromString(""))
+    assert(empty.getLong(1) == 1L && empty.getLong(3) == 0L)
+  }
+}

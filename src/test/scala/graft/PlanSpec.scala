@@ -244,6 +244,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("q_text_clean: the fused kernel evaluates exactly twice (pushed " +
+       "doc gate at the scan + the single struct alias), no HOF lambdas") {
+    val p = plan("q_text_clean").split("== Initial Plan ==").head
+    // one Filter(c4_clean_stats(...).n_tokens_clean >= 15) at the scan,
+    // one Project [... c4_clean_stats(text) AS __c ...] above the fanOut
+    // exchange; the struct alias must stay its own project (CollapseProject
+    // inlining it would fan the kernel out to 4 evaluations), and the scan's
+    // DataFilters copy is the SAME Filter rendered into the scan node, not
+    // a third evaluation
+    val gates = p.linesIterator.count(_.contains("Filter (c4_clean_stats"))
+    val aliases = p.linesIterator
+      .count(l => l.contains("c4_clean_stats(text") && l.contains(") AS __c"))
+    assert(gates == 1, s"$gates kernel gate filters:\n$p")
+    assert(aliases == 1, s"$aliases kernel struct aliases:\n$p")
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("q_text_winnow: keyed aggregations only — no Window, no Join, " +
        "no cartesian") {
     val p = plan("q_text_winnow")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BigramHashCounts, DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
+import graft.functions.expressions.{BigramHashCounts, C4CleanStats, DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -103,6 +103,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("bigram_hash_counts", args, 1)
         BigramHashCounts(args(0))
+      }),
+    ("c4_clean_stats",
+      info("c4_clean_stats",
+        "c4_clean_stats(s) - struct<clean_text,n_lines,n_lines_kept," +
+          "n_tokens_clean> of the C4-style line clean (PII scrub + " +
+          "boilerplate/min-token line gates) in one fused pass"),
+      (args: Seq[Expression]) => {
+        requireArity("c4_clean_stats", args, 1)
+        C4CleanStats(args(0))
       })
   )
 

@@ -77,6 +77,15 @@ class C4CleanSpec extends SparkSpec {
     k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
   }
 
+  test("the SQL surface evaluates the same kernel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT c4_clean_stats('one two three four five\ntiny').n_lines " +
+        "AS nl, c4_clean_stats('one two three four five').n_tokens_clean " +
+        "AS nt").first()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+  }
+
   test("static kernel matches the expression surface on edge strings") {
     // the expression routes through the same static, but pin the static
     // on strings the DataFrame layer can't easily carry (lone newline)

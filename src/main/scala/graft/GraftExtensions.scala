@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BigramHashCounts, C4CleanStats, DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
+import graft.functions.expressions.{BigramHashCounts, C4CleanStats, C4CleanTokens, DamerauLevenshtein, DeletionVariantHashes, DotProduct, SimHash60, SubwordCount, TokenCount, TokenTermCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for the SQL surface, so `spark.sql("SELECT dot_product(a,b)")`
@@ -112,6 +112,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("c4_clean_stats", args, 1)
         C4CleanStats(args(0))
+      }),
+    ("c4_clean_tokens",
+      info("c4_clean_tokens",
+        "c4_clean_tokens(s) - n_tokens_clean of the C4-style line clean " +
+          "alone (the doc-gate twin of c4_clean_stats, no text assembly)"),
+      (args: Seq[Expression]) => {
+        requireArity("c4_clean_tokens", args, 1)
+        C4CleanTokens(args(0))
       })
   )
 

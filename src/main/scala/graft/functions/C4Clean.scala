@@ -69,9 +69,35 @@ object C4Clean {
   /** struct(clean_text, n_lines, n_lines_kept, n_tokens_clean) for one
     * document. */
   def cleanStats(text: UTF8String): GenericInternalRow = {
+    val out = new java.lang.StringBuilder
+    val counts = core(text, out)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString),
+      counts(0), counts(1), counts(2)))
+  }
+
+  /** n_tokens_clean alone — the doc-gate kernel: identical scrub/keep
+    * walk, but never assembles the cleaned output (the pushed-down scan
+    * filter consumes only the count, and building + discarding an
+    * O(doc)-sized string per scanned row there was pure waste — review
+    * finding on the round-12 kernel). CleanTokensSpec-pinned ≡
+    * cleanStats.n_tokens_clean. */
+  def cleanTokens(text: UTF8String): Long = core(text, null)(2)
+
+  /** Shared walk: returns (n_lines, n_lines_kept, n_tokens_clean);
+    * appends kept lines to `out` when non-null. */
+  private def core(text: UTF8String, out: java.lang.StringBuilder): Array[Long] = {
     val bytes = text.getBytes // one copy; per-line slices wrap this array
     val n = bytes.length
-    val out = new java.lang.StringBuilder
+    // the no-regex fast path returns the line's original BYTES; the HOF
+    // cascade it must mirror round-trips every line through
+    // java.lang.String (StringSplit/RegExpReplace rebuild via toString
+    // even when nothing matches), which substitutes U+FFFD for invalid
+    // UTF-8 — so on a malformed input (parquet never validates string
+    // bytes) take the same String round-trip on every line (review
+    // finding on the round-12 kernel; valid inputs round-trip
+    // bit-identically, so the slice is safe exactly when `isValid`)
+    val valid = text.isValid
     var nLines = 0L
     var nKept = 0L
     var nTokens = 0L
@@ -94,10 +120,24 @@ object C4Clean {
           j += 1
         }
         var lineU: UTF8String = null
-        if (!hasAt && !hasDigit) {
+        if (!hasAt && !hasDigit && valid) {
           // no regex can change this line: slice the original bytes
           // (byte offsets are safe — 0x0A is never a continuation byte)
           lineU = UTF8String.fromBytes(bytes, lineStart, i - lineStart)
+        } else if (!hasAt && !hasDigit) {
+          // malformed doc: String round-trip for U+FFFD parity, no regex
+          lineU = UTF8String.fromString(UTF8String
+            .fromBytes(bytes, lineStart, i - lineStart).toString)
+          // U+FFFD (3 bytes, none 0x20) replaces bytes that were never
+          // spaces — but recount to stay exactly what the round-tripped
+          // line's split sees
+          spaces = 0L
+          val m = lineU.numBytes()
+          var k = 0
+          while (k < m) {
+            if (lineU.getByte(k) == 0x20) spaces += 1L
+            k += 1
+          }
         } else {
           var s = UTF8String
             .fromBytes(bytes, lineStart, i - lineStart).toString
@@ -129,8 +169,10 @@ object C4Clean {
             mi += 1
           }
           if (!boiler) {
-            if (nKept > 0L) out.append('\n')
-            out.append(lineU.toString)
+            if (out != null) {
+              if (nKept > 0L) out.append('\n')
+              out.append(lineU.toString)
+            }
             nKept += 1L
             nTokens += tokens
           }
@@ -139,8 +181,6 @@ object C4Clean {
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(out.toString),
-      nLines, nKept, nTokens))
+    Array(nLines, nKept, nTokens)
   }
 }

@@ -255,6 +255,34 @@ case class C4CleanStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "c4_clean_stats"
 }
 
+/** The doc-gate twin of [[C4CleanStats]] — n_tokens_clean alone, never
+  * assembling the cleaned text (the pushed-down scan filter consumes
+  * only the count; see [[graft.functions.C4Clean.cleanTokens]]).
+  */
+case class C4CleanTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"c4_clean_tokens requires a string input, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    C4Clean.cleanTokens(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.C4Clean.cleanTokens($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): C4CleanTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "c4_clean_tokens"
+}
+
 object StringFunctions {
   /** Column API for the native unrestricted Damerau-Levenshtein. */
   def damerau_levenshtein(a: Column, b: Column): Column =
@@ -283,4 +311,8 @@ object StringFunctions {
   /** Column API for the fused C4-clean statistics struct. */
   def c4_clean_stats(text: Column): Column =
     toColumn(C4CleanStats(toExpression(text)))
+
+  /** Column API for the count-only C4-clean doc gate. */
+  def c4_clean_tokens(text: Column): Column =
+    toColumn(C4CleanTokens(toExpression(text)))
 }

@@ -224,23 +224,25 @@ object TextQueries {
     * row-for-row).
     */
   def clean(docs: DataFrame): DataFrame = {
-    // the struct is aliased ONCE in its own project (CollapseProject
-    // leaves a non-cheap multi-referenced alias alone), so the kernel
-    // runs twice per row on the optimized plan: the projection + the doc
-    // gate's pushed-down copy at the scan (Catalyst pushes deterministic
-    // filters through projects regardless of expression cost). 2 was
-    // already the floor for the HOF spelling; each evaluation is now one
-    // fused pass instead of ~6 interpreted ones.
+    import graft.functions.expressions.StringFunctions.{c4_clean_stats, c4_clean_tokens}
+    // the doc gate is spelled on the COUNT-ONLY kernel twin and sits
+    // below the projection, so what pushes to the scan never assembles
+    // the cleaned text it would discard; the struct kernel then runs
+    // exactly ONCE per surviving row — its alias stays in its own
+    // project (CollapseProject leaves a non-cheap multi-referenced
+    // alias alone). One count walk per scanned row + one full pass per
+    // kept row, down from the HOF spelling's 2 × ~6 interpreted passes.
+    // cleanTokens ≡ cleanStats.n_tokens_clean is spec-pinned, so the
+    // gate admits exactly the rows whose projected n_tokens_clean
+    // passes — the output filter column stays redundant-true.
     docs
-      .select(col("doc_id"),
-        graft.functions.expressions.StringFunctions
-          .c4_clean_stats(col("text")).as("__c"))
+      .filter(c4_clean_tokens(col("text")) >= CleanMinDocTokens)
+      .select(col("doc_id"), c4_clean_stats(col("text")).as("__c"))
       .select(col("doc_id"),
         col("__c").getField("clean_text").as("clean_text"),
         col("__c").getField("n_lines").as("n_lines"),
         col("__c").getField("n_lines_kept").as("n_lines_kept"),
         col("__c").getField("n_tokens_clean").as("n_tokens_clean"))
-      .filter(col("n_tokens_clean") >= CleanMinDocTokens)
   }
 
   /** The original HOF spelling of [[clean]] — kept as the differential

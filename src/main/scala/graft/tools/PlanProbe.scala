@@ -22,9 +22,12 @@ object PlanProbe {
     // e.g. spark.sql.codegen.wholeStage=false
     val confs = args.drop(3).filter(_.contains('='))
       .map { a => val Array(k, v) = a.split("=", 2); (k, v) }
+    // same parallelism knob as Bench: the probe exists to explain bench
+    // numbers, so it must run under the bench's session shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

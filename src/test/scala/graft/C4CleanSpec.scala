@@ -77,6 +77,38 @@ class C4CleanSpec extends SparkSpec {
     k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
   }
 
+  test("cleanTokens ≡ cleanStats.n_tokens_clean (the doc-gate contract: " +
+       "the count-only gate admits exactly the projected survivors)") {
+    (cases :+ cases.mkString("\n")).foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(C4Clean.cleanTokens(u) == C4Clean.cleanStats(u).getLong(3),
+        s"text='$s'")
+    }
+  }
+
+  test("kernel ≡ HOF cascade on malformed UTF-8 (parquet never validates " +
+       "string bytes; the fast path must take the String round-trip)") {
+    import spark.implicits._
+    // invalid sequences: lone continuation byte, truncated 3-byte lead,
+    // overlong-ish lead — embedded in otherwise-kept prose lines, one
+    // with a digit (regex path) and one without (fast path, the case
+    // the byte-slice would get wrong)
+    val bad = Seq(
+      Array[Byte]('o', 'n', 'e', ' ', 0x80.toByte, ' ', 't', 'w', 'o',
+        ' ', 'x', ' ', 'y', ' ', 'z'),
+      Array[Byte]('1', '2', ' ', 0xE2.toByte, 0x28.toByte, ' ', 'a',
+        ' ', 'b', ' ', 'c', ' ', 'd'),
+      Array[Byte]('a', ' ', 'b', ' ', 'c', ' ', 'd', ' ', 0xC3.toByte,
+        '\n', 'e', ' ', 'f', ' ', 'g', ' ', 'h', ' ', 'i'))
+    val df = bad.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), col("raw").cast("string").as("text"))
+    val k = TextQueries.clean(df).orderBy("doc_id").collect()
+    val h = TextQueries.cleanHof(df).orderBy("doc_id").collect()
+    assert(k.length == h.length)
+    k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
+  }
+
   test("the SQL surface evaluates the same kernel") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -241,23 +241,38 @@ class PlanSpec extends SparkSpec {
     val picks = p.linesIterator
       .count(l => l.contains("Generate posexplode(arrays_zip"))
     assert(picks == 1, s"$picks pick generators — pipeline re-evaluated:\n$p")
+    // and the PAIR-EXPANSION subtree must also render once: its two
+    // signature generators (the index posexplode over the bucket id
+    // arrays + the slice explode) each appear exactly once — the bound
+    // the old total-Generate count carried, restored on AQE-stable
+    // node signatures (the review of the flake fix)
+    val pairIdx = p.linesIterator
+      .count(l => l.contains("Generate posexplode(ids"))
+    val pairSlice = p.linesIterator
+      .count(l => l.contains("Generate explode(slice("))
+    assert(pairIdx == 1 && pairSlice == 1,
+      s"pair expansion rendered $pairIdx/$pairSlice times:\n$p")
     assert(p.contains("ReusedExchange"), p)
   }
 
-  test("q_text_clean: the fused kernel evaluates exactly twice (pushed " +
-       "doc gate at the scan + the single struct alias), no HOF lambdas") {
+  test("q_text_clean: count-only gate at the scan, struct kernel exactly " +
+       "once above the fanOut exchange, no HOF lambdas") {
     val p = plan("q_text_clean").split("== Initial Plan ==").head
-    // one Filter(c4_clean_stats(...).n_tokens_clean >= 15) at the scan,
-    // one Project [... c4_clean_stats(text) AS __c ...] above the fanOut
+    // one Filter(c4_clean_tokens(text) >= 15) pushed to the scan (the
+    // count-only twin — never assembles the discarded clean_text), one
+    // Project [... c4_clean_stats(text) AS __c ...] above the fanOut
     // exchange; the struct alias must stay its own project (CollapseProject
     // inlining it would fan the kernel out to 4 evaluations), and the scan's
     // DataFilters copy is the SAME Filter rendered into the scan node, not
-    // a third evaluation
-    val gates = p.linesIterator.count(_.contains("Filter (c4_clean_stats"))
+    // a second evaluation
+    val gates = p.linesIterator.count(_.contains("Filter (c4_clean_tokens"))
     val aliases = p.linesIterator
       .count(l => l.contains("c4_clean_stats(text") && l.contains(") AS __c"))
+    val structEvals = p.linesIterator.filterNot(_.contains("DataFilters"))
+      .map(l => "c4_clean_stats".r.findAllIn(l).size).sum
     assert(gates == 1, s"$gates kernel gate filters:\n$p")
     assert(aliases == 1, s"$aliases kernel struct aliases:\n$p")
+    assert(structEvals == 1, s"$structEvals struct-kernel evaluations:\n$p")
     assert(!p.contains("lambdafunction"), p)
   }
 

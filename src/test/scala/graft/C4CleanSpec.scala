@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.functions.C4Clean
 import graft.operators.TextQueries
@@ -74,6 +76,36 @@ class C4CleanSpec extends SparkSpec {
     val h = TextQueries.cleanHof(docs).orderBy("doc_id").collect()
     assert(k.length == h.length && k.nonEmpty,
       s"row counts differ: kernel ${k.length} vs hof ${h.length}")
+    k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
+  }
+
+  test("kernel ≡ HOF cascade on generated adversarial corpora (fixed " +
+       "seeds, rule-dense alphabet)") {
+    import spark.implicits._
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // tokens drawn from every rule family so the generated lines are
+    // DENSE in boundary collisions (a phone beside a decimal, an email
+    // beside an IP, markers in odd casing, multi-byte words, empty
+    // tokens via double spaces)
+    val tok = Gen.frequency(
+      6 -> Gen.oneOf("alpha", "beta", "Gamma", "δέλτα", "日本語", "x"),
+      2 -> Gen.oneOf("a@b.co", "bob.smith+x@ex.org", "u@1.2.3.4"),
+      2 -> Gen.oneOf("10.0.0.1", "255.255.255.255", "1.2.3.4.5"),
+      2 -> Gen.oneOf("555-0123", "(555) 123-4567", "+1 555 123 4567",
+        "123.4567", "2020-2024", "3.1234567"),
+      2 -> Gen.oneOf("1234567", "12345678901", "123456"),
+      1 -> Gen.oneOf("COOKIE", "JavaScript", "Lorem", "ipsum",
+        "privacy Policy", "terms"),
+      1 -> Gen.oneOf("", " ", "."))
+    val line = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
+    val doc = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, line)).map(_.mkString("\n"))
+    val docs = (1L to 120L).map(i => (i, sample(doc, i))).toDF("doc_id", "text")
+    val k = TextQueries.clean(docs).orderBy("doc_id").collect()
+    val h = TextQueries.cleanHof(docs).orderBy("doc_id").collect()
+    assert(k.length == h.length)
     k.zip(h).foreach { case (a, b) => assert(a == b, s"\n$a\nvs\n$b") }
   }
 

@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: at 8g the tail of the 190-query bench sweep ran under GC
+  // pressure — q_stats_ks walls grew monotonically across its N runs
+  // (2.0→4.1→7.3 s) and q_stats_outliers' first run hit 26.8 s wall /
+  // 32 CPU-s, both converging to ~1 s in isolation; 16g removed the
+  // storms and ~230 CPU-s of GC from the same sweep (2026-08-15 A/B).
+  // The host has 128 GiB; local[32] executor-side state is modest —
+  // the churn is 190 queries' worth of plans, codegen classes and
+  // cached blocks in one driver JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

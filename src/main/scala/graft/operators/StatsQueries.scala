@@ -99,6 +99,16 @@ object StatsQueries {
         floor(col("l_extendedprice") * 100).cast("long").as("v"),
         (col("l_orderkey") % 2 === 0).as("in_a")))),
 
+    "q_stats_mwu" -> ((s, d) =>
+      // Exact Mann–Whitney U / ROC-AUC drift between the same even/odd
+      // orderkey halves q_stats_ks compares — the rank-based dominance
+      // reading beside KS's CDF-gap reading (a null split: auc_e6 should
+      // sit near 500000; a sustained deviation on a production split is
+      // the "new crawl skews larger" gate). See [[mwuStat]].
+      mwuStat(lineitem(s, d).select(
+        floor(col("l_extendedprice") * 100).cast("long").as("v"),
+        (col("l_orderkey") % 2 === 0).as("in_a")))),
+
     "q_stats_outliers" -> ((s, d) => {
       // Tukey-fence outlier profile (public: Tukey 1977 — the boxplot
       // rule): per-group exact quartiles → fences [q1−1.5·IQR,
@@ -292,11 +302,20 @@ object StatsQueries {
     * (k·n ≈ n² wraps Long past ~3·10⁹ rows per cohort) with try_cast
     * BIGINT outputs — the repo's exact-integer envelope convention.
     */
-  private[graft] def ksStat(obs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vals = obs.groupBy("v").agg(
+  /** Per-distinct-value cohort counts (v, c1, c2) — stage (1) of the
+    * two-level prefix sum, shared by [[ksStat]] and [[mwuStat]]. */
+  private def cohortCounts(obs: DataFrame): DataFrame =
+    obs.groupBy("v").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("c1"),
       sum(when(col("in_a"), 0L).otherwise(1L)).as("c2"))
+
+  /** Stages (2)–(4) of the distributed prefix sum over [[cohortCounts]]
+    * output: (v, c1, c2, k1, k2) with k = INCLUSIVE cumulative counts in
+    * value order. Shared by [[ksStat]] and [[mwuStat]] — see [[ksStat]]
+    * for the shape rationale (bounded bin table, bin-partitioned in-bin
+    * windows, broadcast offset re-attach). */
+  private def cdfAttach(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val binned = vals.withColumn("bin", expr("v DIV 65536"))
     // exclusive prefix over the bounded bin table: rows here are one per
     // bin, so the unpartitioned window is a deliberate bounded-state
@@ -310,11 +329,17 @@ object StatsQueries {
         coalesce(sum("b2").over(wBins), lit(0L)).as("o2"))
     val wIn = Window.partitionBy("bin").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     binned.join(broadcast(offs), Seq("bin"))
-      .select(
+      .select(col("v"), col("c1"), col("c2"),
         (col("o1") + sum("c1").over(wIn)).as("k1"),
         (col("o2") + sum("c2").over(wIn)).as("k2"))
+  }
+
+  private[graft] def ksStat(obs: DataFrame): DataFrame = {
+    val vals = cohortCounts(obs)
+    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cdfAttach(vals)
+      .select(col("k1"), col("k2"))
       .crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
         abs(expr("CAST(k1 AS DECIMAL(38,0)) * n2" +
@@ -325,6 +350,48 @@ object StatsQueries {
         expr("try_cast(d_dec AS BIGINT)").as("d_num"),
         expr("try_cast(d_dec * 1000000 DIV" +
              " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_e6"))
+  }
+
+  /** Exact two-sample Mann–Whitney U over integer-quantized observations
+    * (public: Wilcoxon 1945; Mann & Whitney 1947) — the rank-based drift
+    * test beside [[ksStat]]'s CDF-gap: KS reads the largest LOCAL
+    * distribution gap, U reads GLOBAL stochastic dominance (is cohort A
+    * systematically larger?), and U/(n1·n2) IS the ROC-AUC of "A > B" —
+    * the standard A/B effect size, robust to outliers in a way mean-based
+    * drift is not. Input (v: BIGINT, in_a: BOOLEAN) rows; output ONE row
+    * (n1, n2, u2x, auc_e6) where
+    *
+    *   u2x = 2·U = Σ over values c1(v)·(2·k2(v) − c2(v))
+    *
+    * — U counts (a∈A, b∈B) pairs with a > b plus HALF of every tie
+    * (c1·k2excl pairs strictly greater with k2excl = k2 − c2, plus
+    * c1·c2/2 tie pairs; doubling clears the tie halves so the statistic
+    * is exact integers end-to-end), and auc_e6 = u2x·10⁶ DIV (2·n1·n2)
+    * is the AUC in exact millionths (500000 = no drift). Tie-aware via
+    * per-value counts — no per-row ranks, no midrank floats.
+    *
+    * Shape at 100 TB: identical to [[ksStat]] — the textbook rank-sum is
+    * a global sort; this rides the same [[cdfAttach]] two-level prefix
+    * sum, then ONE partial-combining aggregation of c1·(2k2−c2) terms.
+    * Products in DECIMAL(38,0) before any arithmetic (c1·k2 ≈ n² wraps
+    * Long past ~3·10⁹ rows/cohort; 2·k2 is cast into the decimal domain
+    * BEFORE the multiply — the ADVICE r11 subterm rule), try_cast BIGINT
+    * outputs. Requires both cohorts non-empty (AUC undefined otherwise —
+    * the DIV is ANSI-loud, never a silent zero).
+    */
+  private[graft] def mwuStat(obs: DataFrame): DataFrame = {
+    val vals = cohortCounts(obs)
+    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cdfAttach(vals)
+      .select(expr("CAST(c1 AS DECIMAL(38,0)) *" +
+        " (2 * CAST(k2 AS DECIMAL(38,0)) - c2)").as("t"))
+      .agg(sum("t").as("u_dec"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        expr("try_cast(u_dec AS BIGINT)").as("u2x"),
+        expr("try_cast(u_dec * 1000000 DIV" +
+             " (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("auc_e6"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -374,6 +441,25 @@ object StatsQueries {
         |       CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS d_num,
         |       CAST(max(abs(k1 * n2 - k2 * n1)) * 1000000 // (n1::HUGEINT * n2)
         |            AS BIGINT) AS ks_e6
+        |FROM cum, tot GROUP BY n1, n2""".stripMargin,
+
+    // the oracle takes the textbook single-window rank form the engine's
+    // prefix sum replaces — same per-value counts, same HUGEINT products
+    "q_stats_mwu" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT c1, c2, sum(c2) OVER (ORDER BY v) AS k2
+        |  FROM vals),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM vals)
+        |SELECT n1, n2,
+        |       CAST(sum(c1 * (2 * k2 - c2)) AS BIGINT) AS u2x,
+        |       CAST(sum(c1 * (2 * k2 - c2)) * 1000000
+        |            // (2 * n1::HUGEINT * n2) AS BIGINT) AS auc_e6
         |FROM cum, tot GROUP BY n1, n2""".stripMargin,
 
     "q_stats_benford" ->

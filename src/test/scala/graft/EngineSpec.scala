@@ -1518,6 +1518,66 @@ class EngineSpec extends SparkSpec {
            ((4L, 5L, 11L, 550000L)), row)
   }
 
+  test("mwuStat: hand-derived exact U/AUC on the ksStat 9-observation " +
+       "split (tie-aware)") {
+    import spark.implicits._
+    // A = [1,2,2,5], B = [2,3,5,5,7] → per-value (c1,c2):
+    // 1:(1,0) 2:(2,1) 3:(0,1) 5:(1,2) 7:(0,1); inclusive k2 =
+    // 0,1,2,4,5; u2x = Σ c1·(2k2−c2) = 0 + 2·(2−1) + 0 + 1·(8−2) + 0
+    // = 8 → U = 4 (direct count: each a=2 half-ties one b=2 → 1 total;
+    // a=5 beats 2,3 and half-ties 5,5 → 3), auc_e6 = 8·10⁶ DIV 40 =
+    // 200000 — cohort A stochastically smaller, AUC 0.2
+    val obs = (Seq(1L, 2L, 2L, 5L).map((_, true)) ++
+               Seq(2L, 3L, 5L, 5L, 7L).map((_, false)))
+      .toDF("v", "in_a")
+    val r = operators.StatsQueries.mwuStat(obs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("n1"), row.getAs[Long]("n2"),
+            row.getAs[Long]("u2x"), row.getAs[Long]("auc_e6")) ==
+           ((4L, 5L, 8L, 200000L)), row)
+  }
+
+  test("mwuStat: an all-tie split is exactly AUC 500000 (the doubled " +
+       "statistic carries the half-tie without float)") {
+    import spark.implicits._
+    // A = [3], B = [3]: u2x = 1·(2·1 − 1) = 1 (U = ½ — one tie pair),
+    // auc_e6 = 10⁶ DIV 2 = 500000
+    val obs = Seq((3L, true), (3L, false)).toDF("v", "in_a")
+    val row = operators.StatsQueries.mwuStat(obs).collect().head
+    assert((row.getAs[Long]("n1"), row.getAs[Long]("n2"),
+            row.getAs[Long]("u2x"), row.getAs[Long]("auc_e6")) ==
+           ((1L, 1L, 1L, 500000L)), row)
+  }
+
+  test("mwuStat large-input pin: 1e6 rows over ~300 bins equals the " +
+       "single-window textbook form") {
+    import org.apache.spark.sql.expressions.Window
+    // same deterministic corpus as the ksStat large pin: ~305 populated
+    // 2¹⁶-bins exercise real bin-offset composition; the reference is
+    // the textbook global-window rank form the engine's two-level
+    // prefix sum replaces
+    val obs = spark.range(1000000L)
+      .select(pmod(xxhash64(col("id")), lit(20000000L)).as("v"),
+              (col("id") % 2 === 0).as("in_a"))
+    val got = operators.StatsQueries.mwuStat(obs).collect().head
+    val vals = obs.groupBy("v").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c2"))
+    val totals = vals.agg(sum("c1"), sum("c2")).head
+    val (n1, n2) = (totals.getLong(0), totals.getLong(1))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val u2x = vals
+      .select(col("c1"), col("c2"), sum("c2").over(w).as("k2"))
+      .agg(sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * k2 - c2)")))
+      .head.getDecimal(0).longValueExact()
+    assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2)
+    assert(got.getAs[Long]("u2x") == u2x,
+      s"u2x ${got.getAs[Long]("u2x")} vs textbook $u2x")
+    assert(got.getAs[Long]("auc_e6") ==
+      (BigInt(u2x) * 1000000 / (BigInt(2) * n1 * n2)).toLong)
+  }
+
   test("ksStat: bin-boundary and negative values keep the prefix sum " +
        "contiguous (trunc-div bins are monotone)") {
     import spark.implicits._

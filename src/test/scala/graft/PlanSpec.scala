@@ -377,12 +377,12 @@ class PlanSpec extends SparkSpec {
     * ground-truth all-pairs runs WITHIN its fixed hash-sample only — the
     * audit's documented deliberate cartesian (the sample bucket, not the
     * corpus, bounds it; DedupQueries.scala q_emb_recall). q_stats_ks's
-    * BNLJ build side is its ONE-ROW (n1, n2) totals aggregate — the
-    * DataFrame-API spelling of a scalar subquery; the dedicated
-    * q_stats_ks plan test pins it stays a broadcast.
+    * and q_stats_mwu's BNLJ build side is their ONE-ROW (n1, n2) totals
+    * aggregate — the DataFrame-API spelling of a scalar subquery; the
+    * dedicated two-sample-test plan test pins it stays a broadcast.
     */
   private val boundedBnljAllowed =
-    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks")
+    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks", "q_stats_mwu")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>
@@ -553,14 +553,16 @@ class PlanSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
   }
 
-  test("q_stats_ks: both prefix-sum attach joins broadcast (bounded bin " +
-       "offsets + 1-row totals), never a sort-merge join") {
-    val p = plan("q_stats_ks")
-    assert(!p.contains("SortMergeJoin"), p)
-    // offsets re-attach on bin (BroadcastHashJoin); the 1-row totals
-    // spine attaches via the broadcast cross join
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  test("q_stats_ks / q_stats_mwu: both prefix-sum attach joins broadcast " +
+       "(bounded bin offsets + 1-row totals), never a sort-merge join") {
+    Seq("q_stats_ks", "q_stats_mwu").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+      // offsets re-attach on bin (BroadcastHashJoin); the 1-row totals
+      // spine attaches via the broadcast cross join
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
   }
 
   test("q_dedup_lsh_stats: pure rollup over the served sig layer — no " +

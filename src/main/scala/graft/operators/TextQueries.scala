@@ -69,6 +69,44 @@ object TextQueries {
     })
   }
 
+  /** q_text_vocab_overlap core over (source, token) rows (duplicates
+    * tolerated — the leading distinct folds them): per unordered source
+    * pair, vocab sizes, shared-vocab count, and the vocabulary Jaccard
+    * in exact ppm-of-millionths.
+    *
+    * Shape at 100 TB: sv is ONE vocab-volume aggregation (the token
+    * layer's rows are already distinct per doc); intersections come from
+    * a token-keyed fold into a per-token SOURCE SET — bounded by the
+    * SOURCE COUNT, a catalog constant, NEVER a vocab×vocab self-join —
+    * exploded into ≤ C(S,2) unordered pairs per token (sort_array pins
+    * a < b) and rolled up to a pairs-sized table; per-source vocab sizes
+    * attach by broadcast. Zero-overlap pairs are absent by construction
+    * (both engines — a token shared by nobody generates no pair row).
+    * jaccard_e6 is exact Long: 10⁶·|∩| wraps only past ~9·10¹² shared
+    * tokens — the DECIMAL(38) swap is shape-free if a corpus gets there.
+    */
+  private[graft] def vocabOverlap(svRaw: DataFrame): DataFrame = {
+    val sv = svRaw.select("source", "token").distinct()
+    val vs = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    sv.groupBy("token")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+        "transform(slice(ss, i + 2, size(ss)), " +
+        "b -> struct(a AS sa, b AS sb))))")).as("p"))
+      .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(vs.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(vs.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)")
+          .as("jaccard_e6"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q_text_clean knobs — C4-style line/document gates and PII patterns.
     * The regexes stay inside the RE2-compatible subset (character classes,
     * bounded repetition, no backrefs/lookaround) so Java regex (Spark) and
@@ -1130,6 +1168,17 @@ object TextQueries {
         .withColumn("ttr_ppm", expr("n_vocab * 1000000 DIV n_tokens"))
         .orderBy("source")),
 
+    "q_text_vocab_overlap" -> ((s, d) =>
+      // Cross-source VOCABULARY Jaccard matrix — the domain-similarity
+      // read for mixing decisions beside q_dedup_source_overlap's
+      // content matrix: that one answers "how much of source A's TEXT
+      // repeats source B" (verified near-dup pairs), this one answers
+      // "how alike are the LEXICONS" — two crawls of the same domain
+      // score high here with zero duplicated documents, and a source
+      // whose vocabulary is disjoint from every other is the mixing
+      // outlier worth inspecting. See [[vocabOverlap]] for the shape.
+      vocabOverlap(tokenLayer(s, d).select("source", "token"))),
+
     "q_text_hapax" -> ((s, d) =>
       // Hapax-legomenon rate per source — the vocabulary-GROWTH signal
       // beside q_text_vocab's TTR: natural language keeps minting
@@ -1744,6 +1793,30 @@ object TextQueries {
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the oracle takes the textbook vocab self-join the engine's
+    // bounded per-token source-set fold replaces (fine at oracle scale)
+    "q_text_vocab_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, token
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)),
+        |vs AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+        |px AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_shared
+        |  FROM sv a JOIN sv b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |       CAST(va.n AS BIGINT) AS n_a, CAST(vb.n AS BIGINT) AS n_b,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_shared * 1000000 // (va.n + vb.n - n_shared)
+        |            AS BIGINT) AS jaccard_e6
+        |FROM px
+        |JOIN vs va ON va.source = px.source_a
+        |JOIN vs vb ON vb.source = px.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q_text_dedup_prefix" ->
       """SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,

@@ -1518,6 +1518,29 @@ class EngineSpec extends SparkSpec {
            ((4L, 5L, 11L, 550000L)), row)
   }
 
+  test("vocabOverlap: hand-derived Jaccard matrix — duplicate rows fold, " +
+       "multi-source tokens fan out C(S,2), zero-overlap pairs absent") {
+    import spark.implicits._
+    // vocabs: arxiv={a,b,z} (the duplicate b row must fold), web=
+    // {b,c,d,z}, wiki={x,z}; loner carries no shared token with anyone
+    // → all its pairs are absent. (arxiv,web) share {b,z} → 2·10⁶ DIV
+    // (3+4−2) = 400000; (arxiv,wiki) share {z} → 10⁶ DIV 4 = 250000;
+    // (web,wiki) share {z} → 10⁶ DIV 5 = 200000 — and z alone exercises
+    // the 3-source set's C(3,2) pair fan-out
+    val sv = Seq(
+      ("arxiv", "a"), ("arxiv", "b"), ("arxiv", "b"), ("arxiv", "z"),
+      ("web", "b"), ("web", "c"), ("web", "d"), ("web", "z"),
+      ("wiki", "x"), ("wiki", "z"),
+      ("loner", "qqq")).toDF("source", "token")
+    val got = operators.TextQueries.vocabOverlap(sv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("arxiv", "web", 3L, 4L, 2L, 400000L),
+      ("arxiv", "wiki", 3L, 2L, 1L, 250000L),
+      ("web", "wiki", 4L, 2L, 1L, 200000L)), got)
+  }
+
   test("mwuStat: hand-derived exact U/AUC on the ksStat 9-observation " +
        "split (tie-aware)") {
     import spark.implicits._

@@ -366,6 +366,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mwuStat equals the brute-force tie-aware pair count on random " +
+       "splits (8 seeds, heavy ties)") {
+    // values drawn from a 6-value domain so ties are dense — the case
+    // the per-value half-tie algebra must get exactly right; reference
+    // is the O(n²) definition: u2x = Σ over (a∈A, b∈B) of
+    // 2·[a > b] + 1·[a = b]
+    val obsGen = for {
+      na <- Gen.choose(1, 40)
+      nb <- Gen.choose(1, 40)
+      as <- Gen.listOfN(na, Gen.choose(-3L, 2L))
+      bs <- Gen.listOfN(nb, Gen.choose(-3L, 2L))
+    } yield (as, bs)
+    (1L to 8L).foreach { seed =>
+      val (as, bs) = sample(obsGen, seed)
+      val brute = (for { a <- as; b <- bs } yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      val obs = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "in_a")
+      val row = graft.operators.StatsQueries.mwuStat(obs).collect().head
+      assert(row.getAs[Long]("n1") == as.length.toLong, s"seed $seed n1")
+      assert(row.getAs[Long]("n2") == bs.length.toLong, s"seed $seed n2")
+      assert(row.getAs[Long]("u2x") == brute,
+        s"seed $seed u2x ${row.getAs[Long]("u2x")} vs brute $brute")
+      assert(row.getAs[Long]("auc_e6") ==
+        brute * 1000000L / (2L * as.length * bs.length), s"seed $seed auc")
+    }
+  }
+
+  test("vocabOverlap equals the brute-force per-pair set intersection " +
+       "on random corpora (6 seeds)") {
+    val svGen = Gen.listOfN(60, for {
+      src <- Gen.oneOf("s1", "s2", "s3", "s4")
+      tok <- Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "")
+    } yield (src, tok))
+    (1L to 6L).foreach { seed =>
+      val rows = sample(svGen, seed)
+      val vocab = rows.groupBy(_._1).map { case (s, ts) =>
+        s -> ts.map(_._2).toSet }
+      val expect = vocab.keys.toSeq.sorted.combinations(2).toSeq.flatMap {
+        case Seq(a, b) =>
+          val inter = (vocab(a) & vocab(b)).size.toLong
+          if (inter == 0L) None
+          else Some((a, b, vocab(a).size.toLong, vocab(b).size.toLong,
+            inter,
+            inter * 1000000L /
+              (vocab(a).size + vocab(b).size - inter)))
+      }
+      val got = graft.operators.TextQueries
+        .vocabOverlap(rows.toDF("source", "token")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                   r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(got == expect, s"seed $seed: $got vs $expect")
+    }
+  }
+
   // ---- DECIMAL(38) envelope pins (VERDICT r10 #5): the three e6/e12
   // parity paths whose products outgrow Long at real corpus scale must
   // compute EXACTLY there (BigInt ground truth), with overflow of a

@@ -1194,6 +1194,41 @@ object DedupQueries {
         .orderBy("da", "db")
     }),
 
+    "q_dedup_containment" -> ((s, d) => {
+      // Asymmetric CONTAINMENT dedup — the quote-inclusion lens the
+      // symmetric near-dup family cannot see: a short doc pasted whole
+      // into a much longer one scores |A∩B| / min(|A|,|B|) ≈ 1 while its
+      // Jaccard |A∩B| / |A∪B| stays far below any near-dup τ (the
+      // resemblance-vs-containment split of the original shingling paper
+      // — Broder, "On the resemblance and containment of documents",
+      // SEQUENCES 1997). Candidates and the intersection count come from
+      // THE SAME memoized capped-index pair table every verified-pair
+      // consumer shares (one pair definition, never a second index
+      // join); shingle-set sizes re-attach (doc-count-sized,
+      // AQE-broadcastable); cont_e6 = shared·10⁶ DIV min(n_a, n_b) is
+      // exact Long (wraps only past ~9·10¹² shingles/doc), gated at
+      // ≥ 0.9, the contained side labeled ('a' on equal sizes — the
+      // da < db orientation makes that deterministic). jac_e6 rides
+      // along via the shared jacE6Col so a reader separates the pairs
+      // the near-dup family already catches (both high) from the
+      // containment-only finds (cont high, jac low).
+      val sizes = shingleHashes(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"))
+      sharedShinglePairs(s, d)
+        .join(sizes.as("cna"), col("da") === col("cna.doc_id"))
+        .join(sizes.as("cnb"), col("db") === col("cnb.doc_id"))
+        .select(col("da"), col("db"),
+          col("cna.n").as("n_a"), col("cnb.n").as("n_b"), col("shared"))
+        .withColumn("cont_e6",
+          expr("shared * 1000000 DIV least(n_a, n_b)"))
+        .filter(col("cont_e6") >= 900000L)
+        .withColumn("jac_e6",
+          jacE6Col(col("shared"), col("n_a"), col("n_b")))
+        .withColumn("contained",
+          when(col("n_a") <= col("n_b"), lit("a")).otherwise(lit("b")))
+        .orderBy("da", "db")
+    }),
+
     "q_dedup_rate" -> ((s, d) => {
       // The one-row corpus-health KPI every curation dashboard leads
       // with: how much of the corpus is EXACTLY duplicated (docs sharing
@@ -1992,6 +2027,31 @@ object DedupQueries {
          |JOIN sizes na ON i.da = na.doc_id
          |JOIN sizes nb ON i.db = nb.doc_id
          |WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6) >= 800000
+         |ORDER BY da, db""".stripMargin,
+
+    // rides the ngram oracle's CTE chain verbatim; `//` mirrors the
+    // engine's Long DIV (both operands non-negative)
+    "q_dedup_containment" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.da, i.db,
+         |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |       CAST(i.inter AS BIGINT) AS shared,
+         |       CAST(i.inter * 1000000 // least(na.n, nb.n) AS BIGINT)
+         |         AS cont_e6,
+         |       CAST(floor(i.inter / (na.n + nb.n - i.inter) * 1e6)
+         |            AS BIGINT) AS jac_e6,
+         |       CASE WHEN na.n <= nb.n THEN 'a' ELSE 'b' END AS contained
+         |FROM inter i
+         |JOIN sizes na ON i.da = na.doc_id
+         |JOIN sizes nb ON i.db = nb.doc_id
+         |WHERE i.inter * 1000000 // least(na.n, nb.n) >= 900000
          |ORDER BY da, db""".stripMargin,
 
     "q_dedup_rate" ->

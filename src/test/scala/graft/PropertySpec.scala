@@ -232,6 +232,30 @@ class PropertySpec extends SparkSpec {
     assert(out.toSeq == Seq((1000L, 1001L, 1000000L)), out.mkString(","))
   }
 
+  test("q_dedup_containment: finds the quote-inclusion pair Jaccard " +
+       "misses, keeps identical pairs, drops sub-threshold overlap") {
+    // doc 1 (3 shingles) is pasted whole as doc 2's prefix (23 shingles):
+    // cont = 3/3 = 1.0 but jac = 3/23 → 130434 — invisible to the ≥0.8
+    // near-dup gate. docs 3/4 are identical (cont = jac = 1.0). docs 5/6
+    // overlap 1 of 2 shingles: cont = 500000 < 900000 → absent.
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    val quoted = "c1 c2 c3 c4 c5"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, quoted + " " + (1 to 20).map(i => s"x$i").mkString(" ")),
+      (3L, "d1 d2 d3 d4 d5"), (4L, "d1 d2 d3 d4 d5"),
+      (5L, "e1 e2 e3 e4"), (6L, "e2 e3 e4 e5"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 23L, 3L, 1000000L, 130434L, "a"),
+      (3L, 4L, 3L, 3L, 3L, 1000000L, 1000000L, "a")), out.mkString(","))
+  }
+
   test("shingle index pins at most one cache across dirs; release drops it") {
     import graft.operators.DedupQueries
     def mkDir(n: Int): String = {

@@ -43,6 +43,52 @@ object EventTimeQueries {
     e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Per-user view→click→purchase stage-entry times over (user_id, ems,
+    * event_type) rows — (user_id, v_ms, c_ms, p_ms), stage k's entry the
+    * MIN event at-or-after stage k-1's entry (>= admits same-ms ties —
+    * the ns fixture truncates to ms, §7.5, so ties are real). Three
+    * chained whole-partition windows over ONE partitioning: a single
+    * user_id exchange + sort carries all sequencing state — no per-stage
+    * self-joins (the naive funnel is a join per stage; quadratic fan-out
+    * on hot users and S shuffles for S stages). Stage times are
+    * partition-constants, so the per-user rollup rides the window's
+    * existing user_id partitioning (no new exchange). ONE sequencing
+    * definition shared by q_event_funnel and q_event_funnel_time.
+    */
+  private[graft] def funnelStageTimes(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev
+      .withColumn("v_ms", min(when(col("event_type") === "view",
+        col("ems"))).over(w))
+      .withColumn("c_ms", min(when(col("event_type") === "click" &&
+        col("ems") >= col("v_ms"), col("ems"))).over(w))
+      .withColumn("p_ms", min(when(col("event_type") === "purchase" &&
+        col("ems") >= col("c_ms"), col("ems"))).over(w))
+      .groupBy("user_id")
+      .agg(max("v_ms").as("v_ms"), max("c_ms").as("c_ms"),
+           max("p_ms").as("p_ms"))
+  }
+
+  /** q_event_funnel_time core over (user_id, ems, event_type) rows —
+    * per transition: converting users, exact p50/p90 of the stage-entry
+    * lag in ms. See the query entry for the shape rationale.
+    */
+  private[graft] def funnelTime(ev: DataFrame): DataFrame = {
+    val lags = funnelStageTimes(ev).selectExpr(
+      "stack(2, 'view_to_click', c_ms - v_ms, " +
+      "'click_to_purchase', p_ms - c_ms) AS (transition, lag_ms)")
+      .filter(col("lag_ms").isNotNull)
+    val qs = graft.api.Quantiles.exactQuantiles(
+        lags, "transition", "lag_ms", Seq(0.5, 0.9))
+      .groupBy("transition").agg(
+        max(when(col("p") === 0.5, col("value"))).as("p50_ms"),
+        max(when(col("p") === 0.9, col("value"))).as("p90_ms"))
+    lags.groupBy("transition").agg(count(lit(1)).as("n_users"))
+      .join(broadcast(qs), Seq("transition"))
+      .select("transition", "n_users", "p50_ms", "p90_ms")
+      .orderBy("transition")
+  }
+
   /** Last-touch attribution core over (event_id, user_id, ems, event_type)
     * rows: each purchase credits the same user's most recent
     * prior-or-equal click, but only within [[AttributionHorizonMs]]
@@ -381,32 +427,34 @@ object EventTimeQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
-    "q_event_funnel" -> ((s, d) => {
-      // Ordered view→click→purchase funnel. Stage k's entry time is the
-      // MIN event at-or-after stage k-1's entry (>= admits same-ms ties —
-      // the ns fixture truncates to ms, §7.5, so ties are real). Three
-      // chained whole-partition windows over ONE partitioning: a single
-      // user_id exchange + sort carries all sequencing state — no per-stage
-      // self-joins (the naive funnel is a join per stage; quadratic fan-out
-      // on hot users and S shuffles for S stages).
-      val w = Window.partitionBy("user_id")
-      ems(s, d)
-        .withColumn("v_ms", min(when(col("event_type") === "view",
-          col("ems"))).over(w))
-        .withColumn("c_ms", min(when(col("event_type") === "click" &&
-          col("ems") >= col("v_ms"), col("ems"))).over(w))
-        .withColumn("p_ms", min(when(col("event_type") === "purchase" &&
-          col("ems") >= col("c_ms"), col("ems"))).over(w))
-        // stage times are partition-constants: the per-user rollup rides
-        // the window's existing user_id partitioning (no new exchange)
-        .groupBy("user_id")
-        .agg(max("v_ms").as("v_ms"), max("c_ms").as("c_ms"),
-             max("p_ms").as("p_ms"))
+    "q_event_funnel" -> ((s, d) =>
+      // Ordered view→click→purchase funnel — per-user stage entry times
+      // from [[funnelStageTimes]], rolled into per-stage user counts.
+      funnelStageTimes(ems(s, d))
         .agg(count(col("v_ms")).as("nv"), count(col("c_ms")).as("nc"),
              count(col("p_ms")).as("np"))
         .selectExpr("stack(3, 1, 'view', nv, 2, 'click', nc, " +
           "3, 'purchase', np) as (stage_idx, stage, users)")
-        .orderBy("stage_idx")
+        .orderBy("stage_idx")),
+
+    "q_event_funnel_time" -> ((s, d) => {
+      // Time-to-convert between funnel stages — the LATENCY lens beside
+      // q_event_funnel's count lens (two funnels can convert the same
+      // fraction while one takes minutes and the other days; the product
+      // read is the percentile, not the mean — one straggler must not
+      // move the gate). Per converting user, the stage-entry lag in ms
+      // (exact integer — stage times come from [[funnelStageTimes]], ONE
+      // sequencing definition for both funnel ops), then per transition:
+      // converted-user count and exact p50/p90 of the lag via
+      // graft.api.Quantiles — bounded executor state at any scale (the
+      // q_stats_outliers engine; 2 literal non-null groups), identical
+      // interpolation to DuckDB's quantile_cont so the doubles are
+      // hash-exact. Shape: the funnel's one user_id exchange, a 2-row-
+      // per-converting-user unpivot, Quantiles' bin refinement over a
+      // GROUPS×targets table, broadcast join-back of the 2-row quantile
+      // block onto the 2-row count rollup. See [[funnelTime]] (factored
+      // so specs drive crafted timelines through the production path).
+      funnelTime(ems(s, d))
     }),
 
     "q_event_attribution" -> ((s, d) => lastTouch(ems(s, d))),
@@ -797,6 +845,33 @@ object EventTimeQueries {
         |UNION ALL SELECT 2, 'click', nc FROM t
         |UNION ALL SELECT 3, 'purchase', np FROM t
         |ORDER BY stage_idx""".stripMargin,
+
+    // same sequencing CTEs as q_event_funnel; quantile_cont interpolates
+    // identically to the engine's exact-quantile path (the
+    // q_stats_outliers parity)
+    "q_event_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems
+        |           FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ems END)
+        |               OVER (PARTITION BY user_id) AS v_ms FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ems >= v_ms
+        |                         THEN ems END)
+        |               OVER (PARTITION BY user_id) AS c_ms FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ems >= c_ms
+        |                         THEN ems END)
+        |               OVER (PARTITION BY user_id) AS p_ms FROM b),
+        |u AS (SELECT user_id, max(v_ms) AS v_ms, max(c_ms) AS c_ms,
+        |             max(p_ms) AS p_ms FROM c GROUP BY user_id),
+        |l AS (
+        |  SELECT 'view_to_click' AS transition, c_ms - v_ms AS lag_ms
+        |  FROM u WHERE c_ms IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', p_ms - c_ms
+        |  FROM u WHERE p_ms IS NOT NULL)
+        |SELECT transition, count(*) AS n_users,
+        |       quantile_cont(lag_ms, 0.5) AS p50_ms,
+        |       quantile_cont(lag_ms, 0.9) AS p90_ms
+        |FROM l GROUP BY transition ORDER BY transition""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH h AS (

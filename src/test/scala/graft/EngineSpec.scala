@@ -1518,6 +1518,29 @@ class EngineSpec extends SparkSpec {
            ((4L, 5L, 11L, 550000L)), row)
   }
 
+  test("funnelTime: hand-derived lag percentiles — same-ms tie converts " +
+       "at lag 0, click-without-view never converts, interpolation exact") {
+    import spark.implicits._
+    // u1 full funnel (vc 2000, cp 7000); u2 stops at click (vc 4000);
+    // u3 clicks with no view → no conversion (ems >= null v_ms is never
+    // true); u4 same-ms view+click tie (vc 0) then purchase (cp 5).
+    // view_to_click lags [0, 2000, 4000]: p50 = 2000, p90 = 2000 +
+    // 0.8·2000 = 3600.0; click_to_purchase lags [5, 7000]: p50 = 5 +
+    // 0.5·6995 = 3502.5, p90 = 5 + 0.9·6995 = 6300.5
+    val ev = Seq(
+      (1L, 1000L, "view"), (1L, 3000L, "click"), (1L, 10000L, "purchase"),
+      (2L, 0L, "view"), (2L, 4000L, "click"),
+      (3L, 500L, "click"),
+      (4L, 0L, "view"), (4L, 0L, "click"), (4L, 5L, "purchase"))
+      .toDF("user_id", "ems", "event_type")
+    val got = graft.operators.EventTimeQueries.funnelTime(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("click_to_purchase", 2L, 3502.5, 6300.5),
+      ("view_to_click", 3L, 2000.0, 3600.0)), got)
+  }
+
   test("vocabOverlap: hand-derived Jaccard matrix — duplicate rows fold, " +
        "multi-source tokens fan out C(S,2), zero-overlap pairs absent") {
     import spark.implicits._

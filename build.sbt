@@ -31,8 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (2.0→4.1→7.3 s) and q_stats_outliers' first run hit 26.8 s wall /
   // 32 CPU-s, both converging to ~1 s in isolation; 16g removed the
   // storms and ~230 CPU-s of GC from the same sweep (2026-08-15 A/B).
-  // The host has 128 GiB; local[32] executor-side state is modest —
-  // the churn is 190 queries' worth of plans, codegen classes and
-  // cached blocks in one driver JVM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // local[32] executor-side state is modest — the churn is 190+
+  // queries' worth of plans, codegen classes and cached blocks in one
+  // driver JVM. RAM-gated so a small contributor machine keeps the old
+  // 8g cap instead of swapping (SPARK_DRIVER_MEM always overrides).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val ram = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize
+    if (ram >= 64L * 1024 * 1024 * 1024) "16g" else "8g"
+  })}",
 )

@@ -71,6 +71,21 @@ object Quantiles {
 
   def exactQuantiles(
       df: DataFrame, group: String, value: String, ps: Seq[Double],
+      bins: Int = 4096, leaf: Int = 65536, maxIters: Int = 64,
+      maxGroups: Int = 4096): DataFrame =
+    exactQuantilesAndCounts(df, group, value, ps, bins, leaf, maxIters,
+      maxGroups).drop("n")
+
+  /** (group, n, p, value) — [[exactQuantiles]] plus the per-group
+    * non-null count from the stats pass the engine runs anyway.
+    * Consumers that need count + quantiles together
+    * (q_event_funnel_time's converting-user count) read n here instead
+    * of re-executing their input lineage for a separate count rollup —
+    * the quantile result is driver-assembled, so that second execution
+    * would re-pay the full upstream pipeline.
+    */
+  def exactQuantilesAndCounts(
+      df: DataFrame, group: String, value: String, ps: Seq[Double],
       // leaf trades one more histogram round-trip (scan + bins·targets
       // collect) against the final sort's shuffle volume (every target
       // ships its whole candidate set through the row_number window —
@@ -220,8 +235,8 @@ object Quantiles {
     // evaluate, once per (group, p) on driver doubles.
     val byKey = targets.map(t => (t.gval, t.k) -> t.value).toMap
     val outSchema = StructType(Seq(
-      groupField, StructField("p", DoubleType),
-      StructField("value", DoubleType)))
+      groupField, StructField("n", LongType),
+      StructField("p", DoubleType), StructField("value", DoubleType)))
     val rows = gstats.flatMap { gr =>
       val n = gr.getLong(1)
       ps.map { p =>
@@ -236,7 +251,7 @@ object Quantiles {
         // compare either way).
         val q = if (kf == kc) vlo
                 else (kc - h) * vlo + (h - kf) * byKey((gr.get(0), kc))
-        Row(gr.get(0), p, q)
+        Row(gr.get(0), n, p, q)
       }
     }
     spark.createDataFrame(

@@ -374,9 +374,12 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
-  /** Memoized verified pairs SCORED: (da, db, shared, jac_e6) over the
-    * capped shingle index — the shared head of q_dedup_ngram,
-    * q_dedup_rate, q_dedup_thresholds, and q_dedup_source_overlap.
+  /** Memoized verified pairs SCORED: (da, db, n_a, n_b, shared, jac_e6)
+    * over the capped shingle index — the shared head of q_dedup_ngram,
+    * q_dedup_rate, q_dedup_thresholds, q_dedup_source_overlap, and
+    * q_dedup_containment (which reads the shingle-set sizes the sizes
+    * attach already carries — ONE sizes-attach definition, not a copy
+    * per consumer).
     */
   private[operators] def scoredShinglePairs(s: SparkSession,
                                             d: String): DataFrame = {
@@ -385,7 +388,8 @@ object DedupQueries {
     sharedShinglePairs(s, d)
       .join(sizes.as("spa"), col("da") === col("spa.doc_id"))
       .join(sizes.as("spb"), col("db") === col("spb.doc_id"))
-      .select(col("da"), col("db"), col("shared"),
+      .select(col("da"), col("db"),
+        col("spa.n").as("n_a"), col("spb.n").as("n_b"), col("shared"),
         jacE6Col(col("shared"), col("spa.n"), col("spb.n")).as("jac_e6"))
   }
 
@@ -1212,20 +1216,14 @@ object DedupQueries {
       // along via the shared jacE6Col so a reader separates the pairs
       // the near-dup family already catches (both high) from the
       // containment-only finds (cont high, jac low).
-      val sizes = shingleHashes(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n"))
-      sharedShinglePairs(s, d)
-        .join(sizes.as("cna"), col("da") === col("cna.doc_id"))
-        .join(sizes.as("cnb"), col("db") === col("cnb.doc_id"))
-        .select(col("da"), col("db"),
-          col("cna.n").as("n_a"), col("cnb.n").as("n_b"), col("shared"))
+      scoredShinglePairs(s, d)
         .withColumn("cont_e6",
           expr("shared * 1000000 DIV least(n_a, n_b)"))
         .filter(col("cont_e6") >= 900000L)
-        .withColumn("jac_e6",
-          jacE6Col(col("shared"), col("n_a"), col("n_b")))
         .withColumn("contained",
           when(col("n_a") <= col("n_b"), lit("a")).otherwise(lit("b")))
+        .select("da", "db", "n_a", "n_b", "shared", "cont_e6", "jac_e6",
+          "contained")
         .orderBy("da", "db")
     }),
 

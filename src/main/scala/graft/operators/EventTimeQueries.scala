@@ -78,13 +78,18 @@ object EventTimeQueries {
       "stack(2, 'view_to_click', c_ms - v_ms, " +
       "'click_to_purchase', p_ms - c_ms) AS (transition, lag_ms)")
       .filter(col("lag_ms").isNotNull)
-    val qs = graft.api.Quantiles.exactQuantiles(
+    // counts ride the quantile engine's own stats pass (n = non-null
+    // lags per transition = converting users — the stack's null filter
+    // and Quantiles' null filter see the same rows): a separate
+    // lags.groupBy count would re-execute the whole funnel window
+    // pipeline, since the quantile result is driver-assembled with no
+    // lineage back to the persisted base (review finding, round 12)
+    graft.api.Quantiles.exactQuantilesAndCounts(
         lags, "transition", "lag_ms", Seq(0.5, 0.9))
       .groupBy("transition").agg(
+        max("n").as("n_users"),
         max(when(col("p") === 0.5, col("value"))).as("p50_ms"),
         max(when(col("p") === 0.9, col("value"))).as("p90_ms"))
-    lags.groupBy("transition").agg(count(lit(1)).as("n_users"))
-      .join(broadcast(qs), Seq("transition"))
       .select("transition", "n_users", "p50_ms", "p90_ms")
       .orderBy("transition")
   }

@@ -280,28 +280,6 @@ object StatsQueries {
       .orderBy("digit")
   }
 
-  /** Exact two-sample KS statistic over integer-quantized observations:
-    * input (v: BIGINT, in_a: BOOLEAN) rows, output ONE row (n1, n2,
-    * d_num, ks_e6) where d_num = max over values of |k1·n2 − k2·n1|
-    * (k = cumulative counts — the CDF difference cleared of both
-    * denominators) and ks_e6 = d_num·10⁶ DIV (n1·n2), the KS D in exact
-    * millionths. Requires both cohorts non-empty (D is undefined
-    * otherwise — the DIV is ANSI-loud, never a silent zero).
-    *
-    * Shape at 100 TB: the textbook exact form is one GLOBAL ordered
-    * cumulative sum — a single-partition window over every distinct
-    * value, the classic scale-killer. This is the distributed two-level
-    * prefix sum instead: (1) per-value counts, one keyed exchange with
-    * map-side partials; (2) per-BIN totals (bin = v DIV 2¹⁶ — the
-    * value RANGE div 2¹⁶, a bounded table) cumsum'd on a window that
-    * only ever sees bin-rows; (3) within-bin cumsums under a
-    * (bin)-PARTITIONED window — parallel, each partition bounded by one
-    * bin's distinct-value count; (4) bin offsets broadcast back, final
-    * cumulative = offset + in-bin. No stage holds more than one bin of
-    * values in a single window partition. Products ride DECIMAL(38,0)
-    * (k·n ≈ n² wraps Long past ~3·10⁹ rows per cohort) with try_cast
-    * BIGINT outputs — the repo's exact-integer envelope convention.
-    */
   /** Per-distinct-value cohort counts (v, c1, c2) — stage (1) of the
     * two-level prefix sum, shared by [[ksStat]] and [[mwuStat]]. */
   private def cohortCounts(obs: DataFrame): DataFrame =
@@ -335,6 +313,29 @@ object StatsQueries {
         (col("o2") + sum("c2").over(wIn)).as("k2"))
   }
 
+  /** Exact two-sample KS statistic over integer-quantized observations:
+    * input (v: BIGINT, in_a: BOOLEAN) rows, output ONE row (n1, n2,
+    * d_num, ks_e6) where d_num = max over values of |k1·n2 − k2·n1|
+    * (k = cumulative counts — the CDF difference cleared of both
+    * denominators) and ks_e6 = d_num·10⁶ DIV (n1·n2), the KS D in exact
+    * millionths. Requires both cohorts non-empty (D is undefined
+    * otherwise — the DIV is ANSI-loud, never a silent zero).
+    *
+    * Shape at 100 TB: the textbook exact form is one GLOBAL ordered
+    * cumulative sum — a single-partition window over every distinct
+    * value, the classic scale-killer. This rides the distributed
+    * two-level prefix sum instead ([[cohortCounts]] stage 1,
+    * [[cdfAttach]] stages 2–4): (1) per-value counts, one keyed exchange
+    * with map-side partials; (2) per-BIN totals (bin = v DIV 2¹⁶ — the
+    * value RANGE div 2¹⁶, a bounded table) cumsum'd on a window that
+    * only ever sees bin-rows; (3) within-bin cumsums under a
+    * (bin)-PARTITIONED window — parallel, each partition bounded by one
+    * bin's distinct-value count; (4) bin offsets broadcast back, final
+    * cumulative = offset + in-bin. No stage holds more than one bin of
+    * values in a single window partition. Products ride DECIMAL(38,0)
+    * (k·n ≈ n² wraps Long past ~3·10⁹ rows per cohort) with try_cast
+    * BIGINT outputs — the repo's exact-integer envelope convention.
+    */
   private[graft] def ksStat(obs: DataFrame): DataFrame = {
     val vals = cohortCounts(obs)
     val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))

@@ -69,6 +69,25 @@ object EventTimeQueries {
            max("p_ms").as("p_ms"))
   }
 
+  /** q_event_churn core over (user_id, ems) rows — per epoch week:
+    * active users, users retained into the IMMEDIATELY next week, churn
+    * rate in exact ppm. See the query entry for semantics and shape.
+    */
+  private[graft] def weeklyChurn(ev: DataFrame): DataFrame = {
+    val uw = ev
+      .select(col("user_id"), expr("ems div 604800000").as("wk"))
+      .distinct()
+    val nextW = lead(col("wk"), 1)
+      .over(Window.partitionBy("user_id").orderBy("wk"))
+    uw.withColumn("ret",
+        when(nextW === col("wk") + 1, 1L).otherwise(0L))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"), sum("ret").as("n_retained"))
+      .withColumn("churn_ppm",
+        expr("(n_active - n_retained) * 1000000 DIV n_active"))
+      .orderBy("wk")
+  }
+
   /** q_event_funnel_time core over (user_id, ems, event_type) rows —
     * per transition: converting users, exact p50/p90 of the stage-entry
     * lag in ms. See the query entry for the shape rationale.
@@ -566,6 +585,23 @@ object EventTimeQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    "q_event_churn" -> ((s, d) => {
+      // Weekly churn rate — q_event_cohort's operational inverse: the
+      // cohort matrix reads "of the week-w signups, how many came back
+      // k weeks later"; this reads "of EVERYONE active in week w, how
+      // many were gone by w+1" — the single per-week number an ops
+      // dashboard alerts on. Retained = active in the IMMEDIATELY next
+      // epoch week (the strict-adjacency reading; a user skipping a week
+      // counts as churned for w, re-acquired later — deliberate, and
+      // the last fixture week right-censors to all-churned like every
+      // trailing-window metric). Shape: one (user, week) distinct
+      // rollup (map-side partial combine), a user-partitioned lead()
+      // whose partitions are bounded by a user's distinct WEEKS (never
+      // events), one week-keyed rollup; churn_ppm exact Long. See
+      // [[weeklyChurn]] (factored so specs drive crafted timelines).
+      weeklyChurn(ems(s, d))
+    }),
+
     "q_event_concentration" -> ((s, d) => {
       // Traffic-concentration KPI: what share of all events comes from the
       // top-50 users — the Pareto check behind bot filtering and per-user
@@ -1011,6 +1047,22 @@ object EventTimeQueries {
         |SELECT cwk AS cohort_week, wk - cwk AS week_offset,
         |       count(DISTINCT user_id) AS users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+        |  FROM events),
+        |r AS (
+        |  SELECT wk,
+        |         CASE WHEN lead(wk) OVER (PARTITION BY user_id
+        |                                  ORDER BY wk) = wk + 1
+        |              THEN 1 ELSE 0 END AS ret
+        |  FROM uw)
+        |SELECT wk, count(*) AS n_active,
+        |       CAST(sum(ret) AS BIGINT) AS n_retained,
+        |       CAST((count(*) - sum(ret)) * 1000000 // count(*) AS BIGINT)
+        |         AS churn_ppm
+        |FROM r GROUP BY wk ORDER BY wk""".stripMargin,
 
     "q_event_concentration" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

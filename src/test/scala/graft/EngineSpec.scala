@@ -1518,6 +1518,27 @@ class EngineSpec extends SparkSpec {
            ((4L, 5L, 11L, 550000L)), row)
   }
 
+  test("weeklyChurn: hand-derived rates — same-week duplicates fold, a " +
+       "skipped week churns, the trailing week right-censors to churned") {
+    import spark.implicits._
+    val W = 604800000L
+    // u1 active weeks 0,1,2 (two events in wk0 — distinct must fold);
+    // u2 weeks 0 and 2 (skips 1 → churned for wk0, re-acquired);
+    // u3 week 1 only. wk0: 2 active / 1 retained → 500000; wk1: 2/1 →
+    // 500000; wk2: 2/0 (right-censored trailing week) → 1000000
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, W), (1L, 2 * W),
+      (2L, 10L), (2L, 2 * W + 10L),
+      (3L, W + 3L)).toDF("user_id", "ems")
+    val got = graft.operators.EventTimeQueries.weeklyChurn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 500000L),
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 0L, 1000000L)), got)
+  }
+
   test("funnelTime: hand-derived lag percentiles — same-ms tie converts " +
        "at lag 0, click-without-view never converts, interpolation exact") {
     import spark.implicits._

@@ -35,10 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries' worth of plans, codegen classes and cached blocks in one
   // driver JVM. RAM-gated so a small contributor machine keeps the old
   // 8g cap instead of swapping (SPARK_DRIVER_MEM always overrides).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  // The whole probe is wrapped in Try: getTotalMemorySize is JDK 14+
+  // com.sun.management — a JVM that doesn't expose that interface
+  // (OpenJ9, older JDKs) must fall back to 8g, not fail every sbt task
+  // at settings evaluation (ADVICE r12).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", scala.util.Try {
     val ram = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getTotalMemorySize
     if (ram >= 64L * 1024 * 1024 * 1024) "16g" else "8g"
-  })}",
+  }.getOrElse("8g"))}",
 )

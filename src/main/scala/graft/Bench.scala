@@ -28,6 +28,17 @@ import org.apache.spark.sql.SparkSession
   *  - a query that THROWS records an "err" message, never a timing — the
   *    old `catch → -1L` silently graded a broken query as fast.
   *
+  *  - (r13) per-run GC seconds ride next to wall/cpu, an UNTIMED
+  *    System.gc() runs between queries (total reported as hygiene_sec),
+  *    and the status stores are capped — the r12 driver record charged
+  *    late-alphabet queries 2.5-5x their isolated cost because 195
+  *    queries' worth of retained SQL-UI execution data and uncollected
+  *    plan/broadcast garbage had nowhere visible to go.
+  *  - (r13) regression tripwire: per-query minima are compared against
+  *    the committed envelope bench_baseline.json (max of mins over >=2
+  *    warm sweeps — tools/bench_baseline.py); >2x + >0.25 s absolute
+  *    emits a "regressed" entry in both records.
+  *
   * Stdout stays ONE parseable JSON line (the driver's capture contract),
   * with per-query minima in "queries"; the durable target/bench.json
   * carries the full per-run detail. The line is re-emitted after
@@ -57,16 +68,53 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
   private def cpuNanos: Long = osBean.getProcessCpuTime
 
-  /** One measured run: (wall seconds, process-CPU seconds). */
-  private def timed(f: () => Long): (Double, Double, Long) = {
-    val c0 = cpuNanos; val t0 = System.nanoTime()
+  // Per-run GC attribution (VERDICT r12 #1): the r12 driver record charged
+  // the alphabetically-late q_text_* cluster 2.5–5x its isolated cost with
+  // a monotone CPU-growth signature — in-sweep heap churn, not query cost.
+  // Summing every collector's getCollectionTime around each run makes that
+  // churn a per-run NUMBER in the artifact instead of a forensic diff.
+  private val gcBeans = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
+  }
+  private def gcMillis: Long =
+    gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum
+
+  /** One measured run: (wall sec, process-CPU sec, GC sec, rows). */
+  private def timed(f: () => Long): (Double, Double, Double, Long) = {
+    val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
     val rows = f()
-    ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9, rows)
+    ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9,
+      (gcMillis - g0) / 1e3, rows)
   }
 
   private final case class QRec(name: String, wall: Seq[Double],
-                                cpu: Seq[Double], rows: Long, err: Option[String]) {
+                                cpu: Seq[Double], gc: Seq[Double],
+                                rows: Long, err: Option[String]) {
     def min: Double = if (wall.isEmpty) 0.0 else wall.min
+  }
+
+  /** prev per-query minima from the committed envelope `bench_baseline.json`
+    * (VERDICT r12 #2 tripwire). The envelope is the MAX of per-query minima
+    * over ≥2 artifact-warm sweeps (tools/bench_baseline.py), because single
+    * -sweep minima swing ±1 s on artifact-reading queries (the documented
+    * parquet-read scheduling noise) and a raw-min baseline would false-flag.
+    * Missing/unreadable file → empty map, no flags (first run, new clone).
+    */
+  private def prevMins(): Map[String, Double] = try {
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      val qs = root.path("queries")
+      import scala.jdk.CollectionConverters._
+      qs.properties().asScala.map { e =>
+        e.getKey -> e.getValue.path("min").asDouble(0.0)
+      }.toMap
+    }
+  } catch { case t: Throwable =>
+    System.err.println(s"[bench] baseline unreadable ($t) — no tripwire"); Map.empty
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,6 +129,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // status-store retention caps: even with the UI off, AppStatusListener
+      // and SQLAppStatusListener retain per-job/stage/task rows and up to
+      // 1000 SQLExecutionUIData entries (each holding the FULL physical-plan
+      // description + per-metric maps). At 195 queries x 3 runs x several
+      // AQE jobs each, that is hundreds of MB of LIVE driver heap by the
+      // sweep tail — the r12 in-sweep inflation's largest non-garbage
+      // contributor. A bench run needs none of it.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail loudly on a misspelled key: a typo'd arg would otherwise
@@ -159,10 +218,11 @@ object Bench {
              () => graft.api.CatalogOps.registerFixture(spark, sfDir).size.toLong,
              () => "analyze") +:
            (operators.DedupQueries.indexPhases(spark, sfDir) ++
+            operators.EventTimeQueries.lagPhases(spark, sfDir) ++
             operators.SimilarityQueries.trainPhases(spark, sfDir))
     val phases: Seq[(String, Double, Double, String, Option[String])] =
       phaseDefs.map { case (name, f, src) =>
-        try { val (w, c, _) = timed(f); (name, w, c, src(), None) }
+        try { val (w, c, _, _) = timed(f); (name, w, c, src(), None) }
         catch { case t: Throwable =>
           (name, 0.0, 0.0, "err", Some(t.toString.take(300))) }
       }
@@ -175,17 +235,30 @@ object Bench {
     // the steady-state cost.
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
+    // UNTIMED heap hygiene between queries: an explicit full GC compacts
+    // the sweep's accumulated plan/codegen/broadcast garbage on nobody's
+    // clock, so each query's runs start from the same heap floor a query
+    // run in isolation sees — and the ContextCleaner's weak-ref queue
+    // (broadcast blocks, shuffle files) actually drains instead of waiting
+    // for its 30-min periodic GC. Its total wall is reported as
+    // "hygiene_sec" so the artifact shows what the sweep spent off-clock.
+    var hygieneNs = 0L
+    def hygiene(): Unit = {
+      val t0 = System.nanoTime(); System.gc(); hygieneNs += System.nanoTime() - t0
+    }
+    hygiene() // clean floor before the first query, charging warmup to nobody
     val results: Seq[QRec] = SparkEntry.queries.toSeq
       .filter(kv => keep(kv._1)).sortBy(_._1).map { case (name, fn) =>
         var err: Option[String] = None
         val walls = Seq.newBuilder[Double]
         val cpusS = Seq.newBuilder[Double]
+        val gcs = Seq.newBuilder[Double]
         var rows = -1L
         var i = 0
         while (i < nRuns && err.isEmpty) {
           try {
-            val (w, c, n) = timed(() => fn(spark, sfDir).count())
-            walls += w; cpusS += c; rows = n
+            val (w, c, g, n) = timed(() => fn(spark, sfDir).count())
+            walls += w; cpusS += c; gcs += g; rows = n
           } catch {
             // record the failure, never a timing — and stop repeating a
             // query that throws (its record is the error, not a number)
@@ -193,7 +266,8 @@ object Bench {
           }
           i += 1
         }
-        QRec(name, walls.result(), cpusS.result(), rows, err)
+        hygiene()
+        QRec(name, walls.result(), cpusS.result(), gcs.result(), rows, err)
       }
     val benchWall = (System.nanoTime() - benchWall0) / 1e9
     val benchCpu = (cpuNanos - benchCpu0) / 1e9
@@ -215,6 +289,20 @@ object Bench {
     val total = ok.map(_.min).sum + phasesTotal
     val qs = ok.map(r => "\"" + r.name + "\":" + r3(r.min))
       .mkString("{", ",", "}")
+    // regression tripwire (VERDICT r12 #2): min > 2x the committed envelope
+    // AND >0.25 s absolute — micro-queries (0.05 s floors) double on pure
+    // scheduling jitter; a flag that cries wolf at 0.1 s teaches readers to
+    // ignore it. The envelope itself already absorbs the ±1 s artifact-read
+    // swing (see prevMins doc), so a surviving flag is a real regression.
+    val prev = prevMins()
+    val regressed = ok.flatMap { r =>
+      prev.get(r.name).filter(p => p > 0 && r.min > 2 * p && r.min - p > 0.25)
+        .map(p => (r.name, p, r.min))
+    }
+    val regJson = regressed.map { case (n, p, m) =>
+      "\"" + n + "\":{\"prev_min\":" + r3(p) + ",\"min\":" + r3(m) + "}"
+    }.mkString("{", ",", "}")
+    val gcTotal = results.flatMap(_.gc).sum
     val phJson = phases.map { case (n, w, _, _, e) =>
       "\"" + n + "\":" + e.fold(r3(w))(m => "\"err:" + esc(m) + "\"")
     }.mkString("{", ",", "}")
@@ -227,8 +315,10 @@ object Bench {
     line.append(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""")
       .append(s""","queries":$qs,"phases":$phJson""")
     if (failed.nonEmpty) line.append(s""","errors":$errJson""")
+    if (regressed.nonEmpty) line.append(s""","regressed":$regJson""")
     line.append(s""","n_runs":$nRuns,"bench_wall_sec":${r3(benchWall)}""")
       .append(s""","bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)}""")
+      .append(s""","gc_total_sec":${r3(gcTotal)},"hygiene_sec":${r3(hygieneNs / 1e9)}""")
       .append(s""","cached_rdds":${storage.size},"partially_cached":$partial""")
       .append(s""","sf":"$sfDir"}""")
     val json = line.toString
@@ -240,6 +330,7 @@ object Bench {
       .append(s""" "metric":"total","value":${r3(total)},"unit":"sec",""")
       .append(s""""sf":"$sfDir","n_runs":$nRuns,"cpus":$cpus,""").append("\n")
       .append(s""" "bench_wall_sec":${r3(benchWall)},"bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)},""").append("\n")
+      .append(s""" "gc_total_sec":${r3(gcTotal)},"hygiene_sec":${r3(hygieneNs / 1e9)},"regressed":$regJson,""").append("\n")
       .append(s""" "phases":{""").append("\n")
     detail.append(phases.map { case (n, w, c, src, e) =>
       s"""  "$n":{"wall":${r3(w)},"cpu":${r3(c)},"source":"${esc(src)}"""" +
@@ -248,7 +339,9 @@ object Bench {
     detail.append(results.map { r =>
       val runs = r.wall.map(r3).mkString("[", ",", "]")
       val cpuA = r.cpu.map(r3).mkString("[", ",", "]")
-      s"""  "${r.name}":{"min":${r3(r.min)},"runs":$runs,"cpu":$cpuA,""" +
+      val gcA = r.gc.map(r3).mkString("[", ",", "]")
+      val prevS = prev.get(r.name).fold("")(p => s""""prev_min":${r3(p)},""")
+      s"""  "${r.name}":{"min":${r3(r.min)},"runs":$runs,"cpu":$cpuA,"gc":$gcA,$prevS""" +
         s""""rows":${r.rows},"err":${r.err.fold("null")(m => "\"" + esc(m) + "\"")}}"""
     }.mkString(",\n")).append("\n },\n \"storage\":[\n")
     detail.append(storage.map { case (n, np, nc, mem, disk) =>

@@ -131,7 +131,19 @@ object IvfOps {
                   cap: Int = BucketCap,
                   minMembers: Int = 1): DataFrame = {
     val byBucket = Window.partitionBy(bucketCol).orderBy(idCol)
+    // member-level dedup AT THE CAP BOUNDARY, riding the cap's own
+    // exchange+sort (a lag against the previous member id — no second
+    // shuffle): a duplicate (bucket, id) row — a replayed artifact
+    // append, a non-distinct caller — must neither eat cap slots, nor
+    // inflate the minMembers count, nor emit an a==a "pair". The cap
+    // and its oracle QUALIFY mirrors therefore rank over identical
+    // DISTINCT member sets BY CONSTRUCTION, not by upstream uniqueness
+    // claims (VERDICT r12 #6). Null-safe so the guard itself can never
+    // drop a first row.
     val base = asg.select(col(bucketCol), col(idCol))
+      .withColumn("__dup", lag(col(idCol), 1).over(byBucket))
+      .filter(!(col("__dup") <=> col(idCol)))
+      .drop("__dup")
     // minMembers > 1 (an inverted index whose buckets are MOSTLY
     // singletons — the typo deletion index): a whole-partition window
     // count drops pairless buckets BEFORE the object-heavy collect_list,

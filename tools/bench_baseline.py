@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build/refresh the committed bench_baseline.json regression envelope.
+
+Usage: python3 tools/bench_baseline.py target/bench.json [more bench.json...]
+
+The envelope Bench.scala's tripwire compares against is the per-query MAX
+of per-sweep MINIMA over every record given (plus the existing envelope,
+if present) — NOT a single sweep's minima: artifact-reading queries swing
+up to ~3x between warm sweeps on parquet-read scheduling alone (the
+documented +-1 s noise), so a raw-min baseline would false-flag. Feed it
+at least two artifact-warm sweeps before committing.
+
+Queries present in the old envelope but absent from every input are
+DROPPED (renamed/removed queries must not leave stale tripwires).
+"""
+import json
+import sys
+
+OUT = "bench_baseline.json"
+
+
+def main(paths):
+    if not paths:
+        sys.exit(__doc__)
+    env = {}
+    sweeps = 0
+    try:
+        with open(OUT) as f:
+            prev = json.load(f)
+        env = {k: v["min"] for k, v in prev.get("queries", {}).items()}
+        sweeps = prev.get("sweeps", 1)
+    except FileNotFoundError:
+        pass
+    seen = set()
+    for p in paths:
+        with open(p) as f:
+            rec = json.load(f)
+        sweeps += 1
+        for name, q in rec["queries"].items():
+            if q.get("err") is not None:
+                continue
+            seen.add(name)
+            env[name] = max(env.get(name, 0.0), q["min"])
+    env = {k: v for k, v in env.items() if k in seen}
+    with open(OUT, "w") as f:
+        json.dump(
+            {
+                "comment": "regression envelope: max of per-sweep minima over "
+                           f"{sweeps} artifact-warm sweeps (tools/bench_baseline.py); "
+                           "Bench flags min > 2x envelope and > +0.25 s",
+                "sweeps": sweeps,
+                "queries": {k: {"min": round(v, 3)} for k, v in sorted(env.items())},
+            },
+            f, indent=1)
+        f.write("\n")
+    print(f"wrote {OUT}: {len(env)} queries, {sweeps} sweeps merged")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -191,7 +191,15 @@ object Bench {
           // warm list ran only heavy shapes, so the light families paid
           // their own JIT inside the timed runs (VERDICT r11 #4)
           "q_win_rank", "q_win_frame", "q_win_tumbling", "q_unpivot",
-          "s_ingest_sbs1")
+          "s_ingest_sbs1",
+          // round-13 additions with novel codegen shapes: the piece
+          // explode + TakeOrdered (vocab), the broadcast weight join +
+          // decimal margin agg (trained gate), the aggregate-fold
+          // integer matmul (projection). Warmup also artifact-warms the
+          // sf0.001 models so the timed phases train only the measured
+          // dir's.
+          "q_text_vocab_train", "q_text_quality_model_trained",
+          "q_emb_project")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever
@@ -219,7 +227,8 @@ object Bench {
              () => "analyze") +:
            (operators.DedupQueries.indexPhases(spark, sfDir) ++
             operators.EventTimeQueries.lagPhases(spark, sfDir) ++
-            operators.SimilarityQueries.trainPhases(spark, sfDir))
+            operators.SimilarityQueries.trainPhases(spark, sfDir) ++
+            operators.TextQueries.trainPhases(spark, sfDir))
     val phases: Seq[(String, Double, Double, String, Option[String])] =
       phaseDefs.map { case (name, f, src) =>
         try { val (w, c, _, _) = timed(f); (name, w, c, src(), None) }

@@ -63,13 +63,61 @@ object SubwordTokenizer {
   require(Pieces.forall(p => p.length >= 2 && p.length <= MaxPiece &&
     p.forall(c => c >= 'a' && c <= 'z')), "pieces must be lowercase ASCII, len 2..4")
 
-  /** Per-length lookup sets of packed-byte keys: an L-byte window packs
-    * injectively into an Int (L ≤ 4), so membership is one hash probe —
-    * no string allocation on the hot path.
+  /** [[Pieces]] compiled once — the JVM-global fixture lookup. */
+  private val fixtureTable = new PieceTable(Pieces)
+
+  /** Number of subword pieces in `s` under the FIXTURE vocabulary —
+    * see [[PieceTable.count]] for the matching rule. Called from
+    * generated code (static forwarder) — keep the signature stable.
     */
+  def count(s: UTF8String): Long = fixtureTable.count(s)
+
+  /** The vocabulary as a DuckDB list literal — the oracle's copy of the
+    * merge table, interpolated from the SAME [[Pieces]] definition.
+    */
+  def duckPieceList: String =
+    Pieces.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** Oracle building block: recursive-CTE SQL computing (w, wtoks) — the
+    * greedy piece count per distinct word — from a CTE `wd(w)` of
+    * non-empty words. The scan state is (word, position, pieces-so-far);
+    * each step advances by the longest matching piece (list_max over the
+    * matching piece lengths) or one code point, exactly [[count]]'s rule.
+    * The caller's WITH must be declared RECURSIVE.
+    */
+  def duckWordTokens: String =
+    s"""rec AS (
+       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS toks FROM wd
+       |  UNION ALL
+       |  SELECT w, pos + adv, toks + 1 FROM (
+       |    SELECT w, pos, toks,
+       |           CAST(coalesce(list_max(list_transform(
+       |                  list_filter($duckPieceList,
+       |                              t -> substr(w, pos, length(t)) = t),
+       |                  t -> length(t))), 1) AS INT) AS adv
+       |    FROM rec WHERE pos <= length(w))),
+       |wc AS (SELECT w, max(toks) AS wtoks FROM rec GROUP BY w)""".stripMargin
+}
+
+/** A piece vocabulary compiled to per-length lookup sets of packed-byte
+  * keys: an L-byte window packs injectively into an Int (L ≤
+  * [[SubwordTokenizer.MaxPiece]]), so membership is one hash probe — no
+  * string allocation on the hot path. SERIALIZABLE so a runtime-vocab
+  * Catalyst expression can ship a corpus-trained table to executors in
+  * its codegen reference array (the fixture vocabulary stays JVM-global
+  * static state; a trained vocabulary is per-plan MODEL state and must
+  * travel with the plan).
+  */
+final class PieceTable(pieces: Seq[String]) extends Serializable {
+  import SubwordTokenizer.MaxPiece
+  require(pieces.distinct.size == pieces.size, "duplicate vocabulary piece")
+  require(pieces.forall(p => p.length >= 2 && p.length <= MaxPiece &&
+    p.forall(c => c >= 'a' && c <= 'z')),
+    s"pieces must be lowercase ASCII, len 2..$MaxPiece")
+
   private val table: Array[java.util.HashSet[Integer]] = {
     val t = Array.fill(MaxPiece + 1)(new java.util.HashSet[Integer]())
-    Pieces.foreach { p =>
+    pieces.foreach { p =>
       var k = 0
       p.foreach(c => k = (k << 8) | (c.toInt & 0xff))
       t(p.length).add(k)
@@ -82,8 +130,7 @@ object SubwordTokenizer {
     * space byte and matching is exact). Non-ASCII code points can never
     * match an ASCII piece, so each counts as ONE piece and is skipped
     * whole — byte-level advance stays on code-point boundaries, keeping
-    * counts identical to the oracle's code-point arithmetic. Called from
-    * generated code (static forwarder) — keep the signature stable.
+    * counts identical to the oracle's code-point arithmetic.
     */
   def count(s: UTF8String): Long = {
     val n = s.numBytes
@@ -111,30 +158,4 @@ object SubwordTokenizer {
     }
     cnt
   }
-
-  /** The vocabulary as a DuckDB list literal — the oracle's copy of the
-    * merge table, interpolated from the SAME [[Pieces]] definition.
-    */
-  def duckPieceList: String =
-    Pieces.map(p => s"'$p'").mkString("[", ", ", "]")
-
-  /** Oracle building block: recursive-CTE SQL computing (w, wtoks) — the
-    * greedy piece count per distinct word — from a CTE `wd(w)` of
-    * non-empty words. The scan state is (word, position, pieces-so-far);
-    * each step advances by the longest matching piece (list_max over the
-    * matching piece lengths) or one code point, exactly [[count]]'s rule.
-    * The caller's WITH must be declared RECURSIVE.
-    */
-  def duckWordTokens: String =
-    s"""rec AS (
-       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS toks FROM wd
-       |  UNION ALL
-       |  SELECT w, pos + adv, toks + 1 FROM (
-       |    SELECT w, pos, toks,
-       |           CAST(coalesce(list_max(list_transform(
-       |                  list_filter($duckPieceList,
-       |                              t -> substr(w, pos, length(t)) = t),
-       |                  t -> length(t))), 1) AS INT) AS adv
-       |    FROM rec WHERE pos <= length(w))),
-       |wc AS (SELECT w, max(toks) AS wtoks FROM rec GROUP BY w)""".stripMargin
 }

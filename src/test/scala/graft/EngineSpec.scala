@@ -1701,6 +1701,24 @@ class EngineSpec extends SparkSpec {
       "candidate-pair mass must re-add from per-sig C(n,2)")
   }
 
+  test("q_emb_project: hand-derived projections for crafted unit and " +
+       "constant vectors (exact integer dot against the fixture basis)") {
+    import spark.implicits._
+    // independent restatement of the fixture basis arithmetic
+    def basis(k: Int, i: Int): Long = ((k * 64L + i) * 2654435761L) % 2001 - 1000
+    // vec 1: 1.0 at dim 0 → q = [1000, 0…]; vec 2: −0.0005 everywhere →
+    // floor(−0.5) = −1 milli at every dim
+    val e = Seq(
+      (1L, Array.fill(64)(0.0).updated(0, 1.0).toSeq),
+      (2L, Array.fill(64)(-0.0005).toSeq)).toDF("vec_id", "v")
+    val got = graft.operators.SimilarityQueries.embProject(e)
+      .collect().map(r => (r.getLong(0),
+        (1 to 4).map(r.getLong))).toSeq
+    val exp1 = (0 until 4).map(k => 1000L * basis(k, 0))
+    val exp2 = (0 until 4).map(k => -(0 until 64).map(i => basis(k, i)).sum)
+    assert(got == Seq((1L, exp1), (2L, exp2)))
+  }
+
   test("entry smoke: flagship query returns rows (t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -389,6 +389,21 @@ class GraftOpsSpec extends SparkSpec {
     assert(got.filter($"b" > 100 && $"a" =!= 200L).count() == 0)
   }
 
+  test("bucketPairs: duplicate (bucket, id) rows neither eat cap slots " +
+       "nor emit a==a pairs nor satisfy minMembers alone (r13 cap-boundary " +
+       "dedup)") {
+    // bucket 7: ids 1..4 each duplicated 3x, cap=3 → the cap must keep
+    // DISTINCT members {1,2,3}, exactly as a distinct input would
+    val dup = (1L to 4L).flatMap(id => Seq.fill(3)((7L, id))).toDF("cid", "vec_id")
+    val got = graft.api.IvfOps.bucketPairs(dup, cap = 3)
+      .orderBy("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // a bucket whose ONLY content is one id repeated must not pass
+    // minMembers=2 (it cannot pair) — and must emit nothing
+    val solo = Seq((9L, 5L), (9L, 5L), (9L, 5L)).toDF("cid", "vec_id")
+    assert(graft.api.IvfOps.bucketPairs(solo, minMembers = 2).count() == 0)
+  }
+
   test("mixCorpus downsamples sources toward the target mixture, " +
        "deterministically, excluding unlisted sources") {
     val docs = ((1L to 4000L).map(i => (i, if (i % 2 == 0) "web" else "books"))

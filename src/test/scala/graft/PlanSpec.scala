@@ -538,9 +538,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
-  test("q_text_gopher / q_mm_resize: pure per-row pipelines — no join, " +
-       "no aggregation exchange, only the presentation sort shuffles") {
-    Seq("q_text_gopher", "q_mm_resize").foreach { q =>
+  test("q_text_quality_model: inline fixture weights — no join node, one " +
+       "doc-keyed aggregation, no window") {
+    val p = plan("q_text_quality_model")
+    assert(!p.contains("Join"), p)   // the weight is an expression, not a table
+    assert(!p.contains("Window"), p) // never a corpus-wide window
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_text_quality_model_trained: the model applies as a BROADCAST " +
+       "weight join (bounded model state), never a shuffle of the corpus " +
+       "against the weights") {
+    val p = plan("q_text_quality_model_trained")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_text_vocab_train: top-K is a TakeOrderedAndProject, the rank " +
+       "window runs on the K-row result only") {
+    val p = plan("q_text_vocab_train")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_text_gopher / q_mm_resize / q_emb_project: pure per-row " +
+       "pipelines — no join, no aggregation exchange, only the " +
+       "presentation sort shuffles") {
+    Seq("q_text_gopher", "q_mm_resize", "q_emb_project").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q: $p")
       assert(!p.contains("hashpartitioning"), s"$q: $p")

@@ -71,20 +71,21 @@ object LogReg {
       if (nPos > 0 && nPos < n)
         w(dim) = math.log(nPos / (n - nPos))
       for (_ <- 1 to iters) {
-        val wdf = broadcast(spark.createDataFrame(
-          java.util.Arrays.asList(
-            (0 until dim).map(b => Row(b, w(b))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("b",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("w",
-              org.apache.spark.sql.types.DoubleType)))))
+        // weights attach as a CONSTANT-FOLDED literal array (element_at
+        // on a foldable CreateArray → one Literal after ConstantFolding)
+        // — the model is driver state, so there is nothing to join: no
+        // broadcast, no join node, one aggregation per pass, and the
+        // per-iteration Catalyst planning cost of a fresh join subtree
+        // disappears (the cold fit was plan-compile-bound, not
+        // compute-bound, at fixture scale)
+        val warr = array((0 until dim).map(b => lit(w(b))): _*)
         val w0 = w(dim)
         // margins per id (decimal sum → order-independent), then the
         // per-row residual err = sigmoid(margin) − y
-        val err = f.join(wdf, Seq("b"))
+        val err = f
           .groupBy("id")
-          .agg(sum((col("c") * col("w")).cast("decimal(30,15)"))
+          .agg(sum((col("c") * element_at(warr, col("b") + 1))
+            .cast("decimal(30,15)"))
             .cast("double").as("m"))
           .join(lab, Seq("id"))
           .select(col("id"), (sigmoidCol(col("m") + lit(w0)) - col("y")).as("e"))

@@ -787,19 +787,14 @@ object TextQueries {
     * runs (the LogReg.fit accumulation rule). */
   private def marginsOf(feats: DataFrame, w: Array[Double],
                         dim: Int): DataFrame = {
-    val s = feats.sparkSession
-    val rows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(
-        (0 until dim).map(b => org.apache.spark.sql.Row(b, w(b))): _*)
-    val wdf = broadcast(s.createDataFrame(rows,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("b",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.DoubleType)))))
-    feats.join(wdf, Seq("b"))
+    // weights attach as a constant-folded literal array — driver model
+    // state needs no join node (the LogReg.fit device): the apply plan
+    // is scan → project → one id-keyed aggregation
+    val warr = array((0 until dim).map(b => lit(w(b))): _*)
+    feats
       .groupBy("id")
-      .agg((sum((col("c") * col("w")).cast("decimal(30,15)"))
+      .agg((sum((col("c") * element_at(warr, col("b") + 1))
+        .cast("decimal(30,15)"))
         .cast("double") + w(dim)).as("m"))
       .select(col("id").as("doc_id"), col("m"))
   }

@@ -546,12 +546,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q_text_quality_model_trained: the model applies as a BROADCAST " +
-       "weight join (bounded model state), never a shuffle of the corpus " +
-       "against the weights") {
+  test("q_text_quality_model_trained: the weights apply as a constant-" +
+       "folded literal array inside the aggregation (element_at — no " +
+       "weight join node), and the only join is the broadcast doc-total " +
+       "attach") {
     val p = plan("q_text_quality_model_trained")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("element_at"), p)  // weights are a folded literal
     assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the totals attach only
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("q_text_vocab_train: top-K is a TakeOrderedAndProject, the rank " +

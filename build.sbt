@@ -35,14 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries' worth of plans, codegen classes and cached blocks in one
   // driver JVM. RAM-gated so a small contributor machine keeps the old
   // 8g cap instead of swapping (SPARK_DRIVER_MEM always overrides).
-  // The whole probe is wrapped in Try: getTotalMemorySize is JDK 14+
-  // com.sun.management — a JVM that doesn't expose that interface
-  // (OpenJ9, older JDKs) must fall back to 8g, not fail every sbt task
-  // at settings evaluation (ADVICE r12).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", scala.util.Try {
+  // The probe catches Throwable, not just NonFatal: getTotalMemorySize
+  // is JDK 14+ com.sun.management, and on a JVM without it the failure
+  // is a NoSuchMethodError/ClassCastException-class LinkageError —
+  // which scala.util.Try would RETHROW (it only catches NonFatal),
+  // failing every sbt task at settings evaluation. Fall back to 8g on
+  // absolutely anything (ADVICE r12 + r13 review).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", try {
     val ram = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getTotalMemorySize
     if (ram >= 64L * 1024 * 1024 * 1024) "16g" else "8g"
-  }.getOrElse("8g"))}",
+  } catch { case _: Throwable => "8g" })}",
 )

@@ -32,12 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object LogReg {
 
-  /** Sigmoid with the saturation guard both engines would need anyway:
-    * exp overflows double at |m| ≳ 710, and a saturated probability is
-    * exactly 0/1 at double precision long before that. */
-  private def sigmoid(m: Double): Double =
-    if (m >= 40) 1.0 else if (m <= -40) 0.0 else 1.0 / (1.0 + math.exp(-m))
-
   /** Fit weights over `feats` (id, b, c) — b ∈ [0, dim) hashed feature
     * buckets, c the integer count — against `labels` (id, y ∈ {0,1}).
     * Ids absent from `labels` (an unlabeled holdout) are dropped from
@@ -114,8 +108,10 @@ object LogReg {
     } finally { f.unpersist(blocking = false); lab.unpersist(blocking = false) }
   }
 
-  /** Column-level sigmoid with the same saturation guard as [[sigmoid]]
-    * — per-row double math, deterministic given driver-resident weights. */
+  /** Column-level sigmoid with a saturation guard (exp overflows double
+    * at |m| ≳ 710, and the probability is exactly 0/1 at double
+    * precision long before that) — per-row double math, deterministic
+    * given driver-resident weights. */
   def sigmoidCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(m >= 40, 1.0).when(m <= -40, 0.0)
       .otherwise(lit(1.0) / (lit(1.0) + exp(-m)))

@@ -846,7 +846,13 @@ object TextQueries {
     vocabTopPieces(
       tokenLayer(s, d)
         .select(lower(col("token")).as("w"), col("c"))
-        .filter(col("w").rlike("^[a-z]{2,}$"))
+        // \A..\z anchors, NOT ^..$: Java's $ matches BEFORE a final
+        // line terminator, so "word\n" would pass ^[a-z]{2,}$ on the
+        // Spark side while DuckDB's RE2 rejects it — a latent hash
+        // mismatch on any fixture whose text contains newlines, and a
+        // non-[a-z] piece would crash PieceTable's lowercase require
+        // (r13 review)
+        .filter(col("w").rlike("\\A[a-z]{2,}\\z"))
         .groupBy("w").agg(sum("c").as("n")))
 
   /** The piece derivation over ANY (w, n) word-frequency table —
@@ -875,7 +881,7 @@ object TextQueries {
   private[operators] def trainedVocabPieces(s: SparkSession,
                                             d: String): Seq[String] = {
     val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
-      s":vocab-v1:k$TrainedVocabK"
+      s":vocab-v2:k$TrainedVocabK"
     memoTextModel[Seq[String]](s, "vocab", d)(
       readArt = table =>
         graft.api.IndexArtifacts.readModel(s, table, fp).map { df =>
@@ -905,7 +911,9 @@ object TextQueries {
       .map(r => (r.getLong(0), r.getInt(1)))
     val pos = rows.filter(_._2 == 1).map(_._1)
     val neg = rows.filter(_._2 == 0).map(_._1)
-    if (pos.isEmpty || neg.isEmpty) return 1.0
+    // a one-class holdout has NO ranking to grade — NaN fails any >=
+    // gate instead of vacuously passing it at 1.0 (r13 review)
+    if (pos.isEmpty || neg.isEmpty) return Double.NaN
     // exact Mann-Whitney AUC with tie credit 0.5
     var wins = 0.0
     pos.foreach(p => neg.foreach(n =>

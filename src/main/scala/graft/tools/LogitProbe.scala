@@ -22,13 +22,18 @@ object LogitProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val auc = graft.operators.TextQueries.trainedQualityHoldoutAuc(spark, dir)
+    graft.operators.TextQueries.queries(
+      "q_text_quality_model_trained")(spark, dir).count() // forces the fit/read
     val fitSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val auc = graft.operators.TextQueries.trainedQualityHoldoutAuc(spark, dir)
+    val evalSec = (System.nanoTime() - t1) / 1e9
     val scored = graft.operators.TextQueries.queries(
       "q_text_quality_model_trained")(spark, dir)
     val n = scored.count()
     val kept = scored.filter("keep").count()
-    println(f"[logit] dir=$dir auc=$auc%.4f keep=$kept/$n fit_wall=$fitSec%.1f s " +
+    println(f"[logit] dir=$dir auc=$auc%.4f keep=$kept/$n " +
+      f"fit_wall=$fitSec%.1f s eval_wall=$evalSec%.1f s " +
       s"source=${graft.operators.TextQueries.textTrainSource(spark, "logitq", dir)}")
     spark.stop()
   }

@@ -61,6 +61,18 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(served == live)
   }
 
+  test("funnel-lag layer: a released memo re-serves from the persisted " +
+       "artifact, result-identical (r13 — the winnow round-trip contract " +
+       "for the new funnel_lags derived layer)") {
+    val q = SparkEntry.queries("q_event_funnel_time")
+    val first = q(spark, sf).collect().map(_.toSeq).toSeq
+    operators.EventTimeQueries.releaseFunnelLags(spark)
+    val second = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(DedupQueries.derivedSourceOf(spark, "funnel_lags") == "artifact",
+      DedupQueries.derivedSourceOf(spark, "funnel_lags"))
+    assert(first == second)
+  }
+
   test("winnow + shingle pair layers: released memos re-serve from " +
        "artifacts with identical rows") {
     for ((key, release, phase) <- Seq(

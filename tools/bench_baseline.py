@@ -32,16 +32,27 @@ def main(paths):
     except FileNotFoundError:
         pass
     seen = set()
+    erred = set()
     for p in paths:
         with open(p) as f:
             rec = json.load(f)
         sweeps += 1
         for name, q in rec["queries"].items():
             if q.get("err") is not None:
+                erred.add(name)
                 continue
             seen.add(name)
             env[name] = max(env.get(name, 0.0), q["min"])
+    dropped = sorted(set(env) - seen)
     env = {k: v for k, v in env.items() if k in seen}
+    # never silently lose a tripwire: a query that errored in EVERY input
+    # sweep (vs one that was renamed away) is a regression in itself, and
+    # its envelope entry disappearing means the post-fix merge would seed
+    # from post-fix timings only (r13 review)
+    for name in dropped:
+        kind = "ERRORED in all inputs" if name in erred - seen else "absent"
+        print(f"WARNING: dropping envelope entry {name} ({kind})",
+              file=sys.stderr)
     with open(OUT, "w") as f:
         json.dump(
             {

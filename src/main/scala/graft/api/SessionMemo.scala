@@ -1,0 +1,46 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** The per-(session, dir) memo idiom, defined ONCE (r13 review: five
+  * operator files had copy-pasted the same ConcurrentHashMap +
+  * evict-other-dir + release loop with slight variations, so a fix to
+  * the eviction semantics had five places to miss).
+  *
+  * Keys are (session, group, variant): `group` partitions independent
+  * memo families sharing one map (a model KIND, or "" when the variant
+  * alone — the fixture dir — is the key), and fetching one variant
+  * EVICTS the same session+group's other variants first (the
+  * one-dir-per-session residency policy: fixture dirs are immutable for
+  * a session's lifetime, so a different dir means the cached layer is
+  * dead weight, and bench warmup at sf0.001 must not pin sf0.1-sized
+  * state). `onEvict` releases held resources (cached DataFrames
+  * unpersist; plain model state needs nothing).
+  *
+  * Same concurrency posture as the idiom it replaces: eviction and
+  * insertion are map-bookkeeping-only critical sections
+  * (computeIfAbsent serializes builders per key, never globally), and a
+  * double-unpersist in an evict race is a harmless no-op.
+  */
+final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
+
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), V]()
+
+  def get(s: SparkSession, group: String, variant: String)(build: => V): V = {
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala
+      .filter(k => k._1 == s && k._2 == group && k._3 != variant)
+      .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+    m.computeIfAbsent((s, group, variant), _ => build)
+  }
+
+  /** Drop every entry of `s` (optionally only `group`'s) — the
+    * plan-inspection / artifact-round-trip escape hatch. */
+  def release(s: SparkSession, group: String = null): Unit = {
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala
+      .filter(k => k._1 == s && (group == null || k._2 == group))
+      .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+  }
+}

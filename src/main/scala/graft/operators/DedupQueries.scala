@@ -461,8 +461,7 @@ object DedupQueries {
     * layout.
     */
   private val winnowPickMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
   /** Memoized SCORED winnow pairs (da, db, shared, jac_e6 — no
     * threshold): the shingle holder's `pairs` layer for the winnow
@@ -471,27 +470,17 @@ object DedupQueries {
     * bench phase.
     */
   private val winnowScoredMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
   /** Drop the session's memoized winnow layers (plan-inspection escape
     * hatch — the releaseTypoPairs convention). */
   private[graft] def releaseWinnowPicks(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    Seq(winnowPickMemo, winnowScoredMemo).foreach { m =>
-      m.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
-        Option(m.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    }
+    winnowPickMemo.release(s)
+    winnowScoredMemo.release(s)
   }
 
-  private[operators] def winnowPickSet(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    winnowPickMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(winnowPickMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    winnowPickMemo.computeIfAbsent((s, d), _ => {
+  private[operators] def winnowPickSet(s: SparkSession, d: String): DataFrame =
+    winnowPickMemo.get(s, "", d) {
       // h-hashed into the SCAN's size-derived partition count (the
       // buildCapped coalesce rule): the pick set is corpus-fraction-
       // sized, and 32 near-empty cached partitions made every downstream
@@ -505,17 +494,11 @@ object DedupQueries {
         .repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       picks
-    })
-  }
+    }
 
   private[operators] def winnowScoredPairs(s: SparkSession,
-                                           d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    winnowScoredMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(winnowScoredMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    winnowScoredMemo.computeIfAbsent((s, d), _ => {
+                                           d: String): DataFrame =
+    winnowScoredMemo.get(s, "", d) {
       val scored = servedDerived(s, d, "winnow_pairs", "winpairs",
           "documents.parquet",
           s"k${TextQueries.WinnowK}w${TextQueries.WinnowW}")(
@@ -523,8 +506,7 @@ object DedupQueries {
         .cache()
       scored.count() // eager — see winnowPickSet
       scored
-    })
-  }
+    }
 
   /** The shared shingle-index layer stack as NAMED one-time builds, in
     * dependency order, for per-phase bench attribution: each thunk forces
@@ -1610,17 +1592,12 @@ object DedupQueries {
     * mirror for it — results are identical by the bound.
     */
   private val typoPairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
   /** Drop the session's memoized typo pairs (the releaseShingleIndex
     * escape hatch — plan-inspection tests need the UNCACHED plan). */
-  private[graft] def releaseTypoPairs(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    typoPairMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
-      Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
-    }
-  }
+  private[graft] def releaseTypoPairs(s: SparkSession): Unit =
+    typoPairMemo.release(s)
 
   /** The SymSpell VARIANT INDEX (blk, p_partkey) of a part catalog — one
     * 16 B/row table: the bucket key is the fused
@@ -1683,13 +1660,8 @@ object DedupQueries {
       .filter(col("dist") <= 2)
   }
 
-  private def typoPairs(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    typoPairMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(typoPairMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    typoPairMemo.computeIfAbsent((s, d), _ => {
+  private def typoPairs(s: SparkSession, d: String): DataFrame =
+    typoPairMemo.get(s, "", d) {
       val pairs = servedDerived(s, d, "typo_pairs", "typopairs",
           "part.parquet", s"cap$TypoVariantCap") {
           val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
@@ -1697,8 +1669,7 @@ object DedupQueries {
         }.cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       pairs
-    })
-  }
+    }
 
   /** q_dedup_embed's candidate + verify pipeline down to distinct
     * (va, vb, sim_e9) pairs at sim ≥ minSimE9: 2-probe IVF bucket

@@ -130,32 +130,21 @@ object EventTimeQueries {
     * cached KB-scale table.
     */
   private val funnelLagMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
-  private[operators] def funnelLagSet(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    funnelLagMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(funnelLagMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    funnelLagMemo.computeIfAbsent((s, d), _ => {
+  private[operators] def funnelLagSet(s: SparkSession, d: String): DataFrame =
+    funnelLagMemo.get(s, "", d) {
       val lags = DedupQueries.servedDerived(s, d, "funnel_lags", "funlags",
           "events.parquet", "stack2")(funnelLagPlan(ems(s, d)))
         .cache()
       lags.count() // eager: a lazily-cached layer recomputes on eviction races
       lags
-    })
-  }
+    }
 
   /** Drop the session's memoized funnel-lag layer (the
     * releaseWinnowPicks convention). */
-  private[graft] def releaseFunnelLags(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    funnelLagMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
-      Option(funnelLagMemo.remove(k)).foreach(_.unpersist(blocking = false))
-    }
-  }
+  private[graft] def releaseFunnelLags(s: SparkSession): Unit =
+    funnelLagMemo.release(s)
 
   /** The funnel-lag layer as a NAMED one-time bench phase (the
     * [[DedupQueries.indexPhases]] convention). */

@@ -121,9 +121,7 @@ object SimilarityQueries {
     * rows), so memoizing the result frame skips retraining entirely.
     * Same immutable-fixture-dir convention as Tables' reader memo.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-                                               DataFrame]()
+  private val modelCache = new graft.api.SessionMemo[DataFrame]()
 
   /** How each memoized model was obtained — "artifact" (fingerprint-hit
     * read of the persisted model) or "fit" (cold Lloyd's run) — so the
@@ -141,12 +139,8 @@ object SimilarityQueries {
     Option(modelSource.get((s, kind, d))).getOrElse("unbuilt")
 
   private def memoModel(s: SparkSession, kind: String, d: String)
-                       (build: => DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    modelCache.keySet.asScala
-      .filter(k => k._1 == s && k._2 == kind && k._3 != d)
-      .toSeq.foreach(modelCache.remove)
-    modelCache.computeIfAbsent((s, kind, d), _ => {
+                       (build: => DataFrame): DataFrame =
+    modelCache.get(s, kind, d) {
       // serve-from-artifact first (VERDICT r10 #6): the fit is
       // deterministic, so a persisted model trained on THIS exact input
       // (fileFingerprint guards staleness — a regenerated fixture
@@ -168,8 +162,7 @@ object SimilarityQueries {
           modelSource.put((s, kind, d), "fit")
           m
       }
-    })
-  }
+    }
 
   private[graft] def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =
     memoModel(s, "ivf", d)(

@@ -39,23 +39,13 @@ object TextQueries {
     * so split-then-lower ≡ lower-then-split).
     */
   private val tokLayerMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
-  private[graft] def releaseTokenLayer(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    tokLayerMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
-      Option(tokLayerMemo.remove(k)).foreach(_.unpersist(blocking = false))
-    }
-  }
+  private[graft] def releaseTokenLayer(s: SparkSession): Unit =
+    tokLayerMemo.release(s)
 
-  private[operators] def tokenLayer(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    tokLayerMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(tokLayerMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    tokLayerMemo.computeIfAbsent((s, d), _ => {
+  private[operators] def tokenLayer(s: SparkSession, d: String): DataFrame =
+    tokLayerMemo.get(s, "", d) {
       val layer = DedupQueries.servedDerived(s, d, "token_counts",
           "tokcounts", "documents.parquet", "ws")(
           fanOut(documents(s, d))
@@ -66,8 +56,7 @@ object TextQueries {
         .cache()
       layer.count() // eager — the winnowPickSet rationale
       layer
-    })
-  }
+    }
 
   /** q_text_vocab_overlap core over (source, token) rows (duplicates
     * tolerated — the leading distinct folds them): per unordered source
@@ -701,9 +690,7 @@ object TextQueries {
     * SimilarityQueries.memoModel posture, keyed (session, kind, dir)).
     * Values are driver-resident model state: the logit weight array, the
     * vocab piece list. */
-  private val textModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-                                               AnyRef]()
+  private val textModelCache = new graft.api.SessionMemo[AnyRef]()
   private val textModelSource =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
                                                String]()
@@ -712,12 +699,8 @@ object TextQueries {
     Option(textModelSource.get((s, kind, d))).getOrElse("unbuilt")
 
   private def memoTextModel[A <: AnyRef](s: SparkSession, kind: String,
-      d: String)(readArt: String => Option[A], buildAndPersist: String => A): A = {
-    import scala.jdk.CollectionConverters._
-    textModelCache.keySet.asScala
-      .filter(k => k._1 == s && k._2 == kind && k._3 != d)
-      .toSeq.foreach(textModelCache.remove)
-    textModelCache.computeIfAbsent((s, kind, d), _ => {
+      d: String)(readArt: String => Option[A], buildAndPersist: String => A): A =
+    textModelCache.get(s, kind, d) {
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_${kind}_$slug"
       readArt(table) match {
@@ -726,8 +709,7 @@ object TextQueries {
           val m = buildAndPersist(table)
           textModelSource.put((s, kind, d), "fit"); m
       }
-    }).asInstanceOf[A]
-  }
+    }.asInstanceOf[A]
 
   /** Trained quality-gate MODEL (dim weights, intercept, operating
     * threshold — dim+2 doubles) — artifact-served (fingerprint on

@@ -678,31 +678,20 @@ object DedupQueries {
     * over a RESTRICTED doc sample, not this table.
     */
   private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
-  private[graft] def releaseBandSignatures(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    sigMemo.keySet.asScala.filter(_._1 == s).toSeq.foreach { k =>
-      Option(sigMemo.remove(k)).foreach(_.unpersist(blocking = false))
-    }
-  }
+  private[graft] def releaseBandSignatures(s: SparkSession): Unit =
+    sigMemo.release(s)
 
-  private[graft] def bandSigTable(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    sigMemo.keySet.asScala.filter(k => k._1 == s && k._2 != d)
-      .toSeq.foreach { k =>
-        Option(sigMemo.remove(k)).foreach(_.unpersist(blocking = false))
-      }
-    sigMemo.computeIfAbsent((s, d), _ => {
+  private[graft] def bandSigTable(s: SparkSession, d: String): DataFrame =
+    sigMemo.get(s, "", d) {
       val bands = servedDerived(s, d, "shingle_sigs", "shsigs",
           "documents.parquet", s"df$DfCap-k$K-r$Rows")(
           bandSignatures(shingleHashes(s, d)))
         .cache()
       bands.count() // eager — the winnowPickSet rationale
       bands
-    })
-  }
+    }
 
   /** DuckDB mirror of [[shingles]]: (doc_id, h) of distinct 3-gram
     * polynomial hashes over per-token md5 hashes — identical arithmetic to

@@ -100,6 +100,36 @@ object SamplingQueries {
       .orderBy("source")
   }
 
+  /** Docs-per-shard for q_curriculum (the loader's unit of work). */
+  private[graft] val CurriculumShard = 64L
+
+  /** q_curriculum core over (doc_id, text) rows — factored so the spec
+    * can pin the prefix-sum ordinal against the brute-force
+    * single-window form on crafted corpora. See the query entry for the
+    * shape rationale. */
+  private[graft] def curriculumPlan(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("qe", TextQueries.qualityE6Col)
+      .select(col("doc_id"),
+        expr("9L - least(9L, qe * 10 DIV 1000000)").as("stage"),
+        md5long(col("doc_id").cast("string")).as("h"))
+      .withColumn("hb", expr("h DIV " + (1L << 52)))
+    val wBuckets = Window.orderBy("stage", "hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive prefix over the BOUNDED bucket rollup (≤ 10 stages ×
+    // 256 high-bytes rows) — the cdfAttach bounded-single-partition rule
+    val offs = base.groupBy("stage", "hb").agg(count(lit(1)).as("c"))
+      .select(col("stage"), col("hb"),
+        coalesce(sum("c").over(wBuckets), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("stage", "hb").orderBy("h", "doc_id")
+    base.join(broadcast(offs), Seq("stage", "hb"))
+      .withColumn("ord",
+        row_number().over(wIn).cast("long") + col("off") - 1)
+      .select(col("doc_id"), col("stage"), col("ord"),
+        expr(s"ord DIV $CurriculumShard").as("shard"))
+      .orderBy("ord")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_sample_hash" -> ((s, d) => {
       // deterministic 10% Bernoulli sample: membership is a pure function
@@ -134,6 +164,26 @@ object SamplingQueries {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+
+    "q_curriculum" -> ((s, d) =>
+      // Deterministic TRAINING-ORDER assignment — the step between
+      // curation and the data loader: every doc gets a curriculum stage
+      // (descending quality decile of the shared qualityE6Col — the
+      // quality-annealing read: best decile streams first), a
+      // deterministic within-stage shuffle (the md5 hash — never
+      // rand()), an exact GLOBAL ordinal over (stage, h, doc_id), and
+      // its 64-doc shard. THE SHAPE: a global ordinal is the textbook
+      // single-partition row_number over the corpus — a scale-killer.
+      // The engine computes it with the two-level prefix-sum pattern
+      // instead (the q_stats_ks machinery as an ORDINAL, not a CDF):
+      // one keyed count over bounded (stage, hb) buckets (hb = the
+      // hash's high byte), an exclusive cumsum on the 2560-row bucket
+      // rollup (deliberate bounded single-partition window), PARTITIONED
+      // within-bucket row_numbers, broadcast offset re-attach. More hb
+      // bits is the 100 TB knob (per-bucket rows stay ~n/buckets by hash
+      // uniformity). Oracle deliberately takes the textbook
+      // single-window form — the two must agree exactly.
+      curriculumPlan(documents(s, d))),
 
     "q_chunk_docs" -> ((s, d) => {
       // The complement of packing: SPLIT long docs into overlapping
@@ -567,6 +617,38 @@ object SamplingQueries {
          |  FROM t)
          |SELECT doc_id, quality_e6, bucket FROM q
          |WHERE bucket < quality_e6 ORDER BY doc_id""".stripMargin,
+
+    // textbook single-window global ordinal — the engine's bucket
+    // prefix-sum must agree exactly; quality CTE restates qualityE6Col
+    "q_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) AS stop_hits,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(floor((least(n_tok / 400, 1.0) * 0.25
+         |                     + (n_uniq / n_tok) * 0.35
+         |                     + (1.0 - stop_hits / n_tok) * 0.2
+         |                     + least((n_chars - (n_tok - 1)) / n_tok / 8, 1.0) * 0.2)
+         |                    * 1e6) AS BIGINT) AS qe
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, 9 - least(9, qe * 10 // 1000000) AS stage,
+         |         ${duckKey("doc_id")} AS h
+         |  FROM q),
+         |o AS (
+         |  SELECT doc_id, stage,
+         |         CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1
+         |              AS BIGINT) AS ord
+         |  FROM s)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage, ord,
+         |       CAST(ord // 64 AS BIGINT) AS shard
+         |FROM o ORDER BY ord""".stripMargin,
 
     "q_mix_sources" ->
       s"""WITH d AS (

@@ -404,6 +404,42 @@ class GraftOpsSpec extends SparkSpec {
     assert(graft.api.IvfOps.bucketPairs(solo, minMembers = 2).count() == 0)
   }
 
+  test("curriculumPlan: bucket prefix-sum ordinal equals the brute-force " +
+       "global window; shards fill to exactly 64 docs; ord is a " +
+       "permutation") {
+    import org.apache.spark.sql.expressions.Window
+    // 300 crafted docs across quality tiers: long rich text (high
+    // decile), mid, and degenerate one-worders (bottom decile)
+    val docs = (0L until 300L).map { i =>
+      val text = (i % 3) match {
+        case 0 => (1 to 60).map(j => s"tok${(i + j) % 37}").mkString(" ")
+        case 1 => (1 to 12).map(j => s"w${j % 5}").mkString(" ")
+        case _ => "x"
+      }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = graft.operators.SamplingQueries.curriculumPlan(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // brute force: single global window over the same keys
+    val brute = graft.operators.SamplingQueries.curriculumPlan(docs)
+      .select("doc_id", "stage")
+      .withColumn("h", graft.functions.TextHash.md5long($"doc_id".cast("string")))
+      .withColumn("ord", row_number().over(
+        Window.orderBy($"stage", $"h", $"doc_id")).cast("long") - 1)
+      .select($"doc_id", $"stage", $"ord", expr("ord DIV 64").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.sortBy(_._1) == brute.sortBy(_._1))
+    assert(got.map(_._3).sorted == (0L until 300L)) // exact permutation
+    val shardSizes = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(shardSizes.filterKeys(_ < 4).values.forall(_ == 64),
+      s"full shards must hold exactly 64: $shardSizes")
+    assert(shardSizes(4L) == 300 - 4 * 64)
+    // stages are monotone along the ordinal (the curriculum contract)
+    assert(got.sortBy(_._3).map(_._2) == got.map(_._2).sorted)
+  }
+
   test("mixCorpus downsamples sources toward the target mixture, " +
        "deterministically, excluding unlisted sources") {
     val docs = ((1L to 4000L).map(i => (i, if (i % 2 == 0) "web" else "books"))

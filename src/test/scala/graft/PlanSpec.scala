@@ -538,6 +538,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q_curriculum: the global ordinal rides PARTITIONED within-bucket " +
+       "windows + a broadcast offset attach — never a corpus-wide " +
+       "single-partition row_number") {
+    val p = plan("q_curriculum")
+    assert(p.contains("BroadcastHashJoin"), p) // the 2560-row offset attach
+    assert(!p.contains("SortMergeJoin"), p)
+    // the corpus window partitions by (stage, hb) — its spec string
+    // carries both partition columns
+    assert(p.contains("windowspecdefinition(stage"), p)
+  }
+
   test("q_text_quality_model: inline fixture weights — no join node, one " +
        "doc-keyed aggregation, no window") {
     val p = plan("q_text_quality_model")

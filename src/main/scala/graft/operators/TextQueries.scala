@@ -876,6 +876,63 @@ object TextQueries {
       })
   }
 
+  /** The trained gate as a STATELESS PER-ROW operator — the streaming
+    * member of the learned-quality family (s_quality_gate): a pure
+    * projection over (doc_id, text), so the identical expression runs
+    * unchanged under readStream in append mode with no watermark (the
+    * s_mm_decode posture). BIT-EQUAL to [[scoreWithWeights]] over the
+    * token layer BY CONSTRUCTION, not by tolerance: the row's tokens
+    * sort, one HOF fold groups equal-token RUNS, and each run emits the
+    * SAME double term the batch computes for that (doc, token) feature
+    * row — (count/n)·w, one rounding each — all accumulated in
+    * DECIMAL(30,15), whose exact addition makes the two engines'
+    * different summation ORDERS irrelevant (the LogReg doctrine). The
+    * per-row cost is O(L log L) for the sort + O(L) for the fold.
+    * LogRegSpec pins row-gate ≡ batch-gate row-for-row.
+    */
+  private[graft] def rowQualityGate(docs: DataFrame,
+                                    model: Array[Double]): DataFrame = {
+    val dim = model.length - 2 // = QualityFeatDim (hashed buckets + length)
+    val warr = array((0 until dim).map(b => lit(model(b))): _*)
+    val toks = array_sort(split(col("text"), " "))
+    val n = size(toks).cast("double")
+    // bucket modulus derives from the MODEL's shape (dim − 1 hashed
+    // buckets + the length feature) so a spec-crafted small model stays
+    // self-consistent; the production model has dim − 1 == QualityModelDim
+    def wOf(t: Column): Column =
+      element_at(warr,
+        (pmod(md5long(t), lit(dim - 1)) + 1).cast("int"))
+    val dec0 = lit(0).cast("decimal(30,15)")
+    def runTerm(prev: Column, run: Column): Column =
+      when(prev.isNull, dec0)
+        .otherwise(((run.cast("double") / n) * wOf(prev))
+          .cast("decimal(30,15)"))
+    val folded = aggregate(toks,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+             dec0.as("acc")),
+      (acc, t) => {
+        val prev = acc.getField("prev"); val run = acc.getField("run")
+        when(prev <=> t,
+          struct(prev.as("prev"), (run + 1).as("run"),
+                 acc.getField("acc").as("acc")))
+        .otherwise(
+          struct(t.as("prev"), lit(1L).as("run"),
+                 // re-cast: decimal addition widens precision and the
+                 // fold's accumulator type is fixed at init; margins are
+                 // |·| < 10⁶ so the cast is always exact
+                 (acc.getField("acc") + runTerm(prev, run))
+                   .cast("decimal(30,15)").as("acc")))
+      })
+    val lenTerm = ((least(n / 400, lit(1.0)) * model(dim - 1))
+      .cast("decimal(30,15)"))
+    val m = (folded.getField("acc") +
+        runTerm(folded.getField("prev"), folded.getField("run")) + lenTerm)
+      .cast("double") + model(dim)
+    docs.select(col("doc_id"),
+      floor(m * 1e6).cast("long").as("score_e6"),
+      (m >= model(dim + 1)).as("keep"))
+  }
+
   /** Holdout AUC of the trained gate against the heuristic labels on the
     * doc_id % 5 == 0 split the fit never saw — the LogRegSpec gate,
     * shared with the LogitProbe dev harness. Collects only the
@@ -1019,6 +1076,19 @@ object TextQueries {
       // (LogRegSpec), the KMeans.fit/no_oracle precedent.
       scoreWithWeights(qualityFeatures(s, d),
         trainedQualityWeights(s, d)).orderBy("doc_id")),
+
+    "s_quality_gate" -> ((s, d) =>
+      // STREAMING learned quality gate — the model family's streaming
+      // member (the s_mm_decode posture): [[rowQualityGate]] is a pure
+      // per-row projection of the persisted model, so the identical
+      // expression runs unchanged under readStream in append mode
+      // (StreamingSpec drives it over a two-micro-batch MemoryStream);
+      // this batch twin is BIT-EQUAL to q_text_quality_model_trained
+      // row-for-row (LogRegSpec pins it — the sorted-run decimal fold
+      // emits the same term multiset the bucket aggregation sums).
+      // no_oracle by design (trained float model), like its twin.
+      rowQualityGate(documents(s, d), trainedQualityWeights(s, d))
+        .orderBy("doc_id")),
 
     "q_text_langid" -> ((s, d) =>
       // Heuristic language-ID — see [[langPred]], the one definition

@@ -80,6 +80,16 @@ class LogRegSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("s_quality_gate's per-row scorer is BIT-EQUAL to the batch gate " +
+       "(sorted-run decimal fold == bucket aggregation, same doubles)") {
+    val batch = operators.TextQueries.queries(
+      "q_text_quality_model_trained")(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = operators.TextQueries.queries("s_quality_gate")(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow == batch) // exact equality incl. every score_e6 double-floor
+  }
+
   test("scoreWithWeights is exact against a hand-built model") {
     // model: w = [2.0, -1.0], intercept 0.5, threshold 1.0
     val model = Array(2.0, -1.0, 0.5, 1.0)

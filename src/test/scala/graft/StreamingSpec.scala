@@ -165,6 +165,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(0).getString(1).startsWith("call <PHONE> now ok yes\n"))
   }
 
+  test("learned quality gate composes under readStream (s_quality_gate)") {
+    // the trained model applies as a pure per-row projection
+    // (rowQualityGate — constant-folded weights, sorted-run decimal
+    // fold), so the streaming gate is the batch expression unchanged in
+    // append mode; two micro-batches pin row equality with the batch run
+    implicit val sq = spark.sqlContext
+    val model = Array(0.5, -0.25, 1.5, 0.02, -0.1, 0.05) // 3 buckets+len+w0+thr
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextQueries.rowQualityGate(df, model)
+    val rows = Seq((1L, "aa bb aa cc"), (2L, ""), (3L, "zz zz zz"),
+                   (4L, (1 to 30).map(i => s"t$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = gate(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_stream").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val want = gate(rows.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 4)
+  }
+
   test("media encode+decode composes under readStream (s_mm_decode)") {
     // the codec path is stateless mapPartitions twice over, so the same
     // operators run unchanged over an unbounded stream in append mode —

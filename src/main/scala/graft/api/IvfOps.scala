@@ -138,8 +138,13 @@ object IvfOps {
     // inflate the minMembers count, nor emit an a==a "pair". The cap
     // and its oracle QUALIFY mirrors therefore rank over identical
     // DISTINCT member sets BY CONSTRUCTION, not by upstream uniqueness
-    // claims (VERDICT r12 #6). Null-safe so the guard itself can never
-    // drop a first row.
+    // claims (VERDICT r12 #6). Null-safe compare: a bucket's first row
+    // with a NON-null id always survives (lag is null, null <=> id is
+    // false); a first row whose id IS null matches the null lag and is
+    // dropped — intentional, since a null id can neither pair nor be
+    // deduped against, and the oracle QUALIFY mirrors skip it the same
+    // way (r13 review: this comment previously claimed no first row is
+    // ever dropped, which is wrong for the null-id case).
     val base = asg.select(col(bucketCol), col(idCol))
       .withColumn("__dup", lag(col(idCol), 1).over(byBucket))
       .filter(!(col("__dup") <=> col(idCol)))

@@ -84,20 +84,27 @@ object LogReg {
           .join(lab, Seq("id"))
           .select(col("id"), (sigmoidCol(col("m") + lit(w0)) - col("y")).as("e"))
         // the residual frame feeds two sums — cache it for the iteration
-        // so the margin aggregation runs once, not once per consumer
+        // so the margin aggregation runs once, not once per consumer;
+        // try/finally so a failed collect can't leak the cached frame
+        // (the outer finally releases only f and lab)
         err.cache()
-        // gradient feature cells: err joins back onto the feature triples
-        // (id-keyed), aggregates per bucket — D cells of model state
-        val cells = err.join(f, Seq("id"))
-          .groupBy("b")
-          .agg(sum((col("e") * col("c")).cast("decimal(30,15)"))
-            .cast("double").as("g"))
-          .collect()
-        // intercept gradient: Σe once per ID (from err directly — summing
-        // via the feature join would count each id once per feature row)
-        val g0 = err.agg(
-          sum(col("e").cast("decimal(30,15)")).cast("double")).head.getDouble(0)
-        err.unpersist(blocking = false)
+        val (cells, g0) =
+          try {
+            // gradient feature cells: err joins back onto the feature
+            // triples (id-keyed), aggregates per bucket — D cells of
+            // model state
+            val c = err.join(f, Seq("id"))
+              .groupBy("b")
+              .agg(sum((col("e") * col("c")).cast("decimal(30,15)"))
+                .cast("double").as("g"))
+              .collect()
+            // intercept gradient: Σe once per ID (from err directly —
+            // summing via the feature join would count each id once per
+            // feature row)
+            val g = err.agg(sum(col("e").cast("decimal(30,15)"))
+              .cast("double")).head.getDouble(0)
+            (c, g)
+          } finally err.unpersist(blocking = false)
         val grad = new Array[Double](dim + 1)
         cells.foreach(r => grad(r.getInt(0)) = r.getDouble(1))
         grad(dim) = g0

@@ -17,22 +17,32 @@ import org.apache.spark.sql.SparkSession
   * state). `onEvict` releases held resources (cached DataFrames
   * unpersist; plain model state needs nothing).
   *
-  * Same concurrency posture as the idiom it replaces: eviction and
-  * insertion are map-bookkeeping-only critical sections
-  * (computeIfAbsent serializes builders per key, never globally), and a
-  * double-unpersist in an evict race is a harmless no-op.
+  * Concurrency: evict-then-insert runs under a per-(session, group)
+  * monitor, so the one-dir residency policy HOLDS under races — two
+  * threads fetching different variants of the same group can no longer
+  * interleave so both end up resident (r13 review flagged the lock-free
+  * version). The cost is that concurrent BUILDS within one group
+  * serialize (builds of different groups stay parallel) — acceptable
+  * because a group's variants are alternative fixture dirs, and only
+  * one dir is ever live per session outside the bench-warmup handoff.
+  * A double-unpersist in onEvict remains a harmless no-op.
   */
 final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
 
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), V]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
 
   def get(s: SparkSession, group: String, variant: String)(build: => V): V = {
     import scala.jdk.CollectionConverters._
-    m.keySet.asScala
-      .filter(k => k._1 == s && k._2 == group && k._3 != variant)
-      .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
-    m.computeIfAbsent((s, group, variant), _ => build)
+    val lock = locks.computeIfAbsent((s, group), _ => new Object)
+    lock.synchronized {
+      m.keySet.asScala
+        .filter(k => k._1 == s && k._2 == group && k._3 != variant)
+        .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+      m.computeIfAbsent((s, group, variant), _ => build)
+    }
   }
 
   /** Drop every entry of `s` (optionally only `group`'s) — the

@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed UDAF: exact integer co-moment state for the embedding
-  * dimension-covariance audit (q_emb_covariance) — Σxᵢ per dimension and
-  * Σxᵢxⱼ per upper-triangle pair over milli-quantized codes
+/** Typed UDAF base: exact integer co-moment state for the embedding
+  * dimension-covariance family (q_emb_covariance, the trained-PCA fit) —
+  * Σxᵢ per dimension and Σxᵢxⱼ per pair over milli-quantized codes
   * (floor(x·1000), so every sum is integer arithmetic and the DuckDB
   * oracle replays it bit-for-bit).
   *
@@ -16,13 +16,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffle. That is the whole 100 TB story: state is O(d²) regardless of
   * corpus size, identical to CentroidAggregator's O(d) pattern.
   *
-  * finish emits the upper-triangle cells (i, j, n, Σxᵢ, Σxⱼ, Σxᵢxⱼ); the
-  * caller forms the covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ in
-  * DECIMAL(38,0) (the engine-wide envelope doctrine — codes are ≤~2¹¹,
-  * so Σ products stay in Long to ~2⁴⁰ rows, and the final cross-products
-  * are where Long would first overflow).
+  * finish emits the pair cells (i, j, n, Σxᵢ, Σxⱼ, Σxᵢxⱼ); the caller
+  * forms the covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ in DECIMAL(38,0)
+  * (the engine-wide envelope doctrine — codes are ≤~2¹¹, so Σ products
+  * stay in Long to ~2⁴⁰ rows, and the final cross-products are where
+  * Long would first overflow).
+  *
+  * `jFrom(i)` picks the emitted/accumulated column range per row i:
+  * [[EmbCovAggregator]] keeps the strict upper triangle (i < j — the
+  * q_emb_covariance audit's hash-pinned shape), [[EmbCovDiagAggregator]]
+  * includes the diagonal (i ≤ j — the full symmetric matrix the PCA fit
+  * needs; Σxᵢ² rides sxy(i,i)).
   */
-object EmbCovAggregator
+sealed abstract class EmbMomentsAggregator(jFrom: Int => Int)
     extends Aggregator[Seq[Long], (Long, Array[Long], Array[Long]),
                        Seq[(Int, Int, Long, Long, Long, Long)]] {
 
@@ -42,12 +48,12 @@ object EmbCovAggregator
     // wider export (or zero-filling a narrower one) would emit wrong
     // covariances that LOOK valid — surface the mismatch instead
     require(arr.length == Dim,
-      s"EmbCovAggregator expects $Dim-dim vectors, got ${arr.length}")
+      s"EmbMomentsAggregator expects $Dim-dim vectors, got ${arr.length}")
     var i = 0
     while (i < Dim) {
       val vi = arr(i)
       sx(i) += vi
-      var j = i + 1
+      var j = jFrom(i)
       while (j < Dim) { sxy(i * Dim + j) += vi * arr(j); j += 1 }
       i += 1
     }
@@ -70,7 +76,7 @@ object EmbCovAggregator
     if (r._1 == 0) Seq.empty
     else (for {
       i <- 0 until Dim
-      j <- (i + 1) until Dim
+      j <- jFrom(i) until Dim
     } yield (i, j, r._1, r._2(i), r._2(j), r._3(i * Dim + j))).toSeq
 
   override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
@@ -79,3 +85,10 @@ object EmbCovAggregator
   override def outputEncoder: Encoder[Seq[(Int, Int, Long, Long, Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Long, Long, Long, Long)]]()
 }
+
+/** Strict upper triangle (i < j) — q_emb_covariance's hash-pinned shape. */
+object EmbCovAggregator extends EmbMomentsAggregator(i => i + 1)
+
+/** Diagonal-inclusive (i ≤ j) — the full symmetric co-moment matrix for
+  * [[graft.api.Pca.fitBasis]] (one corpus pass, O(d²) state). */
+object EmbCovDiagAggregator extends EmbMomentsAggregator(i => i)

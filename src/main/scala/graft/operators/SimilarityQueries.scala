@@ -171,6 +171,26 @@ object SimilarityQueries {
   private[graft] def trainedPqCodebook(s: SparkSession, d: String): DataFrame =
     memoModel(s, "pq", d)(pqTrainedCodebook(emb(s, d)))
 
+  /** The trained PCA eigenbasis (k, i, b, lambda_e6) — artifact-served or
+    * fit via [[graft.api.Pca.fitBasis]]; ProjK×Dim rows of driver model
+    * state (the KMeans memo pattern). */
+  private[graft] def trainedPcaModel(s: SparkSession, d: String): DataFrame =
+    memoModel(s, "pca", d)(
+      graft.api.Pca.fitBasis(emb(s, d), "v", k = ProjK))
+
+  /** The memoized eigenbasis as ProjK milli-quantized coefficient rows —
+    * basis(k)(i) — for the literal-array projection. */
+  private[graft] def trainedPcaBasis(s: SparkSession,
+                                     d: String): Seq[Array[Long]] = {
+    val rows = trainedPcaModel(s, d).collect() // ProjK×Dim model rows
+    (0 until ProjK).map { k =>
+      val arr = new Array[Long](Dim)
+      rows.filter(_.getLong(0) == k)
+        .foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+      arr
+    }
+  }
+
   /** Named one-time training phases for Bench (the
     * DedupQueries.indexPhases pattern): forcing each memo here makes the
     * trained queries' own timings pure query cost, with the fit
@@ -185,7 +205,9 @@ object SimilarityQueries {
     ("kmeans_ivf_train", () => trainedIvfCentroids(s, d).count(),
       () => trainSource(s, "ivf", d)),
     ("kmeans_pq_train", () => trainedPqCodebook(s, d).count(),
-      () => trainSource(s, "pq", d)))
+      () => trainSource(s, "pq", d)),
+    ("pca_train", () => trainedPcaModel(s, d).count(),
+      () => trainSource(s, "pca", d)))
 
   /** q_emb_dims core over rows with an `embedding` array column. */
   private[graft] def dimProfile(e: DataFrame): DataFrame =
@@ -259,12 +281,27 @@ object SimilarityQueries {
     * range (|q| ≤ ~10³ milli-units · |b| ≤ 10³ · 64 dims ⇒ |p| < 10⁸ —
     * far inside BIGINT, no DECIMAL needed). Factored for the spec's
     * hand-derived unit-vector pins. */
-  private[graft] def embProject(e: DataFrame): DataFrame = {
+  private[graft] def embProject(e: DataFrame): DataFrame =
+    embProjectOn(e, (k, i) => basisVal(k, i))
+
+  /** q_emb_project_trained core: the identical exact-integer map-side
+    * matmul over a TRAINED milli-quantized eigenbasis — coefficients
+    * attach as constant-folded literal arrays (the model-as-driver-state
+    * convention; no join node, no broadcast). */
+  private[graft] def embProjectTrained(e: DataFrame,
+                                       basis: Seq[Array[Long]]): DataFrame =
+    embProjectOn(e, (k, i) =>
+      element_at(array(basis(k).map(lit(_)): _*), (i + 1).cast("int")))
+
+  /** Shared projection plan over any (component, dim) → Column basis
+    * lookup — ONE matmul definition for the fixture and trained halves. */
+  private def embProjectOn(e: DataFrame,
+                           basis: (Int, Column) => Column): DataFrame = {
     val q = transform(col("v"), x => floor(x * 1000).cast("long"))
     val projs = (0 until ProjK).map { k =>
       aggregate(sequence(lit(0), lit(Dim - 1)), lit(0L),
         (acc, i) => acc + element_at(col("q"), (i + 1).cast("int")) *
-          basisVal(k, i)).as(s"p$k")
+          basis(k, i)).as(s"p$k")
     }
     e.select(col("vec_id"), q.as("q"))
       .select(col("vec_id") +: projs: _*)
@@ -537,6 +574,20 @@ object SimilarityQueries {
         .select(col("i"), col("j"), col("n"),
                 expr("try_cast(cov_d AS BIGINT)").as("cov_num"))
     }),
+
+    "q_emb_project_trained" -> ((s, d) =>
+      // The PRODUCTION half of q_emb_project's fixture-basis split
+      // (VERDICT r13 #3): identical exact-integer map-side matmul, but
+      // the basis is the TRAINED top-ProjK eigenbasis from
+      // [[graft.api.Pca.fitBasis]] — one q_emb_covariance-shaped corpus
+      // pass into O(d²) co-moments, then driver-side deterministic power
+      // iteration with deflation (fixed init/iters/sign rule, the
+      // KMeans.fit doctrine). no_oracle by design: a trained float
+      // eigenbasis has no SQL mirror (DuckDB cannot re-run the
+      // iteration); PcaSpec pins determinism, known-axis recovery,
+      // variance ordering, and near-exact rank-k reconstruction, and the
+      // fixture twin q_emb_project stays the hash-checked contract.
+      embProjectTrained(emb(s, d), trainedPcaBasis(s, d))),
 
     "q_emb_project" -> ((s, d) =>
       // PCA-style projection onto a FIXTURE basis (VERDICT r12 #7) — the
@@ -860,11 +911,12 @@ object SimilarityQueries {
     // the 2016 upper-triangle pairs — the d²-per-row fan-out the ENGINE
     // deliberately avoids (fine at oracle scale, wrong at 100 TB)
     "q_emb_covariance" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT [CAST(floor(x * 1000) AS BIGINT)
         |            for x in embedding::DOUBLE[]] AS q
         |  FROM embeddings),
-        |p AS (SELECT t1.i, t2.j FROM range(0, 64) t1(i), range(0, 64) t2(j)
+        |p AS (SELECT t1.i, t2.j
+        |      FROM range(0, $Dim) t1(i), range(0, $Dim) t2(j)
         |      WHERE t1.i < t2.j),
         |s AS (
         |  SELECT p.i, p.j, count(*) AS n,
@@ -882,10 +934,12 @@ object SimilarityQueries {
     // the same milli-quantize + affine fixture basis, restated literally;
     // list comprehension over the dim range mirrors the aggregate fold
     "q_emb_project" -> {
+      // Dim interpolates from the engine constant (r13 review: a
+      // hardcoded 64 here would silently diverge the oracle if Dim moved)
       val ps = (0 until ProjK).map { k =>
         s"""       CAST(list_aggregate([q[i + 1] *
-           |         ((($k * 64 + i) * 2654435761) % 2001 - 1000)
-           |         for i in range(0, 64)], 'sum') AS BIGINT) AS p$k"""
+           |         ((($k * $Dim + i) * 2654435761) % 2001 - 1000)
+           |         for i in range(0, $Dim)], 'sum') AS BIGINT) AS p$k"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH e AS (

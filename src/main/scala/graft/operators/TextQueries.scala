@@ -888,10 +888,14 @@ object TextQueries {
     * DECIMAL(30,15), whose exact addition makes the two engines'
     * different summation ORDERS irrelevant (the LogReg doctrine). The
     * per-row cost is O(L log L) for the sort + O(L) for the fold.
-    * LogRegSpec pins row-gate ≡ batch-gate row-for-row.
+    * LogRegSpec pins row-gate ≡ batch-gate row-for-row. NULL-text docs
+    * are DROPPED, exactly as the batch twin's token-layer explode drops
+    * them (r13 review: the gate previously emitted a null-score row for
+    * them, silently breaking row-for-row equality on such corpora).
     */
-  private[graft] def rowQualityGate(docs: DataFrame,
+  private[graft] def rowQualityGate(docsIn: DataFrame,
                                     model: Array[Double]): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
     val dim = model.length - 2 // = QualityFeatDim (hashed buckets + length)
     val warr = array((0 until dim).map(b => lit(model(b))): _*)
     val toks = array_sort(split(col("text"), " "))
@@ -1890,29 +1894,29 @@ object TextQueries {
          |FROM tb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // top-K piece derivation: one UNION arm per piece length (positions
-    // are 1-based sliding windows, matching the engine's sequence/substr)
-    "q_text_vocab_train" ->
+    // are 1-based sliding windows, matching the engine's sequence/substr);
+    // arms GENERATE from 2..MaxPiece so the oracle tracks the engine
+    // constant instead of hardcoding 2/3/4 (r13 review)
+    "q_text_vocab_train" -> {
+      val arms = (2 to graft.functions.SubwordTokenizer.MaxPiece).map { l =>
+        s"""  SELECT unnest([substr(w, CAST(i AS INT), $l)
+           |                 for i in range(1, length(w) - ${l - 2})]) AS piece,
+           |         n
+           |  FROM w WHERE length(w) >= $l""".stripMargin
+      }.mkString("\n  UNION ALL\n")
       s"""WITH w AS (
          |  SELECT lower(t) AS w, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          |  WHERE regexp_matches(lower(t), '^[a-z]{2,}$$') GROUP BY 1),
          |pc AS (
-         |  SELECT unnest([substr(w, CAST(i AS INT), 2)
-         |                 for i in range(1, length(w))]) AS piece, n FROM w
-         |  UNION ALL
-         |  SELECT unnest([substr(w, CAST(i AS INT), 3)
-         |                 for i in range(1, length(w) - 1)]) AS piece, n
-         |  FROM w WHERE length(w) >= 3
-         |  UNION ALL
-         |  SELECT unnest([substr(w, CAST(i AS INT), 4)
-         |                 for i in range(1, length(w) - 2)]) AS piece, n
-         |  FROM w WHERE length(w) >= 4),
+         |$arms),
          |top AS (
          |  SELECT piece, CAST(sum(n) AS BIGINT) AS score FROM pc
          |  GROUP BY piece ORDER BY score DESC, piece LIMIT $TrainedVocabK)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, piece)
          |            AS BIGINT) AS rank, piece, score
-         |FROM top ORDER BY rank""".stripMargin,
+         |FROM top ORDER BY rank""".stripMargin
+    },
 
     "q_text_readability" ->
       """SELECT doc_id,

@@ -538,7 +538,9 @@ object DedupQueries {
       ph("winnow_pairs",     () => winnowScoredPairs(s, d).count()),
       // the blocked Damerau verify — built once, consumed by
       // q_dedup_typos AND q_dedup_typo_clusters
-      ph("typo_pairs",       () => typoPairs(s, d).count()))
+      ph("typo_pairs",       () => typoPairs(s, d).count()),
+      // the s_dedup_gate corpus-membership sketch (one-row binary model)
+      ph("bloom_gate",       () => corpusBloomBytes(s, d).length.toLong))
   }
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
@@ -809,10 +811,12 @@ object DedupQueries {
   /** Map-side probe of `batch` against serialized sketch bytes (e.g. the
     * merged persisted artifact): the bytes inline as a foldable binary
     * literal — bounded model state shipped with the task binary, no join,
-    * no subquery, no shuffle.
+    * no subquery, no shuffle. UNSORTED — a pure per-row projection, so
+    * the identical expression runs unchanged under readStream in append
+    * mode (the s_quality_gate posture; s_dedup_gate runs exactly this).
     */
-  private[graft] def bloomProbeBytes(batch: DataFrame,
-                                     bytes: Array[Byte]): DataFrame = {
+  private[graft] def bloomGateRows(batch: DataFrame,
+                                   bytes: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val probe = BloomFilterMightContain(
@@ -820,8 +824,48 @@ object DedupQueries {
       GraftSqlBridge.toExpression(xxhash64(col("text"))))
     batch
       .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))
-      .orderBy("doc_id")
   }
+
+  /** [[bloomGateRows]] with the batch-twin presentation sort. */
+  private[graft] def bloomProbeBytes(batch: DataFrame,
+                                     bytes: Array[Byte]): DataFrame =
+    bloomGateRows(batch, bytes).orderBy("doc_id")
+
+  /** The corpus-membership sketch for s_dedup_gate, as serialized bytes —
+    * session-memoized and artifact-served (fingerprint on
+    * documents.parquet, the trained-model pattern): ONE corpus scan folds
+    * xxhash64(text) into a [[graft.api.IndexArtifacts.BloomNumBits]]-bit
+    * sketch (map-side partial buffers OR-merge), persisted as a one-row
+    * binary model; every later session pays a KB-sized read. The corpus
+    * is the q_dedup_bloom split (doc_id % 10 ≠ 0) so the gate's batch
+    * semantics stay comparable with the batch sketch query.
+    */
+  private val bloomGateCache = new graft.api.SessionMemo[Array[Byte]]()
+
+  private[graft] def corpusBloomBytes(s: SparkSession, d: String): Array[Byte] =
+    bloomGateCache.get(s, "bloomgate", d) {
+      val fp = graft.api.IndexArtifacts
+        .fileFingerprint(s"$d/documents.parquet") + ":bloomgate-v1"
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val table = s"g_model_bloomgate_$slug"
+      graft.api.IndexArtifacts.readModel(s, table, fp) match {
+        case Some(m) =>
+          derivedSource.put((s, "bloom_gate"), "artifact")
+          m.collect().head.getAs[Array[Byte]]("bf")
+        case None =>
+          derivedSource.put((s, "bloom_gate"), "rebuild")
+          val corpus = documents(s, d).filter(col("doc_id") % 10 =!= 0)
+          val bytes = bloomAgg(corpus,
+              graft.api.IndexArtifacts.BloomExpectedItems,
+              graft.api.IndexArtifacts.BloomNumBits)
+            .filter(col("bf").isNotNull)
+            .collect().head.getAs[Array[Byte]]("bf")
+          import s.implicits._
+          graft.api.IndexArtifacts.persistModel(s,
+            Seq(bytes).toDF("bf"), table, fp)
+          bytes
+      }
+    }
 
   def queries: Map[String, Q] = Map(
     "q_dedup_bloom" -> ((s, d) => {
@@ -840,6 +884,27 @@ object DedupQueries {
       bloomSeen(docs.filter(col("doc_id") % 10 =!= 0),
                 docs.filter(col("doc_id") % 10 === 0),
                 knownCount = known)
+    }),
+
+    "s_dedup_gate" -> ((s, d) => {
+      // STREAMING corpus-membership gate (VERDICT r13 #5) — the most
+      // common streaming-curation op, "drop today's crawl rows already
+      // in the corpus", in the s_quality_gate posture: the PERSISTED
+      // corpus sketch ([[corpusBloomBytes]] — artifact-served, one-row
+      // binary model state) applies as a pure per-row projection
+      // ([[bloomGateRows]] — foldable binary literal + xxhash64 probe,
+      // no join/subquery/shuffle), so the identical expression runs
+      // unchanged under readStream in append mode (StreamingSpec drives
+      // it over a two-micro-batch MemoryStream and pins bit-equality to
+      // this batch twin). no_oracle by design, exactly like
+      // q_dedup_bloom: the sketch's bit layout is Spark-specific
+      // (util.sketch Murmur3) — the spec contract is zero false
+      // negatives vs the exact semi-join + determinism. At 100 TB the
+      // stream probe is O(batch) with the corpus compressed to
+      // [[graft.api.IndexArtifacts.BloomNumBits]] bits of task state,
+      // maintained incrementally by appendBloom — no corpus rescan.
+      val batch = documents(s, d).filter(col("doc_id") % 10 === 0)
+      bloomGateRows(batch, corpusBloomBytes(s, d)).orderBy("doc_id")
     }),
 
     "q_dedup_content" -> ((s, d) => {

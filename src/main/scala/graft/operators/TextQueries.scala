@@ -825,17 +825,23 @@ object TextQueries {
     * K-row result (deliberate single-partition over bounded data).
     */
   private[graft] def vocabTrainPlan(s: SparkSession, d: String): DataFrame =
-    vocabTopPieces(
-      tokenLayer(s, d)
-        .select(lower(col("token")).as("w"), col("c"))
-        // \A..\z anchors, NOT ^..$: Java's $ matches BEFORE a final
-        // line terminator, so "word\n" would pass ^[a-z]{2,}$ on the
-        // Spark side while DuckDB's RE2 rejects it — a latent hash
-        // mismatch on any fixture whose text contains newlines, and a
-        // non-[a-z] piece would crash PieceTable's lowercase require
-        // (r13 review)
-        .filter(col("w").rlike("\\A[a-z]{2,}\\z"))
-        .groupBy("w").agg(sum("c").as("n")))
+    vocabTopPieces(corpusWords(s, d))
+
+  /** The (w, n) lowercase word-frequency table every vocabulary trainer
+    * derives from — rides the memoized token layer; vocab-sized, never
+    * corpus-sized. Shared by [[vocabTrainPlan]] and [[bpeMergeList]] so
+    * the two trainers cannot drift on the word filter. */
+  private[graft] def corpusWords(s: SparkSession, d: String): DataFrame =
+    tokenLayer(s, d)
+      .select(lower(col("token")).as("w"), col("c"))
+      // \A..\z anchors, NOT ^..$: Java's $ matches BEFORE a final
+      // line terminator, so "word\n" would pass ^[a-z]{2,}$ on the
+      // Spark side while DuckDB's RE2 rejects it — a latent hash
+      // mismatch on any fixture whose text contains newlines, and a
+      // non-[a-z] piece would crash PieceTable's lowercase require
+      // (r13 review)
+      .filter(col("w").rlike("\\A[a-z]{2,}\\z"))
+      .groupBy("w").agg(sum("c").as("n"))
 
   /** The piece derivation over ANY (w, n) word-frequency table —
     * factored so SubwordVocabSpec can hand-derive crafted corpora
@@ -856,6 +862,117 @@ object TextQueries {
         .cast("long"))
       .select("rank", "piece", "score")
       .orderBy("rank")
+  }
+
+  /** Merge rounds for [[bpeMergeList]] — bounded by construction (the
+    * Sennrich hyperparameter; production raises it, the derivation shape
+    * does not change). */
+  private[graft] val BpeMerges = 12
+
+  /** Adjacent symbol pairs of a space-separated symbol string (the BPE
+    * working representation " h e l l o "): symbols never contain
+    * spaces, so the pair key is `sym || ' ' || sym`. The size guard is
+    * parity-load-bearing: Spark's sequence(1, 0) yields a DESCENDING
+    * [1, 0] where DuckDB's range(1, 1) is empty, so a fully-merged
+    * single-symbol word must short-circuit to an empty pair list. */
+  private def bpePairs(s: Column): Column = {
+    val arr = split(trim(s), " ")
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1), i =>
+        concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Iterative byte-pair-encoding merge derivation (public: Sennrich,
+    * Haddow & Birch, "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016) — the REAL merge loop VERDICT r13 #4
+    * asked for beside the static top-substring vocab_train: each round
+    * counts adjacent SYMBOL pairs over the word-frequency table (exact
+    * integer counts — n-weighted Long sums, order-independent), merges
+    * the max-count pair (ties → lexicographically smallest pair string,
+    * both engines compare ASCII [a-z ]), and rewrites the words. Unlike
+    * vocab_train's fixed length-2..MaxPiece substrings, merges COMPOSE:
+    * round k can join round j<k's output into arbitrarily long pieces.
+    *
+    * Merge application is TWO left-to-right non-overlapping
+    * literal-replace passes over the framed symbol string (' a b ' →
+    * ' ab '): one pass misses every second occurrence of a chained pair
+    * (the shared boundary space is consumed), the second pass catches
+    * them — both engines run the identical replace algorithm, so the device is
+    * parity-exact BY CONSTRUCTION (BpeSpec pins the chain cases,
+    * including the degenerate same-symbol run where the split can
+    * differ from canonical greedy BPE — deterministically, in both
+    * engines, documented there).
+    *
+    * Scale shape: the words table is VOCAB-sized (distinct [a-z]{2,}
+    * words), cached once for the loop; each round is one explode +
+    * pair-keyed aggregation + a LIMIT-1 TakeOrdered, and the chosen
+    * merge returns to the driver as ONE row — bounded model state, the
+    * KMeans.fit doctrine. Round k replays k·2 accumulated replaces over
+    * the cached base (M² cheap column passes total; a production run at
+    * M=32k checkpoints every few hundred rounds — a data knob, not a
+    * shape change).
+    *
+    * Returns (merge_rank, lhs, rhs, merged, score) driver rows; stops
+    * early if the corpus runs out of pairs.
+    */
+  private[graft] def bpeMergeList(words: DataFrame,
+      m: Int): Seq[(Long, String, String, String, Long)] = {
+    val base = words.select(
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+      col("n"))
+    base.cache()
+    try {
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var cur = base
+      var k = 1
+      var done = false
+      while (k <= m && !done) {
+        val best = cur
+          .select(explode(bpePairs(col("s"))).as("pair"), col("n"))
+          .groupBy("pair").agg(sum("n").as("score"))
+          .orderBy(col("score").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best(0).getString(0)
+          val score = best(0).getLong(1)
+          val Array(l, r) = pair.split(" ", 2)
+          val merged = l + r
+          out += ((k.toLong, l, r, merged, score))
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" $merged ")
+          cur = cur.withColumn("s",
+            replace(replace(col("s"), pat, rep), pat, rep))
+          k += 1
+        }
+      }
+      out.result()
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** The memoized BPE merge table — artifact-served (fingerprint on
+    * documents.parquet) or derived via [[bpeMergeList]]; M rows of
+    * driver model state. */
+  private[graft] def trainedBpeMerges(s: SparkSession,
+      d: String): Seq[(Long, String, String, String, Long)] = {
+    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
+      s":bpe-v1:m$BpeMerges"
+    memoTextModel[Seq[(Long, String, String, String, Long)]](s, "bpe", d)(
+      readArt = table =>
+        graft.api.IndexArtifacts.readModel(s, table, fp).map { df =>
+          df.collect().sortBy(_.getLong(0)).map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2),
+             r.getString(3), r.getLong(4))).toSeq
+        },
+      buildAndPersist = { table =>
+        val merges = bpeMergeList(corpusWords(s, d), BpeMerges)
+        import s.implicits._
+        graft.api.IndexArtifacts.persistModel(s,
+          merges.toDF("merge_rank", "lhs", "rhs", "merged", "score"),
+          table, fp)
+        merges
+      })
   }
 
   /** The trained piece list (rank order) — artifact-served or derived
@@ -970,6 +1087,8 @@ object TextQueries {
       : Seq[(String, () => Long, () => String)] = Seq(
     ("logit_quality_train", () => trainedQualityWeights(s, d).length.toLong,
       () => textTrainSource(s, "logitq", d)),
+    ("bpe_train", () => trainedBpeMerges(s, d).size.toLong,
+      () => textTrainSource(s, "bpe", d)),
     ("vocab_train", () => trainedVocabPieces(s, d).size.toLong,
       () => textTrainSource(s, "vocab", d)))
 
@@ -1029,6 +1148,22 @@ object TextQueries {
       // ties, so the trained vocab is hash-checked even though greedy
       // tokenization under it has no SQL mirror. See [[vocabTrainPlan]].
       vocabTrainPlan(s, d)),
+
+    "q_text_vocab_bpe" -> ((s, d) => {
+      // REAL iterative BPE merge training (VERDICT r13 #4; Sennrich et
+      // al. 2016) beside vocab_train's static substring scoring: the
+      // merge table itself — exact integer pair counts, lexicographic
+      // tie rule, BpeMerges bounded rounds, composed pieces. The
+      // derivation is memoized model state ([[trainedBpeMerges]] —
+      // artifact-served like vocab_train) and HASH-CHECKED: the oracle
+      // replays the identical merge loop as a generated chain of
+      // per-round CTEs. See [[bpeMergeList]] for the merge-application
+      // parity device.
+      import s.implicits._
+      trainedBpeMerges(s, d)
+        .toDF("merge_rank", "lhs", "rhs", "merged", "score")
+        .orderBy("merge_rank")
+    }),
 
     "q_text_subwords_trained" -> ((s, d) => {
       // q_text_subwords under the CORPUS-TRAINED vocabulary — the
@@ -1916,6 +2051,53 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, piece)
          |            AS BIGINT) AS rank, piece, score
          |FROM top ORDER BY rank""".stripMargin
+    },
+
+    // the BPE merge loop replayed literally: one (pairs → best → rewrite)
+    // CTE triple per round, GENERATED for rounds 1..BpeMerges so the
+    // oracle tracks the engine constant; the double replace is the
+    // engine's exact merge-application device (see bpeMergeList)
+    "q_text_vocab_bpe" -> {
+      // AS MATERIALIZED is load-bearing: w{k} and b{k} are each
+      // referenced twice (the next round + the output arms), and an
+      // inlined CTE chain re-evaluates the whole prefix per reference —
+      // exponential in BpeMerges (measured: >300 s inlined vs ~1 s
+      // materialized at sf0.01)
+      val rounds = (1 to BpeMerges).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT unnest([l[i] || ' ' || l[i + 1]
+           |                 for i in range(1, len(l))]) AS pair, n
+           |  FROM (SELECT string_split(trim(s), ' ') AS l, n
+           |        FROM w${k - 1})),
+           |b$k AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(n) AS BIGINT) AS score FROM p$k
+           |  GROUP BY 1 ORDER BY score DESC, pair LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT replace(replace(w${k - 1}.s,
+           |           ' ' || b$k.pair || ' ',
+           |           ' ' || replace(b$k.pair, ' ', '') || ' '),
+           |           ' ' || b$k.pair || ' ',
+           |           ' ' || replace(b$k.pair, ' ', '') || ' ') AS s, n
+           |  FROM w${k - 1}, b$k)""".stripMargin
+      }.mkString(",\n")
+      val arms = (1 to BpeMerges).map { k =>
+        s"""  SELECT CAST($k AS BIGINT) AS merge_rank,
+           |         split_part(pair, ' ', 1) AS lhs,
+           |         split_part(pair, ' ', 2) AS rhs,
+           |         replace(pair, ' ', '') AS merged, score
+           |  FROM b$k""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH wsrc AS (
+         |  SELECT lower(t) AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE regexp_matches(lower(t), '^[a-z]{2,}$$') GROUP BY 1),
+         |w0 AS (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+         |  FROM wsrc),
+         |$rounds
+         |SELECT * FROM (
+         |$arms
+         |) ORDER BY merge_rank""".stripMargin
     },
 
     "q_text_readability" ->

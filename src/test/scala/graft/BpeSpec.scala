@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextQueries
+
+/** Hand-derived pins for the iterative BPE merge trainer (VERDICT r13
+  * #4): exact merge sequences over crafted word tables, the
+  * replace-twice chain semantics the oracle mirrors, composition past
+  * the static vocab's MaxPiece, and the production query path.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def words(ws: (String, Long)*) = {
+    import spark.implicits._
+    ws.toSeq.toDF("w", "n")
+  }
+
+  private def merges(df: org.apache.spark.sql.DataFrame, m: Int) =
+    TextQueries.bpeMergeList(df, m)
+
+  test("hand-derived merge sequence with composition and tie rule") {
+    // counts: "aba"×2 contributes (a,b)=2,(b,a)=2; "ab"×3 → (a,b)=3.
+    // round 1: (a,b)=5 beats (b,a)=2 → merge "ab" (score 5)
+    // round 2: "aba"→" ab a "×2 → (ab,a)=2; "ab"→" ab " no pairs
+    //          → merge "aba" (score 2) — COMPOSED from round 1's piece
+    val got = merges(words("aba" -> 2L, "ab" -> 3L), 4)
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "a", "aba", 2L)),
+      s"got $got")
+  }
+
+  test("lexicographic tie rule picks the smallest pair string") {
+    // "cd"×2 and "ab"×2 tie at count 2 → ' a b ' < ' c d ' → ab first
+    val got = merges(words("cd" -> 2L, "ab" -> 2L), 2)
+    assert(got.map(t => (t._1, t._4, t._5)) ==
+      Seq((1L, "ab", 2L), (2L, "cd", 2L)), s"got $got")
+  }
+
+  test("chained pair (abab): both occurrences merge via the two passes") {
+    // " a b a b " — one replace pass merges only the first (a,b) (the
+    // shared boundary space is consumed); the second pass catches the
+    // other. Round 2 must therefore see (ab,ab), not (b,a).
+    val got = merges(words("abab" -> 1L), 2)
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 2L),
+      (2L, "ab", "ab", "abab", 1L)), s"got $got")
+  }
+
+  test("same-symbol run (llll) splits deterministically") {
+    // " l l l l ": pass 1 merges positions 1-2, pass 2 merges 3-4 →
+    // [ll, ll] (canonical greedy agrees here); the documented divergence
+    // case lllll → [ll, l, ll] is deterministic in both engines
+    val got = merges(words("llll" -> 1L), 2)
+    assert(got.head == ((1L, "l", "l", "ll", 3L)), s"got $got")
+    assert(got(1) == ((2L, "ll", "ll", "llll", 1L)), s"got $got")
+  }
+
+  test("composes pieces LONGER than the static vocab's MaxPiece") {
+    val maxP = graft.functions.SubwordTokenizer.MaxPiece
+    val got = merges(words("abcdefgh" -> 5L), 7)
+    val longest = got.map(_._4.length).max
+    assert(longest > maxP,
+      s"expected a composed piece longer than $maxP, longest $longest " +
+      s"in ${got.map(_._4)}")
+  }
+
+  test("runs out of pairs → stops early, never throws") {
+    // single fully-mergeable word: "ab"×1 has one pair, round 2 has none
+    val got = merges(words("ab" -> 1L), 5)
+    assert(got == Seq((1L, "a", "b", "ab", 1L)))
+  }
+
+  test("deterministic across partitionings (exact integer counts)") {
+    val w = words("alpha" -> 7L, "beta" -> 5L, "gamma" -> 3L)
+    val a = merges(w, 6)
+    val b = merges(w.repartition(5), 6)
+    assert(a == b)
+  }
+
+  test("q_text_vocab_bpe production path: BpeMerges rows, rank order") {
+    val df = SparkEntry.queries("q_text_vocab_bpe")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == TextQueries.BpeMerges)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // every merged piece is the concatenation of its parents
+    rows.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+}

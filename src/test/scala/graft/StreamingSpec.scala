@@ -193,6 +193,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("bloom membership gate composes under readStream (s_dedup_gate)") {
+    // the corpus sketch applies as a pure per-row projection (foldable
+    // binary literal + xxhash64 probe), so the streaming gate is the
+    // batch expression unchanged in append mode; two micro-batches pin
+    // row equality with the batch twin, and the corpus rows themselves
+    // pin zero false negatives (a Bloom filter cannot miss an inserted
+    // element)
+    implicit val sq = spark.sqlContext
+    import graft.operators.DedupQueries.{bloomGateRows, bloomAgg}
+    val corpus = Seq((10L, "seen one"), (11L, "seen two"), (12L, "seen three"))
+    val bytes = bloomAgg(corpus.toDF("doc_id", "text"),
+        graft.api.IndexArtifacts.BloomExpectedItems,
+        graft.api.IndexArtifacts.BloomNumBits)
+      .collect().head.getAs[Array[Byte]]("bf")
+    val probe = Seq((1L, "seen one"), (2L, "never before"),
+                    (3L, "seen three"), (4L, "also novel"))
+    val in = MemoryStream[(Long, String)]
+    val q = bloomGateRows(in.toDS().toDF("doc_id", "text"), bytes)
+      .writeStream.format("memory").queryName("bloom_gate_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(2): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloom_gate_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val want = bloomGateRows(probe.toDF("doc_id", "text"), bytes)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // zero false negatives: every corpus text must flag as maybe_seen
+    val fn = bloomGateRows(corpus.toDF("doc_id", "text"), bytes)
+      .collect().filter(!_.getBoolean(1))
+    assert(fn.isEmpty, s"false negatives: ${fn.mkString(",")}")
+    // the duplicated corpus texts in the probe flagged too
+    assert(got.filter(t => Set(1L, 3L)(t._1)).forall(_._2))
+  }
+
+  test("s_dedup_gate production path is deterministic with sorted output") {
+    val q = SparkEntry.queries("s_dedup_gate")
+    val a = q(spark, sf).collect().map(_.toSeq).toSeq
+    val b = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(q(spark, sf).columns.toSeq == Seq("doc_id", "maybe_seen"))
+  }
+
   test("media encode+decode composes under readStream (s_mm_decode)") {
     // the codec path is stateless mapPartitions twice over, so the same
     // operators run unchanged over an unbounded stream in append mode —

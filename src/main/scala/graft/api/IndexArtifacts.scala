@@ -466,29 +466,56 @@ object IndexArtifacts {
     * empty-listing fingerprint, which never matches a real one.
     */
   def fileFingerprint(path: String): String =
-    fileFingerprintIn(
-      SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()),
-      path)
+    fileFingerprintIn(activeHadoopConf, path)
+
+  private def activeHadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   private[graft] def fileFingerprintIn(
-      conf: org.apache.hadoop.conf.Configuration, path: String): String = {
+      conf: org.apache.hadoop.conf.Configuration, path: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      sourceManifestIn(conf, path, dataOnly = false).getBytes("UTF-8")).toString
+
+  /** The raw listing [[fileFingerprint]] hashes — one `name:size:mtime`
+    * line per file, sorted by name — exposed unhashed so the incremental
+    * serve ([[serveDerivedIncremental]]) can DIFF two listings instead of
+    * only equality-testing their hashes: a grown listing whose old lines
+    * are untouched means "new partitions appended", the one source
+    * mutation a per-row-exact derived layer can absorb without a corpus
+    * rebuild. DATA FILES ONLY: Spark rewrites `_SUCCESS` on every append,
+    * so commit markers / hidden files (`_`/`.`-prefixed — exactly the
+    * files Spark readers skip) would turn every append into a phantom
+    * mutation. The fingerprint keeps the unfiltered listing (dataOnly =
+    * false) so existing persisted artifacts stay valid. (At manifest
+    * sizes where one sidecar row gets heavy — 10⁶+ source files —
+    * production promotes this to a manifest TABLE; the diff logic is
+    * unchanged.)
+    */
+  private[graft] def sourceManifest(path: String): String =
+    sourceManifestIn(activeHadoopConf, path, dataOnly = true)
+
+  private[graft] def sourceManifestIn(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      dataOnly: Boolean): String = {
     import org.apache.hadoop.fs.Path
-    val desc =
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        val st = fs.getFileStatus(p)
-        val files =
-          if (st.isFile) Array(st)
-          else fs.listStatus(p).filter(_.isFile)
-            .sortBy(_.getPath.getName)
-        files.map(x =>
-            s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
-          .mkString("\n")
-      } catch { case _: Exception => "" }
-    java.util.UUID.nameUUIDFromBytes(desc.getBytes("UTF-8")).toString
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isFile) Array(st)
+        else fs.listStatus(p).filter(_.isFile)
+          .filter(x => !dataOnly || {
+            val n = x.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .sortBy(_.getPath.getName)
+      files.map(x =>
+          s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+        .mkString("\n")
+    } catch { case _: Exception => "" }
   }
 
   /** Persist a TRAINED MODEL artifact (IVF centroids, PQ codebooks —
@@ -583,5 +610,79 @@ object IndexArtifacts {
     } catch { case _: Exception => false }
     if (!fresh) None
     else try Some(s.read.parquet(path)) catch { case _: Throwable => None }
+  }
+
+  /** MANIFEST-INCREMENTAL derived-layer serve (VERDICT r13 #6): at 100 TB
+    * with daily crawl deltas, "the source changed" almost always means
+    * "the source GREW" — new parquet partitions appended, old files
+    * untouched — and a PER-ROW-EXACT layer (each output row derives from
+    * one source row: the raw per-doc shingle index, per-doc token counts)
+    * can absorb that by building over ONLY the new files and appending,
+    * instead of the full-rebuild the hash-equality fingerprint forces.
+    * The sidecar therefore stores the unhashed MANIFEST
+    * ([[sourceManifest]]) next to the build tag, and the serve
+    * three-ways:
+    *
+    *   - manifest unchanged → serve the artifact (the readDerived path);
+    *   - manifest GREW (stored lines ⊂ current, same tag) → buildDelta
+    *     over the new file paths, append, rewrite the sidecar → serve;
+    *   - anything else (shrunk / mutated files / tag change) → buildAll,
+    *     overwrite, fresh sidecar — the exact-rebuild fallback.
+    *
+    * NOT for layers with cross-row coupling: the DfCap'd capped index,
+    * band signatures over it, and pair tables all depend on GLOBAL
+    * document frequency, so they rebuild — but from the appended raw
+    * layer (one aggregation over compact (doc, h) rows), never by
+    * re-hashing corpus text. The sidecar writes AFTER the data both ways
+    * (the persistDerived commit-marker posture: a torn write reads as
+    * absent → rebuild, never a stale serve), and an unwritable warehouse
+    * degrades to the live build. Returns (layer, source) with source ∈
+    * artifact | append | rebuild for the bench phase tags.
+    */
+  def serveDerivedIncremental(s: SparkSession, table: String,
+                              sourcePath: String, tag: String,
+                              buildAll: => DataFrame,
+                              buildDelta: Seq[String] => DataFrame)
+      : (DataFrame, String) = {
+    val path = modelPath(s, table)
+    val current = sourceManifest(sourcePath)
+    val stored: Option[(String, String)] = try {
+      val rows = s.read.parquet(path + "__mf").collect()
+      if (rows.length == 1) Some((rows(0).getString(0), rows(0).getString(1)))
+      else None
+    } catch { case _: Exception => None }
+    import s.implicits._
+    def writeSidecar(): Unit =
+      Seq((tag, current)).toDF("tag", "mf")
+        .write.mode("overwrite").parquet(path + "__mf")
+    def lines(m: String) = m.split("\n").filter(_.nonEmpty).toSet
+    // a manifest line is name:size:mtime with name leftmost — parse the
+    // name from the RIGHT so exotic file names keep working
+    def nameOf(line: String): String = {
+      val i = line.lastIndexOf(':')
+      val j = line.lastIndexOf(':', i - 1)
+      line.substring(0, j)
+    }
+    stored match {
+      case Some((t, m)) if t == tag && m == current && current.nonEmpty =>
+        try (s.read.parquet(path), "artifact")
+        catch { case _: Exception => (buildAll, "rebuild") }
+      case Some((t, m)) if t == tag && current.nonEmpty &&
+          lines(m).nonEmpty && lines(m).subsetOf(lines(current)) &&
+          lines(current).size > lines(m).size =>
+        try {
+          val fresh = (lines(current) -- lines(m)).toSeq.sorted
+            .map(l => s"$sourcePath/${nameOf(l)}")
+          buildDelta(fresh).write.mode("append").parquet(path)
+          writeSidecar()
+          (s.read.parquet(path), "append")
+        } catch { case _: Exception => (buildAll, "rebuild") }
+      case _ =>
+        try {
+          buildAll.write.mode("overwrite").parquet(path)
+          writeSidecar()
+          (s.read.parquet(path), "rebuild")
+        } catch { case _: Exception => (buildAll, "rebuild") }
+    }
   }
 }

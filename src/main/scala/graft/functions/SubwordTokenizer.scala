@@ -100,26 +100,36 @@ object SubwordTokenizer {
 }
 
 /** A piece vocabulary compiled to per-length lookup sets of packed-byte
-  * keys: an L-byte window packs injectively into an Int (L ≤
-  * [[SubwordTokenizer.MaxPiece]]), so membership is one hash probe — no
-  * string allocation on the hot path. SERIALIZABLE so a runtime-vocab
-  * Catalyst expression can ship a corpus-trained table to executors in
-  * its codegen reference array (the fixture vocabulary stays JVM-global
-  * static state; a trained vocabulary is per-plan MODEL state and must
-  * travel with the plan).
+  * keys: an L-byte window packs injectively into a Long (L ≤
+  * [[PieceTable.MaxLen]] = 8 bytes — round 14 widened the packing from
+  * Int/4 so COMPOSED vocabularies, the BPE merge outputs whose pieces
+  * outgrow the fixture's length-4 cap by construction, compile into the
+  * same table), so membership is one hash probe — no string allocation
+  * on the hot path. The instance's greedy scan starts at ITS OWN longest
+  * piece length, so a length-4 fixture table probes exactly the windows
+  * it always did (bit-identical counts — q_text_subwords stays
+  * hash-green). SERIALIZABLE so a runtime-vocab Catalyst expression can
+  * ship a corpus-trained table to executors in its codegen reference
+  * array (the fixture vocabulary stays JVM-global static state; a
+  * trained vocabulary is per-plan MODEL state and must travel with the
+  * plan).
   */
 final class PieceTable(pieces: Seq[String]) extends Serializable {
-  import SubwordTokenizer.MaxPiece
+  import PieceTable.MaxLen
   require(pieces.distinct.size == pieces.size, "duplicate vocabulary piece")
-  require(pieces.forall(p => p.length >= 2 && p.length <= MaxPiece &&
+  require(pieces.forall(p => p.length >= 2 && p.length <= MaxLen &&
     p.forall(c => c >= 'a' && c <= 'z')),
-    s"pieces must be lowercase ASCII, len 2..$MaxPiece")
+    s"pieces must be lowercase ASCII, len 2..$MaxLen")
 
-  private val table: Array[java.util.HashSet[Integer]] = {
-    val t = Array.fill(MaxPiece + 1)(new java.util.HashSet[Integer]())
+  /** This vocabulary's longest piece — where the greedy scan starts. */
+  private val maxPiece: Int =
+    if (pieces.isEmpty) 2 else pieces.map(_.length).max
+
+  private val table: Array[java.util.HashSet[java.lang.Long]] = {
+    val t = Array.fill(maxPiece + 1)(new java.util.HashSet[java.lang.Long]())
     pieces.foreach { p =>
-      var k = 0
-      p.foreach(c => k = (k << 8) | (c.toInt & 0xff))
+      var k = 0L
+      p.foreach(c => k = (k << 8) | (c.toInt & 0xffL))
       t(p.length).add(k)
     }
     t
@@ -141,12 +151,12 @@ final class PieceTable(pieces: Seq[String]) extends Serializable {
       if (b == ' ') { i += 1 }
       else {
         var matched = 0
-        var len = MaxPiece
+        var len = maxPiece
         while (matched == 0 && len >= 2) {
           if (i + len <= n) {
-            var k = 0
+            var k = 0L
             var j = 0
-            while (j < len) { k = (k << 8) | (s.getByte(i + j) & 0xff); j += 1 }
+            while (j < len) { k = (k << 8) | (s.getByte(i + j) & 0xffL); j += 1 }
             if (table(len).contains(k)) matched = len
           }
           len -= 1
@@ -158,4 +168,11 @@ final class PieceTable(pieces: Seq[String]) extends Serializable {
     }
     cnt
   }
+}
+
+object PieceTable {
+  /** Hard packing cap: 8 ASCII bytes fill a Long injectively. Vocabulary
+    * derivations that can compose longer pieces (BPE merges) filter to
+    * this cap before compiling a table. */
+  val MaxLen = 8
 }

@@ -191,6 +191,15 @@ object DedupQueries {
   private[graft] def derivedSourceOf(s: SparkSession, phase: String): String =
     Option(derivedSource.get((s, phase))).getOrElse("unbuilt")
 
+  /** Record how a layer was obtained — for operator modules (TextQueries'
+    * token layer) that serve their own artifacts but report through the
+    * same per-phase source map. */
+  private[operators] def noteDerivedSource(s: SparkSession, phase: String,
+                                           src: String): Unit =
+    derivedSource.put((s, phase), src)
+
+  private[operators] def derivedVersionTag: String = DerivedVersion
+
   /** Serve a derived layer from its persisted artifact when the input
     * fingerprint (+ [[DerivedVersion]]) matches; otherwise the BUILD
     * EXECUTES EXACTLY ONCE — as the artifact write — and the layer is
@@ -616,12 +625,27 @@ object DedupQueries {
     * index derives from it with one aggregation instead of a second
     * md5-explode pass.
     */
-  private def buildRaw(s: SparkSession, d: String): DataFrame =
+  private def buildRaw(s: SparkSession, d: String): DataFrame = {
     // no eager count — the capped build's hot-set aggregation is the
     // first stage to scan this cache and populates it in the same job
-    // (on a cold artifact path the persist write IS the materialization)
-    servedDerived(s, d, "shingle_raw", "shraw", "documents.parquet", "n3")(
-      shingles(s, d)).cache()
+    // (on a cold artifact path the persist write IS the materialization).
+    // MANIFEST-INCREMENTAL (VERDICT r13 #6): the raw layer is per-doc
+    // exact (a doc's distinct shingle hashes depend on that doc alone),
+    // so a GROWN source dir appends only the new files' shingles — the
+    // interpreted md5+poly text pass, the expensive step of the whole
+    // dedup stack, never re-runs over already-indexed partitions. The
+    // downstream capped/sig/pair layers still rebuild on any source
+    // change (DfCap is a global-df function), but from this compact
+    // appended (doc_id, h) layer, not from corpus text.
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+      s, s"g_drv_shraw_$slug", s"$d/documents.parquet",
+      DerivedVersion + ":n3",
+      shingles(s, d),
+      paths => shinglesOf(fanOut(s.read.parquet(paths: _*))))
+    derivedSource.put((s, "shingle_raw"), src)
+    df.cache()
+  }
 
   /** Capped index over the raw layer: anti-join away the HOT shingles
     * (df > DfCap) and materialize. The hot set is tiny by construction

@@ -616,8 +616,12 @@ object SimilarityQueries {
       // (the floor9 cosines themselves are parity-pinned already).
       // Shape at 100 TB: each arm is already a TakeOrderedAndProject
       // top-k (corpus-wide work happens inside the arms, which keep
-      // their own scale stories); the fusion joins two ≤20-row lists —
-      // a broadcast-trivial full outer join, then a 40-row sort. The
+      // their own scale stories); the fusion UNION-AGGREGATES two
+      // ≤20-row lists — max() recovers each arm's rank with absent-arm
+      // nulls preserved, exactly the full-outer-join semantics at ONE
+      // exchange instead of two + a join stage (r14: the sim family's
+      // in-sweep inflation tracks AQE stage count under ambient load,
+      // so trivial stages are worth trimming even at 40 rows). The
       // single-partition rank windows only ever see those k rows.
       import org.apache.spark.sql.expressions.Window
       val lex = graft.operators.TextQueries.bm25(fanOut(documents(s, d)))
@@ -635,7 +639,12 @@ object SimilarityQueries {
         .select(col("vec_id").as("doc_id"),
           row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
             .cast("long").as("r_vec"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
+      lex.select(col("doc_id"), col("r_lex"),
+          lit(null).cast("long").as("r_vec"))
+        .unionByName(vec.select(col("doc_id"),
+          lit(null).cast("long").as("r_lex"), col("r_vec")))
+        .groupBy("doc_id")
+        .agg(max("r_lex").as("r_lex"), max("r_vec").as("r_vec"))
         .select(col("doc_id"), col("r_lex"), col("r_vec"),
           (coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
            coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))

@@ -44,16 +44,29 @@ object TextQueries {
   private[graft] def releaseTokenLayer(s: SparkSession): Unit =
     tokLayerMemo.release(s)
 
-  private[operators] def tokenLayer(s: SparkSession, d: String): DataFrame =
+  /** The token-count plan over any (doc_id, source, text) table — the
+    * grouping keys include doc_id, so the layer is PER-DOC EXACT and the
+    * manifest-incremental serve's append ≡ rebuild row-for-row. */
+  private def tokenPlanOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c"))
+
+  private[graft] def tokenLayer(s: SparkSession, d: String): DataFrame =
     tokLayerMemo.get(s, "", d) {
-      val layer = DedupQueries.servedDerived(s, d, "token_counts",
-          "tokcounts", "documents.parquet", "ws")(
-          fanOut(documents(s, d))
-            .select(col("doc_id"), col("source"),
-              explode(split(col("text"), " ")).as("token"))
-            .groupBy("doc_id", "source", "token")
-            .agg(count(lit(1)).as("c")))
-        .cache()
+      // MANIFEST-INCREMENTAL (VERDICT r13 #6, the shingle_raw posture):
+      // a grown docs dir re-tokenizes ONLY the new files and appends —
+      // the whole-corpus explode+count, the text family's expensive
+      // pass, never re-runs over already-indexed partitions
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_tokcounts_$slug", s"$d/documents.parquet",
+        DedupQueries.derivedVersionTag + ":ws",
+        tokenPlanOf(fanOut(documents(s, d))),
+        paths => tokenPlanOf(fanOut(s.read.parquet(paths: _*))))
+      DedupQueries.noteDerivedSource(s, "token_counts", src)
+      val layer = df.cache()
       layer.count() // eager — the winnowPickSet rationale
       layer
     }
@@ -1176,6 +1189,32 @@ object TextQueries {
       // fertility improvement over the fixture vocab (SubwordVocabSpec),
       // while q_text_subwords and q_text_vocab_train stay hash-checked.
       val pieces = trainedVocabPieces(s, d)
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.SubwordFunctions
+            .subword_count_vocab(lower(col("text")), pieces).as("n_subwords"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .withColumn("fertility_e6",
+          expr("n_subwords * 1000000 DIV n_words"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_subwords_bpe" -> ((s, d) => {
+      // The BPE merge table FED TO the tokenizer (the verdict's "then
+      // feed PieceTable"): greedy longest-match subword counting under
+      // the vocabulary the merge loop learned — the identical engine as
+      // q_text_subwords/_trained (codegen reference-array PieceTable),
+      // pieces = the merged symbols of [[trainedBpeMerges]] (composed
+      // pieces included — the packing cap is PieceTable.MaxLen = 8
+      // bytes, longer compositions filter out, documented there). Note
+      // the matching RULE stays greedy longest-match, not merge-order
+      // application — the standard vocab-reuse hybrid (a SentencePiece
+      // vocab consumed by a WordPiece matcher), deterministic either
+      // way. no_oracle by design like q_text_subwords_trained; BpeSpec
+      // pins hand-derived counts + determinism, and the derivation twin
+      // q_text_vocab_bpe stays hash-checked.
+      val pieces = trainedBpeMerges(s, d).map(_._4)
+        .filter(_.length <= graft.functions.PieceTable.MaxLen).distinct
       documents(s, d)
         .select(col("doc_id"),
           graft.functions.expressions.SubwordFunctions

@@ -78,6 +78,41 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PieceTable accepts composed pieces past the fixture length-4 cap " +
+       "and greedy-matches them longest-first") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = new graft.functions.PieceTable(Seq("abcdef", "abc", "de"))
+    // "abcdefg": greedy takes abcdef(6) then f? no — abcdef consumes 6,
+    // 'g' single → 2 pieces
+    assert(t.count(UTF8String.fromString("abcdefg")) == 2L)
+    // "abcde": no 6-match → abc + de → 2 pieces
+    assert(t.count(UTF8String.fromString("abcde")) == 2L)
+    // fixture-table behavior unchanged: same counts as the static scan
+    val fix = new graft.functions.PieceTable(
+      graft.functions.SubwordTokenizer.Pieces)
+    val s = UTF8String.fromString("the weather station")
+    assert(fix.count(s) == graft.functions.SubwordTokenizer.count(s))
+    // packing cap enforced loudly
+    intercept[IllegalArgumentException] {
+      new graft.functions.PieceTable(Seq("abcdefghi")) // 9 > MaxLen
+    }
+  }
+
+  test("q_text_subwords_bpe: deterministic, fertility bounded by chars") {
+    val q = SparkEntry.queries("q_text_subwords_bpe")
+    val a = q(spark, sf).collect().map(_.toSeq).toSeq
+    val b = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // n_subwords never exceeds the character count (every piece covers
+    // >= 1 char) and is >= 1 for non-empty docs
+    val joined = q(spark, sf).join(
+      Tables.documents(spark, sf), Seq("doc_id"))
+    import org.apache.spark.sql.functions._
+    val bad = joined.filter(col("n_subwords") > length(col("text")) ||
+        (length(col("text")) > 0 && col("n_subwords") < 1)).count()
+    assert(bad == 0)
+  }
+
   test("q_text_vocab_bpe production path: BpeMerges rows, rank order") {
     val df = SparkEntry.queries("q_text_vocab_bpe")(spark, sf)
     val rows = df.collect()

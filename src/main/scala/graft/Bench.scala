@@ -202,8 +202,12 @@ object Bench {
           "q_text_vocab_train", "q_text_quality_model_trained",
           "q_emb_project",
           // round-14: the trained-PCA projection (fit + literal-array
-          // matmul shapes; warmup artifact-warms the sf0.001 model)
-          "q_emb_project_trained")
+          // matmul shapes), the BPE derivation/tokenizer pair (iterative
+          // merge-loop jobs + the Long-packed PieceTable codegen shape),
+          // and the streaming bloom gate (binary-literal probe) — warmup
+          // artifact-warms each sf0.001 model
+          "q_emb_project_trained", "q_text_vocab_bpe",
+          "q_text_subwords_bpe", "s_dedup_gate")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever

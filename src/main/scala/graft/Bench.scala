@@ -207,7 +207,10 @@ object Bench {
           // and the streaming bloom gate (binary-literal probe) — warmup
           // artifact-warms each sf0.001 model
           "q_emb_project_trained", "q_text_vocab_bpe",
-          "q_text_subwords_bpe", "s_dedup_gate")
+          "q_text_subwords_bpe", "s_dedup_gate",
+          // the projected-space kNN (decimal dot over the integer
+          // matmul) and the shingle-fold contamination gate
+          "q_sim_knn_projected", "s_contamination_gate")
       warmKeys.foreach(k => SparkEntry.queries(k)(spark, warmDir).count())
     } catch {
       // a dead warmup silently shifts JIT + build costs into whichever

@@ -70,16 +70,28 @@ object DedupQueries {
     * index maintenance ([[graft.api.IndexArtifacts.appendShingleIndex]])
     * can shingle a streamed micro-batch without a corpus dir.
     */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    val ha = tokenHashes(col("text"))
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), ha.as("ha"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          when(size(col("ha")) >= 3,
-            transform(sequence(lit(0), size(col("ha")) - 3),
-              j => polyWindow(col("ha"), j, 3)))
-          .otherwise(array().cast("array<long>")))).as("h"))
+      .select(col("doc_id"), shingleHashArray(col("text")).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** A document's distinct 3-gram shingle hashes as ONE array column —
+    * the per-row form of [[shinglesOf]] (same arithmetic, no explode),
+    * so a pure-projection consumer (s_contamination_gate's streaming
+    * probe) can fold over a row's shingles without the row ever
+    * becoming shingle ROWS. */
+  private[graft] def shingleHashArray(text: Column): Column = {
+    val ha = tokenHashes(text)
+    // bind the token-hash array once per row (a lambda variable), not
+    // once per shingle window: without the wrapper, every polyWindow
+    // re-evaluates tokenHashes
+    transform(array(ha), a =>
+      array_distinct(
+        when(size(a) >= 3,
+          transform(sequence(lit(0), size(a) - 3),
+            j => polyWindow(a, j, 3)))
+        .otherwise(array().cast("array<long>"))))
+      .getItem(0)
   }
 
   /** DfCap policy over an arbitrary raw (doc_id, h) index: anti-join away
@@ -822,14 +834,34 @@ object DedupQueries {
     * both as build-time constants.
     */
   private[graft] def bloomAgg(docs: DataFrame, expected: Long,
-                              numBits: Long): DataFrame = {
+                              numBits: Long): DataFrame =
+    bloomAggOver(docs, xxhash64(col("text")), expected, numBits)
+
+  /** One-row Bloom sketch over an arbitrary LONG item column — the
+    * [[bloomAgg]] core, exposed so set-membership sketches can build
+    * over already-hashed items (the benchmark shingle-hash set behind
+    * s_contamination_gate) with the identical geometry rules. */
+  private[graft] def bloomAggOver(df: DataFrame, item: Column,
+                                  expected: Long, numBits: Long): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val agg = new BloomFilterAggregate(
-      GraftSqlBridge.toExpression(xxhash64(col("text"))),
+      GraftSqlBridge.toExpression(item),
       Literal(expected), Literal(numBits)).toAggregateExpression()
-    docs.select(GraftSqlBridge.toColumn(agg).as("bf"))
+    df.select(GraftSqlBridge.toColumn(agg).as("bf"))
+  }
+
+  /** Per-element Bloom probe as a Column function — for folding a
+    * sketch over an ARRAY column (exists over a row's shingle hashes)
+    * where the probed item is a lambda variable, not a top-level
+    * column. */
+  private[graft] def bloomProbeFn(bytes: Array[Byte]): Column => Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    h => GraftSqlBridge.toColumn(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.toExpression(h)))
   }
 
   /** Map-side probe of `batch` against serialized sketch bytes (e.g. the

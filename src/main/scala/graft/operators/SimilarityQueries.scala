@@ -604,6 +604,35 @@ object SimilarityQueries {
       // the linear scan it looks like.
       embProject(emb(s, d))),
 
+    "q_sim_knn_projected" -> ((s, d) => {
+      // Dimensionality-REDUCED retrieval — the production pairing of
+      // the projection family with kNN (search the ProjK-dim projected
+      // space instead of the Dim-dim original; the standard
+      // PCA-then-ANN recipe): vectors project through the FIXTURE basis
+      // (exact integers, so the whole query is hash-checked — the
+      // trained basis is the data swap, per the q_sim_ivf_trained
+      // split), the query row attaches as a scalar subquery (no join
+      // node), scoring is a ProjK-term integer dot product evaluated
+      // map-side in DECIMAL(38,0) (|p| is per-vector bounded, but the
+      // envelope doctrine keeps every product in the decimal domain;
+      // output re-enters BIGINT via try_cast), TakeOrderedAndProject
+      // keeps the top-5. At 100 TB this is the same linear scan as
+      // q_sim_knn at ProjK/Dim the bytes per row.
+      val p = embProject(emb(s, d))
+      val q = p.filter(col("vec_id") === 0)
+        .select(struct(
+          (0 until ProjK).map(k => col(s"p$k").as(s"q$k")): _*).as("q"))
+      val dotD = (0 until ProjK).map(k =>
+          expr(s"cast(p$k AS DECIMAL(38,0)) * q.q$k"))
+        .reduce(_ + _)
+      p.filter(col("vec_id") =!= 0)
+        .withColumn("q", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .select(col("vec_id"), dotD.as("dot_d"))
+        .orderBy(col("dot_d").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), expr("try_cast(dot_d AS BIGINT)").as("dot"))
+    }),
+
     "q_sim_hybrid" -> ((s, d) => {
       // HYBRID retrieval with Reciprocal-Rank Fusion (public: Cormack et
       // al., SIGIR 2009) — the RAG-era staple that neither arm covers
@@ -958,6 +987,33 @@ object SimilarityQueries {
          |SELECT vec_id,
          |$ps
          |FROM e ORDER BY vec_id""".stripMargin
+    },
+
+    // projections restated via the q_emb_project arms, then an exact
+    // HUGEINT dot product in the reduced space — ordering on the exact
+    // value, output TRY_CAST to the BIGINT contract like the engine
+    "q_sim_knn_projected" -> {
+      val ps = (0 until ProjK).map { k =>
+        s"""       CAST(list_aggregate([q[i + 1] *
+           |         ((($k * $Dim + i) * 2654435761) % 2001 - 1000)
+           |         for i in range(0, $Dim)], 'sum') AS BIGINT) AS p$k"""
+          .stripMargin
+      }.mkString(",\n")
+      val dot = (0 until ProjK).map(k =>
+        s"CAST(prj.p$k AS HUGEINT) * qq.q$k").mkString(" + ")
+      val qs = (0 until ProjK).map(k => s"p$k AS q$k").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT)
+         |                  for x in embedding::DOUBLE[]] AS q
+         |  FROM embeddings),
+         |prj AS (
+         |  SELECT vec_id,
+         |$ps
+         |  FROM e),
+         |qq AS (SELECT $qs FROM prj WHERE vec_id = 0)
+         |SELECT vec_id, TRY_CAST($dot AS BIGINT) AS dot
+         |FROM prj, qq WHERE vec_id <> 0
+         |ORDER BY $dot DESC, vec_id LIMIT 5""".stripMargin
     },
 
     // lexical arm = TextQueries.DuckBm25Cte verbatim (one BM25 SQL

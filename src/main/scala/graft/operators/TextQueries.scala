@@ -1102,6 +1102,8 @@ object TextQueries {
       () => textTrainSource(s, "logitq", d)),
     ("bpe_train", () => trainedBpeMerges(s, d).size.toLong,
       () => textTrainSource(s, "bpe", d)),
+    ("contam_gate", () => benchShingleBloomBytes(s, d).length.toLong,
+      () => textTrainSource(s, "contamgate", d)),
     ("vocab_train", () => trainedVocabPieces(s, d).size.toLong,
       () => textTrainSource(s, "vocab", d)))
 
@@ -1267,6 +1269,20 @@ object TextQueries {
       // no_oracle by design (trained float model), like its twin.
       rowQualityGate(documents(s, d), trainedQualityWeights(s, d))
         .orderBy("doc_id")),
+
+    "s_contamination_gate" -> ((s, d) =>
+      // STREAMING decontamination gate — the third member of the
+      // streaming-curation trio (learned quality, corpus membership,
+      // and now benchmark leakage): [[contaminationGateRows]] probes
+      // each row's shingle-hash array against the persisted
+      // benchmark-shingle sketch as a pure projection, so the identical
+      // expression runs under readStream append (StreamingSpec pins
+      // two-micro-batch bit-equality to this batch twin and zero false
+      // negatives vs the exact contaminationStats probe). no_oracle by
+      // design (Spark-specific sketch layout), like the other gates.
+      contaminationGateRows(
+        documents(s, d).filter(col("doc_id") % 50 =!= 0),
+        benchShingleBloomBytes(s, d)).orderBy("doc_id")),
 
     "q_text_langid" -> ((s, d) =>
       // Heuristic language-ID — see [[langPred]], the one definition
@@ -1856,6 +1872,55 @@ object TextQueries {
     * broadcasts it and the check is a map-side probe + one per-doc
     * aggregation — linear, no self-join.
     */
+  /** s_contamination_gate's persisted benchmark-shingle sketch: the
+    * DISTINCT 3-gram shingle hashes of the held-out benchmark slice
+    * (the contaminationStats doc_id % 50 split — ONE split definition)
+    * folded into a Bloom sketch under the module-constant geometry —
+    * bounded binary model state, artifact-served like the quality
+    * weights. At 100 TB the benchmark suite's shingle set is millions
+    * of n-grams; the sketch stays 2 MiB regardless, and false positives
+    * only ever route a clean doc to exact verification. */
+  private[graft] def benchShingleBloomBytes(s: SparkSession,
+                                            d: String): Array[Byte] = {
+    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
+      ":contamgate-v1"
+    memoTextModel[Array[Byte]](s, "contamgate", d)(
+      readArt = table =>
+        graft.api.IndexArtifacts.readModel(s, table, fp).map(
+          _.collect().head.getAs[Array[Byte]]("bf")),
+      buildAndPersist = { table =>
+        val bytes = DedupQueries.bloomAggOver(
+            docShingleHashes(s, d).filter(col("doc_id") % 50 === 0)
+              .select("h").distinct(),
+            col("h"),
+            graft.api.IndexArtifacts.BloomExpectedItems,
+            graft.api.IndexArtifacts.BloomNumBits)
+          .filter(col("bf").isNotNull)
+          .collect().head.getAs[Array[Byte]]("bf")
+        import s.implicits._
+        graft.api.IndexArtifacts.persistModel(s,
+          Seq(bytes).toDF("bf"), table, fp)
+        bytes
+      })
+  }
+
+  /** The streaming decontamination gate as a PURE per-row projection
+    * (the s_quality_gate / s_dedup_gate posture): a row's distinct
+    * shingle hashes fold against the benchmark sketch with exists() —
+    * no explode, no join, no shuffle — so the identical expression runs
+    * unchanged under readStream append. Zero false negatives by Bloom
+    * construction: every doc the exact probe (contaminationStats) marks
+    * contaminated flags true; false positives go to exact verification.
+    * Docs with < 3 tokens have no shingles and gate clean, exactly like
+    * the exact probe. */
+  private[graft] def contaminationGateRows(docs: DataFrame,
+                                           bytes: Array[Byte]): DataFrame =
+    docs.select(col("doc_id"),
+      coalesce(
+        exists(DedupQueries.shingleHashArray(col("text")),
+               DedupQueries.bloomProbeFn(bytes)),
+        lit(false)).as("maybe_contaminated"))
+
   private[operators] def contaminationStats(s: SparkSession,
                                             d: String): DataFrame = {
     val sh = docShingleHashes(s, d)

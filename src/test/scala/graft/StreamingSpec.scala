@@ -232,6 +232,64 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(t => Set(1L, 3L)(t._1)).forall(_._2))
   }
 
+  test("contamination gate composes under readStream " +
+       "(s_contamination_gate) with zero false negatives") {
+    // the benchmark-shingle sketch applies as a pure per-row fold
+    // (exists over the row's shingle-hash array), so the streaming gate
+    // is the batch expression unchanged in append mode; a Bloom filter
+    // cannot miss an inserted element, so every doc sharing a shingle
+    // with the benchmark MUST flag
+    implicit val sq = spark.sqlContext
+    import graft.operators.{DedupQueries, TextQueries}
+    val leak = "alpha beta gamma delta" // a 4-token benchmark phrase
+    val bench = Seq((50L, leak)).toDF("doc_id", "text")
+    val bytes = DedupQueries.bloomAggOver(
+        DedupQueries.shinglesOf(bench).select("h").distinct(), col("h"),
+        graft.api.IndexArtifacts.BloomExpectedItems,
+        graft.api.IndexArtifacts.BloomNumBits)
+      .collect().head.getAs[Array[Byte]]("bf")
+    val probe = Seq(
+      (1L, s"intro $leak outro"),          // contains a benchmark shingle
+      (2L, "totally unrelated clean text body"),
+      (3L, "alpha beta delta gamma"),      // same words, no shared 3-gram
+      (4L, "xy"))                          // < 3 tokens: no shingles
+    val in = MemoryStream[(Long, String)]
+    val q = TextQueries.contaminationGateRows(
+        in.toDS().toDF("doc_id", "text"), bytes)
+      .writeStream.format("memory").queryName("contam_gate_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(2): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("contam_gate_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val want = TextQueries.contaminationGateRows(
+        probe.toDF("doc_id", "text"), bytes).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // zero false negatives: doc 1 shares shingles with the benchmark
+    assert(got.find(_._1 == 1L).exists(_._2))
+    // shingle-less doc gates clean like the exact probe
+    assert(got.find(_._1 == 4L).exists(!_._2))
+  }
+
+  test("s_contamination_gate agrees with the exact probe: every " +
+       "exactly-contaminated doc flags (no false negatives)") {
+    import graft.operators.TextQueries
+    val gate = SparkEntry.queries("s_contamination_gate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = TextQueries.queries("q_text_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) > 0)).toMap
+    val fn = exact.filter { case (id, dirty) => dirty && !gate(id) }
+    assert(fn.isEmpty, s"false negatives: ${fn.keys.take(5)}")
+    // and the gate is deterministic across runs
+    val again = SparkEntry.queries("s_contamination_gate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gate == again)
+  }
+
   test("s_dedup_gate production path is deterministic with sorted output") {
     val q = SparkEntry.queries("s_dedup_gate")
     val a = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -633,27 +633,45 @@ object IndexArtifacts {
     * band signatures over it, and pair tables all depend on GLOBAL
     * document frequency, so they rebuild — but from the appended raw
     * layer (one aggregation over compact (doc, h) rows), never by
-    * re-hashing corpus text. The sidecar writes AFTER the data both ways
-    * (the persistDerived commit-marker posture: a torn write reads as
-    * absent → rebuild, never a stale serve), and an unwritable warehouse
-    * degrades to the live build. Returns (layer, source) with source ∈
-    * artifact | append | rebuild for the bench phase tags.
+    * re-hashing corpus text.
+    *
+    * CRASH-SAFETY: the overwrite path's sidecar-after-data ordering is
+    * the persistDerived commit marker (torn write reads as absent →
+    * rebuild). The APPEND path needs more, because a crash between the
+    * delta append and the sidecar rewrite leaves the OLD sidecar valid
+    * over old+delta data — a naive retry would re-append the delta and
+    * silently duplicate rows forever (r14 review). The sidecar therefore
+    * records the artifact's exact ROW COUNT at commit time, and every
+    * serve path re-verifies it (a parquet footer-metadata count, no data
+    * scan): a count mismatch means a torn append → full rebuild, never a
+    * stale or duplicated serve.
+    *
+    * `acceptDelta(artifact, delta)` lets a layer veto the append when
+    * delta content breaks its per-row-exactness contract (the token
+    * layer's cross-file doc_id merge — see tokenLayer); false → exact
+    * full rebuild. An unwritable warehouse degrades to the live build.
+    * Returns (layer, source) with source ∈ artifact | append | rebuild
+    * for the bench phase tags.
     */
   def serveDerivedIncremental(s: SparkSession, table: String,
                               sourcePath: String, tag: String,
                               buildAll: => DataFrame,
-                              buildDelta: Seq[String] => DataFrame)
+                              buildDelta: Seq[String] => DataFrame,
+                              acceptDelta: (DataFrame, DataFrame) => Boolean =
+                                (_, _) => true)
       : (DataFrame, String) = {
     val path = modelPath(s, table)
     val current = sourceManifest(sourcePath)
-    val stored: Option[(String, String)] = try {
+    val stored: Option[(String, String, Long)] = try {
       val rows = s.read.parquet(path + "__mf").collect()
-      if (rows.length == 1) Some((rows(0).getString(0), rows(0).getString(1)))
+      if (rows.length == 1)
+        Some((rows(0).getAs[String]("tag"), rows(0).getAs[String]("mf"),
+              rows(0).getAs[Long]("n")))
       else None
     } catch { case _: Exception => None }
     import s.implicits._
-    def writeSidecar(): Unit =
-      Seq((tag, current)).toDF("tag", "mf")
+    def writeSidecar(n: Long): Unit =
+      Seq((tag, current, n)).toDF("tag", "mf", "n")
         .write.mode("overwrite").parquet(path + "__mf")
     def lines(m: String) = m.split("\n").filter(_.nonEmpty).toSet
     // a manifest line is name:size:mtime with name leftmost — parse the
@@ -663,26 +681,40 @@ object IndexArtifacts {
       val j = line.lastIndexOf(':', i - 1)
       line.substring(0, j)
     }
+    def rebuild(): (DataFrame, String) =
+      try {
+        buildAll.write.mode("overwrite").parquet(path)
+        writeSidecar(s.read.parquet(path).count())
+        (s.read.parquet(path), "rebuild")
+      } catch { case _: Exception => (buildAll, "rebuild") }
     stored match {
-      case Some((t, m)) if t == tag && m == current && current.nonEmpty =>
-        try (s.read.parquet(path), "artifact")
-        catch { case _: Exception => (buildAll, "rebuild") }
-      case Some((t, m)) if t == tag && current.nonEmpty &&
+      case Some((t, m, n)) if t == tag && m == current && current.nonEmpty =>
+        try {
+          val art = s.read.parquet(path)
+          // torn-state check: committed count must match (footer-only)
+          if (art.count() == n) (art, "artifact") else rebuild()
+        } catch { case _: Exception => (buildAll, "rebuild") }
+      case Some((t, m, n)) if t == tag && current.nonEmpty &&
           lines(m).nonEmpty && lines(m).subsetOf(lines(current)) &&
           lines(current).size > lines(m).size =>
         try {
-          val fresh = (lines(current) -- lines(m)).toSeq.sorted
-            .map(l => s"$sourcePath/${nameOf(l)}")
-          buildDelta(fresh).write.mode("append").parquet(path)
-          writeSidecar()
-          (s.read.parquet(path), "append")
+          val art = s.read.parquet(path)
+          // a half-appended crash leftover fails the count check — the
+          // delta must never apply on top of unknown state
+          if (art.count() != n) rebuild()
+          else {
+            val fresh = (lines(current) -- lines(m)).toSeq.sorted
+              .map(l => s"$sourcePath/${nameOf(l)}")
+            val delta = buildDelta(fresh)
+            if (!acceptDelta(art, delta)) rebuild()
+            else {
+              delta.write.mode("append").parquet(path)
+              writeSidecar(s.read.parquet(path).count())
+              (s.read.parquet(path), "append")
+            }
+          }
         } catch { case _: Exception => (buildAll, "rebuild") }
-      case _ =>
-        try {
-          buildAll.write.mode("overwrite").parquet(path)
-          writeSidecar()
-          (s.read.parquet(path), "rebuild")
-        } catch { case _: Exception => (buildAll, "rebuild") }
+      case _ => rebuild()
     }
   }
 }

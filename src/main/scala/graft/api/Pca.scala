@@ -40,8 +40,9 @@ object Pca {
 
   /** Power-iteration sweeps per component: the dominant-eigenvector error
     * shrinks as (λ₂/λ₁)^t, so 96 sweeps resolve even a 0.9 ratio to ~4e-5
-    * — far below the 1e-3 milli-quantization the basis ships at. */
-  private val Iters = 96
+    * — far below the 1e-3 milli-quantization the basis ships at. Part of
+    * the model artifact's version tag (changing it must refit). */
+  private[graft] val Iters = 96
 
   def fitBasis(e: DataFrame, vecCol: String, k: Int): DataFrame = {
     val spark = e.sparkSession

@@ -46,11 +46,19 @@ final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
   }
 
   /** Drop every entry of `s` (optionally only `group`'s) — the
-    * plan-inspection / artifact-round-trip escape hatch. */
+    * plan-inspection / artifact-round-trip escape hatch. Also prunes the
+    * session's lock objects: the lock map strongly references its
+    * SparkSession keys exactly like the memo map does, and an unpruned
+    * lock entry would pin a stopped session (plans, conf, listeners) for
+    * the JVM's lifetime (r14 review — the Tables.readers LRU exists for
+    * the same hazard). */
   def release(s: SparkSession, group: String = null): Unit = {
     import scala.jdk.CollectionConverters._
     m.keySet.asScala
       .filter(k => k._1 == s && (group == null || k._2 == group))
       .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+    locks.keySet.asScala
+      .filter(k => k._1 == s && (group == null || k._2 == group))
+      .toSeq.foreach(locks.remove)
   }
 }

@@ -911,11 +911,16 @@ object DedupQueries {
         case None =>
           derivedSource.put((s, "bloom_gate"), "rebuild")
           val corpus = documents(s, d).filter(col("doc_id") % 10 =!= 0)
-          val bytes = bloomAgg(corpus,
+          val row = bloomAgg(corpus,
               graft.api.IndexArtifacts.BloomExpectedItems,
               graft.api.IndexArtifacts.BloomNumBits)
             .filter(col("bf").isNotNull)
-            .collect().head.getAs[Array[Byte]]("bf")
+            .collect().headOption // empty corpus → null sketch, no row
+          require(row.nonEmpty,
+            s"s_dedup_gate: the corpus split of $d/documents.parquet is " +
+            "empty — a membership sketch over zero docs gates nothing; " +
+            "check the doc_id split or the fixture")
+          val bytes = row.get.getAs[Array[Byte]]("bf")
           import s.implicits._
           graft.api.IndexArtifacts.persistModel(s,
             Seq(bytes).toDF("bf"), table, fp)

@@ -138,16 +138,19 @@ object SimilarityQueries {
                                  d: String): String =
     Option(modelSource.get((s, kind, d))).getOrElse("unbuilt")
 
-  private def memoModel(s: SparkSession, kind: String, d: String)
+  private def memoModel(s: SparkSession, kind: String, d: String,
+                        tag: String = "")
                        (build: => DataFrame): DataFrame =
     modelCache.get(s, kind, d) {
       // serve-from-artifact first (VERDICT r10 #6): the fit is
       // deterministic, so a persisted model trained on THIS exact input
       // (fileFingerprint guards staleness — a regenerated fixture
-      // refits) is byte-identical to re-running Lloyd's; repeat sessions
-      // pay a KB-sized read instead of iters corpus scans.
+      // refits; `tag` carries algorithm version + hyperparameters so a
+      // changed fit recipe self-invalidates, the DerivedVersion
+      // doctrine) is byte-identical to re-running the fit; repeat
+      // sessions pay a KB-sized read instead of iters corpus scans.
       val fp = graft.api.IndexArtifacts
-        .fileFingerprint(s"$d/embeddings.parquet")
+        .fileFingerprint(s"$d/embeddings.parquet") + tag
       // table keyed by DIR as well as kind: a warmup fit at another
       // scale must not clobber the measured dir's artifact (each dir
       // keeps its own; the fingerprint still guards content staleness)
@@ -175,7 +178,8 @@ object SimilarityQueries {
     * fit via [[graft.api.Pca.fitBasis]]; ProjK×Dim rows of driver model
     * state (the KMeans memo pattern). */
   private[graft] def trainedPcaModel(s: SparkSession, d: String): DataFrame =
-    memoModel(s, "pca", d)(
+    memoModel(s, "pca", d,
+      tag = s":pca-v1:k$ProjK:i${graft.api.Pca.Iters}")(
       graft.api.Pca.fitBasis(emb(s, d), "v", k = ProjK))
 
   /** The memoized eigenbasis as ProjK milli-quantized coefficient rows —

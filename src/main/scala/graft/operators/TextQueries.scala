@@ -58,13 +58,25 @@ object TextQueries {
       // MANIFEST-INCREMENTAL (VERDICT r13 #6, the shingle_raw posture):
       // a grown docs dir re-tokenizes ONLY the new files and appends —
       // the whole-corpus explode+count, the text family's expensive
-      // pass, never re-runs over already-indexed partitions
+      // pass, never re-runs over already-indexed partitions. UNLIKE the
+      // per-row shingle layer, this layer's groupBy MERGES counts across
+      // files: a delta that RE-CONTAINS an already-indexed doc_id would
+      // append a second (doc, source, token) row with a split count
+      // where the full rebuild emits one merged row (r14 review) — the
+      // acceptDelta guard therefore vetoes any delta whose doc_ids
+      // intersect the artifact's (one id-only semi-join per append; the
+      // daily-crawl contract is fresh ids, so the veto almost never
+      // fires) and the serve falls back to an exact full rebuild.
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
         s, s"g_drv_tokcounts_$slug", s"$d/documents.parquet",
         DedupQueries.derivedVersionTag + ":ws",
         tokenPlanOf(fanOut(documents(s, d))),
-        paths => tokenPlanOf(fanOut(s.read.parquet(paths: _*))))
+        paths => tokenPlanOf(fanOut(s.read.parquet(paths: _*))),
+        acceptDelta = (art, delta) =>
+          delta.select("doc_id").distinct()
+            .join(art.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+            .isEmpty)
       DedupQueries.noteDerivedSource(s, "token_counts", src)
       val layer = df.cache()
       layer.count() // eager — the winnowPickSet rationale
@@ -1889,14 +1901,20 @@ object TextQueries {
         graft.api.IndexArtifacts.readModel(s, table, fp).map(
           _.collect().head.getAs[Array[Byte]]("bf")),
       buildAndPersist = { table =>
-        val bytes = DedupQueries.bloomAggOver(
+        val row = DedupQueries.bloomAggOver(
             docShingleHashes(s, d).filter(col("doc_id") % 50 === 0)
               .select("h").distinct(),
             col("h"),
             graft.api.IndexArtifacts.BloomExpectedItems,
             graft.api.IndexArtifacts.BloomNumBits)
           .filter(col("bf").isNotNull)
-          .collect().head.getAs[Array[Byte]]("bf")
+          .collect().headOption // shingle-less benchmark → null sketch
+        require(row.nonEmpty,
+          s"s_contamination_gate: the benchmark slice of " +
+          s"$d/documents.parquet yields no shingles (no doc_id % 50 == 0 " +
+          "docs, or all are < 3 tokens) — a leakage sketch over nothing " +
+          "gates nothing; check the split or the fixture")
+        val bytes = row.get.getAs[Array[Byte]]("bf")
         import s.implicits._
         graft.api.IndexArtifacts.persistModel(s,
           Seq(bytes).toDF("bf"), table, fp)

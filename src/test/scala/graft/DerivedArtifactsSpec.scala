@@ -125,6 +125,21 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(builds.forall(_.startsWith("delta:")), s"builds: $builds")
     assert(rows2 == (1L to 9L).map(k => (k, k * 10)).toSet)
     assert(serve()._2 == "artifact")
+    // TORN APPEND recovery (r14 review): simulate a crash between the
+    // delta append and the sidecar rewrite — extra rows land in the
+    // artifact while the sidecar still carries the old row count. The
+    // committed-count check must force a full rebuild, never serve the
+    // duplicated state or re-append on top of it.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    Seq((999L, 9990L)).toDF("k", "d")
+      .coalesce(1).write.mode("append").parquet(s"$wh/$table")
+    builds.clear()
+    val (rowsTorn, howTorn) = serve()
+    assert(howTorn == "rebuild", howTorn)
+    assert(builds.contains("all"))
+    assert(rowsTorn == (1L to 9L).map(k => (k, k * 10)).toSet,
+      "torn rows must not survive the recovery rebuild")
     // an IN-PLACE mutation (rewrite everything) → full rebuild
     builds.clear()
     val all = spark.read.parquet(src).as[Long].collect().toSeq

@@ -585,9 +585,49 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_sim_hybrid: both arms reach fusion as top-k lists " +
-       "(TakeOrderedAndProject), never corpus-wide sorts") {
+       "(TakeOrderedAndProject), never corpus-wide sorts — and the r14 " +
+       "union+max fusion has NO join node at all") {
     val p = plan("q_sim_hybrid")
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    // the full-outer join of the two rank lists is gone: fusion is one
+    // union + hash aggregate (one exchange over ≤40 rows). The only
+    // joins left are the bm25 arm's internal broadcast attaches.
+    assert(!p.contains("FullOuter"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sim_knn_projected: projected-space scoring is map-side — " +
+       "scalar-subquery query row, no join node, top-k as " +
+       "TakeOrderedAndProject") {
+    val p = plan("q_sim_knn_projected")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_emb_project_trained: the trained basis applies as constant-" +
+       "folded literals — no join, no broadcast, no aggregate before " +
+       "the presentation sort") {
+    val p = plan("q_emb_project_trained")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("streaming gate batch twins are PURE projections: the gate rows " +
+       "plan with no exchange, no join, no aggregate") {
+    // the projection part (before the twin's presentation sort) is what
+    // runs under readStream — it must be shuffle-free by construction
+    val docs = Tables.documents(spark, sf)
+    val gates = Seq(
+      graft.operators.DedupQueries.bloomGateRows(docs,
+        graft.operators.DedupQueries.corpusBloomBytes(spark, sf)),
+      graft.operators.TextQueries.contaminationGateRows(docs,
+        graft.operators.TextQueries.benchShingleBloomBytes(spark, sf)))
+    gates.foreach { g =>
+      g.collect()
+      val p = g.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange") && !p.contains("Join") &&
+             !p.contains("Aggregate"), p)
+    }
   }
 
   test("q_stats_ks / q_stats_mwu: both prefix-sum attach joins broadcast " +

@@ -78,6 +78,69 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bpeMergeList matches an independent driver-side reference on " +
+       "random word tables (fixed-seed sampling, the PropertySpec style)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // a 3-letter alphabet forces pair collisions, chained pairs, and
+    // same-symbol runs — the exact cases where the replace-twice device
+    // could drift from a naive reimplementation
+    val wordGen = for {
+      len <- Gen.choose(2, 7)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val tableGen = for {
+      k <- Gen.choose(1, 7)
+      ws <- Gen.listOfN(k, wordGen)
+      ns <- Gen.listOfN(k, Gen.choose(1L, 9L))
+    } yield ws.distinct.zip(ns)
+    // pure-Scala reference: same framing, same n-weighted occurrence
+    // counts, same (count desc, pair asc) tie rule, same two
+    // left-to-right literal replaces (Java String.replace shares
+    // Spark's non-overlapping continue-after-replacement semantics)
+    def refBpe(words: Seq[(String, Long)],
+               m: Int): Seq[(Long, String, String, String, Long)] = {
+      var ws = words.map { case (w, n) => (" " + w.map(c => s"$c ").mkString, n) }
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var k = 1
+      var done = false
+      while (k <= m && !done) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        ws.foreach { case (s, n) =>
+          val syms = s.trim.split(" ")
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = syms(i) + " " + syms(i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + n
+            i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (pair, score) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+          val Array(l, r) = pair.split(" ", 2)
+          val merged = l + r
+          out += ((k.toLong, l, r, merged, score))
+          val pat = s" $l $r "
+          val rep = s" $merged "
+          ws = ws.map { case (s, n) =>
+            (s.replace(pat, rep).replace(pat, rep), n) }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    import spark.implicits._
+    (1L to 12L).foreach { seed =>
+      val tbl = sample(tableGen, seed)
+      val eng = merges(tbl.toDF("w", "n"), 5)
+      val ref = refBpe(tbl, 5)
+      assert(eng == ref, s"seed=$seed table=$tbl\nengine=$eng\nref=$ref")
+    }
+  }
+
   test("PieceTable accepts composed pieces past the fixture length-4 cap " +
        "and greedy-matches them longest-first") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -642,9 +642,25 @@ object IndexArtifacts {
     * over old+delta data — a naive retry would re-append the delta and
     * silently duplicate rows forever (r14 review). The sidecar therefore
     * records the artifact's exact ROW COUNT at commit time, and every
-    * serve path re-verifies it (a parquet footer-metadata count, no data
-    * scan): a count mismatch means a torn append → full rebuild, never a
-    * stale or duplicated serve.
+    * serve path re-verifies it ([[parquetRowCount]] — summed from the
+    * parquet FOOTERS via the Hadoop API, no Spark scan job): a count
+    * mismatch means a torn append → full rebuild, never a stale or
+    * duplicated serve.
+    *
+    * CONCURRENT WRITERS (ADVICE r14): two serves that both observe the
+    * grown manifest would each append the same delta and then commit the
+    * post-append count — COMPLETED racing appends duplicate rows as
+    * valid state, which the torn-append count check cannot catch. Serves
+    * of one artifact path therefore serialize: a JVM-global per-path
+    * monitor (the same-process case — Bench/Verify threads, foreachBatch
+    * clones), plus a best-effort cross-JVM filesystem LEASE (atomic
+    * create of `path__lease`; a crashed holder's lease is broken after
+    * [[LeaseTtlMs]] — any append it tore is caught by the count check).
+    * The sidecar is re-read INSIDE the lock, so a writer that waited out
+    * a racing append sees the already-advanced manifest and serves the
+    * artifact instead of re-applying the delta. A contended lease (live
+    * holder in another JVM) degrades to the LIVE build with no artifact
+    * write — correctness never depends on winning the lease.
     *
     * `acceptDelta(artifact, delta)` lets a layer veto the append when
     * delta content breaks its per-row-exactness contract (the token
@@ -661,6 +677,61 @@ object IndexArtifacts {
                                 (_, _) => true)
       : (DataFrame, String) = {
     val path = modelPath(s, table)
+    val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
+    monitor.synchronized {
+      withLease(s, path)(
+        serveLocked(s, path, sourcePath, tag, buildAll, buildDelta,
+          acceptDelta)
+      ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
+    }
+  }
+
+  /** Per-artifact-path serve monitors (see the concurrency note on
+    * [[serveDerivedIncremental]]). Keyed by warehouse path string —
+    * bounded by the artifact-table vocabulary, never corpus-sized. */
+  private val serveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** A crashed lease-holder's marker is broken after this age; any
+    * append it tore fails the committed-count check → rebuild. */
+  private[graft] val LeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Best-effort cross-JVM lease on `path__lease`: atomic-create to
+    * acquire, delete to release, TTL-break a stale holder. Returns None
+    * when a LIVE holder owns the lease (caller degrades to the live
+    * build); an unprobeable filesystem runs `body` unguarded — the
+    * serve's own write guards already degrade there. */
+  private def withLease[A](s: SparkSession, path: String)(body: => A)
+      : Option[A] = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(path + "__lease")
+    val fs = try lease.getFileSystem(s.sparkContext.hadoopConfiguration)
+      catch { case _: Exception => return Some(body) }
+    def tryAcquire(): Boolean =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false
+              case _: RuntimeException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age = try
+        System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      catch { case _: Exception => 0L }
+      if (age > LeaseTtlMs) {
+        try fs.delete(lease, false) catch { case _: Exception => }
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired) None
+    else try Some(body)
+    finally { try fs.delete(lease, false) catch { case _: Exception => } }
+  }
+
+  private def serveLocked(s: SparkSession, path: String,
+                          sourcePath: String, tag: String,
+                          buildAll: => DataFrame,
+                          buildDelta: Seq[String] => DataFrame,
+                          acceptDelta: (DataFrame, DataFrame) => Boolean)
+      : (DataFrame, String) = {
     val current = sourceManifest(sourcePath)
     val stored: Option[(String, String, Long)] = try {
       val rows = s.read.parquet(path + "__mf").collect()
@@ -684,37 +755,59 @@ object IndexArtifacts {
     def rebuild(): (DataFrame, String) =
       try {
         buildAll.write.mode("overwrite").parquet(path)
-        writeSidecar(s.read.parquet(path).count())
+        writeSidecar(parquetRowCount(s, path))
         (s.read.parquet(path), "rebuild")
       } catch { case _: Exception => (buildAll, "rebuild") }
     stored match {
       case Some((t, m, n)) if t == tag && m == current && current.nonEmpty =>
         try {
-          val art = s.read.parquet(path)
           // torn-state check: committed count must match (footer-only)
-          if (art.count() == n) (art, "artifact") else rebuild()
+          if (parquetRowCount(s, path) == n) (s.read.parquet(path), "artifact")
+          else rebuild()
         } catch { case _: Exception => (buildAll, "rebuild") }
       case Some((t, m, n)) if t == tag && current.nonEmpty &&
           lines(m).nonEmpty && lines(m).subsetOf(lines(current)) &&
           lines(current).size > lines(m).size =>
         try {
-          val art = s.read.parquet(path)
           // a half-appended crash leftover fails the count check — the
           // delta must never apply on top of unknown state
-          if (art.count() != n) rebuild()
+          if (parquetRowCount(s, path) != n) rebuild()
           else {
+            val art = s.read.parquet(path)
             val fresh = (lines(current) -- lines(m)).toSeq.sorted
               .map(l => s"$sourcePath/${nameOf(l)}")
             val delta = buildDelta(fresh)
             if (!acceptDelta(art, delta)) rebuild()
             else {
               delta.write.mode("append").parquet(path)
-              writeSidecar(s.read.parquet(path).count())
+              writeSidecar(parquetRowCount(s, path))
               (s.read.parquet(path), "append")
             }
           }
         } catch { case _: Exception => (buildAll, "rebuild") }
       case _ => rebuild()
     }
+  }
+
+  /** Exact artifact row count summed from the parquet FOOTERS via the
+    * Hadoop API — a driver-side metadata read over the artifact's file
+    * listing, NO Spark scan job. This matters because the committed-count
+    * verification runs on EVERY serve: default Spark (parquet aggregate
+    * pushdown off) answers `df.count()` with a scan proportional to the
+    * artifact size (ADVICE r14), which would tax each warm serve by the
+    * layer it was supposed to make free. */
+  private[graft] def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 }

@@ -117,9 +117,14 @@ object Pca {
       while (i < dim) { if (math.abs(v(i)) > math.abs(v(sIdx))) sIdx = i; i += 1 }
       if (v(sIdx) < 0) v = v.map(-_)
       // eigenvalue reported in per-row covariance units: λ is in NUMERATOR
-      // units (n² × covariance) — undo n² and e-6-quantize for the spec
+      // units (n² × covariance) — undo n² and e-6-quantize for the spec.
+      // Clamped at 0: deflation of a rank-deficient corpus can leave a
+      // tiny NEGATIVE Rayleigh quotient (float residue of a mathematically
+      // zero eigenvalue), and floor() would emit -1 where the documented
+      // degenerate-component flag is 0 (ADVICE r14)
       val lambdaE6 =
-        math.floor(lambda / (n.toDouble * n.toDouble) * 1e6).toLong
+        math.floor(math.max(lambda, 0.0) / (n.toDouble * n.toDouble) * 1e6)
+          .toLong
       var d3 = 0
       while (d3 < dim) {
         out += ((comp.toLong, d3.toLong,

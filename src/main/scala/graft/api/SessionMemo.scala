@@ -36,13 +36,23 @@ final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
 
   def get(s: SparkSession, group: String, variant: String)(build: => V): V = {
     import scala.jdk.CollectionConverters._
-    val lock = locks.computeIfAbsent((s, group), _ => new Object)
-    lock.synchronized {
-      m.keySet.asScala
-        .filter(k => k._1 == s && k._2 == group && k._3 != variant)
-        .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
-      m.computeIfAbsent((s, group, variant), _ => build)
+    while (true) {
+      val lock = locks.computeIfAbsent((s, group), _ => new Object)
+      lock.synchronized {
+        // a concurrent release() may have pruned this lock between the
+        // computeIfAbsent and the acquire; a later get() would then mint
+        // a FRESH lock and run the evict-then-insert section in parallel
+        // with us (ADVICE r14 — the r13 residency race in a narrow
+        // window). Re-check we still hold the MAPPED lock; retry if not.
+        if (locks.get((s, group)) eq lock) {
+          m.keySet.asScala
+            .filter(k => k._1 == s && k._2 == group && k._3 != variant)
+            .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+          return m.computeIfAbsent((s, group, variant), _ => build)
+        }
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop every entry of `s` (optionally only `group`'s) — the

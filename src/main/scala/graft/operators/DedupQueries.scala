@@ -561,7 +561,10 @@ object DedupQueries {
       // q_dedup_typos AND q_dedup_typo_clusters
       ph("typo_pairs",       () => typoPairs(s, d).count()),
       // the s_dedup_gate corpus-membership sketch (one-row binary model)
-      ph("bloom_gate",       () => corpusBloomBytes(s, d).length.toLong))
+      ph("bloom_gate",       () => corpusBloomBytes(s, d).length.toLong),
+      // the s_fuzzy_gate hot-shingle model (tiny DfCap tail as literal
+      // state; the sig-set side rides the shingle_sigs phase above)
+      ph("fuzzy_gate",       () => fuzzyGateHotSet(s, d).length.toLong))
   }
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
@@ -718,8 +721,13 @@ object DedupQueries {
   private val sigMemo =
     new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
-  private[graft] def releaseBandSignatures(s: SparkSession): Unit =
+  private[graft] def releaseBandSignatures(s: SparkSession): Unit = {
     sigMemo.release(s)
+    // the fuzzy gate's hot set is the same DfCap policy the sig layer
+    // bakes in — a release that kept it would pair a stale hot literal
+    // with freshly rebuilt signatures
+    hotSetCache.release(s)
+  }
 
   private[graft] def bandSigTable(s: SparkSession, d: String): DataFrame =
     sigMemo.get(s, "", d) {
@@ -928,7 +936,142 @@ object DedupQueries {
       }
     }
 
+  /** Number of LSH bands (K minhashes / Rows per band) — fixed at build
+    * time, which is what lets the fuzzy gate carry one probe COLUMN per
+    * band instead of exploding to band rows (the shape that keeps the
+    * whole streaming plan stateless). */
+  private[graft] val FuzzyBands: Int = K / Rows
+
+  /** The fuzzy gate's HOT-SHINGLE set — the DfCap policy (df > DfCap over
+    * the full corpus) as bounded model state, memoized + artifact-served
+    * (the corpusBloomBytes pattern). An incoming row cannot see global
+    * document frequencies, so the per-row signature ships the hot set as
+    * a literal and filters its own shingles against it — producing
+    * EXACTLY the signature the corpus index holds for identical text
+    * (capIndex removes the same hashes). Tiny by construction (the heavy
+    * tail the cap exists for — the same set the capIndex anti-join
+    * broadcasts); production refreshes it with each periodic index
+    * compaction, the IVF frozen-model posture.
+    */
+  private val hotSetCache = new graft.api.SessionMemo[Array[Long]]()
+
+  private[graft] def fuzzyGateHotSet(s: SparkSession, d: String): Array[Long] =
+    hotSetCache.get(s, "fuzzyhot", d) {
+      val fp = graft.api.IndexArtifacts
+        .fileFingerprint(s"$d/documents.parquet") + s":fuzzyhot-v1:df$DfCap"
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val table = s"g_model_fuzzyhot_$slug"
+      graft.api.IndexArtifacts.readModel(s, table, fp) match {
+        case Some(m) =>
+          derivedSource.put((s, "fuzzy_gate"), "artifact")
+          m.collect().map(_.getLong(0)).sorted
+        case None =>
+          derivedSource.put((s, "fuzzy_gate"), "rebuild")
+          val hot = uncappedShingleHashes(s, d)
+            .groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > DfCap)
+            .select("h").collect().map(_.getLong(0)).sorted
+          import s.implicits._
+          graft.api.IndexArtifacts.persistModel(s,
+            hot.toSeq.toDF("h"), table, fp)
+          hot
+      }
+    }
+
+  /** Band-signature index over an arbitrary (doc_id, text) corpus — the
+    * [[bandSignatures]]∘[[capIndex]]∘[[shinglesOf]] stack as one call,
+    * for gate deployments whose corpus is not a fixture dir (and for
+    * StreamingSpec's inline corpora). The fixture path serves the same
+    * shape from the shingle_sigs artifact instead.
+    */
+  private[graft] def fuzzyGateCorpusSigs(docs: DataFrame): DataFrame =
+    bandSignatures(capIndex(shinglesOf(docs)))
+
+  /** A row's banded MinHash signatures as ONE array column — the pure
+    * per-row form of [[bandSignatures]] (identical affine arithmetic,
+    * identical band encoding), with the DfCap applied via the shipped
+    * `hot` literal instead of the corpus-wide anti-join. The shingle
+    * array binds once in a lambda (the shingleHashArray device) so the
+    * K minhash folds share one tokenize+hash evaluation. A row with no
+    * surviving shingles signs NULL — it can never match the index,
+    * exactly as a shingle-less doc has no index rows.
+    */
+  private[graft] def perRowBandSigs(text: Column, hot: Array[Long]): Column = {
+    val hs = shingleHashArray(text)
+    val kept =
+      if (hot.isEmpty) hs
+      else filter(hs, h => !array_contains(typedLit(hot.toSeq), h))
+    transform(array(kept), a =>
+      when(size(a) > 0,
+        array((0 until FuzzyBands).map { b =>
+          concat_ws(":", lit(b),
+            array_min(transform(a, x => affine(x, Rows * b))),
+            array_min(transform(a, x => affine(x, Rows * b + 1))))
+        }: _*))
+      .otherwise(lit(null).cast("array<string>")))
+      .getItem(0)
+  }
+
+  /** The streaming/incremental FUZZY dedup gate (VERDICT r14 #1): flag
+    * each incoming row that near-duplicates the PERSISTED corpus — the
+    * standard crawl-dedup question the exact-hash gate trio cannot
+    * answer — with NO corpus rescan and NO streaming state. Per row:
+    * sign ([[perRowBandSigs]] — pure projection), then probe each of
+    * the [[FuzzyBands]] signatures against the corpus band-signature
+    * index via one equi LEFT join per band. Band count is a build-time
+    * constant, so the bands ride as COLUMNS, not exploded rows — the
+    * per-doc verdict needs no aggregation, and the whole plan is
+    * projections + stream-static equi-joins, legal under readStream in
+    * append mode (StreamingSpec pins two-micro-batch bit-equality to
+    * this batch twin).
+    *
+    * Recall contract (spec-pinned): the shipped hot set makes probe
+    * signatures IDENTICAL to the index's for the same text, so every
+    * pair q_dedup_train_test verifies is a pair the gate's band join
+    * surfaced — flagged docs ⊇ train-test bench_ids, by construction.
+    *
+    * Shape at 100 TB: the probe side is batch-sized; the static side is
+    * the DISTINCT sig set of the persisted index (corpus-linear but
+    * compact — ≤ [[FuzzyBands]] strings per doc before dedup), served
+    * from the shingle_sigs artifact and joined per micro-batch on the
+    * band key, never broadcast-mandated — AQE picks broadcast when it
+    * fits, shuffled-hash otherwise, and only the micro-batch shuffles.
+    */
+  private[graft] def fuzzyGateRows(batch: DataFrame, hot: Array[Long],
+                                   corpusSigs: DataFrame): DataFrame = {
+    val withSigs = batch.select(col("doc_id"),
+      perRowBandSigs(col("text"), hot).as("__sigs"))
+    // second projection: CollapseProject keeps the non-cheap sig array
+    // evaluated once, not once per element_at
+    val keyed = withSigs.select(col("doc_id") +:
+      (0 until FuzzyBands).map(b =>
+        element_at(col("__sigs"), b + 1).as(s"__sig_$b")): _*)
+    val sigSet = corpusSigs.select(col("sig")).distinct()
+    var out = keyed
+    for (b <- 0 until FuzzyBands)
+      out = out.join(
+        sigSet.select(col("sig").as(s"__sig_$b"), lit(1).as(s"__hit_$b")),
+        Seq(s"__sig_$b"), "left")
+    val nHits = (0 until FuzzyBands)
+      .map(b => coalesce(col(s"__hit_$b"), lit(0))).reduce(_ + _)
+    out.select(col("doc_id"), nHits.cast("long").as("n_bands_hit"),
+      (nHits > 0).as("maybe_dup"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s_fuzzy_gate" -> ((s, d) => {
+      // batch twin: every 50th doc plays "today's crawl" (the
+      // q_dedup_train_test split, so the recall pin reads one fixture),
+      // the rest are the persisted corpus. The corpus side reads the
+      // artifact-served shingle_sigs layer restricted to the corpus
+      // split — the gate never re-signs the corpus.
+      val batch = documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select("doc_id", "text")
+      val corpusSigs = bandSigTable(s, d).filter(col("doc_id") % 50 =!= 0)
+      fuzzyGateRows(batch, fuzzyGateHotSet(s, d), corpusSigs)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_bloom" -> ((s, d) => {
       // every 10th doc plays "today's batch"; the rest are the corpus.
       // Sketch geometry comes from CATALOG STATISTICS when the harness
@@ -1929,6 +2072,27 @@ object DedupQueries {
          |       CAST(bucket_size * (bucket_size - 1) // 2 * count(*) AS BIGINT)
          |         AS cand_pairs
          |FROM bsz GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
+
+    // the engine's per-row probe signatures equal the capped index's
+    // signatures by construction (the shipped hot set IS the DfCap
+    // policy), so the gate is fully oracle-checkable: the oracle signs
+    // every doc over the capped shingles and counts which of the probe
+    // doc's bands land in the corpus split's distinct sig set
+    "s_fuzzy_gate" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |${duckMinhashBands("shh")},
+         |corpus_sigs AS (SELECT DISTINCT sig FROM bands
+         |                WHERE doc_id % 50 <> 0),
+         |probe AS (SELECT doc_id, sig FROM bands WHERE doc_id % 50 = 0)
+         |SELECT d.doc_id,
+         |       CAST(count(cs.sig) AS BIGINT) AS n_bands_hit,
+         |       count(cs.sig) > 0 AS maybe_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+         |LEFT JOIN probe p ON p.doc_id = d.doc_id
+         |LEFT JOIN corpus_sigs cs ON cs.sig = p.sig
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_train_test" ->
       s"""WITH $duckShingles,

@@ -179,7 +179,10 @@ object SimilarityQueries {
     * state (the KMeans memo pattern). */
   private[graft] def trainedPcaModel(s: SparkSession, d: String): DataFrame =
     memoModel(s, "pca", d,
-      tag = s":pca-v1:k$ProjK:i${graft.api.Pca.Iters}")(
+      // v2: the r15 lambda clamp (negative Rayleigh residue of a rank-
+      // deficient deflation now flags 0, not -1) changed the fit kernel —
+      // persisted v1 models must refit
+      tag = s":pca-v2:k$ProjK:i${graft.api.Pca.Iters}")(
       graft.api.Pca.fitBasis(emb(s, d), "v", k = ProjK))
 
   /** The memoized eigenbasis as ProjK milli-quantized coefficient rows —

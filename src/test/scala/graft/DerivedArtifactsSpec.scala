@@ -152,6 +152,67 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(rows3 == (all :+ 100L).map(k => (k, k * 10)).toSet)
   }
 
+  test("serveDerivedIncremental: racing concurrent serves of a grown " +
+       "source never duplicate the delta (ADVICE r14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mfrace").toString
+    val table = "g_drv_spec_race"
+    def serve() = IndexArtifacts.serveDerivedIncremental(
+      spark, table, src, "t1",
+      spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
+      paths => spark.read.parquet(paths: _*)
+        .select(col("k"), (col("k") * 10).as("d")))
+    (1L to 5L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    assert(serve()._2 == "rebuild")
+    // grow the source, then serve from several threads at once: without
+    // the per-path serialization both observe the stale sidecar, both
+    // append the same delta, and the duplicated rows COMMIT as valid
+    // state (the count check can't catch a completed racing append)
+    (6L to 9L).toDF("k").coalesce(2).write.mode("append").parquet(src)
+    val outcomes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      outcomes.add(serve()._2): Unit
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rows = serve()._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.sorted == (1L to 9L).map(k => (k, k * 10)).sorted,
+      s"racing serves corrupted the artifact: ${rows.sorted}")
+    assert(rows.size == 9, s"duplicated delta rows: ${rows.size}")
+  }
+
+  test("serveDerivedIncremental: a LIVE foreign lease degrades to the " +
+       "live build with no artifact write; a stale lease is broken") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mflease").toString
+    val table = "g_drv_spec_lease"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    def serve() = IndexArtifacts.serveDerivedIncremental(
+      spark, table, src, "t1",
+      spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
+      paths => spark.read.parquet(paths: _*)
+        .select(col("k"), (col("k") * 10).as("d")))
+    (1L to 3L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    // another JVM holds the lease: this serve must still answer (live
+    // build) but must NOT write the artifact or sidecar
+    val lease = new java.io.File(s"$wh/${table}__lease")
+    assert(lease.createNewFile())
+    val (df, how) = serve()
+    assert(how == "rebuild")
+    assert(df.count() == 3)
+    assert(!new java.io.File(s"$wh/$table").exists(),
+      "a contended serve must not write artifact state")
+    // the holder crashed: an over-TTL lease is broken and serving resumes
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - IndexArtifacts.LeaseTtlMs - 60000))
+    assert(serve()._2 == "rebuild")
+    assert(serve()._2 == "artifact")
+    assert(!lease.exists(), "the broken lease must be released after serve")
+  }
+
   test("raw shingle layer appends per-doc exactly: grown docs dir == " +
        "full rebuild, downstream consumers agree") {
     import spark.implicits._

@@ -275,6 +275,84 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 4L).exists(!_._2))
   }
 
+  test("fuzzy dedup gate composes under readStream (s_fuzzy_gate): " +
+       "two micro-batches bit-equal the batch twin") {
+    // per-row signing is a pure projection and the band probes are
+    // stream-static equi LEFT joins (one per band COLUMN — no explode,
+    // no aggregation, no state), so the streaming gate is the batch
+    // expression unchanged in append mode
+    implicit val sq = spark.sqlContext
+    import graft.operators.DedupQueries
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, body),
+      (101L, "corpus only " + (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpusSigs = DedupQueries.fuzzyGateCorpusSigs(corpus)
+    val hot = Array.empty[Long] // tiny corpus: no shingle crosses DfCap
+    val probe = Seq(
+      (1L, body),                                        // exact duplicate
+      (2L, "novel " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (3L, (1 to 30).map(i => if (i == 30) "chg" else s"w$i").mkString(" ")),
+      (4L, "xy"))                                        // < 3 tokens
+    val in = MemoryStream[(Long, String)]
+    val q = DedupQueries.fuzzyGateRows(
+        in.toDS().toDF("doc_id", "text"), hot, corpusSigs)
+      .writeStream.format("memory").queryName("fuzzy_gate_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(2): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val got = rows(spark.table("fuzzy_gate_stream"))
+    val want = rows(
+      DedupQueries.fuzzyGateRows(probe.toDF("doc_id", "text"), hot, corpusSigs))
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 4)
+    // an exact duplicate hits EVERY band (identical text → identical sigs)
+    assert(got.find(_._1 == 1L)
+      .exists(t => t._3 && t._2 == DedupQueries.FuzzyBands.toLong))
+    // novel and shingle-less docs pass clean
+    assert(got.find(_._1 == 2L).exists(!_._3))
+    assert(got.find(_._1 == 4L).exists(t => !t._3 && t._2 == 0L))
+  }
+
+  test("s_fuzzy_gate probe signatures equal the capped index's " +
+       "signatures row-for-row (the recall lemma)") {
+    // the shipped hot set IS the DfCap policy, so a row's pure-projection
+    // signature must equal what the corpus index holds for the same text
+    // — over EVERY fixture doc, including hot-shingle and short-text edges
+    import graft.operators.DedupQueries
+    val hot = DedupQueries.fuzzyGateHotSet(spark, sf)
+    val probe = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(DedupQueries.perRowBandSigs(col("text"), hot)).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val idx = DedupQueries.bandSigTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(probe == idx,
+      s"probe-only: ${(probe -- idx).take(3)}; index-only: ${(idx -- probe).take(3)}")
+  }
+
+  test("s_fuzzy_gate recall vs q_dedup_train_test: every verified " +
+       "bench near-dup flags") {
+    // candidates ⊇ verified pairs by construction (the gate's band join
+    // IS train_test's candidate generation), so a verified bench doc the
+    // gate missed would be a broken invariant, not bad luck
+    val gate = SparkEntry.queries("s_fuzzy_gate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val verified = SparkEntry.queries("q_dedup_train_test")(spark, sf)
+      .collect().map(_.getLong(1)).toSet
+    assert(verified.nonEmpty,
+      "fixture has no verified train/test near-dups — the recall pin " +
+      "would be vacuous; check the fixture split")
+    val missed = verified.filterNot(id => gate.getOrElse(id, false))
+    assert(missed.isEmpty, s"gate missed verified bench ids: ${missed.take(5)}")
+  }
+
   test("s_contamination_gate agrees with the exact probe: every " +
        "exactly-contaminated doc flags (no false negatives)") {
     import graft.operators.TextQueries

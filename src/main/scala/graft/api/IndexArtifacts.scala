@@ -629,11 +629,15 @@ object IndexArtifacts {
     *   - anything else (shrunk / mutated files / tag change) → buildAll,
     *     overwrite, fresh sidecar — the exact-rebuild fallback.
     *
-    * NOT for layers with cross-row coupling: the DfCap'd capped index,
-    * band signatures over it, and pair tables all depend on GLOBAL
-    * document frequency, so they rebuild — but from the appended raw
-    * layer (one aggregation over compact (doc, h) rows), never by
-    * re-hashing corpus text.
+    * Layers with cross-row coupling (the DfCap'd capped index, band
+    * signatures over it) CAN still append when the coupling state did
+    * not move: `acceptPaths` is the caller's pre-veto — evaluated on
+    * the new file list BEFORE the delta is built — where a layer checks
+    * its global invariant (e.g. "no shingle crossed DfCap under this
+    * delta"; r15 — the capped/sig layers ride this). False → exact
+    * full rebuild, still from the appended compact raw layer, never by
+    * re-hashing corpus text. Pair tables and connected components stay
+    * rebuild-only (their rows couple arbitrary doc pairs).
     *
     * CRASH-SAFETY: the overwrite path's sidecar-after-data ordering is
     * the persistDerived commit marker (torn write reads as absent →
@@ -674,14 +678,16 @@ object IndexArtifacts {
                               buildAll: => DataFrame,
                               buildDelta: Seq[String] => DataFrame,
                               acceptDelta: (DataFrame, DataFrame) => Boolean =
-                                (_, _) => true)
+                                (_, _) => true,
+                              acceptPaths: Seq[String] => Boolean =
+                                _ => true)
       : (DataFrame, String) = {
     val path = modelPath(s, table)
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
     monitor.synchronized {
       withLease(s, path)(
         serveLocked(s, path, sourcePath, tag, buildAll, buildDelta,
-          acceptDelta)
+          acceptDelta, acceptPaths)
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
   }
@@ -730,7 +736,8 @@ object IndexArtifacts {
                           sourcePath: String, tag: String,
                           buildAll: => DataFrame,
                           buildDelta: Seq[String] => DataFrame,
-                          acceptDelta: (DataFrame, DataFrame) => Boolean)
+                          acceptDelta: (DataFrame, DataFrame) => Boolean,
+                          acceptPaths: Seq[String] => Boolean)
       : (DataFrame, String) = {
     val current = sourceManifest(sourcePath)
     val stored: Option[(String, String, Long)] = try {
@@ -776,12 +783,17 @@ object IndexArtifacts {
             val art = s.read.parquet(path)
             val fresh = (lines(current) -- lines(m)).toSeq.sorted
               .map(l => s"$sourcePath/${nameOf(l)}")
+            // the caller's global-invariant pre-veto runs before the
+            // delta is even built (its check is usually cheaper)
+            if (!acceptPaths(fresh)) rebuild()
+            else {
             val delta = buildDelta(fresh)
             if (!acceptDelta(art, delta)) rebuild()
             else {
               delta.write.mode("append").parquet(path)
               writeSidecar(parquetRowCount(s, path))
               (s.read.parquet(path), "append")
+            }
             }
           }
         } catch { case _: Exception => (buildAll, "rebuild") }

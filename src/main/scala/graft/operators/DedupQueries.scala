@@ -674,8 +674,53 @@ object DedupQueries {
     */
   private def buildCapped(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
     val natural = documents(s, d).rdd.getNumPartitions
-    servedDerived(s, d, "shingle_capped", "shcap", "documents.parquet",
-      s"df$DfCap")(capIndex(raw)).coalesce(natural).cache()
+    // MANIFEST-INCREMENTAL (VERDICT r14 #2): the capped layer is DfCap-
+    // coupled (a global-df function), but growth only ever ADDS hot
+    // shingles — so when the delta promoted nothing across the cap
+    // ([[dfCapPromoted]], the acceptPaths veto), the grown capped layer
+    // is EXACTLY old ∪ (new docs' raw rows minus the unchanged hot set):
+    // a delta-sized append instead of a corpus-sized rewrite. A promoted
+    // shingle (it must be REMOVED from old docs' rows) falls back to the
+    // exact rebuild — still from the appended compact raw layer.
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+      s, s"g_drv_shcap_$slug", s"$d/documents.parquet",
+      DerivedVersion + s":df$DfCap",
+      capIndex(raw),
+      paths => {
+        val newIds = s.read.parquet(paths: _*).select("doc_id")
+        val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select("h")
+        raw.join(newIds, Seq("doc_id"), "left_semi")
+          .join(hot, Seq("h"), "left_anti").select("doc_id", "h")
+      },
+      // doc-id-disjointness guard (the token-layer veto): a re-crawled
+      // doc_id landing in a "new" file would double its rows
+      acceptDelta = (art, delta) => art.join(
+        delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .isEmpty,
+      acceptPaths = paths => !dfCapPromoted(s, raw, paths))
+    derivedSource.put((s, "shingle_capped"), src)
+    df.coalesce(natural).cache()
+  }
+
+  /** TRUE iff appending `paths`' docs promoted any shingle across DfCap
+    * — the veto that keeps capped/sig appends exact. df never decreases
+    * under growth, so hot-set equality ⟺ no h sits above the cap now
+    * (dft) while at-or-below it before the delta (dft − dfd). Two
+    * aggregations over the CACHED compact raw layer plus one join of
+    * their (tiny vs delta-sized) tails — no text pass.
+    */
+  private def dfCapPromoted(s: SparkSession, raw: DataFrame,
+                            paths: Seq[String]): Boolean = {
+    val newIds = s.read.parquet(paths: _*).select("doc_id")
+    val dfTot = raw.groupBy("h").agg(count(lit(1)).as("dft"))
+      .filter(col("dft") > DfCap)
+    val dfDelta = raw.join(newIds, Seq("doc_id"), "left_semi")
+      .groupBy("h").agg(count(lit(1)).as("dfd"))
+    !dfTot.join(dfDelta, Seq("h"))
+      .filter(col("dft") - col("dfd") <= DfCap)
+      .isEmpty
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned
@@ -731,10 +776,29 @@ object DedupQueries {
 
   private[graft] def bandSigTable(s: SparkSession, d: String): DataFrame =
     sigMemo.get(s, "", d) {
-      val bands = servedDerived(s, d, "shingle_sigs", "shsigs",
-          "documents.parquet", s"df$DfCap-k$K-r$Rows")(
-          bandSignatures(shingleHashes(s, d)))
-        .cache()
+      // MANIFEST-INCREMENTAL (VERDICT r14 #2): signatures are per-doc
+      // functions of the doc's CAPPED shingles, so under the same
+      // no-promotion veto as the capped layer, old docs' sigs are
+      // untouched and the delta is the new docs' signatures — computed
+      // off the already-appended capped memo, no re-shingling. A
+      // promoted shingle changes old docs' minhashes → exact rebuild.
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_shsigs_$slug", s"$d/documents.parquet",
+        DerivedVersion + s":df$DfCap-k$K-r$Rows",
+        bandSignatures(shingleHashes(s, d)),
+        paths => {
+          val newIds = s.read.parquet(paths: _*).select("doc_id")
+          bandSignatures(
+            shingleHashes(s, d).join(newIds, Seq("doc_id"), "left_semi"))
+        },
+        acceptDelta = (art, delta) => art.join(
+          delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .isEmpty,
+        acceptPaths = paths =>
+          !dfCapPromoted(s, uncappedShingleHashes(s, d), paths))
+      derivedSource.put((s, "shingle_sigs"), src)
+      val bands = df.cache()
       bands.count() // eager — the winnowPickSet rationale
       bands
     }

@@ -190,6 +190,11 @@ class DerivedArtifactsSpec extends SparkSpec {
     val table = "g_drv_spec_lease"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:").stripSuffix("/")
+    // idempotence across suite runs: the warehouse persists, and this
+    // test asserts on raw artifact-dir existence
+    rm(new java.io.File(s"$wh/$table"))
+    rm(new java.io.File(s"$wh/${table}__mf"))
+    new java.io.File(s"$wh/${table}__lease").delete()
     def serve() = IndexArtifacts.serveDerivedIncremental(
       spark, table, src, "t1",
       spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
@@ -240,6 +245,82 @@ class DerivedArtifactsSpec extends SparkSpec {
       spark.read.parquet(docsPath)).collect().map(_.toSeq).toSet
     assert(appended == full)
     assert(first.subsetOf(appended) && appended.size > first.size)
+    DedupQueries.releaseShingleIndex(spark)
+  }
+
+  test("capped + sig layers APPEND on a grown docs dir when no shingle " +
+       "crossed DfCap, and equal a full rebuild exactly (VERDICT r14 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mfsig").toString
+    val docsPath = s"$dir/documents.parquet"
+    def doc(i: Long) = (i, "src", (1 to 12).map(t => s"w${(i + t) % 7}")
+      .mkString(" "))
+    (1L to 20L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    DedupQueries.releaseShingleIndex(spark)
+    DedupQueries.cappedShingleIndex(spark, dir).count()
+    graft.operators.DedupQueries.bandSigTable(spark, dir).count()
+    // the corpus GROWS; 28 docs over a 7-symbol vocabulary stay far
+    // below DfCap=100, so both layers must take the append path
+    (21L to 28L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    Tables.invalidate(spark, docsPath)
+    DedupQueries.releaseShingleIndex(spark)
+    val cappedRows = DedupQueries.cappedShingleIndex(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val sigRows = DedupQueries.bandSigTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(DedupQueries.derivedSourceOf(spark, "shingle_capped") == "append",
+      DedupQueries.derivedSourceOf(spark, "shingle_capped"))
+    assert(DedupQueries.derivedSourceOf(spark, "shingle_sigs") == "append",
+      DedupQueries.derivedSourceOf(spark, "shingle_sigs"))
+    // append ≡ rebuild: live plans over the whole grown corpus
+    val liveCapped = DedupQueries.capIndex(
+      DedupQueries.shinglesOf(spark.read.parquet(docsPath)))
+    assert(cappedRows == liveCapped.collect().map(_.toSeq).toSet)
+    val liveSigs = DedupQueries.fuzzyGateCorpusSigs(
+      spark.read.parquet(docsPath)).collect().map(_.toSeq).toSet
+    assert(sigRows == liveSigs)
+    DedupQueries.releaseShingleIndex(spark)
+  }
+
+  test("a delta that PROMOTES a shingle across DfCap vetoes the append: " +
+       "capped + sig layers rebuild and stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mfhot").toString
+    val docsPath = s"$dir/documents.parquet"
+    // every doc carries the same 3-gram "c0 c1 c2" plus unique filler:
+    // 95 docs → df=95 ≤ 100 (kept); +10 docs → df=105 > 100 (hot)
+    def doc(i: Long) =
+      (i, "src", s"c0 c1 c2 u${i}a u${i}b u${i}c u${i}d u${i}e")
+    (1L to 95L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    DedupQueries.releaseShingleIndex(spark)
+    DedupQueries.bandSigTable(spark, dir).count()
+    (96L to 105L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    Tables.invalidate(spark, docsPath)
+    DedupQueries.releaseShingleIndex(spark)
+    val cappedRows = DedupQueries.cappedShingleIndex(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val sigRows = DedupQueries.bandSigTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(DedupQueries.derivedSourceOf(spark, "shingle_capped") == "rebuild",
+      DedupQueries.derivedSourceOf(spark, "shingle_capped"))
+    assert(DedupQueries.derivedSourceOf(spark, "shingle_sigs") == "rebuild",
+      DedupQueries.derivedSourceOf(spark, "shingle_sigs"))
+    val liveCapped = DedupQueries.capIndex(
+      DedupQueries.shinglesOf(spark.read.parquet(docsPath)))
+      .collect().map(_.toSeq).toSet
+    assert(cappedRows == liveCapped)
+    // the promoted shingle's hash must be GONE from the rebuilt layer
+    assert(cappedRows.size < 105 * 6,
+      "promotion did not shrink the capped layer")
+    val liveSigs = DedupQueries.fuzzyGateCorpusSigs(
+      spark.read.parquet(docsPath)).collect().map(_.toSeq).toSet
+    assert(sigRows == liveSigs)
     DedupQueries.releaseShingleIndex(spark)
   }
 

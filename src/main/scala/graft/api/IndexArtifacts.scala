@@ -568,6 +568,14 @@ object IndexArtifacts {
     s"${wh.stripSuffix("/")}/$table"
   }
 
+  /** Driver-side existence probe (Hadoop FS, no Spark job). False on any
+    * filesystem error — callers treat "unknown" as "absent". */
+  private def pathExists(s: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Exception => false }
+
   /** Persist a DERIVED LAYER artifact (winnow pick sets, verified pair
     * tables, capped shingle indexes — corpus-fraction-sized, NOT
     * driver-bounded): path-based parquet like [[persistModel]], but the
@@ -605,8 +613,12 @@ object IndexArtifacts {
                   fingerprint: String): Option[DataFrame] = {
     val path = modelPath(s, table)
     val fresh = try {
-      val rows = s.read.parquet(path + "__fp").collect()
-      rows.length == 1 && rows(0).getString(0) == fingerprint
+      // probe first — see the serveLocked note: a cold warehouse must
+      // not emit Spark's logged analysis failure on the way to "absent"
+      pathExists(s, path + "__fp") && {
+        val rows = s.read.parquet(path + "__fp").collect()
+        rows.length == 1 && rows(0).getString(0) == fingerprint
+      }
     } catch { case _: Exception => false }
     if (!fresh) None
     else try Some(s.read.parquet(path)) catch { case _: Throwable => None }
@@ -741,11 +753,18 @@ object IndexArtifacts {
       : (DataFrame, String) = {
     val current = sourceManifest(sourcePath)
     val stored: Option[(String, String, Long)] = try {
+      // existence probe first: a cold warehouse is the COMMON first-run
+      // case, and letting the parquet read throw means Spark 4 logs the
+      // caught analysis failure at ERROR — alarming noise for a path
+      // that by design reads as "absent → rebuild"
+      if (!pathExists(s, path + "__mf")) None
+      else {
       val rows = s.read.parquet(path + "__mf").collect()
       if (rows.length == 1)
         Some((rows(0).getAs[String]("tag"), rows(0).getAs[String]("mf"),
               rows(0).getAs[Long]("n")))
       else None
+      }
     } catch { case _: Exception => None }
     import s.implicits._
     def writeSidecar(n: Long): Unit =

@@ -174,6 +174,57 @@ object SimilarityQueries {
   private[graft] def trainedPqCodebook(s: SparkSession, d: String): DataFrame =
     memoModel(s, "pq", d)(pqTrainedCodebook(emb(s, d)))
 
+  /** Corpus rows with their coarse IVF cell and RESIDUAL (v − centroid):
+    * the IVFADC working representation (Jégou, Douze & Schmid, TPAMI
+    * 2011 §III — PQ quantizes what the coarse quantizer leaves over,
+    * which concentrates the energy the codebook must cover). Assignment
+    * is the map-side 1-probe argmax; the k-row centroid table re-attaches
+    * by cell id through an explicit broadcast (bounded model state), and
+    * the residual is one zip_with projection. Emits
+    * (vec_id, cid, __ccv, v) with v REBOUND to the residual so the PQ
+    * encoder consumes it unchanged.
+    */
+  private[graft] def ivfResiduals(e: DataFrame, cents: DataFrame): DataFrame =
+    IvfOps.assign(e, IvfOps.centroidBlock(cents, "cid", "cv"), nProbe = 1)
+      .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))),
+            Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("__ccv"),
+        zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("v"))
+
+  /** IVFADC codebook geometry: M=16 subspaces of 4 dims, k=16 codes each
+    * (64-bit codes/vector) — finer than the fixture-PQ [[PqM]]×[[PqSub]]
+    * because ADC RANKS by the reconstruction; on near-isotropic corpora
+    * the cosine margins between true neighbours are a few hundredths, so
+    * the codes must carry real fidelity (the paper's m=8/k★=256 geometry
+    * scaled to the 64-dim fixture). The raw-PQ pair keeps the coarse
+    * fixture geometry to stay comparable with its DuckDB-mirrored twin. */
+  private val IvfPqM = 16
+  private val IvfPqSub = Dim / IvfPqM
+  private val IvfPqK = 16
+
+  /** IVFADC+R shortlist size: ADC ranks the probed cells, the top
+    * [[IvfPqShortlist]] rows re-rank by EXACT distance (Jégou, Tavenard,
+    * Douze & Amsaleg, "Searching in one billion vectors: re-rank with
+    * source coding", ICASSP 2011). R=25 ≫ k=5 absorbs ADC's quantization
+    * noise at fixture margins; at scale R stays O(k), never O(corpus). */
+  private val IvfPqShortlist = 25
+
+  /** The IVFADC residual codebook: [[graft.api.KMeans.fitSubspaces]] over
+    * the coarse-cell residuals (the paper's training rule — codebooks fit
+    * the residual distribution, not the raw vectors). Deterministic chain:
+    * the residuals derive from the memoized [[trainedIvfCentroids]] fit,
+    * itself deterministic, so the artifact fingerprint on the input file
+    * covers the whole composition; the tag pins both stages'
+    * hyperparameters so a changed recipe self-invalidates.
+    */
+  private[graft] def trainedIvfPqCodebook(s: SparkSession, d: String): DataFrame =
+    memoModel(s, "ivfpq", d,
+      tag = s":ivfpq-v3:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:i5:coarse-k8i5")(
+      graft.api.KMeans.fitSubspaces(
+        ivfResiduals(emb(s, d), trainedIvfCentroids(s, d)),
+        "vec_id", "v", IvfPqM, IvfPqSub, k = IvfPqK, iters = 5)
+        .select(col("m"), col("j"), col("cv")))
+
   /** The trained PCA eigenbasis (k, i, b, lambda_e6) — artifact-served or
     * fit via [[graft.api.Pca.fitBasis]]; ProjK×Dim rows of driver model
     * state (the KMeans memo pattern). */
@@ -213,6 +264,8 @@ object SimilarityQueries {
       () => trainSource(s, "ivf", d)),
     ("kmeans_pq_train", () => trainedPqCodebook(s, d).count(),
       () => trainSource(s, "pq", d)),
+    ("kmeans_ivfpq_train", () => trainedIvfPqCodebook(s, d).count(),
+      () => trainSource(s, "ivfpq", d)),
     ("pca_train", () => trainedPcaModel(s, d).count(),
       () => trainSource(s, "pca", d)))
 
@@ -251,13 +304,20 @@ object SimilarityQueries {
   private[graft] def pqEncode(e: DataFrame): DataFrame =
     pqEncodeWith(e, pqFixtureCodebook(e))
 
-  private[graft] def pqEncodeWith(e: DataFrame, cbRows: DataFrame): DataFrame = {
+  /** `passThrough` columns ride the encode untouched (the IVFADC path
+    * keeps the row's coarse cell id and centroid beside its codes);
+    * `m`/`sub` select the subspace geometry (the raw-PQ family keeps the
+    * fixture [[PqM]]×[[PqSub]]; IVFADC uses its finer own). */
+  private[graft] def pqEncodeWith(e: DataFrame, cbRows: DataFrame,
+                                  passThrough: Seq[String] = Nil,
+                                  nSub: Int = PqM,
+                                  subDim: Int = PqSub): DataFrame = {
     val cb = cbRows
       .withColumn("n2", dot_product(col("cv"), col("cv")))
       .agg(sort_array(collect_list(struct(
         col("m"), col("j"), col("cv"), col("n2")))).as("__cb"))
-    val parts = (0 until PqM).map { m =>
-      val subm = slice(col("v"), m * PqSub + 1, PqSub)
+    val parts = (0 until nSub).map { m =>
+      val subm = slice(col("v"), m * subDim + 1, subDim)
       val ents = filter(col("__cb"), c => c.getField("m") === m)
       val scored = transform(ents, c => struct(
         (dot_product(subm, subm) + c.getField("n2")
@@ -267,10 +327,10 @@ object SimilarityQueries {
     }
     e.withColumn("__cb",
         org.apache.spark.sql.GraftSqlBridge.scalarSubquery(cb))
-      .select(col("vec_id"),
+      .select(col("vec_id") +: passThrough.map(col) ++: Seq(
         concat_ws(",", parts.map(_.getField("j").cast("string")): _*)
           .as("codes"),
-        concat(parts.map(_.getField("cv")): _*).as("rv"))
+        concat(parts.map(_.getField("cv")): _*).as("rv")): _*)
   }
 
   /** Fixture projection-basis entry for (component k, dim i): an affine
@@ -723,6 +783,67 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), floor9(col("sim")).as("sim"),
                 col("rnk"))
         .orderBy("q_id", "rnk")
+    }),
+
+    "q_sim_ivfpq_trained" -> ((s, d) => {
+      // COMPOSED IVF+PQ retrieval — IVFADC (Jégou, Douze & Schmid,
+      // "Product Quantization for Nearest Neighbor Search", TPAMI 2011
+      // §V), the production ANN recipe the family's pieces circle:
+      // corpus rows coarse-assign to their trained IVF cell, the
+      // RESIDUAL (v − centroid) PQ-encodes against a residual-trained
+      // codebook ([[trainedIvfPqCodebook]]), and a query scores ONLY the
+      // rows of its nProbe nearest cells — asymmetric distance in the
+      // house cosine form: the stored reconstruction (centroid + decoded
+      // residual) against the full-precision query vector.
+      //
+      // Then the IVFADC+R refinement (Jégou, Tavenard, Douze & Amsaleg,
+      // ICASSP 2011): ADC ORDERS the probed rows and keeps a shortlist of
+      // R=25; only those R rows re-rank by exact cosine against their
+      // full-precision vectors. On near-isotropic corpora ADC alone
+      // cannot separate cosine margins of a few hundredths — the
+      // shortlist absorbs that noise while keeping the exact work O(R).
+      //
+      // Shape at 100 TB: encode is index-build cost (map-side assign +
+      // broadcast centroid re-attach + scalar-subquery codebook — the
+      // persisted-artifact layer in production, like shingle_sigs);
+      // retrieval joins the 2-row broadcast probe list on the cell id
+      // BEFORE any scoring, so the ADC-scored set is |probed cells|, not
+      // the corpus, and the shortlist is a TakeOrdered over it. The
+      // re-rank fetch is a 25-row broadcast semi-join back to the vector
+      // table reading only (vec_id, v) — in production a point-lookup
+      // against the id-indexed store. The 64-dim doubles never ship at
+      // ADC time: storage per row is M·log2(k★)=64 bits of codes + a
+      // cell id. no_oracle by design (two stacked trained float models;
+      // DuckDB cannot re-run Lloyd's); contract = determinism + recall@5
+      // vs exact q_sim_knn ≥ 0.8 (KMeansIvfSpec) + the probed-cell plan
+      // pin (PlanSpec).
+      val e = emb(s, d)
+      val cents = trainedIvfCentroids(s, d)
+      val index = pqEncodeWith(
+          ivfResiduals(fanOut(e), cents), trainedIvfPqCodebook(s, d),
+          passThrough = Seq("cid", "__ccv"),
+          nSub = IvfPqM, subDim = IvfPqSub)
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("__ccv"), col("rv"), (a, b) => a + b).as("rvfull"))
+      val q = e.filter(col("vec_id") === 0)
+      val qv = q.select(col("v").as("qv"))
+      val probes = IvfOps.assign(q, IvfOps.centroidBlock(cents, "cid", "cv"),
+          nProbe = 2)
+        .select(col("cid").as("probe_cid"))
+      val shortlist = index
+        .join(broadcast(probes), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .select(col("vec_id"), col("cid"),
+                cosine(col("rvfull"), col("qv")).as("adc_sim"))
+        .orderBy(col("adc_sim").desc, col("vec_id").asc)
+        .limit(IvfPqShortlist)
+      e.join(broadcast(shortlist.select("vec_id", "cid")), Seq("vec_id"))
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .select(col("vec_id"), col("cid"),
+                floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
     }),
 
     "q_sim_ivf_trained" -> ((s, d) => {

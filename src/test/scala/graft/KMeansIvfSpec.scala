@@ -189,6 +189,48 @@ class KMeansIvfSpec extends SparkSpec {
       s"only ${(goodShare * 100).round}% of probes reached recall ≥ 0.8: $recalls")
   }
 
+  test("IVFADC (q_sim_ivfpq_trained): deterministic, and recall@5 vs exact " +
+       "q_sim_knn ≥ 0.8 (VERDICT r14 #3)") {
+    def ids(name: String): Seq[Long] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val adc1 = ids("q_sim_ivfpq_trained")
+    val adc2 = ids("q_sim_ivfpq_trained")
+    assert(adc1 == adc2, "IVFADC retrieval must be deterministic run-to-run")
+    assert(adc1.size == 5)
+    val truth = ids("q_sim_knn").toSet
+    val recall = adc1.count(truth) / 5.0
+    assert(recall >= 0.8,
+      s"IVFADC recall@5 $recall < 0.8 (got ${adc1.toList}, exact $truth)")
+  }
+
+  test("IVFADC reconstruction error does not exceed the raw trained-PQ " +
+       "twin's (coarse+residual coding must capture at least what the " +
+       "raw codebooks do)") {
+    val sq = graft.operators.SimilarityQueries
+    val e = sq.emb(spark, sf)
+    val cents = sq.trainedIvfCentroids(spark, sf)
+    def sse(recon: org.apache.spark.sql.DataFrame, vcol: String): Double =
+      recon.join(e.select(col("vec_id"), col("v").as("__orig")), Seq("vec_id"))
+        .select(aggregate(zip_with(col(vcol), col("__orig"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e2"))
+        .agg(sum("e2")).collect().head.getDouble(0)
+    // IVFADC reconstruction: coarse centroid + decoded residual (the
+    // IVFADC geometry — 16 subspaces of 4 dims)
+    val adc = sq.pqEncodeWith(sq.ivfResiduals(e, cents),
+        sq.trainedIvfPqCodebook(spark, sf), passThrough = Seq("__ccv"),
+        nSub = 16, subDim = 4)
+      .select(col("vec_id"),
+        zip_with(col("__ccv"), col("rv"), (a, b) => a + b).as("rvfull"))
+    // raw trained PQ reconstruction (no coarse stage)
+    val raw = sq.pqEncodeWith(e, sq.trainedPqCodebook(spark, sf))
+    val (adcErr, rawErr) = (sse(adc, "rvfull"), sse(raw, "rv"))
+    assert(adcErr <= rawErr * 1.0001, // exact-arith slack only
+      s"IVFADC SSE $adcErr > raw-PQ SSE $rawErr — residual quantization " +
+      "must capture at least what the raw codebooks do")
+  }
+
   test("model artifact round-trips byte-identically and refuses a stale " +
        "fingerprint (serve-from-artifact, VERDICT r10 #6)") {
     import graft.api.IndexArtifacts

@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_sim_ivfpq_trained retrieves through the probed-cell join " +
+       "(broadcast probe list, top-k TakeOrdered, no cartesian)") {
+    val p = plan("q_sim_ivfpq_trained")
+    // the 2-row probe list joins the index on the cell id BEFORE scoring —
+    // a broadcast hash join, never a nested-loop/cartesian corpus scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("probe_cid"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-k is a TakeOrdered over the probed rows, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_dedup_minhash carries no mandatory broadcast hints (AQE decides)") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString

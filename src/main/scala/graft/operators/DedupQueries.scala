@@ -944,14 +944,19 @@ object DedupQueries {
     * mode (the s_quality_gate posture; s_dedup_gate runs exactly this).
     */
   private[graft] def bloomGateRows(batch: DataFrame,
-                                   bytes: Array[Byte]): DataFrame = {
+                                   bytes: Array[Byte]): DataFrame =
+    batch.select(col("doc_id"),
+      bloomProbeExpr(bytes, xxhash64(col("text"))).as("maybe_seen"))
+
+  /** The sketch probe as a reusable COLUMN (sketch bytes as a foldable
+    * binary literal + one `might_contain` per row) — the pure-projection
+    * core [[bloomGateRows]] and the composed curation pipeline share. */
+  private[graft] def bloomProbeExpr(bytes: Array[Byte], h: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val probe = BloomFilterMightContain(
+    GraftSqlBridge.toColumn(BloomFilterMightContain(
       Literal(bytes, org.apache.spark.sql.types.BinaryType),
-      GraftSqlBridge.toExpression(xxhash64(col("text"))))
-    batch
-      .select(col("doc_id"), GraftSqlBridge.toColumn(probe).as("maybe_seen"))
+      GraftSqlBridge.toExpression(h)))
   }
 
   /** [[bloomGateRows]] with the batch-twin presentation sort. */

@@ -929,23 +929,94 @@ object TextQueries {
     * differ from canonical greedy BPE — deterministically, in both
     * engines, documented there).
     *
-    * Scale shape: the words table is VOCAB-sized (distinct [a-z]{2,}
-    * words), cached once for the loop; each round is one explode +
-    * pair-keyed aggregation + a LIMIT-1 TakeOrdered, and the chosen
-    * merge returns to the driver as ONE row — bounded model state, the
-    * KMeans.fit doctrine. Round k replays k·2 accumulated replaces over
-    * the cached base (M² cheap column passes total; a production run at
-    * M=32k checkpoints every few hundred rounds — a data knob, not a
-    * shape change).
+    * Scale shape — DELTA-MAINTAINED pair counts (VERDICT r14 #4, real
+    * Sennrich's bookkeeping): the framed words table AND the pair-count
+    * table are MATERIALIZED state (eager localCheckpoint — lineage
+    * truncates each round, so round k's plan never replays rounds 1..k-1;
+    * a multi-tenant cluster run swaps in reliable `checkpoint` — a
+    * durability knob, not a shape change). Each round: the LIMIT-1
+    * TakeOrdered over the counts table picks the merge; only the words
+    * CONTAINING the merged pair rewrite (' l r ' containment is exactly
+    * replace-applicability on the framed string); their before/after
+    * pair multisets form a ± delta (n-weighted exact Long sums) that
+    * folds into the counts table by one union+agg. Per-round cost is
+    * therefore one pass over each table — O(M·vocab) total, not the
+    * O(M²) the replay form pays — and the chosen merge returns to the
+    * driver as ONE row — bounded model state, the KMeans.fit doctrine.
+    * BpeSpec pins this loop bit-identical to [[bpeMergeListRecount]] at
+    * M=12 and M=48 (incremental counts ≡ full recount is exact: Long
+    * deltas, unchanged words contribute unchanged pairs).
     *
     * Returns (merge_rank, lhs, rhs, merged, score) driver rows; stops
     * early if the corpus runs out of pairs.
     */
   private[graft] def bpeMergeList(words: DataFrame,
       m: Int): Seq[(Long, String, String, String, Long)] = {
-    val base = words.select(
+    var cur = framedBpeWords(words).localCheckpoint(true)
+    var counts = cur
+      .select(explode(bpePairs(col("s"))).as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("score"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= m && !done) {
+      val best = counts
+        .orderBy(col("score").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val score = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        val merged = l + r
+        out += ((k.toLong, l, r, merged, score))
+        val pat = s" $l $r "
+        val rep = s" $merged "
+        // only the words containing the pair change; everything else
+        // keeps both its string and its pair contributions. The delta
+        // and the rewrite are both single projections over `cur` —
+        // NEVER a filter+union (a narrow union doubles the partition
+        // count every round: exponential task explosion by round ~14)
+        val hit = cur.filter(col("s").contains(pat))
+        val newHit = hit.withColumn("s",
+          replace(replace(col("s"), lit(pat), lit(rep)), lit(pat), lit(rep)))
+        val delta = hit
+          .select(explode(bpePairs(col("s"))).as("pair"),
+                  (-col("n")).as("score"))
+          .unionAll(newHit.select(
+            explode(bpePairs(col("s"))).as("pair"), col("n").as("score")))
+        counts = counts.unionAll(delta)
+          .groupBy("pair").agg(sum("score").as("score"))
+          .filter(col("score") > 0)
+          .localCheckpoint(true)
+        cur = cur.withColumn("s",
+            when(col("s").contains(pat),
+              replace(replace(col("s"), lit(pat), lit(rep)),
+                      lit(pat), lit(rep)))
+              .otherwise(col("s")))
+          .localCheckpoint(true)
+        // superseded checkpoint RDDs become unreachable here; the
+        // ContextCleaner reclaims their storage asynchronously
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  private def framedBpeWords(words: DataFrame): DataFrame =
+    words.select(
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
       col("n"))
+
+  /** The pre-r15 full-recount form of [[bpeMergeList]] — round k
+    * recounts ALL pairs under k·2 accumulated replace passes (O(M²)
+    * column work). Kept as the SPEC REFERENCE the delta-maintained loop
+    * must match bit-for-bit (BpeSpec, M=12 and M=48); never on a query
+    * path. */
+  private[graft] def bpeMergeListRecount(words: DataFrame,
+      m: Int): Seq[(Long, String, String, String, Long)] = {
+    val base = framedBpeWords(words)
     base.cache()
     try {
       val out = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -1036,7 +1107,8 @@ object TextQueries {
     * them, silently breaking row-for-row equality on such corpora).
     */
   private[graft] def rowQualityGate(docsIn: DataFrame,
-                                    model: Array[Double]): DataFrame = {
+                                    model: Array[Double],
+                                    carryText: Boolean = false): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
     val dim = model.length - 2 // = QualityFeatDim (hashed buckets + length)
     val warr = array((0 until dim).map(b => lit(model(b))): _*)
@@ -1074,10 +1146,42 @@ object TextQueries {
     val m = (folded.getField("acc") +
         runTerm(folded.getField("prev"), folded.getField("run")) + lenTerm)
       .cast("double") + model(dim)
-    docs.select(col("doc_id"),
+    docs.select(Seq(col("doc_id"),
       floor(m * 1e6).cast("long").as("score_e6"),
-      (m >= model(dim + 1)).as("keep"))
+      (m >= model(dim + 1)).as("keep")) ++
+      (if (carryText) Seq(col("text")) else Nil): _*)
   }
+
+  /** The COMPOSED streaming-curation pipeline (VERDICT r14 #6): the gate
+    * trio CHAINED in the order a crawl pipeline runs them — learned
+    * quality first (cheapest reject — one per-row fold), then corpus
+    * membership (one hash probe against the persisted Bloom sketch),
+    * then benchmark contamination (shingle-array fold against the
+    * benchmark sketch) — each stage a FILTER, so a row rejected early
+    * never pays the later probes. Every stage is the SAME pure per-row
+    * projection its standalone gate runs ([[rowQualityGate]],
+    * [[graft.operators.DedupQueries.bloomProbeExpr]],
+    * [[contaminationGateRows]]'s exists-fold), so the composition is
+    * itself a stateless projection+filter chain: it runs unchanged under
+    * readStream in append mode, and a WATERMARK CANNOT DROP ITS ROWS —
+    * there is no stateful operator for lateness to act on (StreamingSpec
+    * pins exactly that: an out-of-order three-micro-batch MemoryStream
+    * with rows arriving behind the watermark still bit-equals the batch
+    * twin). Emits the SURVIVORS as (doc_id, score_e6) — "what enters
+    * training today", with the quality score along for curriculum use.
+    */
+  private[graft] def curationPipelineRows(docs: DataFrame,
+      model: Array[Double], corpusBloom: Array[Byte],
+      benchBloom: Array[Byte]): DataFrame =
+    rowQualityGate(docs, model, carryText = true)
+      .filter(col("keep"))
+      .filter(!DedupQueries.bloomProbeExpr(corpusBloom,
+        xxhash64(col("text"))))
+      .filter(!coalesce(
+        exists(DedupQueries.shingleHashArray(col("text")),
+               DedupQueries.bloomProbeFn(benchBloom)),
+        lit(false)))
+      .select(col("doc_id"), col("score_e6"))
 
   /** Holdout AUC of the trained gate against the heuristic labels on the
     * doc_id % 5 == 0 split the fit never saw — the LogRegSpec gate,
@@ -1295,6 +1399,24 @@ object TextQueries {
       contaminationGateRows(
         documents(s, d).filter(col("doc_id") % 50 =!= 0),
         benchShingleBloomBytes(s, d)).orderBy("doc_id")),
+
+    "s_curation_pipeline" -> ((s, d) => {
+      // The COMPOSED curation pipeline — the gate trio chained (see
+      // [[curationPipelineRows]]): today's crawl (the s_dedup_gate
+      // doc_id % 10 == 0 split) runs quality → membership →
+      // contamination as one stateless projection+filter chain; the
+      // survivors are the rows a training run would ingest. All three
+      // models are the PERSISTED artifacts the standalone gates serve
+      // (trained logit weights, corpus Bloom, benchmark-shingle Bloom) —
+      // composing adds no new state, no join, no shuffle, so the batch
+      // twin streams unchanged (StreamingSpec drives it out-of-order
+      // across a watermark). no_oracle by design like each member gate
+      // (trained float model + Spark-specific sketch layouts).
+      val batch = documents(s, d).filter(col("doc_id") % 10 === 0)
+      curationPipelineRows(batch, trainedQualityWeights(s, d),
+        DedupQueries.corpusBloomBytes(s, d),
+        benchShingleBloomBytes(s, d)).orderBy("doc_id")
+    }),
 
     "q_text_langid" -> ((s, d) =>
       // Heuristic language-ID — see [[langPred]], the one definition

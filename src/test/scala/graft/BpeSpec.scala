@@ -18,6 +18,43 @@ class BpeSpec extends SparkSpec {
   private def merges(df: org.apache.spark.sql.DataFrame, m: Int) =
     TextQueries.bpeMergeList(df, m)
 
+  /** Pure-Scala reference: same framing, same n-weighted occurrence
+    * counts, same (count desc, pair asc) tie rule, same two
+    * left-to-right literal replaces (Java String.replace shares
+    * Spark's non-overlapping continue-after-replacement semantics). */
+  private def refBpe(words: Seq[(String, Long)],
+                     m: Int): Seq[(Long, String, String, String, Long)] = {
+    var ws = words.map { case (w, n) => (" " + w.map(c => s"$c ").mkString, n) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= m && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      ws.foreach { case (s, n) =>
+        val syms = s.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, score) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val Array(l, r) = pair.split(" ", 2)
+        val merged = l + r
+        out += ((k.toLong, l, r, merged, score))
+        val pat = s" $l $r "
+        val rep = s" $merged "
+        ws = ws.map { case (s, n) =>
+          (s.replace(pat, rep).replace(pat, rep), n) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
   test("hand-derived merge sequence with composition and tie rule") {
     // counts: "aba"×2 contributes (a,b)=2,(b,a)=2; "ab"×3 → (a,b)=3.
     // round 1: (a,b)=5 beats (b,a)=2 → merge "ab" (score 5)
@@ -96,42 +133,6 @@ class BpeSpec extends SparkSpec {
       ws <- Gen.listOfN(k, wordGen)
       ns <- Gen.listOfN(k, Gen.choose(1L, 9L))
     } yield ws.distinct.zip(ns)
-    // pure-Scala reference: same framing, same n-weighted occurrence
-    // counts, same (count desc, pair asc) tie rule, same two
-    // left-to-right literal replaces (Java String.replace shares
-    // Spark's non-overlapping continue-after-replacement semantics)
-    def refBpe(words: Seq[(String, Long)],
-               m: Int): Seq[(Long, String, String, String, Long)] = {
-      var ws = words.map { case (w, n) => (" " + w.map(c => s"$c ").mkString, n) }
-      val out = Seq.newBuilder[(Long, String, String, String, Long)]
-      var k = 1
-      var done = false
-      while (k <= m && !done) {
-        val counts = scala.collection.mutable.Map.empty[String, Long]
-        ws.foreach { case (s, n) =>
-          val syms = s.trim.split(" ")
-          var i = 0
-          while (i < syms.length - 1) {
-            val p = syms(i) + " " + syms(i + 1)
-            counts(p) = counts.getOrElse(p, 0L) + n
-            i += 1
-          }
-        }
-        if (counts.isEmpty) done = true
-        else {
-          val (pair, score) = counts.toSeq.minBy { case (p, c) => (-c, p) }
-          val Array(l, r) = pair.split(" ", 2)
-          val merged = l + r
-          out += ((k.toLong, l, r, merged, score))
-          val pat = s" $l $r "
-          val rep = s" $merged "
-          ws = ws.map { case (s, n) =>
-            (s.replace(pat, rep).replace(pat, rep), n) }
-          k += 1
-        }
-      }
-      out.result()
-    }
     import spark.implicits._
     (1L to 12L).foreach { seed =>
       val tbl = sample(tableGen, seed)
@@ -139,6 +140,32 @@ class BpeSpec extends SparkSpec {
       val ref = refBpe(tbl, 5)
       assert(eng == ref, s"seed=$seed table=$tbl\nengine=$eng\nref=$ref")
     }
+  }
+
+  test("delta-maintained loop is bit-identical to the full-recount " +
+       "reference at M=12 AND M=48 (VERDICT r14 #4)") {
+    // the REAL corpus words table at fixture scale — the same input the
+    // production bpe_train fit consumes, not a crafted toy: chained
+    // pairs, same-symbol runs, ties, and pair-count churn all occur
+    val w = TextQueries.corpusWords(spark, sf)
+    w.cache()
+    try {
+      // M=12 (the production BpeMerges): vs the Spark recount form —
+      // the engine's own pre-r15 loop, different plan, same arithmetic
+      val inc12 = TextQueries.bpeMergeList(w, 12)
+      assert(inc12 == TextQueries.bpeMergeListRecount(w, 12))
+      assert(inc12.size == 12)
+      // M=48: vs the independent pure-Scala reference (the recount
+      // form's O(M²) replay is exactly the cost being removed — at
+      // M=48 it would dominate the suite; the driver reference is the
+      // same arbiter the property test trusts)
+      val words = w.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val inc48 = TextQueries.bpeMergeList(w, 48)
+      assert(inc48 == refBpe(words, 48), s"M=48 drifted: $inc48")
+      assert(inc48.size == 48, s"M=48 exhausted early at ${inc48.size}")
+      // prefix consistency: more rounds only EXTEND the merge list
+      assert(inc48.take(12) == inc12)
+    } finally w.unpersist(blocking = false)
   }
 
   test("PieceTable accepts composed pieces past the fixture length-4 cap " +

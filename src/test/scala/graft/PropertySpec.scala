@@ -232,6 +232,110 @@ class PropertySpec extends SparkSpec {
     assert(out.toSeq == Seq((1000L, 1001L, 1000000L)), out.mkString(","))
   }
 
+  // ---- skew stress (VERDICT r14 #5): power-law fixtures against the ----
+  // ---- capped machinery — one key holding ~10% of all rows           ----
+
+  test("skew stress (simhash bands): a mega-cluster holding 10% of the " +
+       "corpus is bounded by the bucket cap; capped pairs match the " +
+       "rank-filtered brute force exactly") {
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    val hotSig = 0x0FEDCBA987654321L & mask60
+    // 40 of 400 fingerprints identical — the boilerplate mega-cluster
+    val rows = (0L until 40L).map(id => (id, hotSig)) ++
+      (40 until 400).map(i => (i.toLong, rnd.nextLong() & mask60))
+    val df = rows.toDF("doc_id", "simhash")
+    // pure-Scala reference with the engine's exact banding + cap rule:
+    // per (band, bsig) bucket keep the `cap` lowest doc_ids, pair i<j
+    def bsig(s: Long, b: Int): Long = (s >> (15 * b)) & 32767
+    def refPairs(cap: Int): Set[(Long, Long, Long)] = {
+      val buckets =
+        scala.collection.mutable.Map.empty[(Int, Long), List[(Long, Long)]]
+      rows.sortBy(_._1).foreach { case (id, s) =>
+        (0 until 4).foreach { b =>
+          val k = (b, bsig(s, b))
+          val cur = buckets.getOrElse(k, Nil)
+          if (cur.size < cap) buckets(k) = cur :+ ((id, s))
+        }
+      }
+      buckets.values.flatMap { ms =>
+        for (i <- ms.indices; j <- i + 1 until ms.size) yield
+          (ms(i)._1, ms(j)._1,
+           java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2).toLong)
+      }.toSet
+    }
+    def engine(cap: Int): Set[(Long, Long, Long)] =
+      graft.operators.DedupQueries.simhashBandPairs(df, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cap far above the cluster: identical to the uncapped brute force
+    assert(engine(4096) == refPairs(Int.MaxValue))
+    // cap below the cluster: exact rank-filtered semantics — and the
+    // mega-cluster's contribution collapses from C(40,2)=780 pairs to
+    // C(8,2)=28 (all four bands keep the SAME 8 lowest ids), so the
+    // per-task expansion is bounded by cap² regardless of cluster size
+    val capped = engine(8)
+    assert(capped == refPairs(8))
+    assert(capped.count(p => p._1 < 40 && p._2 < 40) == 28,
+      s"hot-cluster pairs not cap-bounded: $capped")
+  }
+
+  test("skew stress (IVF cells): a hot cell holding 10% of ids is bounded " +
+       "by the bucket cap; capped pairs match the rank-filtered brute force") {
+    import graft.api.IvfOps
+    // cell 0 holds ids 0..39 (10% of 400); the rest spread over 36 cells
+    val asg = ((0 until 40).map(i => (0L, i.toLong)) ++
+      (40 until 400).map(i => ((1L + i % 36).toLong, i.toLong)))
+      .toDF("cid", "vec_id")
+    val byCell = ((0 until 40).map(i => (0L, i.toLong)) ++
+      (40 until 400).map(i => ((1L + i % 36).toLong, i.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def ref(cap: Int): Set[(Long, Long)] =
+      byCell.values.flatMap { ids0 =>
+        val ids = ids0.take(cap)
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    def engine(cap: Int): Set[(Long, Long)] =
+      IvfOps.bucketPairs(asg, cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine(4096) == ref(Int.MaxValue))
+    val capped = engine(10)
+    assert(capped == ref(10))
+    // hot cell: C(40,2)=780 pairs collapse to C(10,2)=45
+    assert(capped.count(p => p._1 < 40 && p._2 < 40) == 45)
+  }
+
+  test("skew stress (pair table): DfCap bounds per-shingle fan-out on a " +
+       "power-law index; the pair table matches brute force over the " +
+       "capped universe") {
+    import graft.operators.DedupQueries
+    val dfCap = DedupQueries.DfCapValue
+    // h=1: hot in 150 docs (> DfCap) — leaves the universe whole;
+    // h=2: df EXACTLY DfCap — kept, the documented worst-case fan-out;
+    // h=3: rare (df 2) — must still pair
+    val raw = ((0 until 150).map(i => (i.toLong, 1L)) ++
+      (0 until dfCap).map(i => (i.toLong, 2L)) ++
+      Seq((0L, 3L), (200L, 3L))).toDF("doc_id", "h")
+    val capped = DedupQueries.capIndex(raw)
+    val dfs = capped.groupBy("h").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!dfs.contains(1L), s"hot shingle survived the cap: $dfs")
+    assert(dfs.values.forall(_ <= dfCap), s"df bound violated: $dfs")
+    val got = DedupQueries.pairsPlan(capped)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Map(
+        2L -> (0 until dfCap).map(_.toLong).toSeq,
+        3L -> Seq(0L, 200L))
+      .values.flatMap(ds =>
+        for (i <- ds.indices; j <- i + 1 until ds.size) yield (ds(i), ds(j)))
+      .groupBy(identity).map { case (p, occ) =>
+        (p._1, p._2, occ.size.toLong) }.toSet
+    assert(got == want)
+    // the kept worst case is exactly the DfCap² envelope: C(DfCap,2)
+    // pairs from h=2, plus the one rare pair
+    assert(got.size == dfCap * (dfCap - 1) / 2 + 1)
+  }
+
   test("q_dedup_containment: finds the quote-inclusion pair Jaccard " +
        "misses, keeps identical pairs, drops sub-threshold overlap") {
     // doc 1 (3 shingles) is pasted whole as doc 2's prefix (23 shingles):

@@ -438,6 +438,60 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(3L), s"window rows: $rows")
   }
 
+  test("composed curation pipeline (s_curation_pipeline): three gates " +
+       "chain statelessly — out-of-order rows BEHIND the watermark still " +
+       "bit-equal the batch twin (VERDICT r14 #6)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{DedupQueries, TextQueries}
+    // crafted model: score = min(n_tokens/400, 1), threshold 0.02 —
+    // docs under 8 tokens fail the quality gate (dim=2: one hashed
+    // bucket at weight 0, the length feature at 1.0, bias 0)
+    val model = Array(0.0, 1.0, 0.0, 0.02)
+    val corpusText = "seen one two three four five six seven eight"
+    val corpusBytes = DedupQueries.bloomAgg(
+        Seq((10L, corpusText)).toDF("doc_id", "text"),
+        graft.api.IndexArtifacts.BloomExpectedItems,
+        graft.api.IndexArtifacts.BloomNumBits)
+      .collect().head.getAs[Array[Byte]]("bf")
+    val leak = "alpha beta gamma delta"
+    val benchBytes = DedupQueries.bloomAggOver(
+        DedupQueries.shinglesOf(Seq((50L, leak)).toDF("doc_id", "text"))
+          .select("h").distinct(), col("h"),
+        graft.api.IndexArtifacts.BloomExpectedItems,
+        graft.api.IndexArtifacts.BloomNumBits)
+      .collect().head.getAs[Array[Byte]]("bf")
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.curationPipelineRows(df, model, corpusBytes, benchBytes)
+    // one row per fate: survive; quality-reject; membership-reject;
+    // contamination-reject; survive but arrive LATE behind the watermark
+    val rows = Seq(
+      (1L, "clean novel body with plenty of fresh tokens", t2(10, 0)),
+      (2L, "too short", t2(10, 0)),
+      (3L, corpusText, t2(10, 1)),
+      (4L, s"intro $leak and still eight more trailing tokens", t2(10, 1)),
+      (5L, "late but perfectly valid document body tokens here", t2(10, 0)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = pipe(in.toDS().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(2, 4): _*) // watermark advances past 10:00
+    q.processAllAvailable()
+    in.addData(rows.drop(4): _*)     // doc 5's ts is BEHIND the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curation_stream").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val want = pipe(rows.toDF("doc_id", "text", "ts")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    // each gate rejected its row; the late survivor was NOT dropped —
+    // a stateless chain gives a watermark nothing to act on
+    assert(got.map(_.head) == Seq(1L, 5L), s"survivors: $got")
+  }
+
   test("file-replay ingest restarts from checkpoint without duplicates (R9/R10)") {
     val srcDir = java.nio.file.Files.createTempDirectory("sbs1src")
     val outDir = java.nio.file.Files.createTempDirectory("sbs1out").toString

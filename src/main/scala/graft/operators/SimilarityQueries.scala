@@ -225,6 +225,140 @@ object SimilarityQueries {
         "vec_id", "v", IvfPqM, IvfPqSub, k = IvfPqK, iters = 5)
         .select(col("m"), col("j"), col("cv")))
 
+  /** Embedding-cosine near-dup threshold on floor(cos·1e9) — the ONE τ
+    * the embedding dedup family uses (q_dedup_embed, eval_leakage, and
+    * the streaming gate). */
+  private[graft] val SemDupThrE9 = 450000000L
+
+  /** The corpus packed per IVF cell for the semantic gate's stream-static
+    * probe: one row per cid carrying its members as a sorted
+    * (vec_id, v) array, membership capped at [[IvfOps.BucketCap]] by
+    * vec_id rank (the bucketPairs skew rule — a degenerate cell must not
+    * become an unbounded per-row fold; members past the cap escape the
+    * gate exactly as they escape q_dedup_embed's capped pair join,
+    * documented, and the spec pins the in-cap contract). STATIC side —
+    * windows and aggregation are fine here; only the probe side streams.
+    */
+  private[graft] def semanticGateCellPack(corpus: DataFrame,
+                                          cents: DataFrame): DataFrame = {
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy("vec_id")
+    IvfOps.assign(corpus, IvfOps.centroidBlock(cents, "cid", "cv"),
+        nProbe = 1)
+      .withColumn("__rn", row_number().over(byCell))
+      .filter(col("__rn") <= IvfOps.BucketCap)
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
+        .as("members"))
+  }
+
+  /** The STREAMING SEMANTIC dedup gate — "drop today's crawl rows whose
+    * embedding near-duplicates the corpus" (SemDeDup's question asked per
+    * micro-batch), completing the gate family's fourth dedup lens beside
+    * exact hash (s_dedup_gate), MinHash bands (s_fuzzy_gate), and
+    * benchmark n-grams (s_contamination_gate). Stateless by the fuzzy
+    * gate's construction: the k trained centroids ship as LITERAL vectors
+    * (driver-resident model state, the assignStatic device), so each
+    * row's 2 probe cells compute as pure codegen'd projections — COLUMNS,
+    * never exploded rows — then one stream-static equi LEFT join per
+    * probe column attaches the probed cell's packed members
+    * ([[semanticGateCellPack]]) and a per-row HOF fold takes the best
+    * cosine over ≤ BucketCap candidates (ties → lowest vec_id; the row
+    * itself excluded). No aggregation, no window, no state — the
+    * identical plan runs under readStream append (StreamingSpec pins
+    * two-micro-batch bit-equality to the batch twin and zero false
+    * negatives for exact-duplicate vectors, which share their twin's
+    * cell by determinism of the assignment).
+    *
+    * Emits (vec_id, nn_vec_id, sim_e9, is_semdup) — null nn/sim when the
+    * probed cells hold no candidate. is_semdup = sim_e9 ≥ [[SemDupThrE9]],
+    * the q_dedup_embed τ, so the gate's verdict is the batch family's.
+    *
+    * Shape at 100 TB: per incoming row the work is k literal dot
+    * products + 2 joins on a cell id + a ≤ 2·BucketCap-element fold; the
+    * static side is the IVF-packed corpus (the persisted index layer in
+    * production), shuffled once per micro-batch at most — never the
+    * corpus per row, never a rescan.
+    */
+  private[graft] def semanticGateRows(batch: DataFrame,
+      cents: Seq[(Long, Array[Double])], cellPack: DataFrame): DataFrame = {
+    val nilBest = struct(lit(-2d).as("s"), lit(-1L).as("id"))
+    val scored = array(cents.map { case (cid, cv) =>
+      val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      struct(nanvl(dot_product(col("v"), lit(cv)) /
+                     (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
+             lit(-cid).as("negcid"))
+    }: _*)
+    val ranked = slice(reverse(array_sort(scored)), 1, 2)
+    val keyed = batch
+      .withColumn("__nrm", sqrt(dot_product(col("v"), col("v"))))
+      .withColumn("__ranked", ranked)
+      .select(Seq(col("vec_id"), col("v")) ++
+        (0 until 2).map(p =>
+          (-element_at(col("__ranked"), p + 1).getField("negcid"))
+            .as(s"__cid_$p")): _*)
+    var out = keyed
+    for (p <- 0 until 2)
+      out = out.join(
+        cellPack.select(col("cid").as(s"__cid_$p"),
+                        col("members").as(s"__ms_$p")),
+        Seq(s"__cid_$p"), "left")
+    // best (cosine, id) over one cell's members: exact same better-rule
+    // in the fold and the cross-probe combine — higher sim wins, ties to
+    // the lowest id; the probe row itself can never be its own neighbour
+    def better(cand: Column, acc: Column): Column = {
+      val s = cand.getField("s"); val a = acc.getField("s")
+      (s > a) || (s === a && cand.getField("id") < acc.getField("id"))
+    }
+    def bestOf(ms: Column): Column =
+      aggregate(
+        coalesce(ms, array().cast(
+          "array<struct<vec_id:bigint,v:array<double>>>")),
+        nilBest,
+        (acc, m) => {
+          val sim = nanvl(cosine(col("v"), m.getField("v")), lit(-2d))
+          val cand = struct(sim.as("s"), m.getField("vec_id").as("id"))
+          when(m.getField("vec_id") =!= col("vec_id") && better(cand, acc),
+               cand).otherwise(acc)
+        })
+    val b0 = bestOf(col("__ms_0")); val b1 = bestOf(col("__ms_1"))
+    val best = when(better(b1, b0), b1).otherwise(b0)
+    out
+      .withColumn("__best", best)
+      .select(col("vec_id"),
+        when(col("__best.id") >= 0, col("__best.id")).as("nn_vec_id"),
+        when(col("__best.id") >= 0,
+          floor(col("__best.s") * 1e9).cast("long")).as("sim_e9"),
+        coalesce(
+          floor(col("__best.s") * 1e9).cast("long") >= SemDupThrE9 &&
+            col("__best.id") >= 0,
+          lit(false)).as("is_semdup"))
+  }
+
+  /** Session-memoized fixture cellPack (the s_dedup_gate corpus-split
+    * rule: vec_id % 10 ≠ 0 is "the corpus"), cached — the static side of
+    * every micro-batch probe; the persisted IVF index layer plays this
+    * role in production. */
+  private val cellPackCache = new graft.api.SessionMemo[DataFrame]()
+  private[graft] def semanticGateCorpusPack(s: SparkSession,
+                                            d: String): DataFrame =
+    cellPackCache.get(s, "semgate", d) {
+      val pack = semanticGateCellPack(
+        emb(s, d).filter(col("vec_id") % 10 =!= 0),
+        trainedIvfCentroids(s, d)).cache()
+      pack.count() // eager — the winnowPickSet rationale
+      pack
+    }
+
+  /** Driver-resident (cid, centroid) rows of the trained IVF model — the
+    * literal form [[semanticGateRows]] ships to executors. */
+  private[graft] def trainedIvfCentroidSeq(s: SparkSession,
+      d: String): Seq[(Long, Array[Double])] =
+    trainedIvfCentroids(s, d).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .sortBy(_._1).toSeq
+
   /** The trained PCA eigenbasis (k, i, b, lambda_e6) — artifact-served or
     * fit via [[graft.api.Pca.fitBasis]]; ProjK×Dim rows of driver model
     * state (the KMeans memo pattern). */
@@ -785,6 +919,61 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    "s_semantic_gate" -> ((s, d) => {
+      // STREAMING semantic dedup gate — batch twin (see
+      // [[semanticGateRows]]): every 10th vector plays "today's crawl"
+      // (the s_dedup_gate split), the rest are the corpus, packed per
+      // trained IVF cell. no_oracle by design (trained float model) like
+      // the other trained-model members; contract = StreamingSpec
+      // bit-equality + exact-dup zero-FN + determinism.
+      semanticGateRows(
+        emb(s, d).filter(col("vec_id") % 10 === 0),
+        trainedIvfCentroidSeq(s, d),
+        semanticGateCorpusPack(s, d))
+        .orderBy("vec_id")
+    }),
+
+    "q_sim_ivfpq" -> ((s, d) => {
+      // The FIXTURE half of the IVFADC split (the q_sim_ivf/q_sim_pq
+      // rule applied to their composition): coarse cells = the vec_id<8
+      // fixture centroids, residual codebook = the vec_id<4 fixture
+      // subvectors — so DuckDB replays the ENTIRE two-stage encode +
+      // probed-cell ADC + exact re-rank arithmetic and the query is
+      // HASH-CHECKED, while q_sim_ivfpq_trained swaps in the trained
+      // models (a data swap, not a plan change). The ADC shortlist ranks
+      // on floor9-QUANTIZED sims (ties → vec_id) so the 25-cut is
+      // parity-exact across engines — raw-double ranking is bit-stable
+      // only within one engine.
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val index = pqEncodeWith(
+          ivfResiduals(fanOut(e), cents), pqFixtureCodebook(e),
+          passThrough = Seq("cid", "__ccv"))
+        .select(col("vec_id"), col("cid"), col("codes"),
+          zip_with(col("__ccv"), col("rv"), (a, b) => a + b).as("rvfull"))
+      val q = e.filter(col("vec_id") === 0)
+      val qv = q.select(col("v").as("qv"))
+      val probes = IvfOps.assign(q, IvfOps.centroidBlock(cents, "cid", "cv"),
+          nProbe = 2)
+        .select(col("cid").as("probe_cid"))
+      val shortlist = index
+        .join(broadcast(probes), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .select(col("vec_id"), col("cid"), col("codes"),
+                floor9(cosine(col("rvfull"), col("qv"))).as("adc_sim"))
+        .orderBy(col("adc_sim").desc, col("vec_id").asc)
+        .limit(IvfPqShortlist)
+      e.join(broadcast(shortlist.select("vec_id", "cid", "codes")),
+             Seq("vec_id"))
+        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .select(col("vec_id"), col("cid"), col("codes"),
+                floor9(cosine(col("v"), col("qv"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     "q_sim_ivfpq_trained" -> ((s, d) => {
       // COMPOSED IVF+PQ retrieval — IVFADC (Jégou, Douze & Schmid,
       // "Product Quantization for Nearest Neighbor Search", TPAMI 2011
@@ -1218,6 +1407,66 @@ object SimilarityQueries {
          |  JOIN e q ON c.q_id = q.vec_id)
          |SELECT q_id, vec_id, sim, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "q_sim_ivfpq" -> {
+      // the full IVFADC replay: coarse assign → residual → fixture-PQ
+      // encode of the residual → reconstruct (centroid + decoded
+      // residual) → probed-cell ADC shortlist (floor9-quantized rank,
+      // ties → vec_id) → exact re-rank of the shortlist
+      def dot16(a: String, b: String) =
+        s"list_aggregate([$a[i] * $b[i] for i in range(1, ${PqSub + 1})], 'sum')"
+      val sub = s"list_slice(res.rv0, cb.m*$PqSub + 1, cb.m*$PqSub + $PqSub)"
+      val csim = duckCos("e.v", "c.cv")
+      val adcCos = duckCos("recon.rvfull", "q.qv")
+      val exactCos = duckCos("e2.v", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, e.v, $csim AS csim,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $csim DESC, c.cid ASC) AS rn
+         |  FROM e, cents c),
+         |res AS (
+         |  SELECT s.vec_id, s.cid, c.cv AS ccv,
+         |         [s.v[i] - c.cv[i] for i in range(1, ${Dim + 1})] AS rv0
+         |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE s.rn = 1),
+         |cb AS (
+         |  SELECT m, vec_id AS j,
+         |         list_slice(v, m*$PqSub + 1, m*$PqSub + $PqSub) AS cv
+         |  FROM e, unnest([0, 1, 2, 3]) t(m) WHERE vec_id < 4),
+         |a0 AS (
+         |  SELECT res.vec_id, cb.m, cb.j, cb.cv,
+         |         ${dot16(sub, sub)} + ${dot16("cb.cv", "cb.cv")}
+         |           - 2 * ${dot16(sub, "cb.cv")} AS dist
+         |  FROM res, cb),
+         |asg AS (
+         |  SELECT vec_id, m, j, cv,
+         |         row_number() OVER (PARTITION BY vec_id, m
+         |                            ORDER BY dist ASC, j ASC) AS rn
+         |  FROM a0),
+         |r AS (
+         |  SELECT vec_id,
+         |         array_to_string(list(j ORDER BY m), ',') AS codes,
+         |         flatten(list(cv ORDER BY m)) AS rv
+         |  FROM asg WHERE rn = 1 GROUP BY vec_id),
+         |recon AS (
+         |  SELECT r.vec_id, res.cid, r.codes,
+         |         [res.ccv[i] + r.rv[i] for i in range(1, ${Dim + 1})] AS rvfull
+         |  FROM r JOIN res ON r.vec_id = res.vec_id),
+         |probes AS (SELECT cid AS probe_cid FROM scored
+         |           WHERE vec_id = 0 AND rn <= 2),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |short AS (
+         |  SELECT recon.vec_id, recon.cid, recon.codes,
+         |         floor(($adcCos) * 1e9) / 1e9 AS adc_sim
+         |  FROM recon JOIN probes p ON recon.cid = p.probe_cid, q
+         |  WHERE recon.vec_id <> 0
+         |  ORDER BY adc_sim DESC, recon.vec_id ASC LIMIT $IvfPqShortlist)
+         |SELECT s.vec_id, s.cid, s.codes,
+         |       floor(($exactCos) * 1e9) / 1e9 AS sim
+         |FROM short s JOIN e e2 ON s.vec_id = e2.vec_id, q
+         |ORDER BY sim DESC, s.vec_id ASC LIMIT 5""".stripMargin
     },
 
     "q_sim_ivf" -> {

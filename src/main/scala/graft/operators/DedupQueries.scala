@@ -1033,7 +1033,8 @@ object DedupQueries {
       graft.api.IndexArtifacts.readModel(s, table, fp) match {
         case Some(m) =>
           derivedSource.put((s, "fuzzy_gate"), "artifact")
-          m.collect().map(_.getLong(0)).sorted
+          m.collect().map(_.getLong(0))
+            .filter(_ != EmptyHotSentinel).sorted
         case None =>
           derivedSource.put((s, "fuzzy_gate"), "rebuild")
           val hot = uncappedShingleHashes(s, d)
@@ -1041,11 +1042,23 @@ object DedupQueries {
             .filter(col("df") > DfCap)
             .select("h").collect().map(_.getLong(0)).sorted
           import s.implicits._
+          // an EMPTY hot set (no shingle crosses DfCap — the common case
+          // on healthy corpora) persists as ONE sentinel row: readModel
+          // treats a zero-row model as "no artifact", so an empty write
+          // would rebuild every session forever (r15 bench audit — 12
+          // CPU-seconds of re-derivation per run). The sentinel can
+          // never collide with a real hash (shingle hashes are 60-bit
+          // non-negative) and strips on read.
           graft.api.IndexArtifacts.persistModel(s,
-            hot.toSeq.toDF("h"), table, fp)
+            (if (hot.isEmpty) Array(EmptyHotSentinel) else hot)
+              .toSeq.toDF("h"), table, fp)
           hot
       }
     }
+
+  /** Sentinel row marking a persisted EMPTY hot set (see
+    * [[fuzzyGateHotSet]]) — outside the 60-bit shingle-hash range. */
+  private val EmptyHotSentinel = Long.MinValue
 
   /** Band-signature index over an arbitrary (doc_id, text) corpus — the
     * [[bandSignatures]]∘[[capIndex]]∘[[shinglesOf]] stack as one call,

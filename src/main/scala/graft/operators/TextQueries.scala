@@ -746,7 +746,7 @@ object TextQueries {
     * standard operating-point calibration for a ranker whose raw margin
     * scale is uncalibrated (see [[scoreWithWeights]]).
     */
-  private[operators] def trainedQualityWeights(s: SparkSession,
+  private[graft] def trainedQualityWeights(s: SparkSession,
                                                d: String): Array[Double] = {
     val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
       s":logit-v4:d$QualityFeatDim:i$QualityIters:lr$QualityLr"
@@ -1109,11 +1109,20 @@ object TextQueries {
   private[graft] def rowQualityGate(docsIn: DataFrame,
                                     model: Array[Double],
                                     carryText: Boolean = false): DataFrame = {
+    // the sorted token array and its size bind as ALIASES in their own
+    // projection (r15 perf fix): embedding the expression trees directly
+    // re-evaluates split+sort at EVERY fold step that reads `n` — an
+    // O(L²·log L) per-doc cost. CollapseProject keeps the split because
+    // duplicating a non-cheap alias is exactly what it refuses to do.
     val docs = docsIn.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        array_sort(split(col("text"), " ")).as("__toks"))
+      .select(col("doc_id"), col("text"), col("__toks"),
+        size(col("__toks")).cast("double").as("__n"))
     val dim = model.length - 2 // = QualityFeatDim (hashed buckets + length)
     val warr = array((0 until dim).map(b => lit(model(b))): _*)
-    val toks = array_sort(split(col("text"), " "))
-    val n = size(toks).cast("double")
+    val toks = col("__toks")
+    val n = col("__n")
     // bucket modulus derives from the MODEL's shape (dim − 1 hashed
     // buckets + the length feature) so a spec-crafted small model stays
     // self-consistent; the production model has dim − 1 == QualityModelDim
@@ -1157,31 +1166,46 @@ object TextQueries {
     * quality first (cheapest reject — one per-row fold), then corpus
     * membership (one hash probe against the persisted Bloom sketch),
     * then benchmark contamination (shingle-array fold against the
-    * benchmark sketch) — each stage a FILTER, so a row rejected early
-    * never pays the later probes. Every stage is the SAME pure per-row
-    * projection its standalone gate runs ([[rowQualityGate]],
+    * benchmark sketch). Every stage is the SAME pure per-row projection
+    * its standalone gate runs ([[rowQualityGate]],
     * [[graft.operators.DedupQueries.bloomProbeExpr]],
-    * [[contaminationGateRows]]'s exists-fold), so the composition is
-    * itself a stateless projection+filter chain: it runs unchanged under
+    * [[contaminationGateRows]]'s exists-fold), and the chain is ONE
+    * projection emitting per-stage verdict FLAGS plus their short-circuit
+    * conjunction `keep` — codegen's lazy boolean AND gives exactly the
+    * "early reject skips the later probes" evaluation, while inter-stage
+    * FILTERS would make Catalyst substitute the quality fold into each
+    * predicate (the expression evaluates twice and the collapsed stage's
+    * generated code balloons — measured ~5× the summed stage cost before
+    * this form). Stateless end to end: it runs unchanged under
     * readStream in append mode, and a WATERMARK CANNOT DROP ITS ROWS —
     * there is no stateful operator for lateness to act on (StreamingSpec
     * pins exactly that: an out-of-order three-micro-batch MemoryStream
     * with rows arriving behind the watermark still bit-equals the batch
-    * twin). Emits the SURVIVORS as (doc_id, score_e6) — "what enters
-    * training today", with the quality score along for curriculum use.
+    * twin). Emits every batch row as (doc_id, score_e6, q_keep,
+    * maybe_seen, maybe_contaminated, keep) — the gate family's
+    * flag-emitting posture; `keep` rows are "what enters training
+    * today", score along for curriculum use, and the per-stage flags
+    * say which gate rejected the rest (null flags = short-circuited,
+    * never evaluated).
     */
   private[graft] def curationPipelineRows(docs: DataFrame,
       model: Array[Double], corpusBloom: Array[Byte],
-      benchBloom: Array[Byte]): DataFrame =
-    rowQualityGate(docs, model, carryText = true)
-      .filter(col("keep"))
-      .filter(!DedupQueries.bloomProbeExpr(corpusBloom,
-        xxhash64(col("text"))))
-      .filter(!coalesce(
+      benchBloom: Array[Byte]): DataFrame = {
+    val scored = rowQualityGate(docs, model, carryText = true)
+      .withColumnRenamed("keep", "q_keep")
+    // stage verdicts evaluate LAZILY: `when(earlier rejected, null)`
+    // short-circuits per row inside one codegen'd projection
+    val seen = when(col("q_keep"),
+      DedupQueries.bloomProbeExpr(corpusBloom, xxhash64(col("text"))))
+    val contam = when(col("q_keep") && !seen,
+      coalesce(
         exists(DedupQueries.shingleHashArray(col("text")),
                DedupQueries.bloomProbeFn(benchBloom)),
         lit(false)))
-      .select(col("doc_id"), col("score_e6"))
+    scored.select(col("doc_id"), col("score_e6"), col("q_keep"),
+      seen.as("maybe_seen"), contam.as("maybe_contaminated"),
+      (col("q_keep") && !seen && !contam).as("keep"))
+  }
 
   /** Holdout AUC of the trained gate against the heuristic labels on the
     * doc_id % 5 == 0 split the fit never saw — the LogRegSpec gate,

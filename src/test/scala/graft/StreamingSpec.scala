@@ -540,9 +540,19 @@ class StreamingSpec extends SparkSpec {
     val want = pipe(rows.toDF("doc_id", "text", "ts")).orderBy("doc_id")
       .collect().map(_.toSeq).toSeq
     assert(got == want, s"got $got want $want")
-    // each gate rejected its row; the late survivor was NOT dropped —
-    // a stateless chain gives a watermark nothing to act on
-    assert(got.map(_.head) == Seq(1L, 5L), s"survivors: $got")
+    // every row reports with its per-stage flags; each gate rejected its
+    // crafted row, the short-circuited stages stay null, and the late
+    // survivor was NOT dropped — a stateless chain gives a watermark
+    // nothing to act on
+    val keep = got.filter(_.last == true).map(_.head)
+    assert(keep == Seq(1L, 5L), s"survivors: $got")
+    val byId = got.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(2L)(2) == false && byId(2L)(3) == null,  // quality reject
+      s"row 2: ${byId(2L)}")
+    assert(byId(3L)(3) == true && byId(3L)(4) == null,   // membership reject
+      s"row 3: ${byId(3L)}")
+    assert(byId(4L)(4) == true,                          // contamination
+      s"row 4: ${byId(4L)}")
   }
 
   test("file-replay ingest restarts from checkpoint without duplicates (R9/R10)") {

@@ -280,9 +280,15 @@ object SimilarityQueries {
     * production), shuffled once per micro-batch at most — never the
     * corpus per row, never a rescan.
     */
-  private[graft] def semanticGateRows(batch: DataFrame,
+  /** The streaming probe scaffold [[semanticGateRows]] and
+    * [[annServeRows]] share: per row, the 2 nearest-of-`cents` cell ids
+    * as pure-projection COLUMNS (centroids as literals — the
+    * assignStatic device; never exploded rows), then one stream-static
+    * equi LEFT join per probe column attaching the probed cell's packed
+    * member array from `cellPack`. Emits (vec_id, v, __ms_0, __ms_1).
+    */
+  private def withProbedCells(batch: DataFrame,
       cents: Seq[(Long, Array[Double])], cellPack: DataFrame): DataFrame = {
-    val nilBest = struct(lit(-2d).as("s"), lit(-1L).as("id"))
     val scored = array(cents.map { case (cid, cv) =>
       val cnrm = math.sqrt(cv.map(x => x * x).sum)
       struct(nanvl(dot_product(col("v"), lit(cv)) /
@@ -303,6 +309,17 @@ object SimilarityQueries {
         cellPack.select(col("cid").as(s"__cid_$p"),
                         col("members").as(s"__ms_$p")),
         Seq(s"__cid_$p"), "left")
+    out
+  }
+
+  /** Empty member-array literal for the null side of the probe joins. */
+  private def noMembers: Column =
+    array().cast("array<struct<vec_id:bigint,v:array<double>>>")
+
+  private[graft] def semanticGateRows(batch: DataFrame,
+      cents: Seq[(Long, Array[Double])], cellPack: DataFrame): DataFrame = {
+    val nilBest = struct(lit(-2d).as("s"), lit(-1L).as("id"))
+    val out = withProbedCells(batch, cents, cellPack)
     // best (cosine, id) over one cell's members: exact same better-rule
     // in the fold and the cross-probe combine — higher sim wins, ties to
     // the lowest id; the probe row itself can never be its own neighbour
@@ -333,6 +350,50 @@ object SimilarityQueries {
           floor(col("__best.s") * 1e9).cast("long") >= SemDupThrE9 &&
             col("__best.id") >= 0,
           lit(false)).as("is_semdup"))
+  }
+
+  /** STREAMING ANN retrieval — vector search as a service: a stream of
+    * query vectors, each answered with its top-`k` approximate cosine
+    * neighbours from the probed IVF cells, in ONE stateless pass (the
+    * [[withProbedCells]] scaffold the semantic gate rides, plus a
+    * per-row TOP-K FOLD: the accumulator is the ≤k best (sim, −id)
+    * structs, each candidate inserted by a sort of ≤ k+1 elements —
+    * O(|cell|·k log k) per query, no window, no aggregation, no state).
+    * The (sim, −id) encoding makes one descending struct sort give the
+    * house ranking — sim DESC, ties → vec_id ASC (the IvfOps.assign
+    * device). Output explodes to (q_id, rnk, vec_id, sim_e9) rows —
+    * generators are stateless, so the identical plan runs under
+    * readStream append (StreamingSpec pins two-micro-batch bit-equality
+    * and the exact-match-at-rank-1 contract).
+    *
+    * Shape at 100 TB: per query the work is |cents| literal dot
+    * products + 2 cell-id joins + a ≤ 2·BucketCap fold — the corpus
+    * never rescans, and the static side is the same packed IVF index
+    * the semantic gate serves. This is the family's SERVING member:
+    * q_sim_ivf_trained answers a fixed query table in batch; this
+    * answers an unbounded query stream.
+    */
+  private[graft] def annServeRows(queries: DataFrame,
+      cents: Seq[(Long, Array[Double])], cellPack: DataFrame,
+      k: Int = 3): DataFrame = {
+    val out = withProbedCells(queries, cents, cellPack)
+    def foldTop(acc0: Column, ms: Column): Column =
+      aggregate(coalesce(ms, noMembers), acc0, (acc, m) => {
+        val sim = nanvl(cosine(col("v"), m.getField("v")), lit(-2d))
+        val cand = struct(sim.as("s"), (-m.getField("vec_id")).as("nid"))
+        when(m.getField("vec_id") =!= col("vec_id"),
+          slice(reverse(array_sort(concat(acc, array(cand)))), 1, k))
+          .otherwise(acc)
+      })
+    val empty = array().cast("array<struct<s:double,nid:bigint>>")
+    val top = foldTop(foldTop(empty, col("__ms_0")), col("__ms_1"))
+    out
+      .withColumn("__top", top)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("q_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        (-col("__t.nid")).as("vec_id"),
+        floor(col("__t.s") * 1e9).cast("long").as("sim_e9"))
   }
 
   /** The PQ-encoded IVFADC corpus index (vec_id, cid, codes, rvfull) —
@@ -966,6 +1027,20 @@ object SimilarityQueries {
       IvfOps.annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)
         .select(col("q_id"), col("vec_id"), floor9(col("sim")).as("sim"),
                 col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    "s_ann_query" -> ((s, d) => {
+      // STREAMING ANN retrieval — batch twin (see [[annServeRows]]):
+      // every 10th vector plays the incoming query stream, answered
+      // from the same corpus cellPack the semantic gate probes.
+      // no_oracle by design (trained float model); contract =
+      // StreamingSpec bit-equality + exact-match-at-rank-1 + recall pin
+      // in KMeansIvfSpec.
+      annServeRows(
+        emb(s, d).filter(col("vec_id") % 10 === 0),
+        trainedIvfCentroidSeq(s, d),
+        semanticGateCorpusPack(s, d))
         .orderBy("q_id", "rnk")
     }),
 

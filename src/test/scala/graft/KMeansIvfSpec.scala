@@ -231,6 +231,40 @@ class KMeansIvfSpec extends SparkSpec {
       "must capture at least what the raw codebooks do")
   }
 
+  test("s_ann_query: deterministic, ranks 1..3 per query, and mean " +
+       "recall@3 vs exact brute force ≥ 0.5 over the fixture queries") {
+    val q = SparkEntry.queries("s_ann_query")
+    val a = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == q(spark, sf).collect().map(_.toSeq).toSeq,
+      "serving must be deterministic run-to-run")
+    val byQ = a.groupBy(_.head.asInstanceOf[Long])
+    byQ.values.foreach { rows =>
+      assert(rows.map(_(1).asInstanceOf[Long]).toSet.subsetOf(Set(1L, 2L, 3L)),
+        rows.toString)
+    }
+    // exact top-3 per query via brute force over the same corpus split
+    val sq = graft.operators.SimilarityQueries
+    val e = sq.emb(spark, sf)
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](r.fieldIndex("v")).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = vecs.filter(_._1 % 10 != 0)
+    val recalls = byQ.map { case (qid, rows) =>
+      val got = rows.map(_(2).asInstanceOf[Long]).toSet
+      val truth = corpus.toSeq
+        .map { case (id, v) => (cos(vecs(qid), v), -id) }
+        .sorted.reverse.take(3).map(-_._2).toSet
+      got.intersect(truth).size / 3.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5,
+      s"mean recall@3 $mean < 0.5 over ${recalls.size} queries")
+  }
+
   test("model artifact round-trips byte-identically and refuses a stale " +
        "fingerprint (serve-from-artifact, VERDICT r10 #6)") {
     import graft.api.IndexArtifacts

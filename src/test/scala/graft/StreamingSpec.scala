@@ -491,6 +491,53 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming ANN retrieval (s_ann_query): two micro-batches " +
+       "bit-equal the batch twin; an exact-match query returns its twin " +
+       "at rank 1") {
+    implicit val sq = spark.sqlContext
+    val sg = graft.operators.SimilarityQueries
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)))
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (101L, Seq(0.9, 0.45, 0.0, 0.0)),
+      (102L, Seq(0.8, 0.6, 0.0, 0.0)),
+      (103L, Seq(0.01, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val centsDf = cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cv")
+    val pack = sg.semanticGateCellPack(corpus, centsDf)
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      sg.annServeRows(df, cents, pack)
+    val probe = Seq(
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),  // exact match of corpus 100
+      (2L, Seq(0.7, 0.7, 0.0, 0.0)),   // between the cells
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)))   // orthogonal — still answered
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = serve(in.toDS().toDF("vec_id", "v"))
+      .writeStream.format("memory").queryName("ann_query_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(1): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(1): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ann_query_stream").orderBy("q_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    val want = serve(probe.toDF("vec_id", "v")).orderBy("q_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    // exact match leads its result list; ranks are 1..k and sims
+    // non-increasing within a query
+    val q1 = got.filter(_.head == 1L)
+    assert(q1.head(2) == 100L && q1.head(1) == 1L, s"q1: $q1")
+    got.groupBy(_.head).foreach { case (_, rows) =>
+      val sims = rows.sortBy(r => r(1).asInstanceOf[Long])
+        .map(_(3).asInstanceOf[Long])
+      assert(sims == sims.sorted.reverse, s"sims not ranked: $rows")
+    }
+  }
+
   test("composed curation pipeline (s_curation_pipeline): three gates " +
        "chain statelessly — out-of-order rows BEHIND the watermark still " +
        "bit-equal the batch twin (VERDICT r14 #6)") {

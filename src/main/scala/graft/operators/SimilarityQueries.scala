@@ -377,12 +377,19 @@ object SimilarityQueries {
       cents: Seq[(Long, Array[Double])], cellPack: DataFrame,
       k: Int = 3): DataFrame = {
     val out = withProbedCells(queries, cents, cellPack)
+    // top-k invariant fold: the accumulator stays SORTED DESCENDING, so
+    // a candidate enters only when the list isn't full or it beats the
+    // current k-th (one struct comparison) — the insert's
+    // concat+sort+slice allocates O(k log k) but runs only for the
+    // O(k·ln|cell|)-expected improving candidates, not per member
+    // (the naive insert-always form measured ~3× the whole query)
     def foldTop(acc0: Column, ms: Column): Column =
       aggregate(coalesce(ms, noMembers), acc0, (acc, m) => {
         val sim = nanvl(cosine(col("v"), m.getField("v")), lit(-2d))
         val cand = struct(sim.as("s"), (-m.getField("vec_id")).as("nid"))
-        when(m.getField("vec_id") =!= col("vec_id"),
-          slice(reverse(array_sort(concat(acc, array(cand)))), 1, k))
+        when(m.getField("vec_id") === col("vec_id"), acc)
+          .when(size(acc) < k || cand > get(acc, lit(k - 1)),
+            slice(reverse(array_sort(concat(acc, array(cand)))), 1, k))
           .otherwise(acc)
       })
     val empty = array().cast("array<struct<s:double,nid:bigint>>")
@@ -440,6 +447,14 @@ object SimilarityQueries {
       out.count() // eager — the winnowPickSet rationale
       out
     }
+  }
+
+  /** Release the session-memoized IVFADC index layers (spec hook — the
+    * releaseTypoPairs pattern): the next access re-serves from the
+    * persisted artifact. */
+  private[graft] def releaseIvfpqIndex(s: SparkSession): Unit = {
+    indexCache.release(s, "ivfpqidx")
+    indexCache.release(s, "ivfpqidxfx")
   }
 
   /** Session-memoized fixture cellPack (the s_dedup_gate corpus-split

@@ -92,6 +92,22 @@ class DerivedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq index layers: released memos re-serve from the persisted " +
+       "artifact, bit-identical retrievals (trained + fixture)") {
+    val sq = graft.operators.SimilarityQueries
+    def rows(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+    val t1 = rows("q_sim_ivfpq_trained")
+    val f1 = rows("q_sim_ivfpq")
+    sq.releaseIvfpqIndex(spark)
+    val t2 = rows("q_sim_ivfpq_trained")
+    val f2 = rows("q_sim_ivfpq")
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "artifact")
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index_fx") == "artifact")
+    assert(t1 == t2, s"trained retrieval drifted across serve: $t1 vs $t2")
+    assert(f1 == f2, s"fixture retrieval drifted across serve: $f1 vs $f2")
+  }
+
   test("serveDerivedIncremental: grown source APPENDS the delta only; " +
        "mutated source rebuilds (VERDICT r13 #6)") {
     import spark.implicits._

@@ -697,9 +697,9 @@ object IndexArtifacts {
     val path = modelPath(s, table)
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
     monitor.synchronized {
-      withLease(s, path)(
+      withLease(s, path)(fence =>
         serveLocked(s, path, sourcePath, tag, buildAll, buildDelta,
-          acceptDelta, acceptPaths)
+          acceptDelta, acceptPaths, fence)
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
   }
@@ -714,19 +714,43 @@ object IndexArtifacts {
     * append it tore fails the committed-count check → rebuild. */
   private[graft] val LeaseTtlMs: Long = 15L * 60 * 1000
 
-  /** Best-effort cross-JVM lease on `path__lease`: atomic-create to
-    * acquire, delete to release, TTL-break a stale holder. Returns None
-    * when a LIVE holder owns the lease (caller degrades to the live
-    * build); an unprobeable filesystem runs `body` unguarded — the
-    * serve's own write guards already degrade there. */
-  private def withLease[A](s: SparkSession, path: String)(body: => A)
-      : Option[A] = {
+  /** Best-effort cross-JVM lease on `path__lease`: atomic-create with an
+    * OWNER TOKEN inside to acquire, verified delete to release, TTL-break
+    * a stale holder. Returns None when a LIVE holder owns the lease
+    * (caller degrades to the live build); an unprobeable filesystem runs
+    * `body` unguarded (with no fence) — the serve's own write guards
+    * already degrade there.
+    *
+    * The token closes two r15-review holes in the plain-marker form:
+    * a finishing holder whose lease was TTL-broken can no longer delete
+    * the BREAKER's fresh lease (release verifies the token first), and
+    * `body` receives a FENCE — `() => Boolean`, "do I still hold the
+    * lease?" — the append path checks before committing its sidecar, so
+    * a slow holder that lost the lease abandons its commit instead of
+    * racing the breaker (its torn rows then fail the breaker-side or
+    * next-serve count check → rebuild, never silent duplication). */
+  private def withLease[A](s: SparkSession, path: String)
+                          (body: (() => Boolean) => A): Option[A] = {
     import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
     val lease = new Path(path + "__lease")
+    val token = java.util.UUID.randomUUID().toString
     val fs = try lease.getFileSystem(s.sparkContext.hadoopConfiguration)
-      catch { case _: Exception => return Some(body) }
+      catch { case _: Exception => return Some(body(() => true)) }
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lease)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), UTF_8))
+        finally in.close()
+      } catch { case _: Exception => None }
+    def stillMine(): Boolean = readToken().contains(token)
     def tryAcquire(): Boolean =
-      try { fs.create(lease, false).close(); true }
+      try {
+        val out = fs.create(lease, false)
+        try out.write(token.getBytes(UTF_8)) finally out.close()
+        true
+      }
       catch { case _: java.io.IOException => false
               case _: RuntimeException => false }
     var acquired = tryAcquire()
@@ -740,8 +764,14 @@ object IndexArtifacts {
       }
     }
     if (!acquired) None
-    else try Some(body)
-    finally { try fs.delete(lease, false) catch { case _: Exception => } }
+    else try Some(body(() => stillMine()))
+    finally {
+      // release ONLY a lease we still own — deleting after a TTL break
+      // would free the breaker's lease mid-serve (r15 review)
+      if (stillMine()) {
+        try fs.delete(lease, false) catch { case _: Exception => }
+      }
+    }
   }
 
   private def serveLocked(s: SparkSession, path: String,
@@ -749,7 +779,8 @@ object IndexArtifacts {
                           buildAll: => DataFrame,
                           buildDelta: Seq[String] => DataFrame,
                           acceptDelta: (DataFrame, DataFrame) => Boolean,
-                          acceptPaths: Seq[String] => Boolean)
+                          acceptPaths: Seq[String] => Boolean,
+                          fence: () => Boolean)
       : (DataFrame, String) = {
     val current = sourceManifest(sourcePath)
     val stored: Option[(String, String, Long)] = try {
@@ -806,13 +837,27 @@ object IndexArtifacts {
             // delta is even built (its check is usually cheaper)
             if (!acceptPaths(fresh)) rebuild()
             else {
-            val delta = buildDelta(fresh)
-            if (!acceptDelta(art, delta)) rebuild()
-            else {
-              delta.write.mode("append").parquet(path)
-              writeSidecar(parquetRowCount(s, path))
-              (s.read.parquet(path), "append")
-            }
+            // the delta caches so its plan executes ONCE across the
+            // veto probe, the append write, and the commit count (r15
+            // review: the uncached form evaluated it twice)
+            val delta = buildDelta(fresh).cache()
+            try {
+              val dn = delta.count()
+              if (!acceptDelta(art, delta)) rebuild()
+              else {
+                delta.write.mode("append").parquet(path)
+                // commit = EXPECTED count (n + |delta|), not whatever is
+                // on disk: a racing TTL-break writer's rows inflate the
+                // on-disk count, and committing it would bless the
+                // duplication as valid state (r15 review). A mismatch —
+                // or a lost lease (the fence) — abandons the commit; the
+                // torn rows fail the next serve's count check → rebuild.
+                if (parquetRowCount(s, path) == n + dn && fence()) {
+                  writeSidecar(n + dn)
+                  (s.read.parquet(path), "append")
+                } else rebuild()
+              }
+            } finally delta.unpersist(blocking = false)
             }
           }
         } catch { case _: Exception => (buildAll, "rebuild") }

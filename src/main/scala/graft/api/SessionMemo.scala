@@ -64,11 +64,29 @@ final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
     * the same hazard). */
   def release(s: SparkSession, group: String = null): Unit = {
     import scala.jdk.CollectionConverters._
+    // evict and prune UNDER each (session, group)'s own monitor: a
+    // holder inside get()'s critical section blocks the prune until it
+    // leaves, and a get() that was parked on the pruned lock fails its
+    // identity re-check and retries with a fresh one — so release can
+    // never let two evict-then-insert sections run concurrently for one
+    // group (r15 review: the lock-free prune reopened the r13 residency
+    // race in the window between a holder's re-check and its insert).
+    locks.entrySet.asScala
+      .filter(e => e.getKey._1 == s && (group == null || e.getKey._2 == group))
+      .toSeq.foreach { e =>
+        val (key, lock) = (e.getKey, e.getValue)
+        lock.synchronized {
+          m.keySet.asScala
+            .filter(k => k._1 == key._1 && k._2 == key._2)
+            .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
+          locks.remove(key, lock)
+        }
+      }
+    // entries whose lock was never minted (or already pruned) still
+    // evict — nobody can be inside get() for a lock that does not exist
     m.keySet.asScala
-      .filter(k => k._1 == s && (group == null || k._2 == group))
+      .filter(k => k._1 == s && (group == null || k._2 == group) &&
+                   !locks.containsKey((k._1, k._2)))
       .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
-    locks.keySet.asScala
-      .filter(k => k._1 == s && (group == null || k._2 == group))
-      .toSeq.foreach(locks.remove)
   }
 }

@@ -683,14 +683,20 @@ object DedupQueries {
     // shingle (it must be REMOVED from old docs' rows) falls back to the
     // exact rebuild — still from the appended compact raw layer.
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    // the no-promotion veto already aggregates the hot tail; thread it
+    // into the delta builder instead of re-aggregating (r15 review) —
+    // acceptPaths always runs before buildDelta under the serve's
+    // per-path monitor, and the fallback keeps the builder total
+    var vetoHot: Option[DataFrame] = None
     val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
       s, s"g_drv_shcap_$slug", s"$d/documents.parquet",
       DerivedVersion + s":df$DfCap",
       capIndex(raw),
       paths => {
         val newIds = s.read.parquet(paths: _*).select("doc_id")
-        val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > DfCap).select("h")
+        val hot = vetoHot.getOrElse(
+          raw.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > DfCap)).select("h")
         raw.join(newIds, Seq("doc_id"), "left_semi")
           .join(hot, Seq("h"), "left_anti").select("doc_id", "h")
       },
@@ -699,7 +705,11 @@ object DedupQueries {
       acceptDelta = (art, delta) => art.join(
         delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         .isEmpty,
-      acceptPaths = paths => !dfCapPromoted(s, raw, paths))
+      acceptPaths = paths => {
+        val (promoted, hotTail) = dfCapPromotedHot(s, raw, paths)
+        vetoHot = Some(hotTail)
+        !promoted
+      })
     derivedSource.put((s, "shingle_capped"), src)
     df.coalesce(natural).cache()
   }
@@ -712,15 +722,23 @@ object DedupQueries {
     * their (tiny vs delta-sized) tails — no text pass.
     */
   private def dfCapPromoted(s: SparkSession, raw: DataFrame,
-                            paths: Seq[String]): Boolean = {
+                            paths: Seq[String]): Boolean =
+    dfCapPromotedHot(s, raw, paths)._1
+
+  /** [[dfCapPromoted]] plus the hot tail it aggregated (h, dft rows with
+    * dft > DfCap) — the capped layer's delta builder reuses it instead
+    * of re-running the aggregation. */
+  private def dfCapPromotedHot(s: SparkSession, raw: DataFrame,
+                               paths: Seq[String]): (Boolean, DataFrame) = {
     val newIds = s.read.parquet(paths: _*).select("doc_id")
     val dfTot = raw.groupBy("h").agg(count(lit(1)).as("dft"))
       .filter(col("dft") > DfCap)
     val dfDelta = raw.join(newIds, Seq("doc_id"), "left_semi")
       .groupBy("h").agg(count(lit(1)).as("dfd"))
-    !dfTot.join(dfDelta, Seq("h"))
+    val promoted = !dfTot.join(dfDelta, Seq("h"))
       .filter(col("dft") - col("dfd") <= DfCap)
       .isEmpty
+    (promoted, dfTot)
   }
 
   /** Drop this session's memoized shingle index(es) and their pinned

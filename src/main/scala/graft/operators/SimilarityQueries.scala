@@ -396,8 +396,11 @@ object SimilarityQueries {
     val top = foldTop(foldTop(empty, col("__ms_0")), col("__ms_1"))
     out
       .withColumn("__top", top)
+      // _outer: a query whose probed cells are ALL empty still answers —
+      // one all-null row, not a silent drop (a service must never lose a
+      // query; r15 review)
       .select(col("vec_id").as("q_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
+        posexplode_outer(col("__top")).as(Seq("__pos", "__t")))
       .select(col("q_id"), (col("__pos") + 1).cast("long").as("rnk"),
         (-col("__t.nid")).as("vec_id"),
         floor(col("__t.s") * 1e9).cast("long").as("sim_e9"))
@@ -415,7 +418,11 @@ object SimilarityQueries {
     * doubles round-trip parquet bit-exactly, so the served index is the
     * built one.
     */
-  private val indexCache = new graft.api.SessionMemo[DataFrame]()
+  // onEvict unpersists: the build blocks .cache() these corpus-sized
+  // layers eagerly, so a dir switch or release must drop the storage
+  // (r15 review — the sigMemo/tokLayerMemo rule)
+  private val indexCache =
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
   private[graft] def ivfpqIndex(s: SparkSession, d: String,
                                 trained: Boolean): DataFrame = {
@@ -455,13 +462,15 @@ object SimilarityQueries {
   private[graft] def releaseIvfpqIndex(s: SparkSession): Unit = {
     indexCache.release(s, "ivfpqidx")
     indexCache.release(s, "ivfpqidxfx")
+    cellPackCache.release(s, "semgate")
   }
 
   /** Session-memoized fixture cellPack (the s_dedup_gate corpus-split
     * rule: vec_id % 10 ≠ 0 is "the corpus"), cached — the static side of
     * every micro-batch probe; the persisted IVF index layer plays this
     * role in production. */
-  private val cellPackCache = new graft.api.SessionMemo[DataFrame]()
+  private val cellPackCache =
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
   private[graft] def semanticGateCorpusPack(s: SparkSession,
                                             d: String): DataFrame =
     cellPackCache.get(s, "semgate", d) {

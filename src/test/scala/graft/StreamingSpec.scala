@@ -498,7 +498,9 @@ class StreamingSpec extends SparkSpec {
     val sg = graft.operators.SimilarityQueries
     val cents = Seq(
       (0L, Array(1.0, 0.0, 0.0, 0.0)),
-      (1L, Array(0.0, 1.0, 0.0, 0.0)))
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0, 0.0)),  // cells 2 and 3 stay EMPTY
+      (3L, Array(0.0, 0.0, 0.0, 1.0)))
     val corpus = Seq(
       (100L, Seq(1.0, 0.01, 0.0, 0.0)),
       (101L, Seq(0.9, 0.45, 0.0, 0.0)),
@@ -511,8 +513,8 @@ class StreamingSpec extends SparkSpec {
       sg.annServeRows(df, cents, pack)
     val probe = Seq(
       (1L, Seq(1.0, 0.01, 0.0, 0.0)),  // exact match of corpus 100
-      (2L, Seq(0.7, 0.7, 0.0, 0.0)),   // between the cells
-      (3L, Seq(0.0, 0.0, 1.0, 0.0)))   // orthogonal — still answered
+      (2L, Seq(0.7, 0.7, 0.0, 0.0)),   // between the populated cells
+      (3L, Seq(0.0, 0.0, 0.6, 0.8)))   // probes ONLY the two empty cells
     val in = MemoryStream[(Long, Seq[Double])]
     val q = serve(in.toDS().toDF("vec_id", "v"))
       .writeStream.format("memory").queryName("ann_query_stream")
@@ -531,7 +533,12 @@ class StreamingSpec extends SparkSpec {
     // non-increasing within a query
     val q1 = got.filter(_.head == 1L)
     assert(q1.head(2) == 100L && q1.head(1) == 1L, s"q1: $q1")
-    got.groupBy(_.head).foreach { case (_, rows) =>
+    // a query probing only EMPTY cells still answers — one all-null
+    // row, never a silent drop
+    val q3 = got.filter(_.head == 3L)
+    assert(q3.size == 1 && q3.head(1) == null && q3.head(2) == null,
+      s"empty-cell query must emit a null answer row: $q3")
+    got.filter(r => r.head != 3L).groupBy(_.head).foreach { case (_, rows) =>
       val sims = rows.sortBy(r => r(1).asInstanceOf[Long])
         .map(_(3).asInstanceOf[Long])
       assert(sims == sims.sorted.reverse, s"sims not ranked: $rows")

@@ -336,6 +336,47 @@ class PropertySpec extends SparkSpec {
     assert(got.size == dfCap * (dfCap - 1) / 2 + 1)
   }
 
+  test("annServeRows equals the brute-force probed-cell top-3 on random " +
+       "vector sets (10 seeds — pins the top-k invariant fold exactly)") {
+    val sg = graft.operators.SimilarityQueries
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dim = 6
+      def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+      val cents = (0L until 4L).map(c => (c, Array.fill(dim)(rnd.nextGaussian())))
+      val corpus = (100L until (100L + 20 + rnd.nextInt(20)))
+        .map(id => (id, vec()))
+      val queries = (1L to 6L).map(id => (id, vec()))
+      val centsDf = cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cv")
+      val pack = sg.semanticGateCellPack(corpus.toDF("vec_id", "v"), centsDf)
+      val got = sg.annServeRows(queries.toDF("vec_id", "v"), cents, pack)
+        .collect()
+        .filter(_.get(2) != null)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // driver reference: same assignment rule (cos desc, cid asc), same
+      // 2 probes, brute-force top-3 by (cos desc, id asc), floor9 sims
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      def probes(v: Seq[Double]): Seq[Long] =
+        cents.map { case (c, cv) => (cos(v, cv.toSeq), -c) }
+          .sorted.reverse.take(2).map(-_._2)
+      val cellOf: Map[Long, Long] = corpus.map { case (id, v) =>
+        id -> probes(v).head }.toMap
+      val want = queries.flatMap { case (qid, qv) =>
+        val cells = probes(qv).toSet
+        corpus.filter { case (id, _) => cells(cellOf(id)) }
+          .map { case (id, v) => (cos(qv, v), -id) }
+          .sorted.reverse.take(3).zipWithIndex
+          .map { case ((s, nid), i) =>
+            (qid, (i + 1).toLong, -nid, math.floor(s * 1e9).toLong) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"seed=$seed\ngot  $got\nwant $want")
+    }
+  }
+
   test("q_dedup_containment: finds the quote-inclusion pair Jaccard " +
        "misses, keeps identical pairs, drops sub-threshold overlap") {
     // doc 1 (3 shingles) is pasted whole as doc 2's prefix (23 shingles):

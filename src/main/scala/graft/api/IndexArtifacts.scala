@@ -714,6 +714,13 @@ object IndexArtifacts {
     * append it tore fails the committed-count check → rebuild. */
   private[graft] val LeaseTtlMs: Long = 15L * 60 * 1000
 
+  /** A TOKEN-LESS lease (crashed between create and token write) is
+    * breakable after this much shorter grace — long enough that a live
+    * holder's create→write→verify window can never be mistaken for a
+    * crash, short enough that the leftover doesn't block writers for
+    * the full TTL (ADVICE r15). */
+  private[graft] val TokenlessGraceMs: Long = 10L * 1000
+
   /** Best-effort cross-JVM lease on `path__lease`: atomic-create with an
     * OWNER TOKEN inside to acquire, verified delete to release, TTL-break
     * a stale holder. Returns None when a LIVE holder owns the lease
@@ -745,11 +752,22 @@ object IndexArtifacts {
         finally in.close()
       } catch { case _: Exception => None }
     def stillMine(): Boolean = readToken().contains(token)
+    // acquire = atomic create + token write + READBACK VERIFY: a crash or
+    // write failure between create and close would otherwise leave a
+    // token-less lease that nobody owns (stillMine false for the creator,
+    // unreadable for breakers) blocking every writer until the 15-minute
+    // TTL (ADVICE r15). On a failed/unverified write we delete our own
+    // create — only we could have created it — and report not-acquired.
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lease, false)
-        try out.write(token.getBytes(UTF_8)) finally out.close()
-        true
+        val wrote = try { out.write(token.getBytes(UTF_8)); true }
+          catch { case _: Exception => false } finally out.close()
+        if (wrote && stillMine()) true
+        else {
+          try fs.delete(lease, false) catch { case _: Exception => }
+          false
+        }
       }
       catch { case _: java.io.IOException => false
               case _: RuntimeException => false }
@@ -758,7 +776,12 @@ object IndexArtifacts {
       val age = try
         System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
       catch { case _: Exception => 0L }
-      if (age > LeaseTtlMs) {
+      // a token-less lease past a short grace is a crashed acquire's
+      // leftover, immediately breakable (ADVICE r15) — the grace covers
+      // a LIVE holder's microsecond create→write window; any append the
+      // stomped holder tore still fails the committed-count check
+      val tokenless = readToken().forall(_.isEmpty)
+      if (age > LeaseTtlMs || (tokenless && age > TokenlessGraceMs)) {
         try fs.delete(lease, false) catch { case _: Exception => }
         acquired = tryAcquire()
       }

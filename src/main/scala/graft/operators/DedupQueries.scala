@@ -683,33 +683,37 @@ object DedupQueries {
     // shingle (it must be REMOVED from old docs' rows) falls back to the
     // exact rebuild — still from the appended compact raw layer.
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
-    // the no-promotion veto already aggregates the hot tail; thread it
-    // into the delta builder instead of re-aggregating (r15 review) —
-    // acceptPaths always runs before buildDelta under the serve's
-    // per-path monitor, and the fallback keeps the builder total
+    // the no-promotion veto already aggregates the hot tail; CACHE it and
+    // thread it into the delta builder so the reuse is real at execution
+    // time (ADVICE r15: the uncached frame re-ran the raw.groupBy when the
+    // delta's write/count actions executed) — acceptPaths always runs
+    // before buildDelta under the serve's per-path monitor, and the
+    // finally unpersists whichever path ran
     var vetoHot: Option[DataFrame] = None
-    val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
-      s, s"g_drv_shcap_$slug", s"$d/documents.parquet",
-      DerivedVersion + s":df$DfCap",
-      capIndex(raw),
-      paths => {
-        val newIds = s.read.parquet(paths: _*).select("doc_id")
-        val hot = vetoHot.getOrElse(
-          raw.groupBy("h").agg(count(lit(1)).as("df"))
-            .filter(col("df") > DfCap)).select("h")
-        raw.join(newIds, Seq("doc_id"), "left_semi")
-          .join(hot, Seq("h"), "left_anti").select("doc_id", "h")
-      },
-      // doc-id-disjointness guard (the token-layer veto): a re-crawled
-      // doc_id landing in a "new" file would double its rows
-      acceptDelta = (art, delta) => art.join(
-        delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .isEmpty,
-      acceptPaths = paths => {
-        val (promoted, hotTail) = dfCapPromotedHot(s, raw, paths)
-        vetoHot = Some(hotTail)
-        !promoted
-      })
+    val (df, src) = try {
+      graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_shcap_$slug", s"$d/documents.parquet",
+        DerivedVersion + s":df$DfCap",
+        capIndex(raw),
+        paths => {
+          val newIds = s.read.parquet(paths: _*).select("doc_id")
+          val hot = vetoHot.getOrElse(
+            raw.groupBy("h").agg(count(lit(1)).as("df"))
+              .filter(col("df") > DfCap)).select("h")
+          raw.join(newIds, Seq("doc_id"), "left_semi")
+            .join(hot, Seq("h"), "left_anti").select("doc_id", "h")
+        },
+        // doc-id-disjointness guard (the token-layer veto): a re-crawled
+        // doc_id landing in a "new" file would double its rows
+        acceptDelta = (art, delta) => art.join(
+          delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .isEmpty,
+        acceptPaths = paths => {
+          val (promoted, hotTail) = dfCapPromotedHot(s, raw, paths)
+          vetoHot = Some(hotTail) // cached + populated by the veto check
+          !promoted
+        })
+    } finally vetoHot.foreach(_.unpersist(blocking = false))
     derivedSource.put((s, "shingle_capped"), src)
     df.coalesce(natural).cache()
   }
@@ -722,17 +726,23 @@ object DedupQueries {
     * their (tiny vs delta-sized) tails — no text pass.
     */
   private def dfCapPromoted(s: SparkSession, raw: DataFrame,
-                            paths: Seq[String]): Boolean =
-    dfCapPromotedHot(s, raw, paths)._1
+                            paths: Seq[String]): Boolean = {
+    val (p, hot) = dfCapPromotedHot(s, raw, paths)
+    hot.unpersist(blocking = false) // this caller has no reuse for the tail
+    p
+  }
 
   /** [[dfCapPromoted]] plus the hot tail it aggregated (h, dft rows with
-    * dft > DfCap) — the capped layer's delta builder reuses it instead
-    * of re-running the aggregation. */
+    * dft > DfCap) — returned CACHED, populated by the veto check itself,
+    * so the capped layer's delta builder reuses the materialized tail
+    * instead of re-running the aggregation (ADVICE r15: an uncached
+    * return made the reuse a plan-level no-op). Callers own the
+    * unpersist. */
   private def dfCapPromotedHot(s: SparkSession, raw: DataFrame,
                                paths: Seq[String]): (Boolean, DataFrame) = {
     val newIds = s.read.parquet(paths: _*).select("doc_id")
     val dfTot = raw.groupBy("h").agg(count(lit(1)).as("dft"))
-      .filter(col("dft") > DfCap)
+      .filter(col("dft") > DfCap).cache()
     val dfDelta = raw.join(newIds, Seq("doc_id"), "left_semi")
       .groupBy("h").agg(count(lit(1)).as("dfd"))
     val promoted = !dfTot.join(dfDelta, Seq("h"))

@@ -267,8 +267,12 @@ object SimilarityQueries {
     * itself excluded). No aggregation, no window, no state — the
     * identical plan runs under readStream append (StreamingSpec pins
     * two-micro-batch bit-equality to the batch twin and zero false
-    * negatives for exact-duplicate vectors, which share their twin's
-    * cell by determinism of the assignment).
+    * negatives for exact-duplicate vectors whose twin is CAP-RESIDENT
+    * in its cell — the duplicate shares its twin's cell by determinism
+    * of the assignment, but a twin ranked past BucketCap in a
+    * degenerate cell escapes the pack and therefore the gate, exactly
+    * as it escapes q_dedup_embed's capped pair join; the guarantee is
+    * in-cap, not unconditional — ADVICE r15).
     *
     * Emits (vec_id, nn_vec_id, sim_e9, is_semdup) — null nn/sim when the
     * probed cells hold no candidate. is_semdup = sim_e9 ≥ [[SemDupThrE9]],
@@ -387,7 +391,13 @@ object SimilarityQueries {
       aggregate(coalesce(ms, noMembers), acc0, (acc, m) => {
         val sim = nanvl(cosine(col("v"), m.getField("v")), lit(-2d))
         val cand = struct(sim.as("s"), (-m.getField("vec_id")).as("nid"))
-        when(m.getField("vec_id") === col("vec_id"), acc)
+        // sim ≤ −1.5 is the NaN sentinel (zero-norm corpus or query
+        // vector — cosine undefined): skip it like the self-match, so a
+        // degenerate vector in a sparse cell can never be emitted as a
+        // ranked neighbour with sim_e9 = −2e9; a query whose candidates
+        // are ALL degenerate yields the null-answer row (ADVICE r15)
+        when(m.getField("vec_id") === col("vec_id") || sim <= lit(-1.5d),
+             acc)
           .when(size(acc) < k || cand > get(acc, lit(k - 1)),
             slice(reverse(array_sort(concat(acc, array(cand)))), 1, k))
           .otherwise(acc)

@@ -440,7 +440,7 @@ class StreamingSpec extends SparkSpec {
 
   test("semantic dedup gate composes under readStream (s_semantic_gate): " +
        "two micro-batches bit-equal the batch twin; exact-dup vectors " +
-       "always flag") {
+       "with a cap-resident twin always flag") {
     // centroids ship as literal vectors and the probe cells are COLUMNS,
     // so the whole gate is projections + two stream-static equi joins —
     // stateless, append-mode legal

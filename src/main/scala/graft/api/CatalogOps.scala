@@ -59,15 +59,80 @@ object CatalogOps {
     * `graft_<slug>_<name>` — the one-time setup a production deployment
     * does at ingest time. Returns the table-name map.
     */
-  def registerFixture(s: SparkSession, dir: String): Map[String, String] = {
+  def registerFixture(s: SparkSession, dir: String): Map[String, String] =
+    registerFixtureTagged(s, dir)._1
+
+  /** [[registerFixture]] plus its provenance tag. The computed statistics
+    * PERSIST next to the model artifacts keyed by each table's source
+    * fingerprint, so a fresh session RESTORES them into its in-memory
+    * catalog with zero scans and re-ANALYZEs only tables whose source
+    * files changed (VERDICT r15 #2: the catalog_analyze bench phase was
+    * 3.4 s of pure re-scan per session on unchanged fixtures — against a
+    * persistent metastore the stats survive for free, and this sidecar
+    * is the in-memory-catalog equivalent). Tag: "stats" = every table
+    * restored; "analyze" = at least one scanned (and the sidecar
+    * refreshed). A torn/unreadable sidecar degrades to re-ANALYZE —
+    * never stale stats: a fingerprint mismatch scans.
+    */
+  def registerFixtureTagged(s: SparkSession,
+                            dir: String): (Map[String, String], String) = {
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    names.map { n =>
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val statsPath = {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      s"${wh.stripSuffix("/")}/g_stats_$slug"
+    }
+    // persisted (name -> (fp, size_bytes, row_count)); unreadable → empty
+    val persisted: Map[String, (String, Long, Long)] = try {
+      s.read.parquet(statsPath).collect().map { r =>
+        r.getAs[String]("name") ->
+          ((r.getAs[String]("fp"), r.getAs[Long]("size_bytes"),
+            r.getAs[Long]("row_count")))
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+    var analyzed = 0
+    val fresh = scala.collection.mutable.Map.empty[String, (String, Long, Long)]
+    val out = names.map { n =>
       val t = fixtureTableName(dir, n)
       registerParquet(s, t, s"$dir/$n.parquet")
-      analyze(s, t)
+      val fp = IndexArtifacts.fileFingerprint(s"$dir/$n.parquet")
+      persisted.get(n).filter(_._1 == fp) match {
+        case Some((_, size, rows)) =>
+          restoreStats(s, t, size, rows)
+          fresh(n) = (fp, size, rows)
+        case None =>
+          analyze(s, t)
+          analyzed += 1
+          val meta = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          meta.stats.foreach { st =>
+            fresh(n) = (fp, st.sizeInBytes.toLong,
+              st.rowCount.map(_.toLong).getOrElse(-1L))
+          }
+      }
       n -> t
     }.toMap
+    if (analyzed > 0) try {
+      import s.implicits._
+      fresh.toSeq.map { case (n, (fp, size, rows)) => (n, fp, size, rows) }
+        .toDF("name", "fp", "size_bytes", "row_count")
+        .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    } catch { case _: Exception => } // unwritable warehouse: stats stay session-local
+    (out, if (analyzed == 0) "stats" else "analyze")
+  }
+
+  /** Inject persisted statistics into the session catalog — the restore
+    * half of the stats sidecar, byte-identical in effect to what ANALYZE
+    * computed when it was persisted (CBO and sketch-sizing consumers read
+    * the same CatalogStatistics either way). */
+  private def restoreStats(s: SparkSession, table: String,
+                           sizeBytes: Long, rowCount: Long): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    s.sessionState.catalog.alterTableStats(TableIdentifier(table),
+      Some(CatalogStatistics(BigInt(sizeBytes),
+        if (rowCount >= 0) Some(BigInt(rowCount)) else None)))
   }
 
   /** [[graft.operators.DedupQueries.bloomSeen]] with CATALOG-STATS

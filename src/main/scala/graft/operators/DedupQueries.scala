@@ -358,7 +358,7 @@ object DedupQueries {
     holderFor(s, d).raw
 
   /** Memoized (da, db, shared) counts for docs sharing ≥ 1 kept shingle. */
-  private[operators] def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedShinglePairs(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).pairs
 
   /** The ONE definition of the exact pair-level Jaccard (ppm floor):
@@ -415,7 +415,7 @@ object DedupQueries {
   }
 
   /** Memoized connected-component labels over the ≥0.8-Jaccard pair graph. */
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     holderFor(s, d).clusters
 
   /** q_dedup_winnow's pair tail over a raw winnow pick set (doc_id, h —
@@ -567,21 +567,165 @@ object DedupQueries {
       ph("fuzzy_gate",       () => fuzzyGateHotSet(s, d).length.toLong))
   }
 
-  /** Verified near-dup edges (exact Jaccard ≥ 0.8, the q_dedup_ngram
-    * criterion) → component labels via [[graft.api.GraftOps.connectedComponents]].
+  /** Compact this dir's manifest-incremental artifacts — the opt-in
+    * maintenance pass (VERDICT r15 #4: after K appends a layer is K+1
+    * parquet file groups and its global invariant was only ever checked
+    * per-delta). Each layer rewrites compact under its serve lease with
+    * its OWN global invariant re-asserted over the full artifact first:
+    * the raw layer's per-doc-distinct rows, the capped layer's DfCap
+    * bound, signature/pair/label uniqueness, the token layer's
+    * (token, batch) key. Content and sidecar are untouched — the next
+    * serve still reads `artifact`. Session memos for the dir are
+    * released afterward: a cached frame pinned over the pre-compaction
+    * file list must not lazily recompute against deleted files.
+    * Returns (table, compacted?) per layer — false = skipped (absent,
+    * contended, torn, or invariant-failed), never corrupted.
+    */
+  private[graft] def compactIndexArtifacts(s: SparkSession,
+                                           d: String): Seq[(String, Boolean)] = {
+    import graft.api.IndexArtifacts.compactDerived
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    def unique(cols: String*): DataFrame => Boolean = a =>
+      a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty
+    val layers: Seq[(String, DataFrame => Boolean)] = Seq(
+      s"g_drv_shraw_$slug" -> unique("doc_id", "h"),
+      (s"g_drv_shcap_$slug",
+        (a: DataFrame) => unique("doc_id", "h")(a) &&
+          a.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > DfCap).isEmpty),
+      s"g_drv_shsigs_$slug" -> unique("doc_id", "sig"),
+      s"g_drv_shpairs_$slug" -> unique("da", "db"),
+      s"g_drv_shclus_$slug" -> unique("id"),
+      s"g_drv_tokcounts_$slug" -> unique("doc_id", "source", "token"))
+    val out = layers.map { case (t, inv) => (t, compactDerived(s, t, inv)) }
+    releaseShingleIndex(s)
+    TextQueries.releaseTokenLayer(s)
+    out
+  }
+
+  /** The verified near-dup edge set (exact Jaccard ≥ 0.8, the
+    * q_dedup_ngram criterion) over a capped index + its pair table — ONE
+    * definition shared by the full cluster build and the incremental
+    * relabel's new-edge extraction. */
+  private def verifiedNearDupEdges(sh: DataFrame,
+                                   pairTable: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairTable
+      .join(sizes.as("na"), col("da") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+      .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
+      .select("da", "db")
+  }
+
+  /** Verified near-dup edges → component labels via
+    * [[graft.api.GraftOps.connectedComponents]].
+    *
+    * MANIFEST-INCREMENTAL (VERDICT r15 #3, the last rebuild-only layer):
+    * growth adds only edges with ≥1 new endpoint (old docs' pair rows
+    * are untouched under the no-promotion veto), so the grown label
+    * table is the old one plus labels for the docs those NEW edges pull
+    * in — PROVIDED no old row would change. [[clusterDeltaPlan]] checks
+    * exactly that by contracting each old component to its label node
+    * (labels are component minima, so the contraction preserves minima),
+    * running connected components over the delta-sized substituted edge
+    * graph, and vetoing when a component holds two old labels (an
+    * old-old merge) or a node below its old label (the min would move).
+    * Valid → the appended rows are the substituted components' non-label
+    * members not already labeled, with the component min as label —
+    * exactly the full rebuild's labels for those docs. Vetoed → exact
+    * rebuild, still from the appended pair table, never from text.
     */
   private def buildClusters(s: SparkSession, d: String,
-                            sh: DataFrame, pairTable: DataFrame): DataFrame =
-    servedDerived(s, d, "shingle_clusters", "shclus", "documents.parquet",
-        s"df$DfCap-jac800000") {
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val nearDup = pairTable
-        .join(sizes.as("na"), col("da") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
-        .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
-        .select("da", "db")
-      graft.api.GraftOps.connectedComponents(nearDup, "da", "db")
-    }.cache()
+                            sh: DataFrame, pairTable: DataFrame): DataFrame = {
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = s"g_drv_shclus_$slug"
+    // CC materializes + caches its result; whichever branch built one,
+    // the artifact read replaces it — drop the pin after the serve
+    val builtCc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var pendingDelta: Option[DataFrame] = None
+    val (df, src) = try {
+      graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, table, s"$d/documents.parquet",
+        DerivedVersion + s":df$DfCap-jac800000",
+        {
+          val cc = graft.api.GraftOps.connectedComponents(
+            verifiedNearDupEdges(sh, pairTable), "da", "db")
+          builtCc += cc
+          cc
+        },
+        paths => pendingDelta.getOrElse(
+          // acceptPaths always runs first under the serve's monitor; a
+          // missing delta means the veto path already forced a rebuild
+          sys.error("cluster delta requested without a veto pass")),
+        // replay guard: an id already labeled in the artifact must never
+        // be appended again
+        acceptDelta = (art, delta) => art.join(
+          delta.select("id"), Seq("id"), "left_semi").isEmpty,
+        acceptPaths = paths => {
+          if (dfCapPromoted(s, uncappedShingleHashes(s, d), paths)) false
+          else graft.api.IndexArtifacts.artifactFrame(s, table) match {
+            case None => false // no old labels to extend → rebuild
+            case Some(oldLab) =>
+              val (ok, delta, cc) =
+                clusterDeltaPlan(s, oldLab, sh, pairTable, paths)
+              builtCc += cc
+              pendingDelta = Some(delta)
+              ok
+          }
+        })
+    } finally builtCc.foreach(_.unpersist(blocking = false))
+    derivedSource.put((s, "shingle_clusters"), src)
+    df.cache()
+  }
+
+  /** The incremental relabel: (valid?, appended label rows, the internal
+    * CC frame for the caller to unpersist). See [[buildClusters]] for
+    * the contraction argument. `oldLab` is the artifact's (id, label)
+    * table; `paths` the grown manifest's new files.
+    */
+  private def clusterDeltaPlan(s: SparkSession, oldLab: DataFrame,
+                               sh: DataFrame, pairTable: DataFrame,
+                               paths: Seq[String])
+      : (Boolean, DataFrame, DataFrame) = {
+    val newIds = s.read.parquet(paths: _*).select("doc_id")
+    // verified new edges: ≥1 new endpoint, then the exact-Jaccard gate
+    val withFlags = pairTable
+      .join(newIds.select(col("doc_id").as("da"))
+        .withColumn("__fa", lit(true)), Seq("da"), "left")
+      .join(newIds.select(col("doc_id").as("db"))
+        .withColumn("__fb", lit(true)), Seq("db"), "left")
+      .filter(coalesce(col("__fa"), lit(false)) ||
+              coalesce(col("__fb"), lit(false)))
+      .select("da", "db", "shared")
+    val newEdges = verifiedNearDupEdges(sh, withFlags)
+    // contract old components: substitute each LABELED old endpoint by
+    // its label node (= the component minimum, so minima are preserved);
+    // new docs and never-labeled old docs stand for themselves
+    val subEdges = newEdges
+      .join(oldLab.select(col("id").as("da"), col("label").as("la")),
+        Seq("da"), "left")
+      .join(oldLab.select(col("id").as("db"), col("label").as("lb")),
+        Seq("db"), "left")
+      .select(coalesce(col("la"), col("da")).as("u"),
+              coalesce(col("lb"), col("db")).as("v"))
+    val sub = graft.api.GraftOps.connectedComponents(subEdges, "u", "v")
+    val labelNodes = oldLab.select(col("label").as("id")).distinct()
+      .withColumn("__isLabel", lit(true))
+    val comp = sub.join(labelNodes, Seq("id"), "left")
+      .groupBy("label")
+      .agg(sum(when(col("__isLabel"), 1L).otherwise(0L)).as("n_old"),
+           min(when(col("__isLabel"), col("id"))).as("old_label"))
+    // valid iff every merged component touches ≤1 old component AND its
+    // min IS that component's label — anything else moves old rows
+    val ok = comp.filter(col("n_old") > 1 ||
+        (col("n_old") === 1 && col("old_label") =!= col("label"))).isEmpty
+    val delta = sub
+      .join(labelNodes.select("id"), Seq("id"), "left_anti")
+      .join(oldLab.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("label"))
+    (ok, delta, sub)
+  }
 
   /** Candidate pairs with shared-shingle counts via ONE (h)-keyed bucket
     * aggregation + in-bucket pair expansion — not an index self-join,
@@ -602,9 +746,60 @@ object DedupQueries {
     // cache WITHOUT an eager count: materialization rides the first
     // consumer's own job (the cache populates when its first stage scans
     // it), so the layer costs zero extra scheduler round-trips — repeat
-    // consumers still hit the populated cache
-    servedDerived(s, d, "shingle_pairs", "shpairs", "documents.parquet",
-      s"df$DfCap")(pairsPlan(sh)).cache()
+    // consumers still hit the populated cache.
+    // MANIFEST-INCREMENTAL (VERDICT r15 #3): under the no-promotion veto
+    // an old-old pair's shared count cannot move (both docs' capped rows
+    // are untouched), so growth only ADDS pairs with ≥1 new endpoint —
+    // and every shared shingle of such a pair is, by definition, a
+    // shingle the new endpoint carries. [[pairsDeltaPlan]] therefore
+    // expands ONLY the buckets of the new docs' shingles and keeps pairs
+    // with a new member: an exact delta, appended — the daily-crawl
+    // operator stops rebuilding the corpus-sized pair table per delta.
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+      s, s"g_drv_shpairs_$slug", s"$d/documents.parquet",
+      DerivedVersion + s":df$DfCap",
+      pairsPlan(sh),
+      paths => pairsDeltaPlan(s, sh, paths),
+      // replay guard: a delta pair already present in the artifact means
+      // an at-least-once re-append (or an unexpected overlap) — exact
+      // rebuild rather than doubled shared counts
+      acceptDelta = (art, delta) => art.join(
+        delta.select("da", "db"), Seq("da", "db"), "left_semi").isEmpty,
+      acceptPaths = paths =>
+        !dfCapPromoted(s, uncappedShingleHashes(s, d), paths))
+    derivedSource.put((s, "shingle_pairs"), src)
+    df.cache()
+  }
+
+  /** The pair-table DELTA for a grown corpus: shared-shingle counts of
+    * exactly the pairs with ≥1 NEW endpoint, computed over the (already
+    * appended) capped index restricted to the new docs' shingle buckets.
+    * Exact because a (new, old) or (new, new) pair's every shared shingle
+    * is one the new endpoint carries — buckets outside the new docs'
+    * shingle set cannot contribute; old-old pairs inside those buckets
+    * are filtered by the newness flag (their counts live in the artifact,
+    * unchanged under the no-promotion veto).
+    */
+  private def pairsDeltaPlan(s: SparkSession, sh: DataFrame,
+                             paths: Seq[String]): DataFrame = {
+    val newIds = s.read.parquet(paths: _*).select("doc_id")
+    val hNew = sh.join(newIds, Seq("doc_id"), "left_semi")
+      .select("h").distinct()
+    val flagged = sh.join(hNew, Seq("h"), "left_semi")
+      .join(newIds.withColumn("__new", lit(true)), Seq("doc_id"), "left")
+      .select(col("h"), col("doc_id"),
+        coalesce(col("__new"), lit(false)).as("nw"))
+    val buckets = flagged.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("nw"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.nw") || col("y.nw"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
   }
 
   /** The pair PLAN over any capped (doc_id, h) index — shared by the
@@ -1002,6 +1197,12 @@ object DedupQueries {
     * semantics stay comparable with the batch sketch query.
     */
   private val bloomGateCache = new graft.api.SessionMemo[Array[Byte]]()
+
+  /** Release the memoized gate models (corpus Bloom bytes; the fuzzy
+    * hot set rides [[releaseBandSignatures]]) — the bench phase
+    * re-measure hook (r16). */
+  private[graft] def releaseGateModels(s: SparkSession): Unit =
+    bloomGateCache.release(s)
 
   private[graft] def corpusBloomBytes(s: SparkSession, d: String): Array[Byte] =
     bloomGateCache.get(s, "bloomgate", d) {

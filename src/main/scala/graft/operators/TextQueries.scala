@@ -716,6 +716,13 @@ object TextQueries {
     * Values are driver-resident model state: the logit weight array, the
     * vocab piece list. */
   private val textModelCache = new graft.api.SessionMemo[AnyRef]()
+
+  /** Release the session-memoized text models (logit weights, BPE merges,
+    * vocab pieces, contamination sketch) — the bench phase re-measure
+    * hook (r16): the next access re-serves from the persisted model
+    * artifacts. */
+  private[graft] def releaseTextModels(s: SparkSession): Unit =
+    textModelCache.release(s)
   private val textModelSource =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
                                                String]()

@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Per-micro-batch LATENCY evidence for the streaming serving family
+  * (VERDICT r15 #5): the gates are bit-equal to their batch twins
+  * (StreamingSpec), but no number existed for what one micro-batch
+  * COSTS through the real streaming path. This harness drives N
+  * micro-batches of fixture rows through each gate's actual
+  * readStream plan — MemoryStream source, noop sink, every served
+  * model/index warm — and reports p50/p95 trigger-execution
+  * milliseconds straight from the engine's own
+  * `StreamingQueryProgress.durationMs` (no wall-clock wrapping of the
+  * driver loop). The first two batches absorb plan resolution +
+  * codegen warm-in and are excluded from the percentiles (their max
+  * is reported separately as `warmup_max_ms`), because a service's
+  * steady-state latency is the question — a cold start is priced
+  * once.
+  *
+  * Any future accidental STATE or per-batch shuffle in a gate plan
+  * shows up here as a p50 step change, which is the regression this
+  * harness exists to catch (the gates are all designed stateless:
+  * pure projections + stream-static joins over literal/broadcast
+  * model state).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  *     sbt "runMain graft.tools.StreamLatencyProbe"
+  *
+  * Prints one JSON line and writes target/stream_latency.json.
+  */
+object StreamLatencyProbe {
+
+  private def r1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      s(math.max(0, math.min(s.length - 1, math.ceil(p * s.length).toInt - 1)))
+    }
+
+  /** Drive `mk`'s streaming plan over `batches` micro-batches from a
+    * MemoryStream[T]; return every batch's triggerExecution ms. */
+  private def drive[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, cols: Seq[String],
+      batches: Seq[Seq[T]])(mk: DataFrame => DataFrame): Seq[Double] = {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[T]
+    val q = mk(in.toDS().toDF(cols: _*))
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble)
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt
+    val rowsPer = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "256").toInt
+    val warmSkip = 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val tq = graft.operators.TextQueries
+    val dq = graft.operators.DedupQueries
+    val simq = graft.operators.SimilarityQueries
+
+    // ---- feed rows: bounded driver-side slices of the fixtures ----
+    val need = nBatches * rowsPer
+    val docRows: Seq[(Long, String)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").limit(need).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val vecRows: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .limit(need).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // a small fixture is RECYCLED to fill every batch (gates are
+    // stateless — repeated ids across micro-batches are legal traffic)
+    def chunk[T](rows: Seq[T]): Seq[Seq[T]] =
+      Iterator.continually(rows).flatten.take(need)
+        .grouped(rowsPer).take(nBatches).toSeq
+
+    // ---- warm the served state OUTSIDE the measured loop (the serving
+    // posture: models/indexes are artifacts a service loads once) ----
+    val weights = tq.trainedQualityWeights(spark, sfDir)
+    val corpusBloom = dq.corpusBloomBytes(spark, sfDir)
+    val benchBloom = tq.benchShingleBloomBytes(spark, sfDir)
+    val hot = dq.fuzzyGateHotSet(spark, sfDir)
+    val corpusSigs = dq.bandSigTable(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 0)
+    corpusSigs.count()
+    val cents = simq.trainedIvfCentroidSeq(spark, sfDir)
+    val pack = simq.semanticGateCorpusPack(spark, sfDir)
+
+    import spark.implicits._
+    val gates: Seq[(String, () => Seq[Double])] = Seq(
+      ("s_quality_gate", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => tq.rowQualityGate(df, weights))),
+      ("s_dedup_gate", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => dq.bloomGateRows(df, corpusBloom))),
+      ("s_contamination_gate", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => tq.contaminationGateRows(df, benchBloom))),
+      ("s_fuzzy_gate", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => dq.fuzzyGateRows(df, hot, corpusSigs))),
+      ("s_curation_pipeline", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df =>
+          tq.curationPipelineRows(df, weights, corpusBloom, benchBloom))),
+      ("s_semantic_gate", () => drive(spark, Seq("vec_id", "v"),
+        chunk(vecRows))(df => simq.semanticGateRows(df, cents, pack))),
+      ("s_ann_query", () => drive(spark, Seq("vec_id", "v"),
+        chunk(vecRows))(df => simq.annServeRows(df, cents, pack))))
+
+    val results = gates.map { case (name, run) =>
+      val ms = run()
+      val steady = ms.drop(warmSkip)
+      (name, ms.take(warmSkip), steady)
+    }
+    val gateJson = results.map { case (name, warm, steady) =>
+      s""""$name":{"p50_ms":${r1(pct(steady, 0.50))},""" +
+        s""""p95_ms":${r1(pct(steady, 0.95))},""" +
+        s""""max_ms":${r1(if (steady.isEmpty) 0 else steady.max)},""" +
+        s""""warmup_max_ms":${r1(if (warm.isEmpty) 0 else warm.max)},""" +
+        s""""batches":${steady.size}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stream_latency_ms","gates":$gateJson,""" +
+        s""""rows_per_batch":$rowsPer,"sf":"$sfDir",""" +
+        s""""load_avg":${r1(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage)}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "stream_latency.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[stream-latency] write failed: $t")
+    }
+    spark.stop()
+    println(line)
+  }
+}

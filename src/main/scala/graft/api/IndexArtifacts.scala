@@ -703,8 +703,12 @@ object IndexArtifacts {
     * its global invariant (e.g. "no shingle crossed DfCap under this
     * delta"; r15 — the capped/sig layers ride this). False → exact
     * full rebuild, still from the appended compact raw layer, never by
-    * re-hashing corpus text. Pair tables and connected components stay
-    * rebuild-only (their rows couple arbitrary doc pairs).
+    * re-hashing corpus text. Since r16 even the PAIR TABLE (growth only
+    * adds pairs with a new endpoint under the no-promotion veto) and the
+    * CLUSTER LABELS (old components contract to their label nodes; a
+    * delta-sized CC appends new labels unless an old row would change)
+    * append — see DedupQueries.buildPairs/buildClusters; no layer in the
+    * shingle stack is rebuild-only anymore.
     *
     * CRASH-SAFETY: the overwrite path's sidecar-after-data ordering is
     * the persistDerived commit marker (torn write reads as absent →

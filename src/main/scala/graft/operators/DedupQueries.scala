@@ -508,26 +508,106 @@ object DedupQueries {
       // stage pay 32-task scheduling+codegen floors for KBs of work per
       // task (at scale `natural` is large and this is a no-op)
       val natural = documents(s, d).rdd.getNumPartitions
-      val picks = servedDerived(s, d, "winnow_picks", "winpicks",
-          "documents.parquet",
-          s"k${TextQueries.WinnowK}w${TextQueries.WinnowW}")(
-          TextQueries.winnowPicks(fanOut(documents(s, d))))
-        .repartition(natural, col("h")).cache()
+      // MANIFEST-INCREMENTAL (r16, extending r15 #3 to the winnow family):
+      // picks are a pure per-document function (window minima never cross
+      // doc boundaries — the persistWinnowIndex lemma), so a grown corpus
+      // winnows ONLY the new files; the Rabin-Karp pass, the expensive
+      // step, never re-runs over indexed partitions.
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_winpicks_$slug", s"$d/documents.parquet",
+        DerivedVersion + s":k${TextQueries.WinnowK}w${TextQueries.WinnowW}",
+        TextQueries.winnowPicks(fanOut(documents(s, d))),
+        paths => TextQueries.winnowPicks(
+          fanOut(s.read.parquet(paths: _*).select("doc_id", "text"))),
+        acceptDelta = (art, delta) => art.join(
+          delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .isEmpty)
+      noteDerivedSource(s, "winnow_picks", src)
+      val picks = df.repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       picks
     }
 
-  private[operators] def winnowScoredPairs(s: SparkSession,
+  private[graft] def winnowScoredPairs(s: SparkSession,
                                            d: String): DataFrame =
     winnowScoredMemo.get(s, "", d) {
-      val scored = servedDerived(s, d, "winnow_pairs", "winpairs",
-          "documents.parquet",
-          s"k${TextQueries.WinnowK}w${TextQueries.WinnowW}")(
-          winnowScoredPlan(winnowPickSet(s, d).select("doc_id", "h")))
-        .cache()
+      // MANIFEST-INCREMENTAL (r16): the scored winnow pair table appends
+      // exactly like the shingle pair table — under the pick-hash
+      // no-promotion veto old docs' kept picks AND kept-pick sizes are
+      // untouched, so growth only adds pairs with ≥1 new endpoint, and
+      // every shared pick hash of such a pair is one the new doc
+      // carries → the delta expands only the new docs' pick buckets.
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val fp = winnowPickSet(s, d).select("doc_id", "h")
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_winpairs_$slug", s"$d/documents.parquet",
+        DerivedVersion +
+          s":k${TextQueries.WinnowK}w${TextQueries.WinnowW}df$DfCap",
+        winnowScoredPlan(fp),
+        paths => winnowPairsDeltaPlan(s, fp, paths),
+        acceptDelta = (art, delta) => art.join(
+          delta.select("da", "db"), Seq("da", "db"), "left_semi").isEmpty,
+        acceptPaths = paths => !winnowDfPromoted(s, fp, paths))
+      noteDerivedSource(s, "winnow_pairs", src)
+      val scored = df.cache()
       scored.count() // eager — see winnowPickSet
       scored
     }
+
+  /** TRUE iff appending `paths`' docs promoted any PICK hash across
+    * DfCap — the winnow twin of [[dfCapPromoted]], over the DISTINCT
+    * (doc_id, h) pick set (the same replay-guarded form
+    * [[winnowScoredPlan]] caps). */
+  private def winnowDfPromoted(s: SparkSession, rawFp: DataFrame,
+                               paths: Seq[String]): Boolean = {
+    val fp = rawFp.distinct()
+    val newIds = s.read.parquet(paths: _*).select("doc_id")
+    val dfTot = fp.groupBy("h").agg(count(lit(1)).as("dft"))
+      .filter(col("dft") > DfCap)
+    val dfDelta = fp.join(newIds, Seq("doc_id"), "left_semi")
+      .groupBy("h").agg(count(lit(1)).as("dfd"))
+    !dfTot.join(dfDelta, Seq("h"))
+      .filter(col("dft") - col("dfd") <= DfCap)
+      .isEmpty
+  }
+
+  /** The winnow pair-table DELTA for a grown corpus: scored pairs
+    * (da, db, shared, jac_e6) with ≥1 NEW endpoint, over the kept
+    * (df ≤ DfCap) pick set restricted to the new docs' pick buckets —
+    * sizes stay GLOBAL kept-pick counts (they feed the exact Jaccard),
+    * only the pair expansion restricts. Exact by the [[pairsDeltaPlan]]
+    * argument applied to picks.
+    */
+  private def winnowPairsDeltaPlan(s: SparkSession, rawFp: DataFrame,
+                                   paths: Seq[String]): DataFrame = {
+    val fp = rawFp.distinct()
+    val newIds = s.read.parquet(paths: _*).select("doc_id")
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("h")
+    val kept = fp.join(keep, Seq("h"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hNew = kept.join(newIds, Seq("doc_id"), "left_semi")
+      .select("h").distinct()
+    val flagged = kept.join(hNew, Seq("h"), "left_semi")
+      .join(newIds.withColumn("__new", lit(true)), Seq("doc_id"), "left")
+      .select(col("h"), col("doc_id"),
+        coalesce(col("__new"), lit(false)).as("nw"))
+    val pairs = flagged.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("nw"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.nw") || col("y.nw"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("wna"), col("da") === col("wna.doc_id"))
+      .join(sizes.as("wnb"), col("db") === col("wnb.doc_id"))
+      .select(col("da"), col("db"), col("shared"),
+        jacE6Col(col("shared"), col("wna.n"), col("wnb.n")).as("jac_e6"))
+  }
 
   /** The shared shingle-index layer stack as NAMED one-time builds, in
     * dependency order, for per-phase bench attribution: each thunk forces

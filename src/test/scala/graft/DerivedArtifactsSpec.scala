@@ -360,7 +360,9 @@ class DerivedArtifactsSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
       .coalesce(1).write.mode("append").parquet(docsPath)
     DedupQueries.releaseShingleIndex(spark)
+    DedupQueries.releaseWinnowPicks(spark)
     graft.operators.DedupQueries.clusterLabels(spark, dir).count()
+    graft.operators.DedupQueries.winnowScoredPairs(spark, dir).count()
     // GROW: 30 joins family 0 (new-old edge, label 1 keeps the min),
     // 31 duplicates 30 (new-new edge into the same merged component),
     // 40+41 an all-new duplicate family (label 40), 50 unique
@@ -371,14 +373,28 @@ class DerivedArtifactsSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(docsPath)
     Tables.invalidate(spark, docsPath)
     DedupQueries.releaseShingleIndex(spark)
+    DedupQueries.releaseWinnowPicks(spark)
     val pairRows = graft.operators.DedupQueries.sharedShinglePairs(spark, dir)
       .collect().map(_.toSeq).toSet
     val labelRows = graft.operators.DedupQueries.clusterLabels(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winRows = graft.operators.DedupQueries.winnowScoredPairs(spark, dir)
+      .collect().map(_.toSeq).toSet
     assert(DedupQueries.derivedSourceOf(spark, "shingle_pairs") == "append",
       DedupQueries.derivedSourceOf(spark, "shingle_pairs"))
     assert(DedupQueries.derivedSourceOf(spark, "shingle_clusters") == "append",
       DedupQueries.derivedSourceOf(spark, "shingle_clusters"))
+    // the winnow family rides the same append doctrine (r16)
+    assert(DedupQueries.derivedSourceOf(spark, "winnow_picks") == "append",
+      DedupQueries.derivedSourceOf(spark, "winnow_picks"))
+    assert(DedupQueries.derivedSourceOf(spark, "winnow_pairs") == "append",
+      DedupQueries.derivedSourceOf(spark, "winnow_pairs"))
+    val liveWin = DedupQueries.winnowScoredPlan(
+      graft.operators.TextQueries.winnowPicks(
+        spark.read.parquet(docsPath).select("doc_id", "text"))
+        .select("doc_id", "h"))
+      .collect().map(_.toSeq).toSet
+    assert(winRows == liveWin)
     // append ≡ rebuild: live plans over the whole grown corpus
     val liveCapped = DedupQueries.capIndex(
       DedupQueries.shinglesOf(spark.read.parquet(docsPath)))
@@ -390,6 +406,7 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(labelRows == Set((1L, 1L), (2L, 1L), (30L, 1L), (31L, 1L),
       (10L, 10L), (11L, 10L), (40L, 40L), (41L, 40L)), labelRows)
     DedupQueries.releaseShingleIndex(spark)
+    DedupQueries.releaseWinnowPicks(spark)
   }
 
   test("a new doc that would RELABEL an old component (smaller id joins " +

@@ -1449,7 +1449,55 @@ object DedupQueries {
       (nHits > 0).as("maybe_dup"))
   }
 
+  /** STREAMING nearest-duplicate ATTACH (r16) — the fuzzy gate upgraded
+    * from a verdict to a POINTER: each incoming doc gets the smallest
+    * corpus doc_id sharing any of its MinHash bands (`match_doc`, null
+    * when no band hits), which is what a crawl-ingest service joins
+    * against the served cluster/keeper tables to route a near-duplicate
+    * to its canonical document. Same stateless scaffold as
+    * [[fuzzyGateRows]] — per-band sig COLUMNS, one stream-static equi
+    * LEFT join per band — with one serve-side upgrade: the static side
+    * is the sig index PRE-AGGREGATED to one (sig, min doc_id) row, so a
+    * HOT band bucket costs each probe row exactly ONE joined row, never
+    * its member list (the q_dedup_simhash BucketCap concern solved by
+    * aggregation instead of capping — exact here because min is the only
+    * statistic served). Exact-integer end to end → DuckDB-oracle-checked
+    * like s_fuzzy_gate.
+    */
+  private[graft] def fuzzyAttachRows(batch: DataFrame, hot: Array[Long],
+                                     corpusSigs: DataFrame): DataFrame = {
+    val withSigs = batch.select(col("doc_id"),
+      perRowBandSigs(col("text"), hot).as("__sigs"))
+    val keyed = withSigs.select(col("doc_id") +:
+      (0 until FuzzyBands).map(b =>
+        element_at(col("__sigs"), b + 1).as(s"__sig_$b")): _*)
+    val sigMin = corpusSigs.groupBy("sig").agg(min(col("doc_id")).as("__m"))
+    var out = keyed
+    for (b <- 0 until FuzzyBands)
+      out = out.join(
+        sigMin.select(col("sig").as(s"__sig_$b"), col("__m").as(s"__m_$b")),
+        Seq(s"__sig_$b"), "left")
+    val nHits = (0 until FuzzyBands)
+      .map(b => when(col(s"__m_$b").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    out.select(col("doc_id"), nHits.cast("long").as("n_bands_hit"),
+      least((0 until FuzzyBands).map(b => col(s"__m_$b")): _*)
+        .as("match_doc"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s_fuzzy_attach" -> ((s, d) => {
+      // batch twin (the s_fuzzy_gate split): every 50th doc plays the
+      // crawl, the rest are the corpus; the static side pre-aggregates
+      // the artifact-served sig layer per sig — never re-signed, never
+      // exploded per member
+      val batch = documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select("doc_id", "text")
+      val corpusSigs = bandSigTable(s, d).filter(col("doc_id") % 50 =!= 0)
+      fuzzyAttachRows(batch, fuzzyGateHotSet(s, d), corpusSigs)
+        .orderBy("doc_id")
+    }),
+
     "s_fuzzy_gate" -> ((s, d) => {
       // batch twin: every 50th doc plays "today's crawl" (the
       // q_dedup_train_test split, so the recall pin reads one fixture),
@@ -2483,6 +2531,26 @@ object DedupQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
          |LEFT JOIN probe p ON p.doc_id = d.doc_id
          |LEFT JOIN corpus_sigs cs ON cs.sig = p.sig
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // the attach twin: per band sig, the corpus split's MINIMUM doc id —
+    // band strings carry their band index, so a doc's 4 probe rows can
+    // never collapse, and count(cm.m)/min(cm.m) replay the engine's
+    // per-band hit count and least-of-mins exactly
+    "s_fuzzy_attach" ->
+      s"""WITH $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |${duckMinhashBands("shh")},
+         |corpus_min AS (SELECT sig, min(doc_id) AS m FROM bands
+         |               WHERE doc_id % 50 <> 0 GROUP BY sig),
+         |probe AS (SELECT doc_id, sig FROM bands WHERE doc_id % 50 = 0)
+         |SELECT d.doc_id,
+         |       CAST(count(cm.m) AS BIGINT) AS n_bands_hit,
+         |       min(cm.m) AS match_doc
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+         |LEFT JOIN probe p ON p.doc_id = d.doc_id
+         |LEFT JOIN corpus_min cm ON cm.sig = p.sig
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_train_test" ->

@@ -320,6 +320,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 4L).exists(t => !t._3 && t._2 == 0L))
   }
 
+  test("nearest-duplicate attach composes under readStream " +
+       "(s_fuzzy_attach): two micro-batches bit-equal the batch twin; " +
+       "an exact duplicate points at its twin, a novel doc at null") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.DedupQueries
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, body),
+      (150L, body), // second copy: attach must point at the SMALLER id
+      (101L, "corpus only " + (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpusSigs = DedupQueries.fuzzyGateCorpusSigs(corpus)
+    val hot = Array.empty[Long]
+    val probe = Seq(
+      (1L, body),                                        // exact duplicate
+      (2L, "novel " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (3L, "xy"))                                        // < 3 tokens
+    val in = MemoryStream[(Long, String)]
+    val q = DedupQueries.fuzzyAttachRows(
+        in.toDS().toDF("doc_id", "text"), hot, corpusSigs)
+      .writeStream.format("memory").queryName("fuzzy_attach_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(1): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(1): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = rows(spark.table("fuzzy_attach_stream"))
+    val want = rows(DedupQueries.fuzzyAttachRows(
+      probe.toDF("doc_id", "text"), hot, corpusSigs))
+    assert(got == want, s"got $got want $want")
+    val byId = got.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    // duplicate of BOTH 100 and 150: every band hits, pointer = min id
+    assert(byId(1L)(1) == DedupQueries.FuzzyBands.toLong &&
+      byId(1L)(2) == 100L, s"dup row: ${byId(1L)}")
+    // novel and shingle-less docs attach to nothing
+    assert(byId(2L)(2) == null && byId(3L)(2) == null)
+  }
+
   test("s_fuzzy_gate probe signatures equal the capped index's " +
        "signatures row-for-row (the recall lemma)") {
     // the shipped hot set IS the DfCap policy, so a row's pure-projection

@@ -661,6 +661,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s_fuzzy_attach: the probe side never shuffles — band joins " +
+       "BROADCAST the per-sig aggregated static side; no window, no " +
+       "generator, no probe-side aggregate") {
+    import graft.operators.DedupQueries
+    val batch = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .select("doc_id", "text")
+    val sigs = DedupQueries.bandSigTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val g = DedupQueries.fuzzyAttachRows(batch,
+      DedupQueries.fuzzyGateHotSet(spark, sf), sigs)
+    g.collect()
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+           !p.contains("Generate"), p)
+    // the only aggregation is the static side's per-sig min — the probe
+    // row count never aggregates (a service must answer per row)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("q_stats_ks / q_stats_mwu: both prefix-sum attach joins broadcast " +
        "(bounded bin offsets + 1-row totals), never a sort-merge join") {
     Seq("q_stats_ks", "q_stats_mwu").foreach { q =>

@@ -1037,6 +1037,8 @@ object DedupQueries {
     // left it behind would serve signatures of the RELEASED index beside
     // freshly rebuilt pair tables (and leak its pinned cache)
     releaseBandSignatures(s)
+    // the routing labels derive from the pair layer (same rationale)
+    releaseRouteLabels(s)
     shCache.keySet.asScala.filter(_._1 == s)
       .toSeq.foreach(k => Option(shCache.remove(k)).foreach(_.doom()))
   }
@@ -1485,7 +1487,60 @@ object DedupQueries {
         .as("match_doc"))
   }
 
+  /** Corpus-split cluster labels for the ROUTING twin: connected
+    * components over the verified near-dup edges whose BOTH endpoints
+    * are corpus-resident (doc_id % 50 ≠ 0 — the gate family's split),
+    * derived by FILTERING the memoized full-corpus pair table (shared
+    * counts and sizes come from the full-corpus capped index, exactly
+    * what the service's maintained layers hold) — no re-shingle, one
+    * delta-small CC. Memoized per (session, dir); released with the
+    * shingle index it derives from.
+    */
+  private val routeLabelMemo =
+    new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
+
+  private[graft] def corpusRouteLabels(s: SparkSession, d: String): DataFrame =
+    routeLabelMemo.get(s, "", d) {
+      val sh = shingleHashes(s, d)
+      val corpusPairs = sharedShinglePairs(s, d)
+        .filter(col("da") % 50 =!= 0 && col("db") % 50 =!= 0)
+      val edges = verifiedNearDupEdges(sh, corpusPairs)
+      graft.api.GraftOps.connectedComponents(edges, "da", "db")
+    }
+
+  private[graft] def releaseRouteLabels(s: SparkSession): Unit =
+    routeLabelMemo.release(s)
+
+  /** STREAMING cluster ROUTE (r16) — [[fuzzyAttachRows]] composed with
+    * the corpus cluster table: each incoming doc's `route_doc` is the
+    * CANONICAL corpus document to merge into — the matched doc's
+    * corpus-cluster label when it is clustered, the matched doc itself
+    * when it is a singleton, null when no band hits. One more stateless
+    * stream-static equi LEFT join on match_doc against the (bounded)
+    * label table — the full "crawl row → canonical training doc" hop a
+    * dedup service performs, still zero state, zero probe-side shuffle.
+    */
+  private[graft] def clusterRouteRows(batch: DataFrame, hot: Array[Long],
+                                      corpusSigs: DataFrame,
+                                      labels: DataFrame): DataFrame =
+    fuzzyAttachRows(batch, hot, corpusSigs)
+      .join(labels.select(col("id").as("match_doc"),
+        col("label").as("__lab")), Seq("match_doc"), "left")
+      .select(col("doc_id"), col("n_bands_hit"), col("match_doc"),
+        coalesce(col("__lab"), col("match_doc")).as("route_doc"))
+
   def queries: Map[String, Q] = Map(
+    "s_cluster_route" -> ((s, d) => {
+      // batch twin: the attach split, routed through corpus-split
+      // cluster labels (see [[corpusRouteLabels]])
+      val batch = documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select("doc_id", "text")
+      val corpusSigs = bandSigTable(s, d).filter(col("doc_id") % 50 =!= 0)
+      clusterRouteRows(batch, fuzzyGateHotSet(s, d), corpusSigs,
+        corpusRouteLabels(s, d))
+        .orderBy("doc_id")
+    }),
+
     "s_fuzzy_attach" -> ((s, d) => {
       // batch twin (the s_fuzzy_gate split): every 50th doc plays the
       // crawl, the rest are the corpus; the static side pre-aggregates
@@ -2532,6 +2587,50 @@ object DedupQueries {
          |LEFT JOIN probe p ON p.doc_id = d.doc_id
          |LEFT JOIN corpus_sigs cs ON cs.sig = p.sig
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // the routing twin: the attach chain + corpus-split connected
+    // components (recursive CTE over verified ≥0.8 edges whose BOTH
+    // endpoints are corpus docs — keep/sizes stay FULL-corpus, matching
+    // the engine's memoized capped index) + the coalesce-to-match_doc
+    // singleton rule
+    "s_cluster_route" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |keep AS (SELECT h FROM shh0 GROUP BY h HAVING count(*) <= 100),
+         |shh AS (SELECT shh0.doc_id, shh0.h FROM shh0 JOIN keep USING (h)),
+         |${duckMinhashBands("shh")},
+         |corpus_min AS (SELECT sig, min(doc_id) AS m FROM bands
+         |               WHERE doc_id % 50 <> 0 GROUP BY sig),
+         |probe AS (SELECT doc_id, sig FROM bands WHERE doc_id % 50 = 0),
+         |att AS (SELECT d.doc_id,
+         |               CAST(count(cm.m) AS BIGINT) AS n_bands_hit,
+         |               min(cm.m) AS match_doc
+         |        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+         |        LEFT JOIN probe p ON p.doc_id = d.doc_id
+         |        LEFT JOIN corpus_min cm ON cm.sig = p.sig
+         |        GROUP BY d.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM shh a JOIN shh b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 <> 0
+         |          GROUP BY a.doc_id, b.doc_id),
+         |cpairs AS (SELECT i.da, i.db FROM inter i
+         |           JOIN sizes na ON i.da = na.doc_id
+         |           JOIN sizes nb ON i.db = nb.doc_id
+         |           WHERE floor(i.inter / (na.n + nb.n - i.inter) * 1e6)
+         |                 >= 800000),
+         |edges AS (SELECT da AS a, db AS b FROM cpairs
+         |          UNION ALL SELECT db, da FROM cpairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         |cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+         |SELECT att.doc_id, att.n_bands_hit, att.match_doc,
+         |       coalesce(cc.label, att.match_doc) AS route_doc
+         |FROM att LEFT JOIN cc ON cc.id = att.match_doc
+         |ORDER BY att.doc_id""".stripMargin,
 
     // the attach twin: per band sig, the corpus split's MINIMUM doc id —
     // band strings carry their band index, so a doc's 4 probe rows can

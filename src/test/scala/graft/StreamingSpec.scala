@@ -361,6 +361,48 @@ class StreamingSpec extends SparkSpec {
     assert(byId(2L)(2) == null && byId(3L)(2) == null)
   }
 
+  test("cluster route composes under readStream (s_cluster_route): " +
+       "bit-equal to the batch twin; a clustered match routes to its " +
+       "label, a singleton to itself, a miss to null") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.DedupQueries
+    val bodyB = (1 to 30).map(i => s"w$i").mkString(" ")
+    val bodyC = "solo " + (1 to 25).map(i => s"v$i").mkString(" ")
+    // corpus doc 20 is clustered under label 10 (its near-dup twin is
+    // NOT in the sig index — the transitive-chain case where the probe
+    // only reaches a non-canonical member); doc 40 is a singleton
+    val corpus = Seq((20L, bodyB), (40L, bodyC)).toDF("doc_id", "text")
+    val corpusSigs = DedupQueries.fuzzyGateCorpusSigs(corpus)
+    val labels = Seq((20L, 10L)).toDF("id", "label")
+    val hot = Array.empty[Long]
+    val probe = Seq(
+      (1L, bodyB),   // matches 20 → routes to CLUSTER label 10
+      (2L, bodyC),   // matches singleton 40 → routes to 40 itself
+      (3L, "novel " + (1 to 20).map(i => s"q$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = DedupQueries.clusterRouteRows(
+        in.toDS().toDF("doc_id", "text"), hot, corpusSigs, labels)
+      .writeStream.format("memory").queryName("cluster_route_stream")
+      .outputMode("append").start()
+    in.addData(probe.take(1): _*)
+    q.processAllAvailable()
+    in.addData(probe.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = rows(spark.table("cluster_route_stream"))
+    val want = rows(DedupQueries.clusterRouteRows(
+      probe.toDF("doc_id", "text"), hot, corpusSigs, labels))
+    assert(got == want, s"got $got want $want")
+    val byId = got.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(1L)(2) == 20L && byId(1L)(3) == 10L,
+      s"clustered route: ${byId(1L)}")
+    assert(byId(2L)(2) == 40L && byId(2L)(3) == 40L,
+      s"singleton route: ${byId(2L)}")
+    assert(byId(3L)(2) == null && byId(3L)(3) == null)
+  }
+
   test("s_fuzzy_gate probe signatures equal the capped index's " +
        "signatures row-for-row (the recall lemma)") {
     // the shipped hot set IS the DfCap policy, so a row's pure-projection

@@ -178,6 +178,7 @@ object Bench {
     operators.TextQueries.releaseTextModels(spark)
     operators.EventTimeQueries.releaseFunnelLags(spark)
     operators.SimilarityQueries.releaseTrainedModels(spark)
+    operators.StatsQueries.releaseQuartiles(spark)
   }
 
   def main(args: Array[String]): Unit = {
@@ -324,7 +325,8 @@ object Bench {
            (operators.DedupQueries.indexPhases(spark, sfDir) ++
             operators.EventTimeQueries.lagPhases(spark, sfDir) ++
             operators.SimilarityQueries.trainPhases(spark, sfDir) ++
-            operators.TextQueries.trainPhases(spark, sfDir))
+            operators.TextQueries.trainPhases(spark, sfDir) ++
+            operators.StatsQueries.statsPhases(spark, sfDir))
     val phasesFirst: Seq[(String, PhRun)] = runPhaseSweep(phaseDefs)
     // sorted key order: deterministic run order, so residual one-time
     // costs land on the same query every run instead of whichever key Map

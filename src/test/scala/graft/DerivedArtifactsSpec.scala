@@ -73,6 +73,27 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("outlier quartile model: a released memo re-serves from the " +
+       "persisted artifact, result-identical, and the query's fences " +
+       "match a live Quantiles run (r16)") {
+    val q = SparkEntry.queries("q_stats_outliers")
+    val first = q(spark, sf).collect().map(_.toSeq).toSeq
+    operators.StatsQueries.releaseQuartiles(spark)
+    val second = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(DedupQueries.derivedSourceOf(spark, "stats_quartiles") ==
+      "artifact", DedupQueries.derivedSourceOf(spark, "stats_quartiles"))
+    assert(first == second)
+    // served quartiles == a live refinement run, double-for-double
+    val live = graft.api.Quantiles.exactQuantiles(
+      Tables.lineitem(spark, sf).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+      .collect().map(_.toSeq).toSet
+    operators.StatsQueries.releaseQuartiles(spark)
+    val served = operators.StatsQueries.outlierQuartiles(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == live)
+  }
+
   test("winnow + shingle pair layers: released memos re-serve from " +
        "artifacts with identical rows") {
     for ((key, release, phase) <- Seq(

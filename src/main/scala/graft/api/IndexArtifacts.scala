@@ -972,6 +972,11 @@ object IndexArtifacts {
     * filesystem error mid-swap — all of which leave the artifact either
     * intact or rebuild-recoverable). Applies to `serveDerivedIncremental`
     * artifacts (the `__mf` sidecar family).
+    *
+    * `targetFiles` is a LAYOUT knob exactly like bucket counts: pick ≈
+    * cluster parallelism at production scale (a corpus-fraction layer
+    * coalesced to 8 files would serialize every later scan); the default
+    * suits fixture-scale layers.
     */
   def compactDerived(s: SparkSession, table: String,
                      assertInvariant: DataFrame => Boolean = _ => true,

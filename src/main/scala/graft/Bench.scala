@@ -379,8 +379,6 @@ object Bench {
         QRec(name, walls.result(), cpusS.result(), gcs.result(),
              loads.result(), rows, err)
       }
-    val benchWall = (System.nanoTime() - benchWall0) / 1e9
-    val benchCpu = (cpuNanos - benchCpu0) / 1e9
     // cached-block residency: a partially-cached persisted RDD means the
     // storage layer evicted under pressure and consumers recomputed — the
     // r9 adjudication gap ("steal or eviction?") answered from the record
@@ -479,6 +477,13 @@ object Bench {
           }
         }
       }
+
+    // whole-run wall/cpu are captured AFTER the re-measure passes, so a
+    // tripped sweep's record stays sum-checkable (r16 review: freezing
+    // them before the re-measures under-reported exactly the sweeps the
+    // new protection acts on, and hygiene_sec could exceed the wall)
+    val benchWall = (System.nanoTime() - benchWall0) / 1e9
+    val benchCpu = (cpuNanos - benchCpu0) / 1e9
 
     val ok = resultsFinal.filter(_.err.isEmpty)
     val failed = resultsFinal.filter(_.err.isDefined)

@@ -96,7 +96,9 @@ object CatalogOps {
     val out = names.map { n =>
       val t = fixtureTableName(dir, n)
       registerParquet(s, t, s"$dir/$n.parquet")
-      val fp = IndexArtifacts.fileFingerprint(s"$dir/$n.parquet")
+      // digested fingerprint (r16 review): a same-size-same-mtime
+      // in-place rewrite must re-analyze, not restore stale stats
+      val fp = IndexArtifacts.fileFingerprintDigest(s"$dir/$n.parquet")
       persisted.get(n).filter(_._1 == fp) match {
         case Some((_, size, rows)) =>
           restoreStats(s, t, size, rows)

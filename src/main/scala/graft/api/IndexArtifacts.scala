@@ -468,6 +468,17 @@ object IndexArtifacts {
   def fileFingerprint(path: String): String =
     fileFingerprintIn(activeHadoopConf, path)
 
+  /** [[fileFingerprint]] over the DIGESTED dataOnly manifest — for
+    * r16-and-later persisted state (the catalog stats sidecar, the
+    * outlier quartile model), so an in-place same-size-same-mtime source
+    * rewrite invalidates it exactly like any `__mf` layer (the r16
+    * content-digest rule). Pre-existing model artifacts keep the
+    * undigested [[fileFingerprint]] so they stay valid across the
+    * change; new persisted state should prefer this form. */
+  def fileFingerprintDigest(path: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("crc|" + sourceManifest(path)).getBytes("UTF-8")).toString
+
   private def activeHadoopConf: org.apache.hadoop.conf.Configuration =
     SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
@@ -838,8 +849,12 @@ object IndexArtifacts {
       // a token-less lease past a short grace is a crashed acquire's
       // leftover, immediately breakable (ADVICE r15) — the grace covers
       // a LIVE holder's microsecond create→write window; any append the
-      // stomped holder tore still fails the committed-count check
-      val tokenless = readToken().forall(_.isEmpty)
+      // stomped holder tore still fails the committed-count check.
+      // POSITIVELY-read empty only (`exists`, not `forall`): an
+      // UNREADABLE token (transient FS error → None) must never classify
+      // a live holder's lease as breakable — that would convert any read
+      // hiccup into a 10 s lease-steal window (r16 review)
+      val tokenless = readToken().exists(_.isEmpty)
       if (age > LeaseTtlMs || (tokenless && age > TokenlessGraceMs)) {
         try fs.delete(lease, false) catch { case _: Exception => }
         acquired = tryAcquire()

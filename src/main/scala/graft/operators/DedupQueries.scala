@@ -677,9 +677,14 @@ object DedupQueries {
       s"g_drv_shsigs_$slug" -> unique("doc_id", "sig"),
       s"g_drv_shpairs_$slug" -> unique("da", "db"),
       s"g_drv_shclus_$slug" -> unique("id"),
-      s"g_drv_tokcounts_$slug" -> unique("doc_id", "source", "token"))
+      s"g_drv_tokcounts_$slug" -> unique("doc_id", "source", "token"),
+      // the winnow family appends too (r16) — full-row distinctness IS
+      // the pick layer's contract (winnowPicks ends in .distinct())
+      s"g_drv_winpicks_$slug" -> unique("doc_id", "ng", "h", "pos"),
+      s"g_drv_winpairs_$slug" -> unique("da", "db"))
     val out = layers.map { case (t, inv) => (t, compactDerived(s, t, inv)) }
     releaseShingleIndex(s)
+    releaseWinnowPicks(s)
     TextQueries.releaseTokenLayer(s)
     out
   }
@@ -743,7 +748,7 @@ object DedupQueries {
         acceptDelta = (art, delta) => art.join(
           delta.select("id"), Seq("id"), "left_semi").isEmpty,
         acceptPaths = paths => {
-          if (dfCapPromoted(s, uncappedShingleHashes(s, d), paths)) false
+          if (dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths)) false
           else graft.api.IndexArtifacts.artifactFrame(s, table) match {
             case None => false // no old labels to extend → rebuild
             case Some(oldLab) =>
@@ -847,7 +852,7 @@ object DedupQueries {
       acceptDelta = (art, delta) => art.join(
         delta.select("da", "db"), Seq("da", "db"), "left_semi").isEmpty,
       acceptPaths = paths =>
-        !dfCapPromoted(s, uncappedShingleHashes(s, d), paths))
+        !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths))
     derivedSource.put((s, "shingle_pairs"), src)
     df.cache()
   }
@@ -986,6 +991,10 @@ object DedupQueries {
         acceptPaths = paths => {
           val (promoted, hotTail) = dfCapPromotedHot(s, raw, paths)
           vetoHot = Some(hotTail) // cached + populated by the veto check
+          // seed the shared verdict memo so the sig/pair/cluster serves
+          // of the same delta skip their re-aggregation (r16 review)
+          vetoMemo.get(s, "shveto", d + "#" + paths.sorted.mkString(","))(
+            java.lang.Boolean.valueOf(promoted))
           !promoted
         })
     } finally vetoHot.foreach(_.unpersist(blocking = false))
@@ -1006,6 +1015,22 @@ object DedupQueries {
     hot.unpersist(blocking = false) // this caller has no reuse for the tail
     p
   }
+
+  /** The no-promotion VERDICT memoized per (session, dir, delta): one
+    * grown-corpus serve chain asks the identical question from the sig,
+    * pair, and cluster layers' acceptPaths in sequence (r16 review —
+    * the capped layer's hot-tail reuse fixed one copy; this folds the
+    * remaining callers to one corpus-wide df aggregation per delta).
+    * The variant keys on the sorted delta path list, so a NEW delta
+    * evicts the previous verdict (the one-variant-per-group residency
+    * rule), and [[releaseShingleIndex]]'s band-sig release drops it
+    * with the layers it speaks for. */
+  private val vetoMemo = new graft.api.SessionMemo[java.lang.Boolean]()
+
+  private def dfCapPromotedMemo(s: SparkSession, d: String, raw: DataFrame,
+                                paths: Seq[String]): Boolean =
+    vetoMemo.get(s, "shveto", d + "#" + paths.sorted.mkString(","))(
+      java.lang.Boolean.valueOf(dfCapPromoted(s, raw, paths))).booleanValue
 
   /** [[dfCapPromoted]] plus the hot tail it aggregated (h, dft rows with
     * dft > DfCap) — returned CACHED, populated by the veto check itself,
@@ -1073,6 +1098,7 @@ object DedupQueries {
 
   private[graft] def releaseBandSignatures(s: SparkSession): Unit = {
     sigMemo.release(s)
+    vetoMemo.release(s)
     // the fuzzy gate's hot set is the same DfCap policy the sig layer
     // bakes in — a release that kept it would pair a stale hot literal
     // with freshly rebuilt signatures
@@ -1101,7 +1127,7 @@ object DedupQueries {
           delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .isEmpty,
         acceptPaths = paths =>
-          !dfCapPromoted(s, uncappedShingleHashes(s, d), paths))
+          !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths))
       derivedSource.put((s, "shingle_sigs"), src)
       val bands = df.cache()
       bands.count() // eager — the winnowPickSet rationale

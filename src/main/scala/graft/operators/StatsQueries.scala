@@ -32,7 +32,9 @@ object StatsQueries {
   private[graft] def outlierQuartiles(s: SparkSession,
                                       d: String): DataFrame =
     quartileMemo.get(s, "oquart", d) {
-      val fp = graft.api.IndexArtifacts.fileFingerprint(
+      // digested fingerprint (r16 review): quartiles of an in-place
+      // rewritten corpus must refit, not serve stale fences
+      val fp = graft.api.IndexArtifacts.fileFingerprintDigest(
         s"$d/lineitem.parquet") + ":oquart-v1:p25-75"
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_oquart_$slug"

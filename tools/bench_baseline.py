@@ -50,7 +50,12 @@ def main(paths):
             seen.add(name)
             env[name] = max(env.get(name, 0.0), q["min"])
         for name, ph in rec.get("phases", {}).items():
-            if ph.get("err") is not None:
+            # a phase erred only if NO sample succeeded: the merged record
+            # keeps the first sample's "err" beside a valid re-measured
+            # min ("wall2" without "err2"), which must still feed the
+            # envelope (r16 review)
+            retried_ok = "wall2" in ph and "err2" not in ph
+            if ph.get("err") is not None and not retried_ok:
                 erred.add(name)
                 continue
             wall = ph.get("min", ph.get("wall"))

@@ -704,7 +704,18 @@ object IndexArtifacts {
     *   - manifest unchanged → serve the artifact (the readDerived path);
     *   - manifest GREW (stored lines ⊂ current, same tag) → buildDelta
     *     over the new file paths, append, rewrite the sidecar → serve;
-    *   - anything else (shrunk / mutated files / tag change) → buildAll,
+    *   - manifest SHRANK (current lines ⊂ stored, remaining files
+    *     untouched, same tag — recrawl deletes, right-to-be-forgotten
+    *     retraction) → `buildShrink(artifact)` derives the surviving
+    *     layer FROM THE COMPACT ARTIFACT (no corpus re-pass), which is
+    *     written to a tmp dir, count-verified, swapped in (rename-aside,
+    *     the compaction dance), and committed with a fresh sidecar;
+    *     `buildShrink` returning None is the layer's DEMOTION veto —
+    *     e.g. a removal pulled a previously-capped shingle back under
+    *     DfCap, so previously-excluded rows must come back → exact full
+    *     rebuild (VERDICT r16 #1, the decremental mirror of the growth
+    *     path's promotion veto);
+    *   - anything else (replace / mutated files / tag change) → buildAll,
     *     overwrite, fresh sidecar — the exact-rebuild fallback.
     *
     * Layers with cross-row coupling (the DfCap'd capped index, band
@@ -752,8 +763,8 @@ object IndexArtifacts {
     * delta content breaks its per-row-exactness contract (the token
     * layer's cross-file doc_id merge — see tokenLayer); false → exact
     * full rebuild. An unwritable warehouse degrades to the live build.
-    * Returns (layer, source) with source ∈ artifact | append | rebuild
-    * for the bench phase tags.
+    * Returns (layer, source) with source ∈ artifact | append | shrink |
+    * rebuild for the bench phase tags.
     */
   def serveDerivedIncremental(s: SparkSession, table: String,
                               sourcePath: String, tag: String,
@@ -762,14 +773,16 @@ object IndexArtifacts {
                               acceptDelta: (DataFrame, DataFrame) => Boolean =
                                 (_, _) => true,
                               acceptPaths: Seq[String] => Boolean =
-                                _ => true)
+                                _ => true,
+                              buildShrink: DataFrame => Option[DataFrame] =
+                                _ => None)
       : (DataFrame, String) = {
     val path = modelPath(s, table)
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
     monitor.synchronized {
       withLease(s, path)(fence =>
         serveLocked(s, path, sourcePath, tag, buildAll, buildDelta,
-          acceptDelta, acceptPaths, fence)
+          acceptDelta, acceptPaths, buildShrink, fence)
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
   }
@@ -831,8 +844,14 @@ object IndexArtifacts {
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lease, false)
-        val wrote = try { out.write(token.getBytes(UTF_8)); true }
-          catch { case _: Exception => false } finally out.close()
+        var wrote = try { out.write(token.getBytes(UTF_8)); true }
+          catch { case _: Exception => false }
+        // a failed close is a failed write: if it threw from the finally
+        // it would escape this block, skip the self-delete below, and be
+        // swallowed by the outer catch — an orphaned lease with a VALID
+        // token then blocks writers for the full TTL instead of the 10 s
+        // token-less grace (ADVICE r16)
+        try out.close() catch { case _: Exception => wrote = false }
         if (wrote && stillMine()) true
         else {
           try fs.delete(lease, false) catch { case _: Exception => }
@@ -877,6 +896,7 @@ object IndexArtifacts {
                           buildDelta: Seq[String] => DataFrame,
                           acceptDelta: (DataFrame, DataFrame) => Boolean,
                           acceptPaths: Seq[String] => Boolean,
+                          buildShrink: DataFrame => Option[DataFrame],
                           fence: () => Boolean)
       : (DataFrame, String) = {
     val current = sourceManifest(sourcePath)
@@ -919,7 +939,14 @@ object IndexArtifacts {
           // torn-state check: committed count must match (footer-only)
           if (parquetRowCount(s, path) == n) (s.read.parquet(path), "artifact")
           else rebuild()
-        } catch { case _: Exception => (buildAll, "rebuild") }
+        } catch { case _: Exception =>
+          // a MISSING artifact dir under a valid sidecar (a crashed
+          // compaction swap) throws here — route through rebuild(), which
+          // REWRITES artifact + sidecar, instead of the no-write live
+          // build that would silently lose persistence forever
+          // (ADVICE r16)
+          rebuild()
+        }
       case Some((t, m, n)) if t == tag && current.nonEmpty &&
           lines(m).nonEmpty && lines(m).subsetOf(lines(current)) &&
           lines(current).size > lines(m).size =>
@@ -958,7 +985,54 @@ object IndexArtifacts {
             } finally delta.unpersist(blocking = false)
             }
           }
-        } catch { case _: Exception => (buildAll, "rebuild") }
+        } catch { case _: Exception => rebuild() } // see the artifact branch
+      case Some((t, m, n)) if t == tag && current.nonEmpty &&
+          lines(current).nonEmpty && lines(current).subsetOf(lines(m)) &&
+          lines(m).size > lines(current).size =>
+        try {
+          // decremental serve (VERDICT r16 #1): files were DELETED and
+          // every surviving file is untouched. The deleted files are by
+          // definition unreadable, so the tombstone set is derived by the
+          // layer's closure from (its artifact, the surviving source) —
+          // never from the removed bytes.
+          if (parquetRowCount(s, path) != n) rebuild()
+          else buildShrink(s.read.parquet(path)) match {
+            case None => rebuild() // demotion veto / unsupported layer
+            case Some(keptLayer) =>
+              // keptLayer derives FROM the artifact being replaced — a
+              // direct overwrite would read and clobber the same files.
+              // Write to a tmp dir, then swap rename-aside (compaction's
+              // crash discipline: a torn swap count-checks into rebuild).
+              import org.apache.hadoop.fs.Path
+              val tmp = path + "__shrink"
+              val fs = new Path(path)
+                .getFileSystem(s.sparkContext.hadoopConfiguration)
+              try fs.delete(new Path(tmp), true) catch { case _: Exception => }
+              keptLayer.write.mode("overwrite").parquet(tmp)
+              val kn = parquetRowCount(s, tmp)
+              if (!fence()) { // lost the lease: abandon, never swap
+                try fs.delete(new Path(tmp), true) catch { case _: Exception => }
+                rebuild()
+              } else {
+                val aside = new Path(path + "__preshrink")
+                try fs.delete(aside, true) catch { case _: Exception => }
+                val swapped =
+                  if (!fs.rename(new Path(path), aside)) false
+                  else if (!fs.rename(new Path(tmp), new Path(path))) {
+                    fs.rename(aside, new Path(path)) // restore
+                    false
+                  } else {
+                    try fs.delete(aside, true) catch { case _: Exception => }
+                    true
+                  }
+                try s.catalog.refreshByPath(path) catch { case _: Exception => }
+                if (swapped && parquetRowCount(s, path) == kn) {
+                  writeSidecar(kn)
+                  (s.read.parquet(path), "shrink")
+                } else rebuild()
+              }
+          }
+        } catch { case _: Exception => rebuild() } // see the artifact branch
       case _ => rebuild()
     }
   }
@@ -976,9 +1050,13 @@ object IndexArtifacts {
     *      contract over the full artifact before anything is rewritten;
     *   3. the artifact rewrites to `path__compact` (≤ `targetFiles`
     *      files), the count is re-verified there, and only then the old
-    *      directory is swapped out (delete + rename — a crash between
-    *      the two leaves a missing/short artifact that the next serve's
-    *      count check turns into a rebuild, never a stale serve);
+    *      directory is swapped out — renamed ASIDE first, the compact
+    *      layout renamed in, the aside deleted last. A failed rename-in
+    *      restores the original layout; a crash mid-swap leaves a
+    *      missing artifact whose next serve count-checks into a
+    *      REBUILD (serveLocked routes that exception through rebuild(),
+    *      which rewrites artifact + sidecar — ADVICE r16), never a
+    *      stale serve and never a permanently-live layer;
     *   4. the sidecar is untouched: content, source manifest, and count
     *      are IDENTICAL — compaction resets the layout, not the state.
     *
@@ -992,6 +1070,20 @@ object IndexArtifacts {
     * cluster parallelism at production scale (a corpus-fraction layer
     * coalesced to 8 files would serialize every later scan); the default
     * suits fixture-scale layers.
+    *
+    * READER COORDINATION (ADVICE r16): the monitor + lease serialize
+    * WRITERS only. A reader in another JVM — or any DataFrame in this
+    * JVM still pinned over the pre-compaction file listing outside the
+    * session memos the callers release — can hit FileNotFoundException
+    * when the old layout is swapped out mid-scan. The family's contract
+    * is therefore SINGLE-WRITER, NO CONCURRENT FOREIGN READER during
+    * maintenance windows: run compaction from the maintenance job that
+    * owns the layer (the serve-policy trigger does — it fires BEFORE the
+    * serve hands out a listing), and release session memos afterward
+    * ([[graft.operators.DedupQueries.compactIndexArtifacts]] does). A
+    * deployment that needs always-on readers should version the layout
+    * (write to a new subdirectory, flip a pointer, reap old versions
+    * after a read TTL) — a layout-addressing change, not a logic change.
     */
   def compactDerived(s: SparkSession, table: String,
                      assertInvariant: DataFrame => Boolean = _ => true,
@@ -1020,9 +1112,22 @@ object IndexArtifacts {
                   catch { case _: Exception => } // stale leftover
                   art.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
                   if (parquetRowCount(s, tmp) == n && fence()) {
-                    fs.delete(new Path(path), true)
-                    val ok = fs.rename(new Path(tmp), new Path(path)) &&
-                      parquetRowCount(s, path) == n
+                    // swap via rename-ASIDE, not delete-then-rename: a
+                    // failed rename-in restores the original layout, and
+                    // a crash mid-swap leaves a missing artifact the next
+                    // serve rebuild-recovers (ADVICE r16)
+                    val aside = new Path(path + "__precompact")
+                    try fs.delete(aside, true) catch { case _: Exception => }
+                    val ok =
+                      if (!fs.rename(new Path(path), aside)) false
+                      else if (!fs.rename(new Path(tmp), new Path(path))) {
+                        fs.rename(aside, new Path(path)) // restore
+                        false
+                      } else {
+                        try fs.delete(aside, true)
+                        catch { case _: Exception => }
+                        parquetRowCount(s, path) == n
+                      }
                     // drop any cached file listing of the old layout
                     try s.catalog.refreshByPath(path)
                     catch { case _: Exception => }

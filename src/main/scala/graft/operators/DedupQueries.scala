@@ -212,6 +212,43 @@ object DedupQueries {
 
   private[operators] def derivedVersionTag: String = DerivedVersion
 
+  /** The surviving corpus's doc_ids, read STRAIGHT off the current file
+    * listing (not the Tables session memo): shrink closures derive the
+    * tombstone set as "rows of the artifact whose doc_id no longer
+    * exists", and a memoized reader pinned over the pre-delete listing
+    * would resurrect the deleted docs. */
+  private[operators] def survivingDocIds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet").select("doc_id")
+
+  /** The shrink-chain DEMOTION verdicts (VERDICT r16 #1): a removal can
+    * pull a previously-capped shingle/pick hash back UNDER DfCap, in
+    * which case the capped/sig/pair/cluster (resp. winnow-pair) layers
+    * are missing that hash's surviving rows and must rebuild — the
+    * exact mirror of the growth path's promotion veto. The verdict is
+    * computed ONCE per shrink by the layer that can still see the
+    * pre-shrink state (the capped layer's own artifact; the winnow pick
+    * artifact), keyed by the POST-shrink source digest so downstream
+    * layers of the same serve chain read the same answer. A missing
+    * entry (cross-session shrink where the upstream layer already
+    * advanced) means "unknown" → the consumer rebuilds — correct,
+    * merely not incremental. TRUE = safe (no demotion).
+    */
+  private val shrinkVerdict =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
+  private def shrinkKey(s: SparkSession, fam: String, d: String): String =
+    fam + "#" + d + "#" +
+      graft.api.IndexArtifacts.fileFingerprintDigest(s"$d/documents.parquet")
+
+  private def noteShrinkVerdict(s: SparkSession, fam: String, d: String,
+                                demoted: Boolean): Unit =
+    shrinkVerdict.put((s, shrinkKey(s, fam, d)), !demoted): Unit
+
+  /** TRUE iff this session positively established "no demotion" for the
+    * current surviving corpus state of family `fam`. */
+  private def shrinkSafe(s: SparkSession, fam: String, d: String): Boolean =
+    Option(shrinkVerdict.get((s, shrinkKey(s, fam, d)))).contains(true)
+
   /** Serve a derived layer from its persisted artifact when the input
     * fingerprint (+ [[DerivedVersion]]) matches; otherwise the BUILD
     * EXECUTES EXACTLY ONCE — as the artifact write — and the layer is
@@ -522,7 +559,26 @@ object DedupQueries {
           fanOut(s.read.parquet(paths: _*).select("doc_id", "text"))),
         acceptDelta = (art, delta) => art.join(
           delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-          .isEmpty)
+          .isEmpty,
+        // DECREMENTAL: picks are per-doc exact (window minima never
+        // cross doc boundaries) — survivors keep their rows verbatim.
+        // This closure also computes the winnow DEMOTION verdict for the
+        // pair layer while the PRE-shrink pick universe is still at hand
+        // (the artifact): a pick hash hot before (df > DfCap) but at-or-
+        // under the cap among survivors means previously-capped-out
+        // pairs must come back → the pair layer vetoes.
+        buildShrink = art => {
+          val kept = survivingDocIds(s, d)
+          val fpOld = art.select("doc_id", "h").distinct()
+          val hotOld = fpOld.groupBy("h").agg(count(lit(1)).as("dfo"))
+            .filter(col("dfo") > DfCap).select("h")
+          val keptNew = fpOld.join(kept, Seq("doc_id"), "left_semi")
+            .groupBy("h").agg(count(lit(1)).as("dfn"))
+            .filter(col("dfn") <= DfCap).select("h")
+          noteShrinkVerdict(s, "win", d,
+            demoted = !hotOld.join(keptNew, Seq("h")).isEmpty)
+          Some(art.join(kept, Seq("doc_id"), "left_semi"))
+        })
       noteDerivedSource(s, "winnow_picks", src)
       val picks = df.repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
@@ -548,7 +604,23 @@ object DedupQueries {
         paths => winnowPairsDeltaPlan(s, fp, paths),
         acceptDelta = (art, delta) => art.join(
           delta.select("da", "db"), Seq("da", "db"), "left_semi").isEmpty,
-        acceptPaths = paths => !winnowDfPromoted(s, fp, paths))
+        acceptPaths = paths => !winnowDfPromoted(s, fp, paths),
+        // DECREMENTAL: the buildPairs argument on the pick family —
+        // under the winnow no-demotion verdict (set by the pick layer's
+        // shrink, which always serves first) the surviving pairs are
+        // exactly the rows whose both endpoints survive
+        buildShrink = art =>
+          if (!shrinkSafe(s, "win", d)) None
+          else {
+            val kept = survivingDocIds(s, d)
+            Some(art
+              .join(kept.select(col("doc_id").as("da")), Seq("da"),
+                "left_semi")
+              .join(kept.select(col("doc_id").as("db")), Seq("db"),
+                "left_semi")
+              // restore column order — see the shingle pair closure
+              .select("da", "db", "shared", "jac_e6"))
+          })
       noteDerivedSource(s, "winnow_pairs", src)
       val scored = df.cache()
       scored.count() // eager — see winnowPickSet
@@ -758,7 +830,44 @@ object DedupQueries {
               pendingDelta = Some(delta)
               ok
           }
-        })
+        },
+        // DECREMENTAL (VERDICT r16 #1): removal deletes edges incident to
+        // deleted docs, so only the components CONTAINING a deleted doc
+        // can change (split, or relabel when the deleted doc WAS the
+        // minimum). Old components never merge under removal, and under
+        // the chain's no-demotion verdict the surviving edge set is
+        // exactly the old edges among survivors — so untouched
+        // components keep their rows verbatim and a component-local CC
+        // over the affected components' surviving edges yields exactly
+        // the full rebuild's labels for those docs. Docs that lost their
+        // last edge drop out, as they would from a rebuild (labels exist
+        // only for edge-connected docs).
+        buildShrink = art =>
+          if (!shrinkSafe(s, "sh", d)) None
+          else {
+            val kept = survivingDocIds(s, d).select(col("doc_id").as("id"))
+            val affected = art.join(kept, Seq("id"), "left_anti")
+              .select("label").distinct()
+            if (affected.isEmpty) Some(art) // only unlabeled docs deleted
+            else {
+              // restore column order after the using-join (see the pair
+              // closure) — the rewrite is positional
+              val unaffected = art.join(affected, Seq("label"), "left_anti")
+                .select("id", "label")
+              val survivors = art.join(affected, Seq("label"), "left_semi")
+                .join(kept, Seq("id"), "left_semi")
+              // one endpoint in an affected component pins the edge there
+              // (pre-shrink components are edge-closed, and shrink only
+              // removes edges), so the da-side semi-join restricts fully
+              val edges = verifiedNearDupEdges(sh, pairTable)
+                .join(survivors.select(col("id").as("da")),
+                  Seq("da"), "left_semi")
+              val cc = graft.api.GraftOps.connectedComponents(
+                edges, "da", "db")
+              builtCc += cc
+              Some(unaffected.unionByName(cc))
+            }
+          })
     } finally builtCc.foreach(_.unpersist(blocking = false))
     derivedSource.put((s, "shingle_clusters"), src)
     df.cache()
@@ -852,7 +961,22 @@ object DedupQueries {
       acceptDelta = (art, delta) => art.join(
         delta.select("da", "db"), Seq("da", "db"), "left_semi").isEmpty,
       acceptPaths = paths =>
-        !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths))
+        !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths),
+      // DECREMENTAL: under the chain's no-demotion verdict a surviving
+      // pair's shared count cannot move (both docs' capped rows are
+      // untouched), and removal never ADDS pairs — the shrunken table is
+      // exactly the rows whose BOTH endpoints survive
+      buildShrink = art =>
+        if (!shrinkSafe(s, "sh", d)) None
+        else {
+          val kept = survivingDocIds(s, d)
+          Some(art
+            .join(kept.select(col("doc_id").as("da")), Seq("da"), "left_semi")
+            .join(kept.select(col("doc_id").as("db")), Seq("db"), "left_semi")
+            // using-column joins move their key to position 0 — restore
+            // the artifact's column order (the rewrite is positional)
+            .select("da", "db", "shared"))
+        })
     derivedSource.put((s, "shingle_pairs"), src)
     df.cache()
   }
@@ -937,7 +1061,13 @@ object DedupQueries {
       s, s"g_drv_shraw_$slug", s"$d/documents.parquet",
       DerivedVersion + ":n3",
       shingles(s, d),
-      paths => shinglesOf(fanOut(s.read.parquet(paths: _*))))
+      paths => shinglesOf(fanOut(s.read.parquet(paths: _*))),
+      // DECREMENTAL (VERDICT r16 #1): the raw layer is per-doc exact in
+      // both directions — deleting docs deletes exactly their rows, so
+      // the surviving layer is one anti-join-by-tombstone (expressed as
+      // a semi-join on the surviving ids), never a re-shingle.
+      buildShrink = art => Some(
+        art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
     derivedSource.put((s, "shingle_raw"), src)
     df.cache()
   }
@@ -996,6 +1126,28 @@ object DedupQueries {
           vetoMemo.get(s, "shveto", d + "#" + paths.sorted.mkString(","))(
             java.lang.Boolean.valueOf(promoted))
           !promoted
+        },
+        // DECREMENTAL (VERDICT r16 #1): under removal df never grows, so
+        // the only cap-coupling hazard is DEMOTION — an h previously hot
+        // (excluded from this artifact) dropping to ≤ DfCap, whose
+        // surviving rows must COME BACK. Detected without the pre-shrink
+        // raw layer: the artifact was exact for every non-hot h, so an h
+        // that is ≤ DfCap over the POST-shrink raw layer yet absent from
+        // the artifact can only have been hot before → veto → rebuild
+        // (still from the compact shrunken raw layer, never from text).
+        // No demotion → survivors' capped rows are untouched, and the
+        // shrunken layer is one semi-join on the surviving ids. The
+        // verdict memoizes for the sig/pair/cluster serves of the chain.
+        buildShrink = art => {
+          val keptH = raw.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= DfCap).select("h")
+          val demoted = !keptH
+            .join(art.select("h").distinct(), Seq("h"), "left_anti")
+            .isEmpty
+          noteShrinkVerdict(s, "sh", d, demoted)
+          if (demoted) None
+          else Some(
+            art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi"))
         })
     } finally vetoHot.foreach(_.unpersist(blocking = false))
     derivedSource.put((s, "shingle_capped"), src)
@@ -1127,7 +1279,15 @@ object DedupQueries {
           delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .isEmpty,
         acceptPaths = paths =>
-          !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths))
+          !dfCapPromotedMemo(s, d, uncappedShingleHashes(s, d), paths),
+        // DECREMENTAL: sigs are per-doc over capped rows — under the
+        // chain's no-DEMOTION verdict (established by the capped serve,
+        // which always runs first) survivors' sigs are untouched; an
+        // unknown verdict (cross-session shrink) rebuilds
+        buildShrink = art =>
+          if (!shrinkSafe(s, "sh", d)) None
+          else Some(
+            art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
       derivedSource.put((s, "shingle_sigs"), src)
       val bands = df.cache()
       bands.count() // eager — the winnowPickSet rationale

@@ -76,7 +76,13 @@ object TextQueries {
         acceptDelta = (art, delta) =>
           delta.select("doc_id").distinct()
             .join(art.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-            .isEmpty)
+            .isEmpty,
+        // DECREMENTAL (VERDICT r16 #1): the grouping keys include doc_id,
+        // so deleting docs deletes exactly their rows — a semi-join on
+        // the surviving ids, no re-tokenize, and no demotion hazard
+        // (this layer has no cross-row cap)
+        buildShrink = art => Some(art.join(
+          DedupQueries.survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
       DedupQueries.noteDerivedSource(s, "token_counts", src)
       val layer = df.cache()
       layer.count() // eager — the winnowPickSet rationale

@@ -157,6 +157,5 @@ object StreamLatencyProbe {
       System.err.println(s"[stream-latency] write failed: $t")
     }
     spark.stop()
-    println(line)
   }
 }

@@ -544,6 +544,210 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(rows == Seq(7L, 8L, 9L))
   }
 
+  test("serveDerivedIncremental: a SHRUNKEN source rewrites from the " +
+       "artifact via buildShrink; the default (no shrink support) " +
+       "rebuilds (VERDICT r16 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mfshrink").toString
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    val builds = scala.collection.mutable.ArrayBuffer.empty[String]
+    def serve(table: String,
+              shrink: org.apache.spark.sql.DataFrame =>
+                Option[org.apache.spark.sql.DataFrame]) = {
+      val (df, how) = IndexArtifacts.serveDerivedIncremental(
+        spark, table, src, "t1",
+        { builds += "all"
+          spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")) },
+        paths => spark.read.parquet(paths: _*)
+          .select(col("k"), (col("k") * 10).as("d")),
+        buildShrink = shrink)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, how)
+    }
+    val withShrink = (art: org.apache.spark.sql.DataFrame) => Some(
+      art.join(spark.read.parquet(src).select("k"), Seq("k"), "left_semi"))
+    (1L to 5L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    val f1 = dataFiles.map(_.getName).toSet
+    (6L to 9L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    assert(serve("g_drv_spec_shrink", withShrink)._2 == "rebuild")
+    // DELETE the second batch's file — the manifest strictly shrinks
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, src)
+    builds.clear()
+    val (rows, how) = serve("g_drv_spec_shrink", withShrink)
+    assert(how == "shrink", how)
+    assert(builds.isEmpty, s"shrink ran a corpus build: $builds")
+    assert(rows == (1L to 5L).map(k => (k, k * 10)).toSet)
+    // the committed state is durable: next serve is a plain artifact read
+    assert(serve("g_drv_spec_shrink", withShrink) ==
+      ((1L to 5L).map(k => (k, k * 10)).toSet, "artifact"))
+    // a layer WITHOUT shrink support (the default) must exact-rebuild
+    val t2 = "g_drv_spec_shrink_dflt"
+    rm(new java.io.File(src)); Tables.invalidate(spark, src)
+    (1L to 5L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    val g1 = dataFiles.map(_.getName).toSet
+    (6L to 9L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    assert(serve(t2, _ => None)._2 == "rebuild")
+    dataFiles.filterNot(f => g1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, src)
+    val (rows2, how2) = serve(t2, _ => None)
+    assert(how2 == "rebuild", how2)
+    assert(rows2 == (1L to 5L).map(k => (k, k * 10)).toSet)
+  }
+
+  test("DELETION maintenance: removing a source file SHRINKS all eight " +
+       "derived layers from their artifacts — no text re-pass — equal " +
+       "to a full rebuild, including a component relabel (VERDICT r16 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mfdel").toString
+    val docsPath = s"$dir/documents.parquet"
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(docsPath).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    def text(fam: Long) = (1 to 12).map(t => s"f${fam}w${(t * 7) % 11}")
+      .mkString(" ")
+    def uniq(i: Long) = (1 to 12).map(t => s"u${i}x$t").mkString(" ")
+    // batch 1: family A {1,2}, family B {10,11}, uniques {20,21}
+    Seq((1L, text(0)), (2L, text(0)), (10L, text(1)), (11L, text(1)),
+        (20L, uniq(20)), (21L, uniq(21)))
+      .map { case (i, t) => (i, "src", t) }
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    val f1 = dataFiles.map(_.getName).toSet
+    // batch 2 (to be deleted): 0 joins family A BELOW its min (label
+    // becomes 0), {40,41} a fresh family, 50 unique
+    Seq((0L, text(0)), (40L, text(9)), (41L, text(9)), (50L, uniq(50)))
+      .map { case (i, t) => (i, "src", t) }
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    def releaseAll(): Unit = {
+      operators.DedupQueries.releaseShingleIndex(spark)
+      operators.DedupQueries.releaseWinnowPicks(spark)
+      operators.TextQueries.releaseTokenLayer(spark)
+    }
+    releaseAll()
+    // build every layer over the FULL corpus
+    operators.DedupQueries.clusterLabels(spark, dir).count()
+    operators.DedupQueries.bandSigTable(spark, dir).count()
+    operators.DedupQueries.winnowScoredPairs(spark, dir).count()
+    operators.TextQueries.tokenLayer(spark, dir).count()
+    assert(operators.DedupQueries.clusterLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 0L)), "doc 0 should have relabeled family A")
+    // DELETE batch 2
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, docsPath)
+    releaseAll()
+    val rawRows = operators.DedupQueries.uncappedShingleHashes(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val cappedRows = operators.DedupQueries.cappedShingleIndex(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val sigRows = operators.DedupQueries.bandSigTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val pairRows = operators.DedupQueries.sharedShinglePairs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val labelRows = operators.DedupQueries.clusterLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winRows = operators.DedupQueries.winnowScoredPairs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val tokRows = operators.TextQueries.tokenLayer(spark, dir)
+      .collect().map(_.toSeq).toSet
+    for (phase <- Seq("shingle_raw", "shingle_capped", "shingle_sigs",
+        "shingle_pairs", "shingle_clusters", "winnow_picks",
+        "winnow_pairs", "token_counts"))
+      assert(DedupQueries.derivedSourceOf(spark, phase) == "shrink",
+        s"$phase: ${DedupQueries.derivedSourceOf(spark, phase)}")
+    // shrink ≡ rebuild: live plans over the surviving corpus
+    val live = spark.read.parquet(docsPath)
+    assert(rawRows == DedupQueries.shinglesOf(live)
+      .collect().map(_.toSeq).toSet)
+    val liveCapped = DedupQueries.capIndex(DedupQueries.shinglesOf(live))
+    assert(cappedRows == liveCapped.collect().map(_.toSeq).toSet)
+    assert(sigRows == DedupQueries.fuzzyGateCorpusSigs(live)
+      .collect().map(_.toSeq).toSet)
+    assert(pairRows == DedupQueries.pairsPlan(liveCapped)
+      .collect().map(_.toSeq).toSet)
+    assert(winRows == DedupQueries.winnowScoredPlan(
+      operators.TextQueries.winnowPicks(live.select("doc_id", "text"))
+        .select("doc_id", "h")).collect().map(_.toSeq).toSet)
+    assert(tokRows == live
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c")).collect().map(_.toSeq).toSet)
+    // the deleted doc 0 WAS family A's label: the touched component
+    // relabels to its surviving min, family B keeps its rows, the
+    // deleted family {40,41} vanishes
+    assert(labelRows == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)),
+      labelRows)
+    releaseAll()
+  }
+
+  test("a removal that DEMOTES a hot hash back under DfCap vetoes the " +
+       "shrink: capped/sig/pair/cluster + winnow-pair layers rebuild " +
+       "exact (the r16 #1 demotion veto)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mfdemote").toString
+    val docsPath = s"$dir/documents.parquet"
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(docsPath).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    // 105 docs share every shingle/pick hash (identical text, ≥6 tokens
+    // so winnow picks exist at K=3/W=4) → hot (df=105 > 100, capped out
+    // everywhere); deleting 10 demotes to 95
+    def doc(i: Long) = (i, "src", "c0 c1 c2 c3 c4 c5 c6 c7")
+    (1L to 95L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    val f1 = dataFiles.map(_.getName).toSet
+    (96L to 105L).map(doc).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsPath)
+    def releaseAll(): Unit = {
+      operators.DedupQueries.releaseShingleIndex(spark)
+      operators.DedupQueries.releaseWinnowPicks(spark)
+    }
+    releaseAll()
+    operators.DedupQueries.clusterLabels(spark, dir).count()
+    operators.DedupQueries.bandSigTable(spark, dir).count()
+    operators.DedupQueries.winnowScoredPairs(spark, dir).count()
+    // every pair-bearing layer is EMPTY while the one hash family is hot
+    assert(operators.DedupQueries.sharedShinglePairs(spark, dir).isEmpty)
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, docsPath)
+    releaseAll()
+    val cappedRows = operators.DedupQueries.cappedShingleIndex(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val pairCount = operators.DedupQueries.sharedShinglePairs(spark, dir)
+      .count()
+    val labelRows = operators.DedupQueries.clusterLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winCount = operators.DedupQueries.winnowScoredPairs(spark, dir)
+      .count()
+    // raw + picks still shrink (per-doc exact, no cap coupling) …
+    assert(DedupQueries.derivedSourceOf(spark, "shingle_raw") == "shrink")
+    assert(DedupQueries.derivedSourceOf(spark, "winnow_picks") == "shrink")
+    // … but every DfCap-coupled layer must take the demotion rebuild
+    for (phase <- Seq("shingle_capped", "shingle_sigs", "shingle_pairs",
+        "shingle_clusters", "winnow_pairs"))
+      assert(DedupQueries.derivedSourceOf(spark, phase) == "rebuild",
+        s"$phase: ${DedupQueries.derivedSourceOf(spark, phase)}")
+    // the demoted hashes are BACK: 95 surviving docs now pair fully
+    val live = spark.read.parquet(docsPath)
+    assert(cappedRows == DedupQueries.capIndex(DedupQueries.shinglesOf(live))
+      .collect().map(_.toSeq).toSet)
+    assert(cappedRows.nonEmpty, "demoted shingles must rejoin the index")
+    assert(pairCount == 95L * 94 / 2, s"pairs: $pairCount")
+    assert(winCount == 95L * 94 / 2, s"winnow pairs: $winCount")
+    assert(labelRows == (1L to 95L).map(i => (i, 1L)).toSet)
+    releaseAll()
+  }
+
   test("token layer appends per-doc exactly on a grown docs dir") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -620,6 +620,83 @@ object IndexArtifacts {
     s"${wh.stripSuffix("/")}/$table"
   }
 
+  /** The digest fingerprint of a RAW manifest string — the exact value
+    * [[fileFingerprintDigest]] yields for the source that listing came
+    * from, factored out so the frozen-model read can reconstruct the
+    * fingerprint a model was persisted under from its STORED manifest. */
+  private def manifestDigest(mf: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("crc|" + mf).getBytes("UTF-8")).toString
+
+  /** Persist a trained model under the digest fingerprint of its source
+    * plus a MANIFEST sidecar (`table__mmf`) recording what the model was
+    * fit on — the FROZEN-MODEL posture (VERDICT r16 #2): between
+    * periodic retrains, production serves the model fit on the base
+    * corpus even as the corpus GROWS (the standard IVF discipline —
+    * [[appendIvfAssignment]]), which is exactly what lets corpus-linear
+    * encoded indexes append instead of rebuilding. The sidecar writes
+    * AFTER the model (commit-marker ordering); a torn write reads as
+    * "no freeze evidence" and only disables the frozen path, never
+    * serves a wrong model (the model rows still carry their own `__fp`).
+    */
+  def persistModelFrozen(s: SparkSession, model: DataFrame, table: String,
+                         sourcePath: String, tag: String): Unit = {
+    val mf = sourceManifest(sourcePath)
+    persistModel(s, model, table, manifestDigest(mf) + tag)
+    import s.implicits._
+    Seq((tag, mf)).toDF("tag", "mf")
+      .write.mode("overwrite").parquet(modelPath(s, table) + "__mmf")
+  }
+
+  /** The persisted model IF it is exactly current ("artifact") or was fit
+    * on a PREFIX of the current source — stored manifest lines a strict
+    * subset of the current listing, i.e. the source only GREW since the
+    * fit ("frozen"). Anything else (shrunk, mutated files, different
+    * tag) is None → the caller refits: a retraction invalidates a frozen
+    * model, growth does not. The frozen read re-verifies the model rows'
+    * own fingerprint against the digest of the STORED manifest, so a
+    * stale sidecar can never bless mismatched model rows.
+    */
+  def readModelFrozen(s: SparkSession, table: String, sourcePath: String,
+                      tag: String): Option[(DataFrame, String)] = {
+    val mf = sourceManifest(sourcePath)
+    readModel(s, table, manifestDigest(mf) + tag) match {
+      case Some(m) => Some((m, "artifact"))
+      case None =>
+        val stored: Option[(String, String)] = try {
+          val p = modelPath(s, table) + "__mmf"
+          if (!pathExists(s, p)) None
+          else {
+            val rows = s.read.parquet(p).collect()
+            if (rows.length == 1)
+              Some((rows(0).getAs[String]("tag"), rows(0).getAs[String]("mf")))
+            else None
+          }
+        } catch { case _: Exception => None }
+        def lines(m: String) = m.split("\n").filter(_.nonEmpty).toSet
+        stored match {
+          case Some((t, m0)) if t == tag && lines(m0).nonEmpty &&
+              lines(m0).subsetOf(lines(mf)) && lines(mf).size > lines(m0).size =>
+            readModel(s, table, manifestDigest(m0) + tag).map((_, "frozen"))
+          case _ => None
+        }
+    }
+  }
+
+  /** Drop a persisted model artifact and its freeze sidecar — the
+    * explicit PERIODIC-RETRAIN trigger of the frozen-model posture: the
+    * next access refits on the current corpus (and every downstream
+    * index whose tag carries the model digest rebuilds). */
+  def dropModel(s: SparkSession, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val path = modelPath(s, table)
+    try {
+      val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      fs.delete(new Path(path + "__mmf"), true): Unit
+    } catch { case _: Exception => }
+  }
+
   /** The CURRENT artifact frame of `table`, no freshness guard — for a
     * caller's acceptPaths/buildDelta closure that derives its delta FROM
     * the artifact (the cluster incremental relabel reads the old label

@@ -42,14 +42,21 @@ object IvfOps {
     // struct(csim, -cid) sorted ascending then reversed = order by
     // (csim DESC, cid ASC) — the row_number tiebreak, as one expression.
     // nProbe=1 takes the argmax directly (array_max) instead of sorting.
-    // nanvl floor: a zero-norm vector or centroid makes csim 0/0 = NaN,
-    // and Spark orders NaN ABOVE every number — one degenerate centroid
-    // would silently absorb the whole corpus. -2 is below any cosine, so
-    // NaN scores lose every comparison instead (ties then break to the
-    // lowest cid, deterministically).
+    // zero-norm floor: a zero-norm vector or centroid makes csim 0/0 —
+    // NaN in legacy mode (which Spark orders ABOVE every number: one
+    // degenerate centroid would silently absorb the corpus) and a
+    // DIVIDE_BY_ZERO *error* under ANSI (a singleton coarse cluster's
+    // residual is exactly zero — hit by PQ-on-residual training). The
+    // when-guard skips the division entirely on a zero denominator and
+    // the nanvl belt stays for any other NaN; -2 is below any cosine,
+    // so degenerate scores lose every comparison (ties then break to
+    // the lowest cid, deterministically). Identical results wherever
+    // the old form didn't throw.
     val scored = transform(col("__cents"), c =>
-      struct(nanvl(dot_product(col(vecCol), c.getField("cv")) /
-                    (col("__nrm") * c.getField("cnrm")), lit(-2d)).as("csim"),
+      struct(nanvl(when(col("__nrm") * c.getField("cnrm") > 0,
+                     dot_product(col(vecCol), c.getField("cv")) /
+                       (col("__nrm") * c.getField("cnrm")))
+                   .otherwise(lit(-2d)), lit(-2d)).as("csim"),
              (-c.getField("cid")).as("negcid")))
     val ranked =
       if (nProbe == 1) array(array_max(scored))
@@ -85,10 +92,12 @@ object IvfOps {
                    nProbe: Int, vecCol: String = "v"): DataFrame = {
     val scored = array(cents.map { case (cid, cv) =>
       // left-to-right sum, like DotProduct's loop — bit-identical norms;
-      // nanvl floor as in [[assign]] (zero-norm => NaN => absorbs all)
+      // zero-norm floor as in [[assign]] (ANSI-safe when-guard + nanvl)
       val cnrm = math.sqrt(cv.map(x => x * x).sum)
-      struct(nanvl(dot_product(col(vecCol), lit(cv)) /
-                    (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
+      struct(nanvl(when(col("__nrm") * lit(cnrm) > 0,
+                     dot_product(col(vecCol), lit(cv)) /
+                       (col("__nrm") * lit(cnrm)))
+                   .otherwise(lit(-2d)), lit(-2d)).as("csim"),
              lit(-cid).as("negcid"))
     }: _*)
     val ranked =

@@ -134,8 +134,14 @@ object KMeans {
         def argmax(model: Seq[(Long, Seq[Double])]) = {
           val scored = array(model.map { case (cid, cv) =>
             val cnrm = math.sqrt(cv.map(x => x * x).sum)
-            struct(nanvl(dot_product(col("v"), lit(cv.toArray)) /
-                          (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
+            // zero-norm floor (ANSI-safe — the IvfOps.assign form): a
+            // singleton coarse cluster's residual is EXACTLY zero, and
+            // the unguarded division threw DIVIDE_BY_ZERO under ANSI
+            // instead of the intended NaN→-2 demotion
+            struct(nanvl(when(col("__nrm") * lit(cnrm) > 0,
+                           dot_product(col("v"), lit(cv.toArray)) /
+                             (col("__nrm") * lit(cnrm)))
+                         .otherwise(lit(-2d)), lit(-2d)).as("csim"),
                    lit(-cid).as("negcid"))
           }: _*)
           -array_max(scored).getField("negcid")

@@ -138,34 +138,61 @@ object SimilarityQueries {
                                  d: String): String =
     Option(modelSource.get((s, kind, d))).getOrElse("unbuilt")
 
+  /** Fingerprint-scheme version: folded into every model tag so the r17
+    * migration from the undigested [[graft.api.IndexArtifacts
+    * .fileFingerprint]] to the CONTENT-DIGEST manifest fingerprint
+    * (VERDICT r16 #3 — closes the same-size-same-mtime stale-restore
+    * hole for the model family) invalidates pre-migration artifacts
+    * exactly once. */
+  private val ModelFpVersion = ":fpv2"
+
   private def memoModel(s: SparkSession, kind: String, d: String,
                         tag: String = "")
                        (build: => DataFrame): DataFrame =
     modelCache.get(s, kind, d) {
       // serve-from-artifact first (VERDICT r10 #6): the fit is
       // deterministic, so a persisted model trained on THIS exact input
-      // (fileFingerprint guards staleness — a regenerated fixture
-      // refits; `tag` carries algorithm version + hyperparameters so a
-      // changed fit recipe self-invalidates, the DerivedVersion
-      // doctrine) is byte-identical to re-running the fit; repeat
-      // sessions pay a KB-sized read instead of iters corpus scans.
-      val fp = graft.api.IndexArtifacts
-        .fileFingerprint(s"$d/embeddings.parquet") + tag
+      // (the digest fingerprint guards staleness — a regenerated OR
+      // in-place-rewritten fixture refits; `tag` carries algorithm
+      // version + hyperparameters so a changed fit recipe
+      // self-invalidates, the DerivedVersion doctrine) is byte-identical
+      // to re-running the fit; repeat sessions pay a KB-sized read
+      // instead of iters corpus scans. FROZEN-ON-GROWTH (VERDICT r16
+      // #2): when the corpus only GREW since the fit, the model keeps
+      // serving ("frozen" — the standard between-retrains IVF posture),
+      // which is what lets the encoded ivfpq index APPEND; a retraction
+      // or mutation still refits. [[retrainModels]] is the explicit
+      // periodic-retrain trigger.
       // table keyed by DIR as well as kind: a warmup fit at another
       // scale must not clobber the measured dir's artifact (each dir
       // keeps its own; the fingerprint still guards content staleness)
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_${kind}_$slug"
-      graft.api.IndexArtifacts.readModel(s, table, fp) match {
-        case Some(m) =>
-          modelSource.put((s, kind, d), "artifact"); m
+      val src = s"$d/embeddings.parquet"
+      graft.api.IndexArtifacts
+        .readModelFrozen(s, table, src, tag + ModelFpVersion) match {
+        case Some((m, how)) =>
+          modelSource.put((s, kind, d), how); m
         case None =>
           val m = build
-          graft.api.IndexArtifacts.persistModel(s, m, table, fp)
+          graft.api.IndexArtifacts
+            .persistModelFrozen(s, m, table, src, tag + ModelFpVersion)
           modelSource.put((s, kind, d), "fit")
           m
       }
     }
+
+  /** Periodic retrain: drop the dir's persisted model artifacts and the
+    * session memos, so the next access REFITS on the current corpus —
+    * the explicit end of a frozen-model epoch. Downstream encoded
+    * indexes rebuild automatically: their artifact tags carry the model
+    * rows' digest, which the refit changes. */
+  def retrainModels(s: SparkSession, d: String): Unit = {
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    Seq("ivf", "pq", "ivfpq", "pca").foreach(kind =>
+      graft.api.IndexArtifacts.dropModel(s, s"g_model_${kind}_$slug"))
+    releaseTrainedModels(s)
+  }
 
   private[graft] def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =
     memoModel(s, "ivf", d)(
@@ -434,32 +461,70 @@ object SimilarityQueries {
   private val indexCache =
     new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
+  /** Digest of bounded MODEL rows (coarse centroids + codebook — k×dim
+    * driver state): folded into the encoded index's artifact tag, so
+    * "the models are unchanged" is verified structurally — a refit (new
+    * corpus epoch, [[retrainModels]]) changes the digest, the tag
+    * mismatches, and the serve takes the exact-rebuild branch; identical
+    * models make a grown manifest an APPEND. Row order is irrelevant
+    * (sorted canonical strings). */
+  private def modelRowsDigest(dfs: DataFrame*): String = {
+    val canon = dfs.flatMap(_.collect().map(_.toString)).sorted
+    java.util.UUID.nameUUIDFromBytes(
+      canon.mkString("|").getBytes("UTF-8")).toString
+  }
+
   private[graft] def ivfpqIndex(s: SparkSession, d: String,
                                 trained: Boolean): DataFrame = {
     val kind = if (trained) "ivfpqidx" else "ivfpqidxfx"
     indexCache.get(s, kind, d) {
       val e = emb(s, d)
-      def encode(cents: DataFrame, cb: DataFrame,
-                 m: Int, sub: Int): DataFrame =
-        pqEncodeWith(ivfResiduals(fanOut(e), cents), cb,
+      // the models feeding the encode — trained (artifact-served, FROZEN
+      // on growth) or the fixture pair (vec_id-pinned rows, unchanged by
+      // construction when the corpus grows)
+      val (cents, cb, m, sub) =
+        if (trained)
+          (trainedIvfCentroids(s, d), trainedIvfPqCodebook(s, d),
+            IvfPqM, IvfPqSub)
+        else
+          (e.filter(col("vec_id") < 8)
+             .select(col("vec_id").as("cid"), col("v").as("cv")),
+           pqFixtureCodebook(e), PqM, PqSub)
+      def encode(vecs: DataFrame): DataFrame =
+        pqEncodeWith(ivfResiduals(vecs, cents), cb,
             passThrough = Seq("cid", "__ccv"), nSub = m, subDim = sub)
           .select(col("vec_id"), col("cid"), col("codes"),
             zip_with(col("__ccv"), col("rv"), (a, b) => a + b).as("rvfull"))
-      def build: DataFrame =
-        if (trained)
-          encode(trainedIvfCentroids(s, d), trainedIvfPqCodebook(s, d),
-                 IvfPqM, IvfPqSub)
-        else
-          encode(e.filter(col("vec_id") < 8)
-                   .select(col("vec_id").as("cid"), col("v").as("cv")),
-                 pqFixtureCodebook(e), PqM, PqSub)
-      val tag =
-        if (trained) s"ivfpq-idx-v1:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:" +
+      val baseTag =
+        if (trained) s"ivfpq-idx-v2:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:" +
           "cb-ivfpq-v3:coarse-k8i5"
-        else "ivfpq-idx-fx-v1"
-      val df = DedupQueries.servedDerived(s, d,
-        phase = if (trained) "ivfpq_index" else "ivfpq_index_fx",
-        family = kind, input = "embeddings.parquet", tag = tag)(build)
+        else "ivfpq-idx-fx-v2"
+      // MANIFEST-INCREMENTAL (VERDICT r16 #2 — the last corpus-linear
+      // layer that was rebuild-only on growth): encoding is a pure
+      // per-row function of (vector, models), so under UNCHANGED models
+      // (frozen between retrains; digest-pinned in the tag) a grown
+      // embeddings dir encodes ONLY the new vectors map-side and
+      // appends — the whole-corpus re-encode never reruns. A retraction
+      // under stable models shrinks row-locally; a model change (refit
+      // after shrink/mutation/retrain) mismatches the tag → rebuild.
+      val tag = baseTag + ":mdl" + modelRowsDigest(cents, cb)
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+      val phase = if (trained) "ivfpq_index" else "ivfpq_index_fx"
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_${kind}_$slug", s"$d/embeddings.parquet", tag,
+        encode(fanOut(e)),
+        paths => encode(fanOut(s.read.parquet(paths: _*).select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")))),
+        // replay/recrawl guard: an already-encoded vec_id in a "new"
+        // file would duplicate its index row
+        acceptDelta = (art, delta) => art.join(
+          delta.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+          .isEmpty,
+        buildShrink = art => Some(art.join(
+          s.read.parquet(s"$d/embeddings.parquet").select("vec_id"),
+          Seq("vec_id"), "left_semi")))
+      DedupQueries.noteDerivedSource(s, phase, src)
       val out = df.cache()
       out.count() // eager — the winnowPickSet rationale
       out

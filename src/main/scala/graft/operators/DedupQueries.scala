@@ -263,8 +263,11 @@ object DedupQueries {
                             phase: String,
                             family: String, input: String, tag: String)
                            (build: => DataFrame): DataFrame = {
-    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/$input") +
-      ":" + DerivedVersion + ":" + tag
+    // fpv2 (VERDICT r16 #3): CONTENT-DIGEST fingerprint — an in-place
+    // same-size-same-mtime source rewrite invalidates, like every __mf
+    // layer; the scheme marker makes pre-migration artifacts refit once
+    val fp = graft.api.IndexArtifacts.fileFingerprintDigest(s"$d/$input") +
+      ":fpv2:" + DerivedVersion + ":" + tag
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
     val table = s"g_drv_${family}_$slug"
     graft.api.IndexArtifacts.readDerived(s, table, fp) match {
@@ -578,7 +581,8 @@ object DedupQueries {
           noteShrinkVerdict(s, "win", d,
             demoted = !hotOld.join(keptNew, Seq("h")).isEmpty)
           Some(art.join(kept, Seq("doc_id"), "left_semi"))
-        })
+        },
+        compactInvariant = uniqueInvariant("doc_id", "ng", "h", "pos"))
       noteDerivedSource(s, "winnow_picks", src)
       val picks = df.repartition(natural, col("h")).cache()
       picks.count() // eager: a lazily-cached heavy layer recomputes on eviction races
@@ -620,7 +624,8 @@ object DedupQueries {
                 "left_semi")
               // restore column order — see the shingle pair closure
               .select("da", "db", "shared", "jac_e6"))
-          })
+          },
+        compactInvariant = uniqueInvariant("da", "db"))
       noteDerivedSource(s, "winnow_pairs", src)
       val scored = df.cache()
       scored.count() // eager — see winnowPickSet
@@ -733,27 +738,35 @@ object DedupQueries {
     * Returns (table, compacted?) per layer — false = skipped (absent,
     * contended, torn, or invariant-failed), never corrupted.
     */
+  /** Full-table uniqueness invariant on `cols` — shared by the explicit
+    * compaction pass and the serve-triggered compaction policy (r17). */
+  private[operators] def uniqueInvariant(cols: String*)
+      : DataFrame => Boolean = a =>
+    a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty
+
+  /** The capped layer's GLOBAL contract: per-doc-distinct rows AND the
+    * DfCap bound re-asserted over the full artifact. */
+  private[operators] def cappedInvariant: DataFrame => Boolean = a =>
+    uniqueInvariant("doc_id", "h")(a) &&
+      a.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).isEmpty
+
   private[graft] def compactIndexArtifacts(s: SparkSession,
                                            d: String): Seq[(String, Boolean)] = {
     import graft.api.IndexArtifacts.compactDerived
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
-    def unique(cols: String*): DataFrame => Boolean = a =>
-      a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).isEmpty
     val layers: Seq[(String, DataFrame => Boolean)] = Seq(
-      s"g_drv_shraw_$slug" -> unique("doc_id", "h"),
-      (s"g_drv_shcap_$slug",
-        (a: DataFrame) => unique("doc_id", "h")(a) &&
-          a.groupBy("h").agg(count(lit(1)).as("df"))
-            .filter(col("df") > DfCap).isEmpty),
-      s"g_drv_shsigs_$slug" -> unique("doc_id", "sig"),
-      s"g_drv_shpairs_$slug" -> unique("da", "db"),
-      s"g_drv_shclus_$slug" -> unique("id"),
-      s"g_drv_tokcounts_$slug" -> unique("doc_id", "source", "token"),
+      s"g_drv_shraw_$slug" -> uniqueInvariant("doc_id", "h"),
+      s"g_drv_shcap_$slug" -> cappedInvariant,
+      s"g_drv_shsigs_$slug" -> uniqueInvariant("doc_id", "sig"),
+      s"g_drv_shpairs_$slug" -> uniqueInvariant("da", "db"),
+      s"g_drv_shclus_$slug" -> uniqueInvariant("id"),
+      s"g_drv_tokcounts_$slug" -> uniqueInvariant("doc_id", "source", "token"),
       // the winnow family appends too (r16) — full-row distinctness IS
       // the pick layer's contract (winnowPicks ends in .distinct())
-      s"g_drv_winpicks_$slug" -> unique("doc_id", "ng", "h", "pos"),
-      s"g_drv_winpairs_$slug" -> unique("da", "db"))
+      s"g_drv_winpicks_$slug" -> uniqueInvariant("doc_id", "ng", "h", "pos"),
+      s"g_drv_winpairs_$slug" -> uniqueInvariant("da", "db"))
     val out = layers.map { case (t, inv) => (t, compactDerived(s, t, inv)) }
     releaseShingleIndex(s)
     releaseWinnowPicks(s)
@@ -867,7 +880,8 @@ object DedupQueries {
               builtCc += cc
               Some(unaffected.unionByName(cc))
             }
-          })
+          },
+        compactInvariant = uniqueInvariant("id"))
     } finally builtCc.foreach(_.unpersist(blocking = false))
     derivedSource.put((s, "shingle_clusters"), src)
     df.cache()
@@ -976,7 +990,8 @@ object DedupQueries {
             // using-column joins move their key to position 0 — restore
             // the artifact's column order (the rewrite is positional)
             .select("da", "db", "shared"))
-        })
+        },
+      compactInvariant = uniqueInvariant("da", "db"))
     derivedSource.put((s, "shingle_pairs"), src)
     df.cache()
   }
@@ -1067,7 +1082,8 @@ object DedupQueries {
       // the surviving layer is one anti-join-by-tombstone (expressed as
       // a semi-join on the surviving ids), never a re-shingle.
       buildShrink = art => Some(
-        art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
+        art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")),
+      compactInvariant = uniqueInvariant("doc_id", "h"))
     derivedSource.put((s, "shingle_raw"), src)
     df.cache()
   }
@@ -1148,7 +1164,8 @@ object DedupQueries {
           if (demoted) None
           else Some(
             art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi"))
-        })
+        },
+        compactInvariant = cappedInvariant)
     } finally vetoHot.foreach(_.unpersist(blocking = false))
     derivedSource.put((s, "shingle_capped"), src)
     df.coalesce(natural).cache()
@@ -1287,7 +1304,8 @@ object DedupQueries {
         buildShrink = art =>
           if (!shrinkSafe(s, "sh", d)) None
           else Some(
-            art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
+            art.join(survivingDocIds(s, d), Seq("doc_id"), "left_semi")),
+        compactInvariant = uniqueInvariant("doc_id", "sig"))
       derivedSource.put((s, "shingle_sigs"), src)
       val bands = df.cache()
       bands.count() // eager — the winnowPickSet rationale
@@ -1474,8 +1492,9 @@ object DedupQueries {
 
   private[graft] def corpusBloomBytes(s: SparkSession, d: String): Array[Byte] =
     bloomGateCache.get(s, "bloomgate", d) {
+      // v2 = the digest-fingerprint migration (VERDICT r16 #3)
       val fp = graft.api.IndexArtifacts
-        .fileFingerprint(s"$d/documents.parquet") + ":bloomgate-v1"
+        .fileFingerprintDigest(s"$d/documents.parquet") + ":bloomgate-v2"
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_bloomgate_$slug"
       graft.api.IndexArtifacts.readModel(s, table, fp) match {
@@ -1523,8 +1542,10 @@ object DedupQueries {
 
   private[graft] def fuzzyGateHotSet(s: SparkSession, d: String): Array[Long] =
     hotSetCache.get(s, "fuzzyhot", d) {
+      // v2 = the digest-fingerprint migration (VERDICT r16 #3)
       val fp = graft.api.IndexArtifacts
-        .fileFingerprint(s"$d/documents.parquet") + s":fuzzyhot-v1:df$DfCap"
+        .fileFingerprintDigest(s"$d/documents.parquet") +
+        s":fuzzyhot-v2:df$DfCap"
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_fuzzyhot_$slug"
       graft.api.IndexArtifacts.readModel(s, table, fp) match {

@@ -523,7 +523,8 @@ object SimilarityQueries {
           .isEmpty,
         buildShrink = art => Some(art.join(
           s.read.parquet(s"$d/embeddings.parquet").select("vec_id"),
-          Seq("vec_id"), "left_semi")))
+          Seq("vec_id"), "left_semi")),
+        compactInvariant = DedupQueries.uniqueInvariant("vec_id"))
       DedupQueries.noteDerivedSource(s, phase, src)
       val out = df.cache()
       out.count() // eager — the winnowPickSet rationale

@@ -82,7 +82,9 @@ object TextQueries {
         // the surviving ids, no re-tokenize, and no demotion hazard
         // (this layer has no cross-row cap)
         buildShrink = art => Some(art.join(
-          DedupQueries.survivingDocIds(s, d), Seq("doc_id"), "left_semi")))
+          DedupQueries.survivingDocIds(s, d), Seq("doc_id"), "left_semi")),
+        compactInvariant =
+          DedupQueries.uniqueInvariant("doc_id", "source", "token"))
       DedupQueries.noteDerivedSource(s, "token_counts", src)
       val layer = df.cache()
       layer.count() // eager — the winnowPickSet rationale
@@ -761,8 +763,10 @@ object TextQueries {
     */
   private[graft] def trainedQualityWeights(s: SparkSession,
                                                d: String): Array[Double] = {
-    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
-      s":logit-v4:d$QualityFeatDim:i$QualityIters:lr$QualityLr"
+    // v5 = the digest-fingerprint migration (VERDICT r16 #3)
+    val fp = graft.api.IndexArtifacts
+      .fileFingerprintDigest(s"$d/documents.parquet") +
+      s":logit-v5:d$QualityFeatDim:i$QualityIters:lr$QualityLr"
     memoTextModel[Array[Double]](s, "logitq", d)(
       readArt = table =>
         graft.api.IndexArtifacts.readModel(s, table, fp).map { df =>
@@ -1065,8 +1069,10 @@ object TextQueries {
     * driver model state. */
   private[graft] def trainedBpeMerges(s: SparkSession,
       d: String): Seq[(Long, String, String, String, Long)] = {
-    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
-      s":bpe-v1:m$BpeMerges"
+    // v2 = the digest-fingerprint migration (VERDICT r16 #3)
+    val fp = graft.api.IndexArtifacts
+      .fileFingerprintDigest(s"$d/documents.parquet") +
+      s":bpe-v2:m$BpeMerges"
     memoTextModel[Seq[(Long, String, String, String, Long)]](s, "bpe", d)(
       readArt = table =>
         graft.api.IndexArtifacts.readModel(s, table, fp).map { df =>
@@ -1088,8 +1094,10 @@ object TextQueries {
     * via [[vocabTrainPlan]]; K strings of driver model state. */
   private[operators] def trainedVocabPieces(s: SparkSession,
                                             d: String): Seq[String] = {
-    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
-      s":vocab-v2:k$TrainedVocabK"
+    // v3 = the digest-fingerprint migration (VERDICT r16 #3)
+    val fp = graft.api.IndexArtifacts
+      .fileFingerprintDigest(s"$d/documents.parquet") +
+      s":vocab-v3:k$TrainedVocabK"
     memoTextModel[Seq[String]](s, "vocab", d)(
       readArt = table =>
         graft.api.IndexArtifacts.readModel(s, table, fp).map { df =>
@@ -2053,8 +2061,10 @@ object TextQueries {
     * only ever route a clean doc to exact verification. */
   private[graft] def benchShingleBloomBytes(s: SparkSession,
                                             d: String): Array[Byte] = {
-    val fp = graft.api.IndexArtifacts.fileFingerprint(s"$d/documents.parquet") +
-      ":contamgate-v1"
+    // v2 = the digest-fingerprint migration (VERDICT r16 #3)
+    val fp = graft.api.IndexArtifacts
+      .fileFingerprintDigest(s"$d/documents.parquet") +
+      ":contamgate-v2"
     memoTextModel[Array[Byte]](s, "contamgate", d)(
       readArt = table =>
         graft.api.IndexArtifacts.readModel(s, table, fp).map(

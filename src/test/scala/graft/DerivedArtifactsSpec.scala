@@ -544,6 +544,41 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(rows == Seq(7L, 8L, 9L))
   }
 
+  test("MODEL artifacts also reject a same-size-same-mtime in-place " +
+       "rewrite: the stale model must refit, not restore (VERDICT r16 #3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mfmodeldig").toString
+    val docsPath = s"$dir/documents.parquet"
+    def write(tail: String): Unit =
+      Seq((1L, "src", s"alpha beta $tail"), (2L, "src", s"gamma $tail"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(docsPath)
+    write("one")
+    val w1 = operators.TextQueries.trainedQualityWeights(spark, dir)
+    assert(operators.TextQueries.textTrainSource(spark, "logitq", dir) ==
+      "fit") // fresh dir → fresh fit
+    // rewrite the single data file IN PLACE with identical size + mtime
+    val part = Option(new java.io.File(docsPath).listFiles).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    val mtime = part.lastModified()
+    write("two")
+    val part2 = Option(new java.io.File(docsPath).listFiles).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    assert(part2.setLastModified(mtime))
+    Tables.invalidate(spark, docsPath)
+    operators.TextQueries.releaseTextModels(spark)
+    // the digest fingerprint must force a REFIT on the new content — a
+    // stale restore would return w1 verbatim; sizes may coincide, so the
+    // check is on the recorded source, backed by the weight values
+    val w2 = operators.TextQueries.trainedQualityWeights(spark, dir)
+    assert(operators.TextQueries.textTrainSource(spark, "logitq", dir) ==
+      "fit",
+      operators.TextQueries.textTrainSource(spark, "logitq", dir))
+    assert(w2.length == w1.length)
+  }
+
   test("serveDerivedIncremental: a SHRUNKEN source rewrites from the " +
        "artifact via buildShrink; the default (no shrink support) " +
        "rebuilds (VERDICT r16 #1)") {
@@ -821,6 +856,55 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "rebuild",
       DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
     sq.releaseTrainedModels(spark)
+  }
+
+  test("compaction POLICY: a layer accreting past the file-group knob " +
+       "compacts ORGANICALLY at the next serve — file groups reset, " +
+       "content identical; knob ≤ 0 disables (VERDICT r16 #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mfpolicy").toString
+    val table = "g_drv_spec_policy"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    rm(new java.io.File(s"$wh/$table"))
+    rm(new java.io.File(s"$wh/${table}__mf"))
+    def serve() = IndexArtifacts.serveDerivedIncremental(
+      spark, table, src, "t1",
+      spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
+      paths => spark.read.parquet(paths: _*)
+        .select(col("k"), (col("k") * 10).as("d")),
+      compactInvariant = a =>
+        a.groupBy("k").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .isEmpty)
+    def groups: Int =
+      IndexArtifacts.fileGroupCount(spark, s"$wh/$table")
+    try {
+      // knob OFF: appends accrete file groups without bound
+      spark.conf.set("spark.graft.compact.fileGroups", "0")
+      (1L to 3L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+      assert(serve()._2 == "rebuild")
+      assert(groups == 1)
+      for (lo <- Seq(4L, 6L, 8L)) {
+        (lo to lo + 1).toDF("k").coalesce(1).write.mode("append").parquet(src)
+        Tables.invalidate(spark, src)
+        assert(serve()._2 == "append")
+      }
+      assert(groups == 4, s"groups: $groups")
+      // knob ON at 2: the NEXT serve (no source change needed) compacts
+      // first, then serves the artifact — content identical, groups reset
+      spark.conf.set("spark.graft.compact.fileGroups", "2")
+      val (df, how) = serve()
+      assert(how == "artifact", how)
+      assert(groups == 1, s"groups after policy compaction: $groups")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        (1L to 9L).map(k => (k, k * 10)).toSet)
+      // and a later append serves normally on the compacted layout
+      (10L to 11L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+      Tables.invalidate(spark, src)
+      assert(serve()._2 == "append")
+      assert(groups == 2)
+    } finally spark.conf.unset("spark.graft.compact.fileGroups")
   }
 
   test("token layer appends per-doc exactly on a grown docs dir") {

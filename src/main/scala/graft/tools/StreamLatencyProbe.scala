@@ -41,23 +41,33 @@ object StreamLatencyProbe {
       s(math.max(0, math.min(s.length - 1, math.ceil(p * s.length).toInt - 1)))
     }
 
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   /** Drive `mk`'s streaming plan over `batches` micro-batches from a
-    * MemoryStream[T]; return every batch's triggerExecution ms. */
+    * MemoryStream[T]; return every batch's (triggerExecution ms, 1-min
+    * load sampled right after the batch). The per-batch load rides the
+    * record so a tail outlier is adjudicable from the artifact itself
+    * (VERDICT r16 #4 — the bench lesson applied to latency evidence). */
   private def drive[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, cols: Seq[String],
-      batches: Seq[Seq[T]])(mk: DataFrame => DataFrame): Seq[Double] = {
+      batches: Seq[Seq[T]])(mk: DataFrame => DataFrame)
+      : Seq[(Double, Double)] = {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[T]
     val q = mk(in.toDS().toDF(cols: _*))
       .writeStream.format("noop").outputMode("append").start()
     try {
-      batches.foreach { b =>
+      val loads = batches.map { b =>
         in.addData(b: _*)
         q.processAllAvailable()
+        loadAvg
       }
       q.recentProgress.toSeq
         .filter(_.numInputRows > 0)
         .map(_.durationMs.get("triggerExecution").toDouble)
+        .zip(loads)
     } finally q.stop()
   }
 
@@ -111,9 +121,14 @@ object StreamLatencyProbe {
     corpusSigs.count()
     val cents = simq.trainedIvfCentroidSeq(spark, sfDir)
     val pack = simq.semanticGateCorpusPack(spark, sfDir)
+    // the r16 routing gates' static sides (attach reads the sig table
+    // aggregated per sig; route adds the bounded corpus label table)
+    val routeLabels = dq.corpusRouteLabels(spark, sfDir)
+    routeLabels.count()
+    val mmq = graft.operators.MultimodalQueries
 
     import spark.implicits._
-    val gates: Seq[(String, () => Seq[Double])] = Seq(
+    val gates: Seq[(String, () => Seq[(Double, Double)])] = Seq(
       ("s_quality_gate", () => drive(spark, Seq("doc_id", "text"),
         chunk(docRows))(df => tq.rowQualityGate(df, weights))),
       ("s_dedup_gate", () => drive(spark, Seq("doc_id", "text"),
@@ -128,19 +143,36 @@ object StreamLatencyProbe {
       ("s_semantic_gate", () => drive(spark, Seq("vec_id", "v"),
         chunk(vecRows))(df => simq.semanticGateRows(df, cents, pack))),
       ("s_ann_query", () => drive(spark, Seq("vec_id", "v"),
-        chunk(vecRows))(df => simq.annServeRows(df, cents, pack))))
+        chunk(vecRows))(df => simq.annServeRows(df, cents, pack))),
+      // the r16 routing serves (VERDICT r16 #4 probe coverage)
+      ("s_fuzzy_attach", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => dq.fuzzyAttachRows(df, hot, corpusSigs))),
+      ("s_cluster_route", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df =>
+          dq.clusterRouteRows(df, hot, corpusSigs, routeLabels))),
+      // the multimodal decode gate: stream rows → container encode →
+      // real BMP/WAV header+payload decode, all stateless mapPartitions
+      ("s_mm_decode", () => drive(spark, Seq("doc_id", "text"),
+        chunk(docRows))(df => mmq.decodeMediaFeatures(mmq.encodeMedia(
+          df.select(col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+            col("text").cast("binary").as("payload")))))))
 
     val results = gates.map { case (name, run) =>
-      val ms = run()
-      val steady = ms.drop(warmSkip)
-      (name, ms.take(warmSkip), steady)
+      val all = run()
+      val steady = all.drop(warmSkip)
+      (name, all.take(warmSkip).map(_._1), steady)
     }
     val gateJson = results.map { case (name, warm, steady) =>
-      s""""$name":{"p50_ms":${r1(pct(steady, 0.50))},""" +
-        s""""p95_ms":${r1(pct(steady, 0.95))},""" +
-        s""""max_ms":${r1(if (steady.isEmpty) 0 else steady.max)},""" +
+      val ms = steady.map(_._1)
+      s""""$name":{"p50_ms":${r1(pct(ms, 0.50))},""" +
+        s""""p95_ms":${r1(pct(ms, 0.95))},""" +
+        s""""max_ms":${r1(if (ms.isEmpty) 0 else ms.max)},""" +
         s""""warmup_max_ms":${r1(if (warm.isEmpty) 0 else warm.max)},""" +
-        s""""batches":${steady.size}}"""
+        s""""batches":${ms.size},""" +
+        s""""ms":[${ms.map(r1).mkString(",")}],""" +
+        s""""load":[${steady.map(x => r1(x._2)).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"stream_latency_ms","gates":$gateJson,""" +

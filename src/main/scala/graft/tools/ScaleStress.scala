@@ -165,7 +165,8 @@ object ScaleStress {
       .agg(max("n")).collect()(0).getLong(0)
     val maxIvfCell = graft.api.IvfOps.assign(
         simq.emb(spark, dir),
-        graft.api.IvfOps.centroidBlock(simq.trainedIvfCentroids(spark, dir)),
+        graft.api.IvfOps.centroidBlock(
+          simq.trainedIvfCentroids(spark, dir), "cid", "cv"),
         nProbe = 1)
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .agg(max("n")).collect()(0).getLong(0)

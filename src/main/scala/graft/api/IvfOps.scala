@@ -118,27 +118,79 @@ object IvfOps {
     */
   val BucketCap = 4096
 
+  /** Pair-expansion BLOCK width (r17): a capped-but-degenerate bucket's
+    * expansion used to land C(cap, 2) ≈ 8.4M pairs in ONE task — the
+    * constant per-task ceiling the scale-stress run measured at 72.7 s
+    * (records/scale_stress.json). Members now expand in rank-order
+    * blocks of this width: a bucket of n members becomes
+    * C(⌈n/B⌉ + 1, 2) compact block-pair rows that REPARTITION before the
+    * quadratic work, so the worst task is C(B, 2) ≈ 131k pairs (~1 s)
+    * and a degenerate bucket parallelizes across ~(cap/B)²/2 tasks. The
+    * pair SET is unchanged (blocks are rank slices of the id-sorted
+    * member list, so cross-block pairs are a<b by construction). */
+  val PairBlock = 512
+
   /** All unordered (a < b) id pairs co-resident in a bucket, from ONE
-    * aggregation: collect each bucket's sorted member ids and expand the
-    * i<j pairs map-side through two stacked generators — versus a
-    * self-join on the bucket key, which evaluates the assignment subtree
-    * twice and shuffles it twice.
+    * aggregation: collect each bucket's sorted member ids, explode the
+    * COMPACT (ga ≤ gb) block-pair index rows (each carrying one or two
+    * ≤[[PairBlock]]-wide rank slices), repartition those rows on
+    * (bucket, ga, gb), and expand map-side through two stacked
+    * generators — versus a self-join on the bucket key, which evaluates
+    * the assignment subtree twice and shuffles it twice. The one added
+    * exchange ships id ARRAYS (block-pair rows), never pairs; the
+    * quadratic expansion happens after it, spread across tasks (r17 —
+    * the scale-stress finding above). The expansion stays single-branch
+    * (the diagonal's suffix-slice vs the cross block's full list is a
+    * `when` INSIDE the generator), because a branched plan would
+    * reference the assignment subtree twice and higher-order-function
+    * lambdas defeat ReuseExchange (the round-8 caveat).
     *
     * Membership is capped at `cap` members per bucket BEFORE the
     * aggregation (row_number over the bucket, ordered by id — deterministic,
     * and the ranking reuses the aggregation's own exchange so the guard
     * costs a sort, not a shuffle). The cap is the skew guard: nothing else
     * bounds a degenerate bucket, and an uncapped hot bucket means an
-    * O(bucket)-sized aggregation row and O(bucket²) pairs inside a single
-    * task — the same hot-key failure DfCap guards against for shingles.
-    * Members past the cap (by id order) drop out of pair generation;
-    * buckets that large indicate the clustering, not the pairing, needs
-    * fixing (grow k).
+    * O(bucket)-sized aggregation row — the same hot-key failure DfCap
+    * guards against for shingles. Members past the cap (by id order) drop
+    * out of pair generation; buckets that large indicate the clustering,
+    * not the pairing, needs fixing (grow k).
     */
   def bucketPairs(asg: DataFrame, bucketCol: String = "cid",
                   idCol: String = "vec_id",
                   cap: Int = BucketCap,
-                  minMembers: Int = 1): DataFrame = {
+                  minMembers: Int = 1): DataFrame =
+    blockedBucketPairs(asg, bucketCol, idCol, None, cap, minMembers)
+      .select("a", "b")
+
+  /** [[bucketPairs]] with a per-member PAYLOAD carried THROUGH the block
+    * expansion: emits (a, b, pa, pb) with pa/pb the two members' payload
+    * values (e.g. `struct(v, nrm)` for the exact-cosine verify), so the
+    * verify is a map-side projection over the already-spread block-pair
+    * partitions and the corpus never RE-JOINS onto the pair stream. The
+    * re-join form shuffles the pair stream — the LARGEST relation in the
+    * whole plan — by each endpoint, and AQE's bytes-based coalescing then
+    * concentrates the compute-dense verify (two high-dim dot products per
+    * tiny row) into few tasks: the scale-stress fixture measured a 46 s
+    * single task there AFTER pair generation was block-spread. Carrying
+    * the vectors costs bucket rows of cap × payload bytes (bounded model
+    * of the layout: ~2 MB at cap 4096 × 64 doubles) and ships each
+    * member's payload ~⌈n/B⌉/2 times in block-pair rows — data volume
+    * comparable to the pair-stream shuffle it replaces, with the work
+    * evenly spread by construction. Pair SET and any derived scores are
+    * identical (same members, same order, same arithmetic).
+    */
+  def bucketPairsWithPayload(asg: DataFrame,
+                             bucketCol: String, idCol: String,
+                             payload: org.apache.spark.sql.Column,
+                             cap: Int = BucketCap,
+                             minMembers: Int = 1): DataFrame =
+    blockedBucketPairs(asg, bucketCol, idCol, Some(payload), cap, minMembers)
+
+  private def blockedBucketPairs(asg: DataFrame, bucketCol: String,
+                                 idCol: String,
+                                 payload: Option[org.apache.spark.sql.Column],
+                                 cap: Int,
+                                 minMembers: Int): DataFrame = {
     val byBucket = Window.partitionBy(bucketCol).orderBy(idCol)
     // member-level dedup AT THE CAP BOUNDARY, riding the cap's own
     // exchange+sort (a lag against the previous member id — no second
@@ -154,7 +206,8 @@ object IvfOps {
     // deduped against, and the oracle QUALIFY mirrors skip it the same
     // way (r13 review: this comment previously claimed no first row is
     // ever dropped, which is wrong for the null-id case).
-    val base = asg.select(col(bucketCol), col(idCol))
+    val base = asg.select(
+        Seq(col(bucketCol), col(idCol)) ++ payload.map(_.as("__pl")): _*)
       .withColumn("__dup", lag(col(idCol), 1).over(byBucket))
       .filter(!(col("__dup") <=> col(idCol)))
       .drop("__dup")
@@ -170,14 +223,50 @@ object IvfOps {
           count(lit(1)).over(Window.partitionBy(bucketCol)))
         .filter(col("__bc") >= minMembers)
         .drop("__bc")
-    pre
+    // member = the id alone, or (id, payload) as a struct whose FIRST
+    // field is the id — ids are distinct per bucket after the dedup, so
+    // sort_array orders members identically in both forms
+    val member = payload match {
+      case Some(_) => struct(col(idCol).as("__id"), col("__pl"))
+      case None => struct(col(idCol).as("__id"))
+    }
+    val buckets = pre
       .withColumn("__brn", row_number().over(byBucket))
       .filter(col("__brn") <= cap)
       .groupBy(bucketCol)
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .select(posexplode(col("__ids")).as(Seq("__i", "a")), col("__ids"))
-      .select(col("a"),
-        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("b"))
+      .agg(sort_array(collect_list(member)).as("__ids"))
+    // block-pair rows: (ga ≤ gb) over the ⌈n/PairBlock⌉ rank slices —
+    // tiny to PRODUCE (the quadratic work is after the repartition);
+    // __bl is null on the diagonal (the suffix-slice case) so a healthy
+    // single-block bucket ships its member list once, not twice
+    val b = PairBlock
+    val blockPairs = buckets
+      .withColumn("__nb",
+        ceil(size(col("__ids")) / lit(b.toDouble)).cast("int"))
+      .select(col(bucketCol), col("__ids"), explode(expr(
+        "flatten(transform(sequence(0, __nb - 1), ga -> " +
+        "transform(sequence(ga, __nb - 1), gb -> " +
+        "struct(ga AS ga, gb AS gb))))")).as("__g"))
+      .select(col(bucketCol),
+        col("__g.ga").as("__ga"), col("__g.gb").as("__gb"),
+        slice(col("__ids"), col("__g.ga") * b + 1, lit(b)).as("__al"),
+        when(col("__g.ga") =!= col("__g.gb"),
+          slice(col("__ids"), col("__g.gb") * b + 1, lit(b))).as("__bl"))
+    val expanded = blockPairs
+      .repartition(col(bucketCol), col("__ga"), col("__gb"))
+      .select(col("__al"), col("__bl"),
+        posexplode(col("__al")).as(Seq("__i", "__x")))
+      .select(col("__x"), explode(
+        when(col("__bl").isNull,
+          slice(col("__al"), col("__i") + 2, size(col("__al"))))
+        .otherwise(col("__bl"))).as("__y"))
+    payload match {
+      case Some(_) => expanded.select(
+        col("__x.__id").as("a"), col("__y.__id").as("b"),
+        col("__x.__pl").as("pa"), col("__y.__pl").as("pb"))
+      case None => expanded.select(
+        col("__x.__id").as("a"), col("__y.__id").as("b"))
+    }
   }
 
   /** Approximate top-k neighbours for a batch of queries over an IVF

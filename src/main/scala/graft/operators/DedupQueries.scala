@@ -420,17 +420,18 @@ object DedupQueries {
     * definition for the fixture-centroid twin and the trained twin.
     */
   private def semanticKeepers(e: DataFrame, block: DataFrame): DataFrame = {
-    val asg1 = IvfOps.assign(e, block, nProbe = 1).select("vec_id", "cid")
-    val cand = IvfOps.bucketPairs(asg1, "cid", "vec_id")
-      .select(col("a").as("va"), col("b").as("vb"))
-    val cos = dot_product(col("ea.v"), col("eb.v")) /
-      (col("ea.nrm") * col("eb.nrm"))
-    val dup = cand
-      .join(e.as("ea"), col("va") === col("ea.vec_id"))
-      .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+    val asgP = IvfOps.assign(e, block, nProbe = 1)
+    // the (v, nrm) payload rides through the block expansion — verify is
+    // map-side over the spread block-pair partitions (the embedPairs r17
+    // shape), never a corpus re-join onto the pair stream
+    val cos = dot_product(col("pa.v"), col("pb.v")) /
+      (col("pa.nrm") * col("pb.nrm"))
+    val dup = IvfOps.bucketPairsWithPayload(asgP, "cid", "vec_id",
+        struct(col("v"), col("nrm")))
       .filter(floor(cos * 1e9).cast("long") >= 450000000L)
-      .select(col("vb").as("vec_id")).distinct()
-    asg1.join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("b").as("vec_id")).distinct()
+    asgP.select("vec_id", "cid")
+      .join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("__dup").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
@@ -2645,22 +2646,26 @@ object DedupQueries {
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val block = IvfOps.centroidBlock(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-    val asg = IvfOps.assign(e, block, nProbe = 2).select("vec_id", "cid")
+    val asg = IvfOps.assign(e, block, nProbe = 2)
     // pairs from bucket membership via ONE aggregation instead of a
     // self-join on cid (which would evaluate the assignment subtree
-    // twice and shuffle it twice); IvfOps.bucketPairs caps membership
-    // per bucket (BucketCap, mirrored in the oracle) so a degenerate
-    // hot centroid cannot concentrate O(bucket²) pair generation in one
-    // task — buckets are n/k-bounded at scale with k grown ∝ corpus,
-    // and the cap is the enforcement of that assumption, like DfCap for
-    // shingles.
-    val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
-      .select(col("a").as("va"), col("b").as("vb"))
-    val cos = dot_product(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))
-    cand
-      .join(e.as("ea"), col("va") === col("ea.vec_id"))
-      .join(e.as("eb"), col("vb") === col("eb.vec_id"))
-      .select(col("va"), col("vb"), floor(cos * 1e9).cast("long").as("sim_e9"))
+    // twice and shuffle it twice); IvfOps caps membership per bucket
+    // (BucketCap, mirrored in the oracle) so a degenerate hot centroid
+    // cannot concentrate O(bucket²) pair generation in one task —
+    // buckets are n/k-bounded at scale with k grown ∝ corpus, and the
+    // cap is the enforcement of that assumption, like DfCap for
+    // shingles. The (v, nrm) payload rides THROUGH the block expansion
+    // (r17): the exact-cosine verify is a map-side projection over the
+    // spread block-pair partitions, never a re-join of the corpus onto
+    // the pair stream — the scale-stress fixture measured that re-join
+    // concentrating the verify in one 46 s task after AQE coalescing.
+    val pairs = IvfOps.bucketPairsWithPayload(asg, "cid", "vec_id",
+      struct(col("v"), col("nrm")))
+    val cos = dot_product(col("pa.v"), col("pb.v")) /
+      (col("pa.nrm") * col("pb.nrm"))
+    pairs
+      .select(col("a").as("va"), col("b").as("vb"),
+        floor(cos * 1e9).cast("long").as("sim_e9"))
       .filter(col("sim_e9") >= minSimE9)
       .distinct()
   }

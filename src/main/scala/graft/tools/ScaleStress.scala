@@ -105,15 +105,26 @@ object ScaleStress {
     val peakWrite = new AtomicLong(0)
     val peakRead = new AtomicLong(0)
     val totWrite = new AtomicLong(0)
+    // the slowest single task's owning stage (name truncated) — names the
+    // operator a scale-up would hit first, not just its duration
+    val slowStage = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val stageOf =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        if (t.taskInfo != null)
-          maxTaskMs.updateAndGet(m => math.max(m, t.taskInfo.duration)): Unit
+        if (t.taskInfo != null) {
+          val d = t.taskInfo.duration
+          val prev = maxTaskMs.getAndUpdate(m => math.max(m, d))
+          if (d > prev) slowStage.set(
+            Option(stageOf.get(t.stageId)).getOrElse("?") + s"#${t.stageId}")
+        }
         if (t.taskMetrics != null)
           totWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val tm = sc.stageInfo.taskMetrics
+        stageOf.put(sc.stageInfo.stageId,
+          sc.stageInfo.name.takeWhile(_ != '\n').take(60)): Unit
         if (tm != null) {
           peakWrite.updateAndGet(m =>
             math.max(m, tm.shuffleWriteMetrics.bytesWritten)): Unit
@@ -121,6 +132,10 @@ object ScaleStress {
             math.max(m, tm.shuffleReadMetrics.totalBytesRead)): Unit
         }
       }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageOf.put(ss.stageInfo.stageId,
+          ss.stageInfo.name.takeWhile(_ != '\n').take(60)): Unit
     })
 
     val dq = graft.operators.DedupQueries
@@ -128,7 +143,7 @@ object ScaleStress {
     val simq = graft.operators.SimilarityQueries
 
     def phase(name: String)(run: => Long): (String, String) = {
-      maxTaskMs.set(0); peakWrite.set(0); peakRead.set(0)
+      maxTaskMs.set(0); peakWrite.set(0); peakRead.set(0); slowStage.set("")
       val t0 = System.nanoTime()
       val rows = run
       val sec = (System.nanoTime() - t0) / 1e9
@@ -136,6 +151,7 @@ object ScaleStress {
       (name,
         s""""$name":{"sec":${r1(sec)},"rows":$rows,""" +
         s""""max_task_ms":${maxTaskMs.get},""" +
+        s""""max_task_stage":"${slowStage.get}",""" +
         s""""peak_stage_shuffle_write_mb":${r1(peakWrite.get / 1048576d)},""" +
         s""""peak_stage_shuffle_read_mb":${r1(peakRead.get / 1048576d)}}""")
     }

@@ -244,7 +244,12 @@ class IndexArtifactsSpec extends SparkSpec {
     // TypoVariantCap window, the bucket aggregation feeding pair
     // expansion — satisfies its clustering from the bucket layout; the
     // remaining exchanges (pair distinct, name join-backs, presentation
-    // sort) are pair-keyed and must shuffle; none may repartition on blk
+    // sort) are pair-keyed and must shuffle. The ONE allowed blk-keyed
+    // exchange is the r17 block-pair spread (REPARTITION_BY_COL on
+    // (blk, __ga, __gb)): it ships compact post-aggregation block rows
+    // so the quadratic expansion parallelizes, never the index itself —
+    // any OTHER blk exchange means the bucket layout stopped carrying
+    // the aggregation.
     val pairs = IndexArtifacts.pairsFromTypoIndex(spark, "g_typo_idx", all)
     pairs.collect()
     val finalPlan = pairs.queryExecution.executedPlan.toString
@@ -252,7 +257,11 @@ class IndexArtifactsSpec extends SparkSpec {
     val bx = finalPlan.linesIterator
       .filter(l => l.contains("Exchange") && l.matches(".*hashpartitioning\\(blk#.*"))
       .toSeq
-    assert(bx.isEmpty, bx.mkString("\n"))
+    val unexpected = bx.filterNot(l =>
+      l.contains("__ga") && l.contains("__gb") &&
+        l.contains("REPARTITION_BY_COL"))
+    assert(unexpected.isEmpty, unexpected.mkString("\n"))
+    assert(bx.size <= 1, bx.mkString("\n"))
     assert(finalPlan.contains("Bucketed: true"), finalPlan)
   }
 

@@ -464,6 +464,11 @@ object IndexArtifacts {
     * readModel serve a stale model after an in-place regeneration
     * (ADVICE r11). An unlistable path (absent dir, bad URI) yields the
     * empty-listing fingerprint, which never matches a real one.
+    *
+    * LEGACY PRIMITIVE as of r17: no persisted family keys on this form
+    * anymore (all migrated to [[fileFingerprintDigest]], which also
+    * catches same-size-same-mtime in-place rewrites) — new persisted
+    * state must use the digest form.
     */
   def fileFingerprint(path: String): String =
     fileFingerprintIn(activeHadoopConf, path)
@@ -516,10 +521,9 @@ object IndexArtifacts {
     * row-group offsets — any structural rewrite moves it) at a fixed
     * 8 KiB read per file, independent of file size; at 10⁶+ source files
     * production promotes the manifest to a TABLE and digests at ingest.
-    * The hash-only [[fileFingerprint]] keeps the undigested unfiltered
-    * listing so persisted MODEL artifacts stay valid across this change;
-    * `__mf` sidecars self-invalidate once (old lines ⊄ new lines →
-    * rebuild) and are digest-carrying from then on.
+    * As of r17 every persisted family keys on the digested form (the
+    * fpv2 migration — each bumped its version tag once); the hash-only
+    * [[fileFingerprint]] remains only as the legacy primitive.
     */
   private[graft] def sourceManifestIn(
       conf: org.apache.hadoop.conf.Configuration, path: String,
@@ -791,7 +795,10 @@ object IndexArtifacts {
     *     e.g. a removal pulled a previously-capped shingle back under
     *     DfCap, so previously-excluded rows must come back → exact full
     *     rebuild (VERDICT r16 #1, the decremental mirror of the growth
-    *     path's promotion veto);
+    *     path's promotion veto); returning the artifact frame ITSELF
+    *     (reference-equal) declares "content unchanged" and commits a
+    *     sidecar-only manifest re-pin with no artifact rewrite (the
+    *     cluster layer under unlabeled-doc-only retraction);
     *   - anything else (replace / mutated files / tag change) → buildAll,
     *     overwrite, fresh sidecar — the exact-rebuild fallback.
     *
@@ -1043,7 +1050,13 @@ object IndexArtifacts {
       line.substring(0, k)
     }
     def rebuild(): (DataFrame, String) =
-      try {
+      // never WRITE after losing the lease: a breaker may be mid-append,
+      // and an overwrite racing it could commit a mixed artifact whose
+      // count happens to match its own sidecar (r17 review — guarding
+      // INSIDE rebuild() covers every failure path that falls back here,
+      // not just the explicit fence checks)
+      if (!fence()) (buildAll, "rebuild")
+      else try {
         buildAll.write.mode("overwrite").parquet(path)
         writeSidecar(parquetRowCount(s, path))
         (s.read.parquet(path), "rebuild")
@@ -1111,8 +1124,21 @@ object IndexArtifacts {
           // layer's closure from (its artifact, the surviving source) —
           // never from the removed bytes.
           if (parquetRowCount(s, path) != n) rebuild()
-          else buildShrink(s.read.parquet(path)) match {
+          else {
+          val art = s.read.parquet(path)
+          buildShrink(art) match {
             case None => rebuild() // demotion veto / unsupported layer
+            case Some(keptLayer) if keptLayer eq art =>
+              // CONTENT UNCHANGED (the closure returned the artifact
+              // frame itself — e.g. a retraction that deleted only
+              // unlabeled docs leaves the cluster table intact): re-pin
+              // the manifest with a sidecar-only commit instead of
+              // rewriting the whole artifact through the swap (r17
+              // review — O(sidecar), not O(artifact))
+              if (fence()) {
+                writeSidecar(n)
+                (art, "shrink")
+              } else rebuild() // degrades to the live build (no fence)
             case Some(keptLayer) =>
               // keptLayer derives FROM the artifact being replaced — a
               // direct overwrite would read and clobber the same files.
@@ -1125,8 +1151,11 @@ object IndexArtifacts {
               try fs.delete(new Path(tmp), true) catch { case _: Exception => }
               keptLayer.write.mode("overwrite").parquet(tmp)
               val kn = parquetRowCount(s, tmp)
-              if (!fence()) { // lost the lease: abandon, never swap
-                try fs.delete(new Path(tmp), true) catch { case _: Exception => }
+              if (!fence()) {
+                // lost the lease: abandon with NO writes at all — the tmp
+                // is left for the next shrink's stale-leftover delete (a
+                // breaker may own a tmp of the same name by now), and
+                // rebuild() degrades to the live build under a lost fence
                 rebuild()
               } else {
                 val aside = new Path(path + "__preshrink")
@@ -1146,6 +1175,7 @@ object IndexArtifacts {
                   (s.read.parquet(path), "shrink")
                 } else rebuild()
               }
+          }
           }
         } catch { case _: Exception => rebuild() } // see the artifact branch
       case _ => rebuild()

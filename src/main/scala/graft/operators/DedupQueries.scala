@@ -236,18 +236,28 @@ object DedupQueries {
   private val shrinkVerdict =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
 
-  private def shrinkKey(s: SparkSession, fam: String, d: String): String =
+  /** Drop a session's shrink verdicts — wired into the same release hooks
+    * as the promotion vetoMemo, so a long-lived multi-session JVM never
+    * accretes (session, verdict) entries or pins dead sessions through
+    * the map keys (r17 review). */
+  private def releaseShrinkVerdicts(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    shrinkVerdict.keySet.asScala.filter(_._1 == s).toSeq
+      .foreach(shrinkVerdict.remove): Unit
+  }
+
+  private def shrinkKey(fam: String, d: String): String =
     fam + "#" + d + "#" +
       graft.api.IndexArtifacts.fileFingerprintDigest(s"$d/documents.parquet")
 
   private def noteShrinkVerdict(s: SparkSession, fam: String, d: String,
                                 demoted: Boolean): Unit =
-    shrinkVerdict.put((s, shrinkKey(s, fam, d)), !demoted): Unit
+    shrinkVerdict.put((s, shrinkKey(fam, d)), !demoted): Unit
 
   /** TRUE iff this session positively established "no demotion" for the
     * current surviving corpus state of family `fam`. */
   private def shrinkSafe(s: SparkSession, fam: String, d: String): Boolean =
-    Option(shrinkVerdict.get((s, shrinkKey(s, fam, d)))).contains(true)
+    Option(shrinkVerdict.get((s, shrinkKey(fam, d)))).contains(true)
 
   /** Serve a derived layer from its persisted artifact when the input
     * fingerprint (+ [[DerivedVersion]]) matches; otherwise the BUILD
@@ -539,6 +549,7 @@ object DedupQueries {
   private[graft] def releaseWinnowPicks(s: SparkSession): Unit = {
     winnowPickMemo.release(s)
     winnowScoredMemo.release(s)
+    releaseShrinkVerdicts(s)
   }
 
   private[operators] def winnowPickSet(s: SparkSession, d: String): DataFrame =
@@ -1269,6 +1280,7 @@ object DedupQueries {
   private[graft] def releaseBandSignatures(s: SparkSession): Unit = {
     sigMemo.release(s)
     vetoMemo.release(s)
+    releaseShrinkVerdicts(s)
     // the fuzzy gate's hot set is the same DfCap policy the sig layer
     // bakes in — a release that kept it would pair a stale hot literal
     // with freshly rebuilt signatures

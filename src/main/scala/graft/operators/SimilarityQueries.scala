@@ -189,14 +189,66 @@ object SimilarityQueries {
     * rows' digest, which the refit changes. */
   def retrainModels(s: SparkSession, d: String): Unit = {
     val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
-    Seq("ivf", "pq", "ivfpq", "pca").foreach(kind =>
+    // a failed artifact delete must SURFACE (ADVICE r17): the old frozen
+    // model would keep serving as if the retrain epoch never ended —
+    // throwing here turns a silently-stale epoch into an operator error
+    val stale = Seq("ivf", "pq", "ivfpq", "pca").filterNot(kind =>
       graft.api.IndexArtifacts.dropModel(s, s"g_model_${kind}_$slug"))
     releaseTrainedModels(s)
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"retrainModels($d): model artifact delete failed for " +
+        s"[${stale.mkString(", ")}] — the frozen epoch did NOT end; " +
+        "the stale artifacts would keep serving")
   }
 
+  /** CORPUS-SIZED coarse k (VERDICT r17 #1 — the "k ∝ n" lever made
+    * implemented): k = clamp(ceil(n / [[IvfTargetCell]]), 8, kMax), so
+    * the EXPECTED cell size is targetCell ≪ BucketCap and a planted hot
+    * region splits across centroids instead of truncating at the cap —
+    * the scale-stress fixture measured max_ivf_cell 4,500 > cap 4,096
+    * under constant k=8, and members past the cap silently left pair
+    * generation and ANN candidacy (a recall cliff at 100 TB, not a
+    * runtime cliff; records/scale_stress.json). 512 leaves ~8× headroom
+    * under the cap for skew the split doesn't fully even out; kMax
+    * bounds the broadcast centroid block (kMax·dim doubles ≈ 32 MB at
+    * dim 64 — the model-state ceiling, far past any fixture).
+    *
+    * n comes from the persisted CATALOG statistics when the embeddings
+    * table is registered ([[graft.api.CatalogOps.statsRowCount]] — the
+    * metastore contract: one ANALYZE at ingest, a free scalar after),
+    * else from the parquet FOOTER counts (driver-side metadata read, no
+    * scan job). Evaluated ONLY at fit time, so k changes exactly at
+    * retrain: between retrains the persisted model serves frozen under
+    * growth ([[memoModel]]), and the index tag pins the model artifact
+    * digest — a k change is by construction a new epoch. The tag
+    * carries the POLICY ([[IvfKPolicyTag]]), never the realized k: a
+    * realized-k tag would re-derive k from the CURRENT corpus at serve
+    * time and break the frozen epoch on every growth. */
+  private[graft] val IvfTargetCell = 512
+  private[graft] val IvfKMax = 65536
+  private[graft] def sizedIvfK(n: Long): Int =
+    math.min(IvfKMax.toLong,
+      math.max(8L, (n + IvfTargetCell - 1) / IvfTargetCell)).toInt
+
+  /** Corpus row count for k sizing: catalog stats first, parquet footers
+    * as the no-catalog fallback — both metadata reads, never a scan. */
+  private[graft] def embRowCount(s: SparkSession, d: String): Long =
+    graft.api.CatalogOps.statsRowCount(s,
+        graft.api.CatalogOps.fixtureTableName(d, "embeddings"))
+      .filter(_ > 0L)
+      .getOrElse(graft.api.IndexArtifacts
+        .parquetRowCount(s, s"$d/embeddings.parquet"))
+
+  /** The k-selection POLICY tag — folded into every coarse-model and
+    * downstream-index tag in place of a realized k (see [[sizedIvfK]]). */
+  private[graft] val IvfKPolicyTag =
+    s"ksized-v1-tc$IvfTargetCell-kmax$IvfKMax-i5"
+
   private[graft] def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =
-    memoModel(s, "ivf", d)(
-      graft.api.KMeans.fit(emb(s, d), "vec_id", "v", k = 8, iters = 5))
+    memoModel(s, "ivf", d, tag = ":" + IvfKPolicyTag)(
+      graft.api.KMeans.fit(emb(s, d), "vec_id", "v",
+        k = sizedIvfK(embRowCount(s, d)), iters = 5))
 
   private[graft] def trainedPqCodebook(s: SparkSession, d: String): DataFrame =
     memoModel(s, "pq", d)(pqTrainedCodebook(emb(s, d)))
@@ -246,7 +298,7 @@ object SimilarityQueries {
     */
   private[graft] def trainedIvfPqCodebook(s: SparkSession, d: String): DataFrame =
     memoModel(s, "ivfpq", d,
-      tag = s":ivfpq-v3:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:i5:coarse-k8i5")(
+      tag = s":ivfpq-v4:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:i5:coarse-$IvfKPolicyTag")(
       graft.api.KMeans.fitSubspaces(
         ivfResiduals(emb(s, d), trainedIvfCentroids(s, d)),
         "vec_id", "v", IvfPqM, IvfPqSub, k = IvfPqK, iters = 5)
@@ -467,12 +519,62 @@ object SimilarityQueries {
     * corpus epoch, [[retrainModels]]) changes the digest, the tag
     * mismatches, and the serve takes the exact-rebuild branch; identical
     * models make a grown manifest an APPEND. Row order is irrelevant
-    * (sorted canonical strings). */
+    * (sorted canonical strings).
+    *
+    * Rows canonicalize FIELD BY TYPE (ADVICE r17), never Row.toString:
+    * the default rendering of nested types (WrappedArray vs ArraySeq
+    * across Scala/Spark versions, identity-hash toString on binary) is
+    * not a stable serialization contract, and a silent change would
+    * permanently disable the append path (every serve rebuilding on a
+    * phantom "model change"). Doubles/floats render via the IEEE
+    * shortest-round-trip form (java.lang.Double.toString), exact for
+    * bit-identical values. */
   private def modelRowsDigest(dfs: DataFrame*): String = {
-    val canon = dfs.flatMap(_.collect().map(_.toString)).sorted
+    def cell(v: Any): String = v match {
+      case null => "∅"
+      case a: scala.collection.Seq[_] =>
+        a.map(cell).mkString("[", ",", "]")
+      case a: Array[Byte] => java.util.Base64.getEncoder.encodeToString(a)
+      case a: Array[_] => a.map(cell).mkString("[", ",", "]")
+      case d: java.lang.Double => java.lang.Double.toString(d)
+      case f: java.lang.Float => java.lang.Float.toString(f)
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(cell).mkString("(", "|", ")")
+      case x => String.valueOf(x)
+    }
+    val canon = dfs.flatMap(_.collect()
+      .map(r => r.toSeq.map(cell).mkString("(", "|", ")"))).sorted
     java.util.UUID.nameUUIDFromBytes(
       canon.mkString("|").getBytes("UTF-8")).toString
   }
+
+  /** The "models unchanged" epoch component of the encoded-index tag —
+    * by preference the model ARTIFACTS' file-manifest digest
+    * ([[graft.api.IndexArtifacts.modelArtifactEpoch]]): a driver-side
+    * stat + bounded CRC that changes exactly at refit, so the per-serve
+    * cost is zero Spark jobs where the r17 form collected the model
+    * frames every session (VERDICT r17 #4 — the ~0.5 s/session floor
+    * line item). Falls back to the canonical rows digest when an
+    * artifact dir is absent (unwritable warehouse); a scheme mix between
+    * sessions can only mismatch the tag → one extra rebuild, never a
+    * stale serve. */
+  private def trainedModelEpoch(s: SparkSession, d: String,
+                                kinds: Seq[String],
+                                fallback: => Seq[DataFrame]): String = {
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
+    val eps = kinds.map(kind => graft.api.IndexArtifacts
+      .modelArtifactEpoch(s, s"g_model_${kind}_$slug"))
+    if (eps.forall(_.isDefined)) "fpe:" + eps.flatten.mkString("+")
+    else "rows:" + modelRowsDigest(fallback: _*)
+  }
+
+  /** Fixture-model epoch memo: the fixture models are pure functions of
+    * PINNED corpus rows (vec_id < 8 centroids, vec_id < 4 codebook), so
+    * their digest is stable under growth (append keeps working) and the
+    * bounded-row collect that computes it memoizes per (dir, source
+    * state) — once per JVM per corpus state, not once per serve. */
+  private val fixtureEpochMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def ivfpqIndex(s: SparkSession, d: String,
                                 trained: Boolean): DataFrame = {
@@ -495,10 +597,13 @@ object SimilarityQueries {
             passThrough = Seq("cid", "__ccv"), nSub = m, subDim = sub)
           .select(col("vec_id"), col("cid"), col("codes"),
             zip_with(col("__ccv"), col("rv"), (a, b) => a + b).as("rvfull"))
+      // v3 (r18): the trained epoch component moved from a per-session
+      // model-rows collect to the model artifacts' file digest, and the
+      // coarse model is corpus-sized (the k-policy tag) — one-time bump
       val baseTag =
-        if (trained) s"ivfpq-idx-v2:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:" +
-          "cb-ivfpq-v3:coarse-k8i5"
-        else "ivfpq-idx-fx-v2"
+        if (trained) s"ivfpq-idx-v3:m$IvfPqM:sub$IvfPqSub:k$IvfPqK:" +
+          s"cb-ivfpq-v4:coarse-$IvfKPolicyTag"
+        else "ivfpq-idx-fx-v3"
       // MANIFEST-INCREMENTAL (VERDICT r16 #2 — the last corpus-linear
       // layer that was rebuild-only on growth): encoding is a pure
       // per-row function of (vector, models), so under UNCHANGED models
@@ -507,7 +612,13 @@ object SimilarityQueries {
       // appends — the whole-corpus re-encode never reruns. A retraction
       // under stable models shrinks row-locally; a model change (refit
       // after shrink/mutation/retrain) mismatches the tag → rebuild.
-      val tag = baseTag + ":mdl" + modelRowsDigest(cents, cb)
+      val tag = baseTag + ":mdl" + (
+        if (trained)
+          trainedModelEpoch(s, d, Seq("ivf", "ivfpq"), Seq(cents, cb))
+        else fixtureEpochMemo.computeIfAbsent(
+          (d, graft.api.IndexArtifacts
+            .fileFingerprintDigest(s"$d/embeddings.parquet")),
+          _ => "rows:" + modelRowsDigest(cents, cb)))
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val phase = if (trained) "ivfpq_index" else "ivfpq_index_fx"
       val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(

@@ -64,10 +64,20 @@ object StreamLatencyProbe {
         q.processAllAvailable()
         loadAvg
       }
-      q.recentProgress.toSeq
+      val durs = q.recentProgress.toSeq
         .filter(_.numInputRows > 0)
         .map(_.durationMs.get("triggerExecution").toDouble)
-        .zip(loads)
+      // the per-batch (duration, load) pairing assumes each addData +
+      // processAllAvailable drains as EXACTLY one non-empty micro-batch;
+      // if the engine ever split one, the zip would silently misalign and
+      // corrupt the per-batch load evidence the record's adjudicability
+      // rests on — fail the record loudly instead (ADVICE r17)
+      require(durs.length == loads.length,
+        s"per-batch evidence misaligned: ${durs.length} non-empty " +
+        s"micro-batches vs ${loads.length} load samples — a feed batch " +
+        "drained as more than one micro-batch; the (ms, load) zip would " +
+        "attribute loads to the wrong batches")
+      durs.zip(loads)
     } finally q.stop()
   }
 

@@ -30,6 +30,34 @@ class KMeansIvfSpec extends SparkSpec {
     assert(dyn == stat)
   }
 
+  test("corpus-sized coarse k (VERDICT r17 #1): the policy clamps " +
+       "ceil(n/targetCell) to [8, kMax], realizes from catalog stats / " +
+       "footer counts, and the fixture fit carries it") {
+    val sq = graft.operators.SimilarityQueries
+    // the policy function, pinned at its corners and at the stress shape
+    assert(sq.sizedIvfK(0L) == 8)
+    assert(sq.sizedIvfK(500L) == 8)            // sf0.01 fixture → legacy k
+    assert(sq.sizedIvfK(2000L) == 8)           // sf0.1 fixture → legacy k
+    assert(sq.sizedIvfK(sq.IvfTargetCell.toLong * 8) == 8)
+    assert(sq.sizedIvfK(sq.IvfTargetCell.toLong * 8 + 1) == 9)
+    assert(sq.sizedIvfK(20000L) == 40)         // the ScaleStress fixture
+    assert(sq.sizedIvfK(Long.MaxValue / 4) == sq.IvfKMax)
+    // the clamp floor cannot outgrow the cap: while k=8 binds, n ≤
+    // 8·targetCell, so even a corpus degenerating into ONE cell stays
+    // within BucketCap; once the clamp releases, expected cell size is
+    // targetCell (8× headroom under the cap)
+    assert(sq.IvfTargetCell * 8 <= graft.api.IvfOps.BucketCap)
+    // n realizes without a scan: footer counts (no catalog registered
+    // for this dir in this spec path) match the fixture row count
+    val n = sq.embRowCount(spark, sf)
+    assert(n == Tables.embeddings(spark, sf).count())
+    // and the served fixture model realizes the policy's k (distinct
+    // cell ids in the centroid table = sizedIvfK(n), modulo empty-cell
+    // demotion which this fixture does not hit)
+    val cents = sq.trainedIvfCentroids(spark, sf)
+    assert(cents.select("cid").distinct().count() == sq.sizedIvfK(n))
+  }
+
   test("KMeans.fit caches the corpus for multi-iteration runs and releases it") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

@@ -778,11 +778,17 @@ object DedupQueries {
       // the winnow family appends too (r16) — full-row distinctness IS
       // the pick layer's contract (winnowPicks ends in .distinct())
       s"g_drv_winpicks_$slug" -> uniqueInvariant("doc_id", "ng", "h", "pos"),
-      s"g_drv_winpairs_$slug" -> uniqueInvariant("da", "db"))
+      s"g_drv_winpairs_$slug" -> uniqueInvariant("da", "db"),
+      // migrated to the manifest-incremental family in r18 (shrink
+      // support) — they fragment like any appending/shrinking layer
+      s"g_drv_typopairs_$slug" -> uniqueInvariant("pa", "pb"),
+      s"g_drv_funlags_$slug" -> uniqueInvariant("user_id", "transition"))
     val out = layers.map { case (t, inv) => (t, compactDerived(s, t, inv)) }
     releaseShingleIndex(s)
     releaseWinnowPicks(s)
     TextQueries.releaseTokenLayer(s)
+    releaseTypoPairs(s)
+    EventTimeQueries.releaseFunnelLags(s)
     out
   }
 
@@ -2618,12 +2624,22 @@ object DedupQueries {
     * construction.
     */
   private[graft] def typoPairsPlan(variants: DataFrame,
-                                   names: DataFrame): DataFrame = {
+                                   names: DataFrame,
+                                   cap: Int = TypoVariantCap): DataFrame =
+    typoVerify(
+      IvfOps.bucketPairs(variants, "blk", "p_partkey",
+          cap = cap, minMembers = 2)
+        .filter(col("a") =!= col("b"))
+        .distinct(),
+      names)
+
+  /** The exact-verify tail over (a, b) candidate pairs: name re-attach,
+    * the length-gap prefilter, per-pair Damerau-Levenshtein — factored
+    * out so the SHRINK closure (r18) can run it over only the candidates
+    * the artifact does not already cover. */
+  private def typoVerify(cand: DataFrame, names: DataFrame): DataFrame = {
     import graft.functions.expressions.StringFunctions.damerau_levenshtein
-    IvfOps.bucketPairs(variants, "blk", "p_partkey",
-        cap = TypoVariantCap, minMembers = 2)
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    cand
       .join(names.as("na"), col("a") === col("na.p_partkey"))
       .join(names.as("nb"), col("b") === col("nb.p_partkey"))
       .filter(abs(length(col("na.p_name")) - length(col("nb.p_name"))) <= 2)
@@ -2632,13 +2648,69 @@ object DedupQueries {
       .filter(col("dist") <= 2)
   }
 
+  /** EXACT decremental shrink of the typo-pair layer (VERDICT r17 #5).
+    * The prescribed both-endpoints-survive semi-join alone is not exact
+    * under the variant-bucket cap: a bucket past [[TypoVariantCap]]
+    * pre-shrink kept only its cap-lowest members, and a removal can pull
+    * a previously-capped-out survivor back INTO the cap — its pairs are
+    * in no artifact. Whether that happened is provably undetectable from
+    * (pairs artifact, survivors): pre-shrink bucket ranks are not a
+    * function of either. So the closure re-derives the candidate
+    * universe from the SURVIVING dimension rows (part is a dimension
+    * table — this is the one layer whose "raw" pass is cheap enough to
+    * re-run, unlike a corpus text re-pass) and tops the semi-join up:
+    *
+    *   kept    = artifact pairs with both endpoints surviving — exact
+    *             members of a rebuild (ranks only DROP under removal, so
+    *             a pre-kept survivor pair stays post-kept; dist is a
+    *             pure name function);
+    *   extras  = post-shrink capped candidates NOT in the artifact,
+    *             verified by Damerau — exactly rebuild \ kept (a rebuild
+    *             pair missing from kept has, by the rank argument, an
+    *             endpoint that was pre-capped-out).
+    *
+    * kept ∪ extras ≡ rebuild, with the expensive per-pair verify paid
+    * only on extras (normally zero rows) — the bucket exchange re-runs,
+    * the O(len²) Damerau on every surviving pair does not. */
+  private[graft] def typoShrinkPlan(art: DataFrame, parts: DataFrame,
+                                    cap: Int = TypoVariantCap): DataFrame = {
+    val names = parts.select("p_partkey", "p_name")
+    val keys = parts.select("p_partkey")
+    val kept = art
+      .join(keys.withColumnRenamed("p_partkey", "pa"), Seq("pa"), "left_semi")
+      .join(keys.withColumnRenamed("p_partkey", "pb"), Seq("pb"), "left_semi")
+    val extras = typoVerify(
+      IvfOps.bucketPairs(typoVariants(parts), "blk", "p_partkey",
+          cap = cap, minMembers = 2)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .join(art.select(col("pa").as("a"), col("pb").as("b")),
+          Seq("a", "b"), "left_anti"),
+      names)
+    kept.select("pa", "pb", "dist")
+      .union(extras.select("pa", "pb", "dist"))
+  }
+
   private def typoPairs(s: SparkSession, d: String): DataFrame =
     typoPairMemo.get(s, "", d) {
-      val pairs = servedDerived(s, d, "typo_pairs", "typopairs",
-          "part.parquet", s"cap$TypoVariantCap") {
-          val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
-          typoPairsPlan(typoVariants(p), p.select("p_partkey", "p_name"))
-        }.cache()
+      // manifest-incremental serve (r18 — migrated from the plain
+      // fingerprint gate so a RETRACTED part file shrinks the layer
+      // instead of forcing a rebuild). Growth still rebuilds: a new part
+      // can displace old members from capped buckets (ranks can move
+      // DOWN as ids arrive below them), so an append is not per-row
+      // exact — acceptPaths vetoes it up front.
+      val p = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type")
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_typopairs_${d.replaceAll("[^A-Za-z0-9]+", "_")}",
+        s"$d/part.parquet", s"cap$TypoVariantCap:v2",
+        typoPairsPlan(typoVariants(p), p.select("p_partkey", "p_name")),
+        _ => { throw new IllegalStateException(
+          "typo_pairs buildDelta unreachable: acceptPaths vetoes growth") },
+        acceptPaths = _ => false,
+        buildShrink = art => Some(typoShrinkPlan(art, p)),
+        compactInvariant = uniqueInvariant("pa", "pb"))
+      noteDerivedSource(s, "typo_pairs", src)
+      val pairs = df.cache()
       pairs.count() // eager: a lazily-cached heavy layer recomputes on eviction races
       pairs
     }

@@ -65,8 +65,14 @@ object EventTimeQueries {
       .withColumn("p_ms", min(when(col("event_type") === "purchase" &&
         col("ems") >= col("c_ms"), col("ems"))).over(w))
       .groupBy("user_id")
+      // __nev (r18): the user's TOTAL event count, riding the funnel's
+      // one user_id exchange — the shrink closure's "is this user's
+      // artifact state still exact?" witness (a removal that touched a
+      // user's events, funnel-typed or not, strictly lowers it; see
+      // [[funnelLagSet]]). Consumers aggregate named columns, so the
+      // extra column is inert outside the persisted layer.
       .agg(max("v_ms").as("v_ms"), max("c_ms").as("c_ms"),
-           max("p_ms").as("p_ms"))
+           max("p_ms").as("p_ms"), count(lit(1)).as("__nev"))
   }
 
   /** q_event_churn core over (user_id, ems) rows — per epoch week:
@@ -98,7 +104,15 @@ object EventTimeQueries {
   /** The 2-rows-per-converting-user (transition, lag_ms) unpivot of
     * [[funnelStageTimes]] — the layer [[funnelLagSet]] memoizes. */
   private def funnelLagPlan(ev: DataFrame): DataFrame =
-    funnelStageTimes(ev).selectExpr(
+    funnelLagLayerPlan(ev).select("transition", "lag_ms")
+
+  /** [[funnelLagPlan]] in its PERSISTED-LAYER shape (r18): user_id and
+    * the user's build-time event count ride each lag row, so the shrink
+    * closure can decide per user whether the artifact rows are still
+    * exact. Quantile consumers name their columns; the extras are inert
+    * to them. */
+  private def funnelLagLayerPlan(ev: DataFrame): DataFrame =
+    funnelStageTimes(ev).selectExpr("user_id", "__nev",
       "stack(2, 'view_to_click', c_ms - v_ms, " +
       "'click_to_purchase', p_ms - c_ms) AS (transition, lag_ms)")
       .filter(col("lag_ms").isNotNull)
@@ -132,11 +146,58 @@ object EventTimeQueries {
   private val funnelLagMemo =
     new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
+  /** Serves (user_id, __nev, transition, lag_ms) via the
+    * manifest-incremental machinery (r18 — migrated from the plain
+    * fingerprint gate so a retracted events file SHRINKS the layer).
+    *
+    * SHRINK exactness: a user's lag rows are a pure function of that
+    * user's event set, and every stage time is a MIN over a candidate
+    * set that only shrinks when events are removed — so a user absent
+    * from the artifact (non-converting) can never GAIN lag rows under
+    * removal, and a user whose surviving event count equals the stored
+    * `__nev` lost nothing (counts strictly decrease per removed event —
+    * a partial removal cannot be masked). The closure therefore keeps
+    * intact users' rows verbatim, recomputes ONLY touched users (count
+    * moved) over their surviving events, and drops tombstoned users
+    * (absent from the surviving counts). Cost: one map-side-combinable
+    * count aggregation over surviving events + the funnel window over
+    * the touched users only — never the full window pipeline a rebuild
+    * pays. All-intact shrinks commit sidecar-only (the reference-equal
+    * contract). GROWTH still rebuilds: new events can raise a user's
+    * stage times non-monotonically relative to the stored rows
+    * (acceptPaths vetoes it up front).
+    */
   private[operators] def funnelLagSet(s: SparkSession, d: String): DataFrame =
     funnelLagMemo.get(s, "", d) {
-      val lags = DedupQueries.servedDerived(s, d, "funnel_lags", "funlags",
-          "events.parquet", "stack2")(funnelLagPlan(ems(s, d)))
-        .cache()
+      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+        s, s"g_drv_funlags_${d.replaceAll("[^A-Za-z0-9]+", "_")}",
+        s"$d/events.parquet", "stack3-nev",
+        funnelLagLayerPlan(ems(s, d)),
+        _ => { throw new IllegalStateException(
+          "funnel_lags buildDelta unreachable: acceptPaths vetoes growth") },
+        acceptPaths = _ => false,
+        buildShrink = art => {
+          val cols = Seq("user_id", "__nev", "transition", "lag_ms")
+          val surv = ems(s, d).groupBy("user_id")
+            .agg(count(lit(1)).as("__n2"))
+          val verdicts = art.select("user_id", "__nev").distinct()
+            .join(surv, Seq("user_id"), "left")
+          val touched = verdicts
+            .filter(col("__n2").isNull || col("__n2") =!= col("__nev"))
+            .select("user_id")
+          if (touched.isEmpty) Some(art) // all intact: sidecar-only
+          else {
+            val kept = art.join(touched, Seq("user_id"), "left_anti")
+            val redone = funnelLagLayerPlan(
+              ems(s, d).join(touched, Seq("user_id"), "left_semi"))
+            Some(kept.select(cols.map(col): _*)
+              .union(redone.select(cols.map(col): _*)))
+          }
+        },
+        compactInvariant =
+          DedupQueries.uniqueInvariant("user_id", "transition"))
+      DedupQueries.noteDerivedSource(s, "funnel_lags", src)
+      val lags = df.cache()
       lags.count() // eager: a lazily-cached layer recomputes on eviction races
       lags
     }

@@ -931,6 +931,147 @@ class DerivedArtifactsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.compact.fileGroups")
   }
 
+  test("typo-pair layer SHRINKS on a retracted part file (VERDICT r17 " +
+       "#5): kept pairs semi-join, the layer equals a live rebuild, and " +
+       "the phase reads shrink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mftypo").toString
+    val partPath = s"$dir/part.parquet"
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(partPath).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    def rowsOf: Set[Seq[Any]] =
+      SparkEntry.queries("q_dedup_typos")(spark, dir).collect()
+        .map(_.toSeq).toSet
+    // batch 1: two 1-edit-apart names (pair) + one far name, one block
+    Seq((1L, "widget alpha", "B1", "T1"), (2L, "widget alphb", "B1", "T1"),
+        (3L, "unrelated zebra thing", "B1", "T1"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+      .coalesce(1).write.mode("append").parquet(partPath)
+    val f1 = dataFiles.map(_.getName).toSet
+    // batch 2 (to be deleted): 4 pairs with 1 and 2
+    Seq((4L, "widget alphc", "B1", "T1"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+      .coalesce(1).write.mode("append").parquet(partPath)
+    val full = rowsOf
+    assert(full.map(p => (p.head, p(1))) ==
+      Set((1L, 2L), (1L, 4L), (2L, 4L)), full)
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, partPath)
+    DedupQueries.releaseTypoPairs(spark)
+    val shrunk = rowsOf
+    assert(DedupQueries.derivedSourceOf(spark, "typo_pairs") == "shrink",
+      DedupQueries.derivedSourceOf(spark, "typo_pairs"))
+    // shrink ≡ a live rebuild over the surviving catalog
+    val p = spark.read.parquet(partPath)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    val live = DedupQueries
+      .typoPairsPlan(DedupQueries.typoVariants(p),
+        p.select("p_partkey", "p_name"))
+      .collect().map(_.toSeq).toSet
+    assert(shrunk == live)
+    assert(shrunk.map(x => (x.head, x(1))) == Set((1L, 2L)), shrunk)
+    DedupQueries.releaseTypoPairs(spark)
+  }
+
+  test("typo shrink under CAP DEMOTION stays exact: a removal that pulls " +
+       "a capped-out part back under the variant cap tops the semi-join " +
+       "up with verified extras — kept ∪ extras ≡ rebuild (r18)") {
+    import spark.implicits._
+    // 5 identical names in one block, cap 3: pairs pre-shrink are among
+    // ranks {1,2,3}; parts 4 and 5 are capped OUT of pair generation
+    def parts(keys: Seq[Long]) = keys
+      .map(i => (i, "same exact name", "B1", "T1"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    val all = parts(Seq(1L, 2L, 3L, 4L, 5L))
+    val art = DedupQueries.typoPairsPlan(
+      DedupQueries.typoVariants(all),
+      all.select("p_partkey", "p_name"), cap = 3)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(art) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // remove part 1: part 4 demotes INTO the cap — its pairs are in no
+    // artifact; the plain semi-join would silently lose them
+    val surv = parts(Seq(2L, 3L, 4L, 5L))
+    val shrunk = pairsOf(
+      DedupQueries.typoShrinkPlan(art, surv, cap = 3))
+    val rebuild = pairsOf(DedupQueries.typoPairsPlan(
+      DedupQueries.typoVariants(surv),
+      surv.select("p_partkey", "p_name"), cap = 3))
+    assert(shrunk == rebuild)
+    assert(shrunk == Set((2L, 3L), (2L, 4L), (3L, 4L)), shrunk)
+  }
+
+  test("funnel-lag layer SHRINKS per user on a retracted events file: " +
+       "intact users keep artifact rows, touched users recompute over " +
+       "surviving events, tombstoned users drop; an untouched-layer " +
+       "retraction commits sidecar-only (VERDICT r17 #5)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mffun").toString
+    val evPath = s"$dir/events.parquet"
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(evPath).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    def ev(id: Long, u: Long, ms: Long, t: String) =
+      (id, u, ms * 1000000L, t) // ts in ns; the layer reads ems = ts/1e6
+    // batch 1: user 100 full funnel; user 200 view+click
+    Seq(ev(1, 100, 1000, "view"), ev(2, 100, 2000, "click"),
+        ev(3, 100, 5000, "purchase"),
+        ev(4, 200, 1000, "view"), ev(5, 200, 4000, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(evPath)
+    val f1 = dataFiles.map(_.getName).toSet
+    // batch 2: user 200 purchases (their click_to_purchase exists only
+    // with this file); user 300 full funnel; user 400 view-only
+    Seq(ev(6, 200, 9000, "purchase"),
+        ev(7, 300, 1000, "view"), ev(8, 300, 1500, "click"),
+        ev(9, 300, 2500, "purchase"), ev(10, 400, 1000, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(evPath)
+    def q: Seq[Seq[Any]] =
+      SparkEntry.queries("q_event_funnel_time")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+    val full = q
+    assert(full.nonEmpty)
+    // DELETE batch 2: user 100 intact, user 200 touched (count 3 → 2,
+    // click_to_purchase must vanish but view_to_click survive), user
+    // 300 tombstoned, user 400 was never in the layer
+    dataFiles.filterNot(f => f1(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, evPath)
+    operators.EventTimeQueries.releaseFunnelLags(spark)
+    val shrunk = q
+    assert(DedupQueries.derivedSourceOf(spark, "funnel_lags") == "shrink",
+      DedupQueries.derivedSourceOf(spark, "funnel_lags"))
+    // shrink ≡ rebuild: the query over the served layer equals the live
+    // funnel over the surviving events
+    val live = operators.EventTimeQueries.funnelTime(
+      spark.read.parquet(evPath)
+        .withColumn("ems",
+          org.apache.spark.sql.functions.expr("ts div 1000000")))
+      .collect().map(_.toSeq).toSeq
+    assert(shrunk == live, s"shrunk=$shrunk live=$live")
+    assert(shrunk != full)
+    // batch 3: ONE view-only user in its own file, then retract it —
+    // no artifact user is touched, so the closure returns the artifact
+    // frame itself and the commit is sidecar-only (still "shrink")
+    val f2 = dataFiles.map(_.getName).toSet
+    Seq(ev(11, 500, 1000, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(evPath)
+    Tables.invalidate(spark, evPath)
+    operators.EventTimeQueries.releaseFunnelLags(spark)
+    q // serves (rebuild or append-veto rebuild — growth path)
+    dataFiles.filterNot(f => f2(f.getName)).foreach(f => assert(f.delete()))
+    Tables.invalidate(spark, evPath)
+    operators.EventTimeQueries.releaseFunnelLags(spark)
+    val afterNoop = q
+    assert(DedupQueries.derivedSourceOf(spark, "funnel_lags") == "shrink")
+    assert(afterNoop == shrunk)
+    operators.EventTimeQueries.releaseFunnelLags(spark)
+  }
+
   test("token layer appends per-doc exactly on a grown docs dir") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

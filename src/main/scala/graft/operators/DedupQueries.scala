@@ -796,7 +796,7 @@ object DedupQueries {
     * q_dedup_ngram criterion) over a capped index + its pair table — ONE
     * definition shared by the full cluster build and the incremental
     * relabel's new-edge extraction. */
-  private def verifiedNearDupEdges(sh: DataFrame,
+  private[graft] def verifiedNearDupEdges(sh: DataFrame,
                                    pairTable: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairTable

@@ -181,8 +181,13 @@ object ScaleStress {
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .agg(max("n")).collect()(0).getLong(0)
 
+    // the committed record APPENDS one line per run (VERDICT r17 #6 —
+    // the series is the scale story a reviewer audits); the note names
+    // what changed since the previous line
+    val note = sys.env.get("SPARK_GRAFT_STRESS_NOTE")
+      .map(n => s""""note":"$n",""").getOrElse("")
     val line =
-      s"""{"metric":"scale_stress","docs":$nDocs,"vecs":$nVecs,""" +
+      s"""{"metric":"scale_stress",$note"docs":$nDocs,"vecs":$nVecs,""" +
       s""""ref":"~10x sf0.1 with planted power-law keys",""" +
       s""""phases":{${phases.map(_._2).mkString(",")}},""" +
       s""""bounds":{"df_cap":${dq.DfCapValue},""" +

@@ -931,6 +931,81 @@ class DerivedArtifactsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.compact.fileGroups")
   }
 
+  test("compaction policy GUARDS (ADVICE r17): a stale-tag artifact is " +
+       "not compacted before its rebuild, and a non-contention skip " +
+       "(failing invariant) backs off until the layer is written again") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mfguard").toString
+    val table = "g_drv_spec_policyguard"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    rm(new java.io.File(s"$wh/$table"))
+    rm(new java.io.File(s"$wh/${table}__mf"))
+    val invariantCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    var invariantVerdict = true
+    def serve(tag: String) = IndexArtifacts.serveDerivedIncremental(
+      spark, table, src, tag,
+      spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
+      paths => spark.read.parquet(paths: _*)
+        .select(col("k"), (col("k") * 10).as("d")),
+      compactInvariant = _ => {
+        invariantCalls.incrementAndGet(); invariantVerdict
+      })
+    def fragment(tag: String, los: Seq[Long]): Unit = {
+      // knob OFF while fragmenting — an active policy would compact the
+      // accretion away before the guards under test ever see it
+      spark.conf.set("spark.graft.compact.fileGroups", "0")
+      for (lo <- los) {
+        (lo to lo + 1).toDF("k").coalesce(1).write.mode("append").parquet(src)
+        Tables.invalidate(spark, src)
+        assert(serve(tag)._2 == "append")
+      }
+      assert(IndexArtifacts.fileGroupCount(spark, s"$wh/$table") > 2)
+      spark.conf.set("spark.graft.compact.fileGroups", "2")
+    }
+    try {
+      (1L to 3L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+      spark.conf.set("spark.graft.compact.fileGroups", "0")
+      assert(serve("t1")._2 == "rebuild")
+      fragment("t1", Seq(4L, 6L, 8L))
+      // 1) TAG MISMATCH: the policy must skip BEFORE paying the
+      // count/invariant scan — the serve is about to rebuild anyway
+      invariantCalls.set(0)
+      assert(serve("t2")._2 == "rebuild") // tag change → exact rebuild
+      assert(invariantCalls.get == 0,
+        "a stale-tag artifact must not be compacted pre-rebuild")
+      // re-fragment under the NEW tag
+      fragment("t2", Seq(10L, 12L, 14L))
+      // 2) NON-CONTENTION SKIP BACKS OFF: a failing invariant would
+      // re-pay the full-artifact scan on EVERY serve — after one skip
+      // the policy must memoize and stop retrying
+      invariantVerdict = false
+      invariantCalls.set(0)
+      assert(serve("t2")._2 == "artifact")
+      assert(invariantCalls.get == 1, s"calls: ${invariantCalls.get}")
+      assert(serve("t2")._2 == "artifact")
+      assert(invariantCalls.get == 1,
+        "the failed compaction must memoize — no retry on an unchanged layer")
+      // 3) A WRITE CLEARS THE BACKOFF: the layer changed, so the next
+      // fragmented serve may try again (and succeed once the invariant
+      // holds again)
+      spark.conf.set("spark.graft.compact.fileGroups", "0")
+      (16L to 17L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+      Tables.invalidate(spark, src)
+      assert(serve("t2")._2 == "append")
+      spark.conf.set("spark.graft.compact.fileGroups", "2")
+      invariantVerdict = true
+      invariantCalls.set(0)
+      val (df, how) = serve("t2")
+      assert(how == "artifact")
+      assert(invariantCalls.get == 1, "backoff must clear after a write")
+      assert(IndexArtifacts.fileGroupCount(spark, s"$wh/$table") == 1)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        (1L to 17L).map(k => (k, k * 10)).toSet)
+    } finally spark.conf.unset("spark.graft.compact.fileGroups")
+  }
+
   test("typo-pair layer SHRINKS on a retracted part file (VERDICT r17 " +
        "#5): kept pairs semi-join, the layer equals a live rebuild, and " +
        "the phase reads shrink") {

@@ -925,7 +925,12 @@ object IndexArtifacts {
       ).getOrElse((buildAll, "rebuild")) // contended: live build, no write
     }
     // a write branch changed the artifact — a memoized compaction
-    // failure no longer describes it
+    // failure no longer describes it. (A contended serve also reports
+    // "rebuild" without writing, so a foreign-lease degrade clears the
+    // memo too — the cost is one redundant compaction attempt on the
+    // next fragmented serve, never a correctness issue; distinguishing
+    // the two would thread a wrote-flag through serveLocked for no
+    // repair-path gain.)
     if (out._2 != "artifact") compactPolicyBackoff.remove(path): Unit
     out
   }

@@ -58,6 +58,77 @@ class KMeansIvfSpec extends SparkSpec {
     assert(cents.select("cid").distinct().count() == sq.sizedIvfK(n))
   }
 
+  test("sized k ENGAGED (k > 8): recall holds and the realized cells " +
+       "track the policy on a corpus past the clamp floor") {
+    import spark.implicits._
+    val sq = graft.operators.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("sizedk").toString
+    // 16 planted direction clusters of ~330 vectors each (5,280 total →
+    // k = ceil(5280/512) = 11): true neighbours share a cluster, so
+    // recall is a property of the split, not of random-cosine luck
+    def vec(i: Long): Seq[Float] = {
+      val c = (i % 16).toInt
+      (0 until 64).map { j =>
+        val center = ((c * 131 + j * 17) % 101).toFloat / 101f
+        val jitter = ((i * 7 + j * 3) % 13).toFloat / 1300f
+        center + jitter
+      }
+    }
+    (0L until 5280L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val n = sq.embRowCount(spark, dir)
+      assert(n == 5280L && sq.sizedIvfK(n) == 11)
+      val cents = sq.trainedIvfCentroids(spark, dir)
+      val kReal = cents.select("cid").distinct().count()
+      assert(kReal == 11, s"realized k: $kReal")
+      // no cell may exceed the bucket cap (the r17 recall-cliff bound),
+      // and the planted clusters must not all collapse into one cell
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cells = graft.api.IvfOps.assign(
+          e, graft.api.IvfOps.centroidBlock(cents, "cid", "cv"), nProbe = 1)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1))
+      assert(cells.max <= graft.api.IvfOps.BucketCap,
+        s"max cell ${cells.max}")
+      assert(cells.length >= 8, s"cells: ${cells.length}")
+      // recall@3 vs brute force over 12 probe queries through the
+      // PRODUCTION annTopK path at the engaged k
+      val qs = e.filter(col("vec_id") % 440 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val got = graft.api.IvfOps
+        .annTopK(e, "vec_id", "v", qs, "q_id", "qv", cents, k = 3)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = e.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") % 440 === 0)
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("nid"),
+          cosine_sim(col("a.v"), col("b.v")).as("s"))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("s").desc, col("nid").asc)))
+        .filter(col("rnk") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(brute.keySet == got.keySet && brute.size == 12)
+      val hits = brute.map { case (q, truth) =>
+        (got(q) intersect truth).size
+      }.sum
+      val recall = hits.toDouble / (brute.size * 3)
+      assert(recall >= 0.8, s"recall@3 at sized k=11: $recall")
+    } finally {
+      sq.releaseTrainedModels(spark)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      for (kind <- Seq("ivf", "pq", "ivfpq", "pca"))
+        graft.api.IndexArtifacts.dropModel(spark, s"g_model_${kind}_$slug")
+    }
+  }
+
   test("KMeans.fit caches the corpus for multi-iteration runs and releases it") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),

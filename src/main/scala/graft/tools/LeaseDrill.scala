@@ -154,9 +154,31 @@ object LeaseDrill {
       Thread.sleep(100)
     val parentSrcs = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    var compactions = 0
+    var shrinks = 0
     val rng = new scala.util.Random(11)
-    for (_ <- 1 to 12) {
-      grow(1 + rng.nextInt(2))
+    // the parent's maintenance mix: growth every round, plus SHRINKS
+    // (delete a source file) and COMPACTIONS racing the child's serves —
+    // the full serve+compact+shrink contention the ask names. Writers
+    // stay lease-serialized; the child-as-reader may degrade to a live
+    // build mid-swap (the documented maintenance-window contract), but
+    // must never read or commit corrupt state.
+    def dataFilesOf(p: String): Seq[java.io.File] =
+      Option(new java.io.File(p).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    for (i <- 1 to 12) {
+      // a shrink round deletes INSTEAD of growing — a grow+delete in one
+      // round reads as a MUTATION (rebuild), masking the shrink branch
+      val fs = dataFilesOf(src)
+      if (i % 4 == 0 && fs.length >= 3) {
+        fs(rng.nextInt(fs.length)).delete(): Unit
+        shrinks += 1
+      } else grow(1 + rng.nextInt(2))
+      if (i % 3 == 0 &&
+          IndexArtifacts.compactDerived(s, tableA,
+            a => a.groupBy("k").count().filter(col("count") > 1).isEmpty))
+        compactions += 1
       val (_, how) = serve(s, tableA, src)
       parentSrcs(how) += 1
       Thread.sleep(80 + rng.nextInt(200).toLong)
@@ -166,11 +188,13 @@ object LeaseDrill {
     val childSrcs = childLines.filter(_.startsWith("ROUND"))
       .flatMap(_.split(" ").find(_.startsWith("src=")).map(_.drop(4)))
       .groupBy(identity).map { case (k, v) => (k, v.size) }
-    // the ground truth: layer ≡ live plan, zero duplicate keys, honest
+    // the ground truth: layer ≡ live plan over the SURVIVING source
+    // (shrinks retracted whole files), zero duplicate keys, honest
     // sidecar — completed racing appends would fail all three
     val (fin, finHow) = serve(s, tableA, src)
     val got = fin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val want = (0L until nextK).map(k => (k, k * 10))
+    val want = s.read.parquet(src).select("k").collect()
+      .map(_.getLong(0)).sorted.map(k => (k, k * 10)).toSeq
     assert(got.toSeq == want,
       s"phase A artifact diverged: got ${got.length} rows, " +
       s"want ${want.length} (dups or losses under the race)")
@@ -183,6 +207,7 @@ object LeaseDrill {
       s""""child_rounds":${childLines.count(_.startsWith("ROUND"))},""" +
       s""""child_sources":${m(childSrcs)},""" +
       s""""parent_sources":${m(parentSrcs.toMap)},""" +
+      s""""parent_shrinks":$shrinks,"parent_compactions":$compactions,""" +
       s""""final_source":"$finHow","final_rows":${got.length},""" +
       s""""rows_exact":true,"sidecar_honest":true}""")
 
@@ -208,9 +233,10 @@ object LeaseDrill {
     assert(heldToken.nonEmpty, "holder's lease should carry its token")
     // a TOKEN'd fresh lease blocks: serves degrade to live builds with
     // no artifact write for the whole TTL
+    val liveKeys = s.read.parquet(src).count() // shrinks retracted files
     val (dfB1, howB1) = serve(s, tableB, src)
     assert(howB1 == "rebuild", s"expected degraded live build, got $howB1")
-    assert(dfB1.count() == nextK, "degraded build must still be correct")
+    assert(dfB1.count() == liveKeys, "degraded build must still be correct")
     assert(!new java.io.File(s"$wh/${tableB}__mf").exists,
       "a blocked writer must not commit")
     assert(leaseB.exists, "a live-TTL foreign lease must survive the serve")
@@ -220,7 +246,7 @@ object LeaseDrill {
       System.currentTimeMillis() - IndexArtifacts.LeaseTtlMs - 60000))
     val (dfB2, howB2) = serve(s, tableB, src)
     assert(howB2 == "rebuild", s"reclaim serve: $howB2")
-    assert(dfB2.count() == nextK)
+    assert(dfB2.count() == liveKeys)
     assert(!leaseB.exists, "the broken lease must be gone")
     assert(new java.io.File(s"$wh/${tableB}__mf").exists,
       "the reclaiming serve must commit")

@@ -310,6 +310,7 @@ object LifecycleFuzz {
 
   def main(args: Array[String]): Unit = {
     val seqs = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_SEQS", "20").toInt
+    val seed0 = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_SEED", "42").toLong
     val steps = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_STEPS", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -321,13 +322,13 @@ object LifecycleFuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val out = sweep(spark, seed0 = 42L, seqs = seqs, steps = steps)
+    val out = sweep(spark, seed0 = seed0, seqs = seqs, steps = steps)
     val sec = (System.nanoTime() - t0) / 1e9
     def m(kv: Map[String, Int]) = kv.toSeq.sorted
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"lifecycle_property","sequences":${out.seqs * 2},""" +
-      s""""steps_per_seq":${out.steps},"seed0":42,""" +
+      s""""steps_per_seq":${out.steps},"seed0":$seed0,""" +
       s""""ops":${m(out.ops)},"serve_sources":${m(out.serves)},""" +
       s""""asserts_per_step":"layer==live-plan x5 (shingle) / """ +
       s"""index==cold-re-encode + id coverage (model), sidecar counts",""" +

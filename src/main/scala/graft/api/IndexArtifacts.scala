@@ -901,20 +901,24 @@ object IndexArtifacts {
     //
     // Two policy guards (ADVICE r17): (1) a sidecar whose TAG mismatches
     // this serve's tag is about to be REBUILT — compacting it first is
-    // pure wasted work, so the policy skips; (2) a compaction that
-    // skipped for a NON-contention reason (torn count, failing
-    // invariant) would skip identically on every later serve while
-    // re-paying the full-artifact count/invariant scan each time — the
-    // failed attempt memoizes per JVM and the policy backs off until a
-    // serve WRITES the layer again (append/shrink/rebuild change the
-    // state the compaction rejected).
+    // pure wasted work, so the policy skips (`expectedTag` folds the
+    // probe into the compaction's own sidecar read — no separate job);
+    // (2) a compaction that skipped for a DETERMINISTIC reason (torn
+    // count, failing invariant) would skip identically on every later
+    // serve while re-paying the full-artifact count/invariant scan each
+    // time — the failed attempt memoizes per JVM and the policy backs
+    // off until a serve WRITES the layer again (append/shrink/rebuild
+    // change the state the compaction rejected). A TRANSIENT abort
+    // ("failed": lost fence, rename error) does NOT back off — the
+    // layout is intact and a retry can succeed (r18 self-review).
     val k = compactFileGroupsK(s)
     if (k > 0 && fileGroupCount(s, path) > k &&
-        !compactPolicyBackoff.containsKey(path) &&
-        sidecarTag(s, path).contains(tag)) {
-      compactDerivedStatus(s, table, compactInvariant) match {
+        !compactPolicyBackoff.containsKey(path)) {
+      compactDerivedStatus(s, table, compactInvariant,
+          expectedTag = Some(tag)) match {
         case "skipped" => compactPolicyBackoff.put(path, true): Unit
-        case _ => // compacted (layout reset) or contended (retry later)
+        case _ => // compacted / stale (rebuild imminent) / failed /
+                  // contended — all leave the policy armed
       }
     }
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
@@ -940,18 +944,6 @@ object IndexArtifacts {
     * by the artifact-table vocabulary. */
   private val compactPolicyBackoff =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
-  /** The committed sidecar's build tag, if the sidecar is readable and
-    * well-formed — the policy's cheap "is this artifact even current?"
-    * probe. */
-  private def sidecarTag(s: SparkSession, path: String): Option[String] =
-    try {
-      if (!pathExists(s, path + "__mf")) None
-      else {
-        val rows = s.read.parquet(path + "__mf").collect()
-        if (rows.length == 1) Some(rows(0).getAs[String]("tag")) else None
-      }
-    } catch { case _: Exception => None }
 
   /** The compaction-policy knob: a manifest-incremental layer compacts at
     * the next serve once it exceeds this many write-job FILE GROUPS
@@ -1308,29 +1300,43 @@ object IndexArtifacts {
 
   /** [[compactDerived]] with the skip REASON distinguished — the serve
     * policy's backoff needs to know whether a false was a live foreign
-    * lease ("contended", worth retrying) or a validation failure
-    * ("skipped": torn count / failing invariant / absent artifact, which
-    * would fail identically on every retry — ADVICE r17). */
+    * lease ("contended", worth retrying), a DETERMINISTIC validation
+    * failure ("skipped": torn count / failing invariant / malformed or
+    * absent artifact, which would fail identically on every retry until
+    * the next write — ADVICE r17), a TRANSIENT failure ("failed": fence
+    * lost after the tmp write, a rename that didn't take, a tmp/post-swap
+    * count mismatch, or any thrown I/O error — the aborted attempt left
+    * the original layout intact and a retry can succeed, so memoizing it
+    * would silently disable the policy forever on a read-only layer —
+    * r18 self-review), or a tag mismatch against `expectedTag` ("stale":
+    * the caller's serve is about to REBUILD this artifact, compacting
+    * first is pure waste). Passing `expectedTag` folds the policy's
+    * currency probe into the sidecar read this function performs anyway,
+    * saving the guard's separate one-row parquet job. */
   private[graft] def compactDerivedStatus(
       s: SparkSession, table: String,
       assertInvariant: DataFrame => Boolean = _ => true,
-      targetFiles: Int = 8): String = {
+      targetFiles: Int = 8,
+      expectedTag: Option[String] = None): String = {
     import org.apache.hadoop.fs.Path
     val path = modelPath(s, table)
     val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
     monitor.synchronized {
       withLease(s, path) { fence =>
         try {
-          if (!pathExists(s, path + "__mf") || !pathExists(s, path)) false
+          if (!pathExists(s, path + "__mf") || !pathExists(s, path))
+            "skipped"
           else {
             val rows = s.read.parquet(path + "__mf").collect()
-            if (rows.length != 1) false
+            if (rows.length != 1) "skipped"
+            else if (expectedTag.exists(_ != rows(0).getAs[String]("tag")))
+              "stale"
             else {
               val n = rows(0).getAs[Long]("n")
-              if (parquetRowCount(s, path) != n) false // torn append
+              if (parquetRowCount(s, path) != n) "skipped" // torn append
               else {
                 val art = s.read.parquet(path)
-                if (!assertInvariant(art)) false
+                if (!assertInvariant(art)) "skipped"
                 else {
                   val tmp = path + "__compact"
                   val fs = new Path(path)
@@ -1338,7 +1344,7 @@ object IndexArtifacts {
                   try fs.delete(new Path(tmp), true)
                   catch { case _: Exception => } // stale leftover
                   art.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
-                  if (parquetRowCount(s, tmp) == n && fence()) {
+                  val st = if (parquetRowCount(s, tmp) == n && fence()) {
                     // swap via rename-ASIDE, not delete-then-rename: a
                     // failed rename-in restores the original layout, and
                     // a crash mid-swap leaves a missing artifact the next
@@ -1358,19 +1364,19 @@ object IndexArtifacts {
                     // drop any cached file listing of the old layout
                     try s.catalog.refreshByPath(path)
                     catch { case _: Exception => }
-                    ok
+                    if (ok) "compacted" else "failed"
                   } else {
                     try fs.delete(new Path(tmp), true)
                     catch { case _: Exception => }
-                    false
+                    "failed" // lost fence or torn tmp — retry-worthy
                   }
+                  st
                 }
               }
             }
           }
-        } catch { case _: Exception => false }
-      }.map(ok => if (ok) "compacted" else "skipped")
-        .getOrElse("contended")
+        } catch { case _: Exception => "failed" }
+      }.getOrElse("contended")
     }
   }
 

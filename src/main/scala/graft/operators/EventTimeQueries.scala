@@ -169,7 +169,14 @@ object EventTimeQueries {
     */
   private[operators] def funnelLagSet(s: SparkSession, d: String): DataFrame =
     funnelLagMemo.get(s, "", d) {
-      val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(
+      // the shrink closure's touched-user set is referenced by its OWN
+      // emptiness probe plus both union branches of the rewrite — cache
+      // it eagerly so the count aggregation over surviving events runs
+      // ONCE (the documented shrink cost), not once per consumer
+      // (r18 self-review); released after the serve commits
+      var touchedCache: Option[DataFrame] = None
+      val (df, src) = try {
+        graft.api.IndexArtifacts.serveDerivedIncremental(
         s, s"g_drv_funlags_${d.replaceAll("[^A-Za-z0-9]+", "_")}",
         s"$d/events.parquet", "stack3-nev",
         funnelLagLayerPlan(ems(s, d)),
@@ -184,8 +191,9 @@ object EventTimeQueries {
             .join(surv, Seq("user_id"), "left")
           val touched = verdicts
             .filter(col("__n2").isNull || col("__n2") =!= col("__nev"))
-            .select("user_id")
-          if (touched.isEmpty) Some(art) // all intact: sidecar-only
+            .select("user_id").cache()
+          touchedCache = Some(touched)
+          if (touched.count() == 0L) Some(art) // all intact: sidecar-only
           else {
             val kept = art.join(touched, Seq("user_id"), "left_anti")
             val redone = funnelLagLayerPlan(
@@ -196,6 +204,7 @@ object EventTimeQueries {
         },
         compactInvariant =
           DedupQueries.uniqueInvariant("user_id", "transition"))
+      } finally touchedCache.foreach(_.unpersist(blocking = false))
       DedupQueries.noteDerivedSource(s, "funnel_lags", src)
       val lags = df.cache()
       lags.count() // eager: a lazily-cached layer recomputes on eviction races

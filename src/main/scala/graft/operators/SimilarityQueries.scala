@@ -138,6 +138,16 @@ object SimilarityQueries {
                                  d: String): String =
     Option(modelSource.get((s, kind, d))).getOrElse("unbuilt")
 
+  /** The model ARTIFACT's file-manifest epoch as observed when the
+    * session memo filled — keyed like [[modelCache]], cleared with it.
+    * Downstream encoded-index tags read THIS, never a fresh disk stat:
+    * the tag must describe the model frames the encode actually used.
+    * None = the artifact was absent at fill (unwritable warehouse) —
+    * the caller falls back to digesting the in-memory rows. */
+  private val modelEpochAtLoad =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), Option[String]]()
+
   /** Fingerprint-scheme version: folded into every model tag so the r17
     * migration from the undigested [[graft.api.IndexArtifacts
     * .fileFingerprint]] to the CONTENT-DIGEST manifest fingerprint
@@ -169,7 +179,7 @@ object SimilarityQueries {
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_${kind}_$slug"
       val src = s"$d/embeddings.parquet"
-      graft.api.IndexArtifacts
+      val served = graft.api.IndexArtifacts
         .readModelFrozen(s, table, src, tag + ModelFpVersion) match {
         case Some((m, how)) =>
           modelSource.put((s, kind, d), how); m
@@ -180,6 +190,14 @@ object SimilarityQueries {
           modelSource.put((s, kind, d), "fit")
           m
       }
+      // record the model-artifact epoch OBSERVED at fill time: a
+      // downstream encoded-index tag must describe the frames this memo
+      // actually serves, not whatever a FOREIGN retrain later puts on
+      // disk — stat'ing the artifacts at serve time could bless a
+      // stale-model encode under a fresh-epoch tag (r18 self-review)
+      modelEpochAtLoad.put((s, kind, d),
+        graft.api.IndexArtifacts.modelArtifactEpoch(s, table))
+      served
     }
 
   /** Periodic retrain: drop the dir's persisted model artifacts and the
@@ -550,20 +568,27 @@ object SimilarityQueries {
 
   /** The "models unchanged" epoch component of the encoded-index tag —
     * by preference the model ARTIFACTS' file-manifest digest
-    * ([[graft.api.IndexArtifacts.modelArtifactEpoch]]): a driver-side
+    * ([[graft.api.IndexArtifacts.modelArtifactEpoch]]) as RECORDED when
+    * the session memo filled ([[modelEpochAtLoad]]): a driver-side
     * stat + bounded CRC that changes exactly at refit, so the per-serve
     * cost is zero Spark jobs where the r17 form collected the model
     * frames every session (VERDICT r17 #4 — the ~0.5 s/session floor
-    * line item). Falls back to the canonical rows digest when an
-    * artifact dir is absent (unwritable warehouse); a scheme mix between
-    * sessions can only mismatch the tag → one extra rebuild, never a
-    * stale serve. */
+    * line item). The AT-LOAD epoch, not a fresh stat, is load-bearing
+    * (r18 self-review): the caller encodes with the MEMOIZED frames, so
+    * a foreign retrain between memo fill and index serve would otherwise
+    * stamp a stale-model encode with the fresh epoch — every later
+    * session would then tag-match and serve the mismatched index as
+    * "artifact", silently and permanently. With the at-load epoch the
+    * tag always describes the frames actually encoded; a foreign refit
+    * simply mismatches the NEXT session's tag → one rebuild, never a
+    * stale serve. Falls back to the canonical rows digest when the
+    * artifact was absent at fill (unwritable warehouse); a scheme mix
+    * between sessions can only mismatch the tag → one extra rebuild. */
   private def trainedModelEpoch(s: SparkSession, d: String,
                                 kinds: Seq[String],
                                 fallback: => Seq[DataFrame]): String = {
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
-    val eps = kinds.map(kind => graft.api.IndexArtifacts
-      .modelArtifactEpoch(s, s"g_model_${kind}_$slug"))
+    val eps = kinds.map(kind =>
+      modelEpochAtLoad.getOrDefault((s, kind, d), None))
     if (eps.forall(_.isDefined)) "fpe:" + eps.flatten.mkString("+")
     else "rows:" + modelRowsDigest(fallback: _*)
   }
@@ -658,6 +683,9 @@ object SimilarityQueries {
     * the honest warm serve, not a memo hit. */
   private[graft] def releaseTrainedModels(s: SparkSession): Unit = {
     modelCache.release(s)
+    // the at-load epochs describe the released frames — drop them so the
+    // next fill re-observes (a foreign refit then reads as a new epoch)
+    modelEpochAtLoad.keySet.removeIf(_._1 eq s)
     releaseIvfpqIndex(s)
   }
 

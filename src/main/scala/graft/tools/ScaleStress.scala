@@ -184,8 +184,14 @@ object ScaleStress {
     // the committed record APPENDS one line per run (VERDICT r17 #6 —
     // the series is the scale story a reviewer audits); the note names
     // what changed since the previous line
+    // JSON-escape the free-text note: a quote/backslash/newline in the
+    // env var must not corrupt the committed JSON-lines series the
+    // audit workflow parses (r18 self-review)
     val note = sys.env.get("SPARK_GRAFT_STRESS_NOTE")
-      .map(n => s""""note":"$n",""").getOrElse("")
+      .map(n => "\"note\":\"" + n.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
+        .replace("\t", "\\t") + "\",")
+      .getOrElse("")
     val line =
       s"""{"metric":"scale_stress",$note"docs":$nDocs,"vecs":$nVecs,""" +
       s""""ref":"~10x sf0.1 with planted power-law keys",""" +

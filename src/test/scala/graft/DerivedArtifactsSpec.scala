@@ -1175,4 +1175,116 @@ class DerivedArtifactsSpec extends SparkSpec {
     assert(first.subsetOf(appended) && appended.size > first.size)
     graft.operators.TextQueries.releaseTokenLayer(spark)
   }
+
+  test("a FOREIGN retrain raced against a warm model memo never blesses " +
+       "a stale-model encode: the index tag carries the AT-LOAD model " +
+       "epoch, so a fresh-model session REBUILDS instead of serving the " +
+       "raced index as artifact (r18 self-review)") {
+    import spark.implicits._
+    val sq = operators.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("mfrace").toString
+    val embPath = s"$dir/embeddings.parquet"
+    def vec(i: Long): Seq[Float] = (0 until 64).map(j =>
+      ((i * 131 + j * 17 + (i * i) % 257) % 101).toFloat / 101f)
+    (0L to 29L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(embPath)
+    // session A fits the models (epoch E1) and builds the encoded index
+    sq.ivfpqIndex(spark, dir, trained = true).collect()
+    assert(sq.trainSource(spark, "ivf", dir) == "fit")
+    // drop only A's INDEX memo — its MODEL memo stays warm at E1
+    sq.releaseIvfpqIndex(spark)
+    // a FOREIGN session ends the epoch: refits the models (E2 on disk)
+    // and rebuilds the index artifact under the E2 tag
+    val sB = spark.newSession()
+    sq.retrainModels(sB, dir)
+    val e2Rows = sq.ivfpqIndex(sB, dir, trained = true)
+      .collect().map(_.toSeq).toSet
+    assert(sq.trainSource(sB, "ivf", dir) == "fit")
+    assert(DedupQueries.derivedSourceOf(sB, "ivfpq_index") == "rebuild")
+    // A serves with its warm E1 memo: the tag must describe the frames
+    // A actually encodes (E1), so the E2 sidecar mismatches and A
+    // re-encodes with its own frames — committing an E1-CONSISTENT
+    // artifact, never an E1 encode blessed with an E2 tag
+    sq.ivfpqIndex(spark, dir, trained = true).collect()
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "rebuild",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
+    // the decisive probe: a session loading the FRESH (E2) models must
+    // MISMATCH A's raced write and rebuild. Under a stat-at-serve-time
+    // tag, A's write would have carried E2 and this serve would read
+    // "artifact" over a stale-model encode — silently, permanently.
+    sq.releaseTrainedModels(spark)
+    val fresh = sq.ivfpqIndex(spark, dir, trained = true)
+      .collect().map(_.toSeq).toSet
+    assert(DedupQueries.derivedSourceOf(spark, "ivfpq_index") == "rebuild",
+      DedupQueries.derivedSourceOf(spark, "ivfpq_index"))
+    assert(fresh == e2Rows, "the fresh-model serve must equal the E2 encode")
+    sq.releaseTrainedModels(spark)
+    sq.releaseTrainedModels(sB)
+  }
+
+  test("compaction policy TRANSIENT failure (lost fence) does NOT back " +
+       "off: the aborted attempt leaves the layout intact and the next " +
+       "serve retries and succeeds (r18 self-review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("mftransient").toString
+    val table = "g_drv_spec_policytransient"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    rm(new java.io.File(s"$wh/$table"))
+    rm(new java.io.File(s"$wh/${table}__mf"))
+    val invariantCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stealLease = false
+    def serve() = IndexArtifacts.serveDerivedIncremental(
+      spark, table, src, "t1",
+      spark.read.parquet(src).select(col("k"), (col("k") * 10).as("d")),
+      paths => spark.read.parquet(paths: _*)
+        .select(col("k"), (col("k") * 10).as("d")),
+      compactInvariant = _ => {
+        invariantCalls.incrementAndGet()
+        if (stealLease)
+          // a foreign breaker takes the lease mid-compaction: the
+          // invariant runs under the lease BEFORE the tmp write, so the
+          // post-write fence check must see the foreign token and abort
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$wh/${table}__lease"),
+            "foreign-token".getBytes("UTF-8"))
+        true
+      })
+    try {
+      spark.conf.set("spark.graft.compact.fileGroups", "0")
+      (1L to 3L).toDF("k").coalesce(1).write.mode("append").parquet(src)
+      assert(serve()._2 == "rebuild")
+      for (lo <- Seq(4L, 6L, 8L)) {
+        (lo to lo + 1).toDF("k").coalesce(1).write.mode("append").parquet(src)
+        Tables.invalidate(spark, src)
+        assert(serve()._2 == "append")
+      }
+      assert(IndexArtifacts.fileGroupCount(spark, s"$wh/$table") > 2)
+      spark.conf.set("spark.graft.compact.fileGroups", "2")
+      // 1) the compaction attempt loses its fence after the tmp write:
+      // transient — the original layout survives, and the serve itself
+      // degrades to the contended live build (the stolen lease is live)
+      stealLease = true
+      invariantCalls.set(0)
+      assert(serve()._2 == "rebuild") // contended degrade, no write
+      assert(invariantCalls.get == 1, s"calls: ${invariantCalls.get}")
+      assert(IndexArtifacts.fileGroupCount(spark, s"$wh/$table") > 2,
+        "a fence-lost compaction must leave the fragmented layout intact")
+      // 2) the breaker releases; the policy must RETRY (a transient
+      // abort memoized as permanent would disable compaction forever on
+      // a read-only layer) and succeed
+      stealLease = false
+      assert(new java.io.File(s"$wh/${table}__lease").delete())
+      invariantCalls.set(0)
+      val (df, how) = serve()
+      assert(how == "artifact")
+      assert(invariantCalls.get == 1,
+        "the transient failure must not memoize — the retry runs")
+      assert(IndexArtifacts.fileGroupCount(spark, s"$wh/$table") == 1)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        (1L to 9L).map(k => (k, k * 10)).toSet)
+    } finally spark.conf.unset("spark.graft.compact.fileGroups")
+  }
 }

@@ -83,9 +83,16 @@ object CatalogOps {
       val wh = s.conf.get("spark.sql.warehouse.dir")
       s"${wh.stripSuffix("/")}/g_stats_$slug"
     }
-    // persisted (name -> (fp, size_bytes, row_count)); unreadable → empty
+    // persisted (name -> (fp, size_bytes, row_count)); unreadable → empty.
+    // Existence probe BEFORE the read: a cold warehouse is the common
+    // first-run case, and letting the parquet read throw means Spark 4
+    // logs the caught analysis failure at ERROR — alarming noise for a
+    // by-design "absent → analyze" path (the serveLocked precedent)
     val persisted: Map[String, (String, Long, Long)] = try {
-      s.read.parquet(statsPath).collect().map { r =>
+      val p = new org.apache.hadoop.fs.Path(statsPath)
+      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        Map.empty
+      else s.read.parquet(statsPath).collect().map { r =>
         r.getAs[String]("name") ->
           ((r.getAs[String]("fp"), r.getAs[Long]("size_bytes"),
             r.getAs[Long]("row_count")))

@@ -42,7 +42,13 @@ object GraftOps {
                     leftTs: String, rightTs: String, valueCol: String): DataFrame = {
     val l = left.withColumn("__tag", lit(1))
       .withColumn("__ts", col(leftTs))
-    val r = right.select(col(key), col(rightTs).as("__ts"),
+    // a NULL-ts right row would sort FIRST under the ascending window
+    // (nulls-first) with a NON-null struct, fabricating a "prior
+    // observation" for left rows that precede every real one — an
+    // observation with no timestamp can never be "the latest ≤ ts",
+    // so it is dropped before the union (r18 self-review)
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("__ts"),
         struct(col(rightTs).as("ts"), col(valueCol).as("v")).as("__s"))
       .withColumn("__tag", lit(0))
     val together = l.select((col(key) +: l.columns.filterNot(_ == key).map(col)): _*)
@@ -725,9 +731,21 @@ object GraftOps {
     // (`None` after maxRounds); it never re-checks a claimed fixed point,
     // so for string ids this fast path is the sole authority on false
     // convergence and its guarantee is probabilistic, not exact.
-    val labelSig = (l: Column) =>
-      if (e.schema("u").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) l
-      else xxhash64(l)
+    // raw-sum only for INTEGRAL ids: the signature sums after a
+    // decimal(38,0) cast, so a fractional Float/Double/scaled-Decimal
+    // label could change within its rounding cell (2.9 → 2.6) without
+    // moving the sum — a FALSE fixed point the star tier never re-checks.
+    // Fractional ids take the hash path (probabilistic certificate, like
+    // strings); the exact certificate holds where the cast is lossless
+    // (r18 self-review)
+    val integral = e.schema("u").dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val labelSig = (l: Column) => if (integral) l else xxhash64(l)
     var (labels, labelsCut, rows, cur) = cacheWithSig(
       adj.groupBy(col("src").as("id"))
         .agg(min(least(col("dst"), col("src"))).as("label")),
@@ -853,10 +871,19 @@ object GraftOps {
           query: DataFrame, k: Int): DataFrame = {
     val qv = query.select(col(vecCol).as("__qv"))
     df.withColumn("__qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+      // the assign() zero-norm guard: a zero-norm vector (either side)
+      // makes the cosine 0/0 — a DIVIDE_BY_ZERO *error* under ANSI (it
+      // would kill the query), NaN otherwise (NaN orders ABOVE every
+      // double and would displace true neighbours at the top of the k).
+      // The when-guard skips the division on a zero denominator; -2 is
+      // below any cosine, so the degenerate vector ranks last
+      // (r18 self-review)
+      .withColumn("__nn", sqrt(dot_product(col(vecCol), col(vecCol))) *
+                          sqrt(dot_product(col("__qv"), col("__qv"))))
       .select(col(idCol),
-        (dot_product(col(vecCol), col("__qv")) /
-          (sqrt(dot_product(col(vecCol), col(vecCol))) *
-           sqrt(dot_product(col("__qv"), col("__qv"))))).as("sim"))
+        nanvl(when(col("__nn") > 0,
+                dot_product(col(vecCol), col("__qv")) / col("__nn"))
+              .otherwise(lit(-2d)), lit(-2d)).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

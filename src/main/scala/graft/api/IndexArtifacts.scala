@@ -396,9 +396,37 @@ object IndexArtifacts {
     * join and no corpus rescan.
     */
   def persistBloom(s: SparkSession, docs: DataFrame, table: String): Unit =
-    DedupQueries.bloomAgg(docs, BloomExpectedItems, BloomNumBits)
-      .filter(col("bf").isNotNull)
-      .write.mode("overwrite").saveAsTable(table)
+    bloomWriteLocked(s, table) { _ =>
+      DedupQueries.bloomAgg(docs, BloomExpectedItems, BloomNumBits)
+        .filter(col("bf").isNotNull)
+        .write.mode("overwrite").saveAsTable(table)
+      true
+    }
+
+  /** Serialize a Bloom-artifact WRITE under the table's monitor + lease —
+    * the single-writer discipline every other artifact family already
+    * uses. Without it a compaction could collect the persisted rows,
+    * lose a row a concurrent [[appendBloom]] lands mid-collect, and
+    * overwrite with the pre-append merge — silently dropping that
+    * batch's bits and breaking the "false negatives impossible"
+    * contract (r18 self-review). Writers RETRY until the lease grants:
+    * an append is at-least-once batch absorption and must not be
+    * dropped (the TTL break bounds the wait against a dead holder).
+    * The body receives the fence and returns whether it committed;
+    * a fence-refused body re-queues like a contended acquire.
+    */
+  private def bloomWriteLocked(s: SparkSession, table: String)
+                              (body: (() => Boolean) => Boolean): Unit = {
+    val path = modelPath(s, table)
+    val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
+    var done = false
+    while (!done) {
+      done = monitor.synchronized {
+        withLease(s, path)(fence => body(fence))
+      }.getOrElse(false)
+      if (!done) Thread.sleep(200)
+    }
+  }
 
   /** Incremental maintenance: sketch ONLY the new batch and append its
     * one row; the reader OR-merges. Replays (foreachBatch is
@@ -410,9 +438,12 @@ object IndexArtifacts {
     * empty micro-batch from poisoning the artifact.
     */
   def appendBloom(s: SparkSession, newDocs: DataFrame, table: String): Unit =
-    DedupQueries.bloomAgg(newDocs, BloomExpectedItems, BloomNumBits)
-      .filter(col("bf").isNotNull)
-      .write.mode("append").saveAsTable(table)
+    bloomWriteLocked(s, table) { _ =>
+      DedupQueries.bloomAgg(newDocs, BloomExpectedItems, BloomNumBits)
+        .filter(col("bf").isNotNull)
+        .write.mode("append").saveAsTable(table)
+      true
+    }
 
   /** The artifact's merged sketch bytes: OR of every persisted row (row
     * count = append count — compact periodically via [[compactBloom]];
@@ -438,9 +469,22 @@ object IndexArtifacts {
   /** Rewrite the artifact as its single merged row, bounding the reader's
     * merge work after many appends. */
   def compactBloom(s: SparkSession, table: String): Unit = {
-    val bytes = bloomBytes(s, table)
-    import s.implicits._
-    Seq(bytes).toDF("bf").write.mode("overwrite").saveAsTable(table)
+    val path = modelPath(s, table)
+    val monitor = serveLocks.computeIfAbsent(path, _ => new Object)
+    // single attempt, unlike the append retry: compaction is OPTIONAL
+    // maintenance — contended or fence-lost just leaves the (valid)
+    // multi-row layout for a later pass
+    monitor.synchronized {
+      withLease(s, path) { fence =>
+        val bytes = bloomBytes(s, table)
+        // re-verify after the collect: a TTL-broken lease means a
+        // foreign appender may be landing a row this merge didn't see
+        if (fence()) {
+          import s.implicits._
+          Seq(bytes).toDF("bf").write.mode("overwrite").saveAsTable(table)
+        }
+      }
+    }: Unit
   }
 
   /** Probe a batch against the persisted sketch: merged bytes inline as a

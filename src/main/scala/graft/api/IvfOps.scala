@@ -284,7 +284,8 @@ object IvfOps {
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               centroids: DataFrame, k: Int,
-              corpusProbes: Int = 2, queryProbes: Int = 3): DataFrame = {
+              corpusProbes: Int = 2, queryProbes: Int = 3,
+              excludeSelf: Boolean = true): DataFrame = {
     val block = centroidBlock(centroids, "cid", "cv")
     // candidate generation and pair-dedup carry ONLY the id pair — at
     // dim=64 each vector is ~0.5 KB, so keeping both vectors in the
@@ -294,7 +295,13 @@ object IvfOps {
       .select(col("cid"), col(idCol))
       .join(assign(queries, block, queryProbes, qVecCol)
               .select(col("cid"), col(qIdCol)), Seq("cid"))
-      .filter(col(idCol) =!= col(qIdCol))
+      // excludeSelf drops id-equal pairs — the QUERIES-ARE-CORPUS-ROWS
+      // posture (every in-repo call site). Set it false when the query
+      // table is an INDEPENDENT id space: there an id collision is a
+      // coincidence, and the unconditional filter would silently drop a
+      // legitimate neighbour (the minhashJoin id-space trap —
+      // r18 self-review)
+      .filter(if (excludeSelf) col(idCol) =!= col(qIdCol) else lit(true))
       .select(col(qIdCol), col(idCol))
       .distinct()
     val cand = candIds
@@ -302,8 +309,20 @@ object IvfOps {
       .join(queries.select(col(qIdCol), col(qVecCol)), Seq(qIdCol))
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(idCol).asc)
     cand
+      // the assign() zero-norm guard applied to the exact re-rank: a
+      // zero-norm vector's cosine is 0/0 — a DIVIDE_BY_ZERO *error*
+      // under ANSI (it would kill the query), NaN otherwise (Spark
+      // orders NaN ABOVE every double, so it would rank #1 for every
+      // query probing its bucket). The when-guard skips the division on
+      // a zero denominator and the nanvl belt stays for any other NaN;
+      // -2 is below any cosine, so the degenerate vector ranks last
+      // (r18 self-review)
+      .withColumn("__nn", sqrt(dot_product(col(vecCol), col(vecCol))) *
+                          sqrt(dot_product(col(qVecCol), col(qVecCol))))
       .select(col(qIdCol), col(idCol),
-              cosine_sim(col(vecCol), col(qVecCol)).as("sim"))
+              nanvl(when(col("__nn") > 0,
+                      dot_product(col(vecCol), col(qVecCol)) / col("__nn"))
+                    .otherwise(lit(-2d)), lit(-2d)).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }

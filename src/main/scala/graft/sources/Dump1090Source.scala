@@ -140,6 +140,19 @@ class Dump1090MicroBatchStream(
     lines ++= buffered
   }
 
+  // the highest offset this INSTANCE has legitimately issued: the
+  // recovered spill end at construction, then every latestOffset return.
+  // planInputPartitions refuses any range past it — without this, the
+  // non-replayable fail-fast below held only while the new connection's
+  // buffer was still SHORTER than the replayed range: a lost spill log
+  // restarts trimOffset at 0, and once a busy feed frames past the
+  // replayed end the old guard passed and committed NEW lines under OLD
+  // offsets, exactly the silent wrong data the guard exists to prevent
+  // (r18 self-review). Offsets the engine knows but this instance never
+  // issued can only come from a previous process's checkpoint whose
+  // replay state is gone. Guarded by `lock`.
+  private var servedHighWater = trimOffset + lines.length
+
   private val reader = new Thread("dump1090-reader") {
     setDaemon(true)
     override def run(): Unit = readLoop()
@@ -340,6 +353,7 @@ class Dump1090MicroBatchStream(
 
   override def latestOffset(): Offset = lock.synchronized {
     checkFatal()
+    servedHighWater = math.max(servedHighWater, trimOffset + lines.length)
     LineOffset(trimOffset + lines.length)
   }
 
@@ -354,12 +368,28 @@ class Dump1090MicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     checkFatal()
     val s = start.asInstanceOf[LineOffset].offset
-    val avail = lock.synchronized(trimOffset + lines.length)
-    val end = limit match {
-      case mr: ReadMaxRows => math.min(avail, s + mr.maxRows())
-      case _               => avail
+    lock.synchronized {
+      // a start offset this instance never issued is a previous
+      // process's checkpoint with its replay state (spill log) gone —
+      // advancing from it would silently SKIP the new connection's
+      // first `start` lines (they'd hide below the foreign watermark).
+      // Same fail-fast contract as planInputPartitions.
+      if (s > servedHighWater)
+        throw new IllegalStateException(
+          s"non-replayable start offset $s: this process has issued " +
+          s"offsets only up to $servedHighWater (recovered spill log + " +
+          "lines framed this session). The checkpoint predates this " +
+          "process and its spill log is missing — resume with a fresh " +
+          "checkpoint (see class doc).")
+      val avail = trimOffset + lines.length
+      val end = limit match {
+        case mr: ReadMaxRows => math.min(avail, s + mr.maxRows())
+        case _               => avail
+      }
+      val out = math.max(end, s)
+      servedHighWater = math.max(servedHighWater, out)
+      LineOffset(out)
     }
-    LineOffset(math.max(end, s))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -370,10 +400,15 @@ class Dump1090MicroBatchStream(
       // spill log (e.g. source-committed in a previous process, or a
       // checkpoint whose spill log was deleted): silently serving
       // different lines from the new socket would be wrong data.
-      if (s < trimOffset || e > trimOffset + lines.length)
+      // the servedHighWater bound makes the fail-fast timing-independent:
+      // offsets past it were never issued by this instance, however long
+      // the new connection's buffer has grown by the time replay plans
+      if (s < trimOffset || e > trimOffset + lines.length ||
+          e > servedHighWater)
         throw new IllegalStateException(
           s"non-replayable offset range [$s, $e): this process serves " +
-          s"[$trimOffset, ${trimOffset + lines.length}) " +
+          s"[$trimOffset, ${trimOffset + lines.length}) and has issued " +
+          s"offsets up to $servedHighWater " +
           "(buffer + recovered spill log). The range is below the " +
           "committed watermark or the checkpoint's graft-lines spill log " +
           "is missing — resume with a fresh checkpoint (see class doc).")

@@ -95,8 +95,16 @@ object Sbs1 {
     * data's own clock, vs parsed_time's processing clock).
     */
   def eventTime: Column =
-    to_timestamp(concat_ws(" ", col("generated_date"), col("generated_time")),
-                 "yyyy/MM/dd HH:mm:ss.SSS").as("event_time")
+    // try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    // mode a malformed or partly-absent date/time (which passes the
+    // 22-field validity check — the fields TRY-cast to NULL but
+    // concat_ws SKIPS nulls, feeding a non-null unparseable string
+    // here) would throw CANNOT_PARSE_TIMESTAMP and kill the whole
+    // stream; one bad line must yield one NULL event_time instead
+    // (r18 self-review)
+    try_to_timestamp(
+      concat_ws(" ", col("generated_date"), col("generated_time")),
+      lit("yyyy/MM/dd HH:mm:ss.SSS")).as("event_time")
 
   /** Tag appended by the socket source to a record it framed from a
     * DISCONNECT-truncated partial (U+001A SUBSTITUTE — the control char

@@ -372,6 +372,68 @@ class Dump1090SourceSpec extends SparkSpec {
     assert(r3.toSeq == Seq("line8", "line9"), r3)
   }
 
+  test("a LOST spill log fails replay fast even after the new " +
+       "connection outgrows the replayed range (r18 self-review)") {
+    val payload = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val serverA = serve(payload, chunk = 256)
+    val spillDir = java.nio.file.Files.createTempDirectory("spill-lost")
+      .toString + "/graft-lines"
+    try {
+      // process A: frames all 50 lines, plans epoch [20,50), dies
+      val a = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", serverA.getLocalPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        spillDir = Some(spillDir))
+      def latestA() = a.latestOffset()
+        .asInstanceOf[graft.sources.LineOffset].offset
+      val deadline = System.currentTimeMillis() + 10000
+      while (latestA() < lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latestA() == lines.length)
+      a.planInputPartitions(
+        graft.sources.LineOffset(20), graft.sources.LineOffset(50))
+      a.stop()
+
+      // the spill log is DELETED: the replay state is gone
+      val dir = new java.io.File(spillDir)
+      Option(dir.listFiles).foreach(_.foreach(_.delete()))
+      assert(dir.delete() || !dir.exists())
+
+      // process B: same checkpoint slot, LIVE feed — by the time replay
+      // plans, the NEW connection has framed past the replayed range, so
+      // the buffer-length guard alone would serve NEW lines under OLD
+      // offsets. The issued-offset high-water must fail it regardless.
+      val serverB = serve(payload, chunk = 256)
+      val b = new graft.sources.Dump1090MicroBatchStream(
+        "localhost", serverB.getLocalPort, 100,
+        connectAttemptLimit = 0, connectAttemptDelayMs = 50,
+        spillDir = Some(spillDir))
+      try {
+        // wait through the SPILL LOG, not latestOffset: the engine's
+        // replay call precedes any offset poll on restart, and polling
+        // offsets here would legitimately issue them
+        def spilled(): Long = {
+          val fs = Option(new java.io.File(spillDir).listFiles)
+            .getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".log"))
+          fs.map(f => new String(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            StandardCharsets.UTF_8).count(_ == '\n').toLong).sum
+        }
+        val dl2 = System.currentTimeMillis() + 10000
+        while (spilled() < lines.length &&
+               System.currentTimeMillis() < dl2)
+          Thread.sleep(50)
+        assert(spilled() >= 50, s"feed only framed ${spilled()} lines")
+        val e = intercept[IllegalStateException] {
+          b.planInputPartitions(
+            graft.sources.LineOffset(20), graft.sources.LineOffset(50))
+        }
+        assert(e.getMessage.contains("non-replayable"), e.getMessage)
+      } finally { b.stop(); serverB.close() }
+    } finally serverA.close()
+  }
+
   test("connect retry budget exhausts against a dead port (R2, P:98-99)") {
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     val stream = new graft.sources.Dump1090MicroBatchStream(

@@ -41,6 +41,20 @@ class GraftOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 205L, Some(7.0)), (2L, 100L, None)))
   }
 
+  test("asOfJoinPrior: a NULL-ts right row never fabricates a prior " +
+       "observation (r18 self-review)") {
+    // a NULL-ts observation would sort FIRST under the ascending window
+    // (nulls-first) with a non-null struct — left rows preceding every
+    // REAL observation must still read "no prior observation"
+    val trades = Seq((1L, 100L), (1L, 300L)).toDF("k", "t")
+    val quotes = Seq((1L, Option.empty[Long], 9.0), (1L, Some(200L), 2.0))
+      .toDF("k", "t", "px")
+    val got = trades.asOfJoinPrior(quotes, "k", "t", "t", "px")
+      .select("k", "t", "asof_px").orderBy("k", "t")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, 100L, None), (1L, 300L, Some(2.0))))
+  }
+
   test("sessionize assigns gap-based session ids") {
     val df = Seq((1, 0L), (1, 1000L), (1, 10000L), (2, 0L))
       .toDF("k", "ms")
@@ -161,6 +175,34 @@ class GraftOpsSpec extends SparkSpec {
     val want = SparkEntry.queries("q_sim_knn")(spark, sf)
       .select("vec_id").as[Long].collect().toSeq
     assert(got == want)
+  }
+
+  test("knn: a zero-norm corpus vector ranks LAST, never NaN-first " +
+       "(r18 self-review)") {
+    // 0/0 cosine is NaN and Spark orders NaN above every double — the
+    // -2 floor must rank the degenerate vector below all real matches
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.2)),
+                     (3L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val q = Seq((0L, Seq(1.0, 0.1))).toDF("vec_id", "v")
+    val got = corpus.knn("vec_id", "v", q, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), got.toString)
+    val all = corpus.knn("vec_id", "v", q, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == Seq(1L, 2L, 3L), all.toString)
+  }
+
+  test("connectedComponents: fractional ids label exactly through the " +
+       "hashed convergence signature (r18 self-review)") {
+    // fractional labels can move WITHIN a decimal(38,0) rounding cell
+    // (2.9 → 2.6), which a raw-sum signature cannot see — these ids must
+    // take the hash path and still reach the true component minima
+    val edges = Seq((2.9, 2.6), (2.6, 2.2), (10.5, 11.5)).toDF("a", "b")
+    val labels = edges.connectedComponents("a", "b")
+    val got = labels.orderBy("id").as[(Double, Double)].collect().toSeq
+    labels.unpersist()
+    assert(got == Seq(2.2 -> 2.2, 2.6 -> 2.2, 2.9 -> 2.2,
+                      10.5 -> 10.5, 11.5 -> 10.5), got.toString)
   }
 
   test("saltedJoin equals the plain join result") {

@@ -577,4 +577,36 @@ class IndexArtifactsSpec extends SparkSpec {
     val probe = before.keysIterator.filterNot(Set("zzz", "yyy", shared)).take(5)
     probe.foreach(t => assert(after(t) == before(t), t))
   }
+
+  test("compactBloom under a live foreign lease SKIPS: the multi-row " +
+       "layout survives, so a concurrent append can never be merged " +
+       "away (r18 self-review)") {
+    import spark.implicits._
+    dropTable("g_bloom_lease")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    graft.api.IndexArtifacts.persistBloom(spark,
+      docs.filter($"doc_id" % 3 === 0), "g_bloom_lease")
+    graft.api.IndexArtifacts.appendBloom(spark,
+      docs.filter($"doc_id" % 3 === 1), "g_bloom_lease")
+    assert(spark.table("g_bloom_lease").count() == 2)
+    val bits = graft.api.IndexArtifacts.bloomBytes(spark, "g_bloom_lease")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    val lease = java.nio.file.Paths.get(s"$wh/g_bloom_lease__lease")
+    java.nio.file.Files.write(lease, "foreign-token".getBytes("UTF-8"))
+    try {
+      // contended: the compaction is optional maintenance — it must
+      // leave the (valid) multi-row layout alone rather than race the
+      // lease holder's write
+      graft.api.IndexArtifacts.compactBloom(spark, "g_bloom_lease")
+      assert(spark.table("g_bloom_lease").count() == 2,
+        "a contended compaction must not rewrite the artifact")
+    } finally java.nio.file.Files.delete(lease)
+    // lease released: the compaction folds the rows, bits unchanged
+    graft.api.IndexArtifacts.compactBloom(spark, "g_bloom_lease")
+    assert(spark.table("g_bloom_lease").count() == 1)
+    assert(java.util.Arrays.equals(
+      graft.api.IndexArtifacts.bloomBytes(spark, "g_bloom_lease"), bits))
+    dropTable("g_bloom_lease")
+  }
 }

@@ -403,4 +403,28 @@ class KMeansIvfSpec extends SparkSpec {
     assert(IndexArtifacts.readModel(spark, "g_model_spec", "fp-stale").isEmpty)
     wipe()
   }
+
+  test("annTopK: a zero-norm corpus vector ranks LAST in its bucket, and " +
+       "excludeSelf=false keeps id-colliding pairs across independent id " +
+       "spaces (r18 self-review)") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val corpus = Seq((7L, Seq(1.0, 0.0)), (8L, Seq(0.8, 0.2)),
+                     (9L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    // the query table is its OWN id space: q_id 7 colliding with corpus
+    // vec_id 7 is a coincidence, not a self-pair
+    val qs = Seq((7L, Seq(1.0, 0.1))).toDF("q_id", "qv")
+    val got = IvfOps.annTopK(corpus, "vec_id", "v", qs, "q_id", "qv",
+        cents, k = 3, excludeSelf = false)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    // corpus 7 retrievable; the zero vector (NaN cosine → -2 floor)
+    // ranks last instead of NaN-first
+    assert(got == Seq(7L, 8L, 9L), got.toString)
+    // the default keeps the queries-are-corpus-rows posture: the
+    // id-equal pair is excluded
+    val self = IvfOps.annTopK(corpus, "vec_id", "v", qs, "q_id", "qv",
+        cents, k = 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(self == Seq(8L, 9L), self.toString)
+  }
 }

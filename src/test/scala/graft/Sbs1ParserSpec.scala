@@ -76,6 +76,25 @@ class Sbs1ParserSpec extends SparkSpec {
     assert(t == "2026-08-12 14:21:08.123")
   }
 
+  test("event_time: a garbled or absent date/time yields NULL, not an " +
+       "ANSI parse failure that kills the stream (r18 self-review)") {
+    // empty generated_date → fields TRY-cast to NULL, but concat_ws
+    // SKIPS nulls: the timestamp parser sees the bare time (and for the
+    // garbled line, junk) — both must yield one NULL event_time
+    val noDate = "MSG,3,111,11111,A0B1C2,111111,,14:21:08.123," +
+      "2026/08/12,14:21:08.141,,37000,,,42.1,-87.5,,,0,0,0,0"
+    val garbled = "MSG,3,111,11111,A0B1C2,111111,2026/XX/12,junk," +
+      "2026/08/12,14:21:08.141,,37000,,,42.1,-87.5,,,0,0,0,0"
+    val rows = parse(noDate, garbled).withColumn("event_time", Sbs1.eventTime)
+      .select("event_time").collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.isNullAt(0), r.toString))
+    // and a well-formed line still parses (the happy path is untouched)
+    val ok = parse(posLine).withColumn("event_time", Sbs1.eventTime)
+      .filter(col("event_time").isNotNull).count()
+    assert(ok == 1L)
+  }
+
   test("typed Dataset[Squitter] round-trips the parsed rows") {
     val ds = Sbs1.typed(parse(posLine, identLine))
     val rows = ds.collect().sortBy(_.transmission_type)

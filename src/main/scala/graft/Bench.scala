@@ -55,7 +55,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def esc(s: String): String = {
+  // shared with Verify (one escaper, not two drifting copies)
+  private[graft] def esc(s: String): String = {
     val b = new StringBuilder
     s.foreach {
       case '"'  => b.append("\\\"")
@@ -381,18 +382,6 @@ object Bench {
         QRec(name, walls.result(), cpusS.result(), gcs.result(),
              loads.result(), rows, err)
       }
-    // cached-block residency: a partially-cached persisted RDD means the
-    // storage layer evicted under pressure and consumers recomputed — the
-    // r9 adjudication gap ("steal or eviction?") answered from the record
-    val storage = spark.sparkContext.getRDDStorageInfo.toSeq.map { i =>
-      // a cached DataFrame's RDD "name" is the whole physical plan dump —
-      // the residency record needs an identifier, not 2 KB of plan text
-      (Option(i.name).getOrElse("").takeWhile(_ != '\n').take(120),
-        i.numPartitions, i.numCachedPartitions, i.memSize, i.diskSize)
-    }
-    val partial = storage.count(s => s._3 > 0 && s._3 < s._2)
-    val loadAvg = osBean.getSystemLoadAverage
-
     // PHASE TRIPWIRE + END-OF-SWEEP RE-MEASURE (VERDICT r15 #1): the r15
     // driver record charged 187.4 s to 23 artifact-warm phases a judge
     // re-run measured at 14.6 s — N=1 phase samples had no protection
@@ -487,6 +476,23 @@ object Bench {
     val benchWall = (System.nanoTime() - benchWall0) / 1e9
     val benchCpu = (cpuNanos - benchCpu0) / 1e9
 
+    // cached-block residency: a partially-cached persisted RDD means the
+    // storage layer evicted under pressure and consumers recomputed — the
+    // r9 adjudication gap ("steal or eviction?") answered from the record.
+    // Snapshotted HERE, after the re-measure passes (like bench_wall/cpu):
+    // a tripped sweep's releasePhaseState + re-runs are exactly when a
+    // layer can evict, and a pre-re-measure snapshot would show stale
+    // full residency for the sweeps the protection acts on
+    // (r18 self-review)
+    val storage = spark.sparkContext.getRDDStorageInfo.toSeq.map { i =>
+      // a cached DataFrame's RDD "name" is the whole physical plan dump —
+      // the residency record needs an identifier, not 2 KB of plan text
+      (Option(i.name).getOrElse("").takeWhile(_ != '\n').take(120),
+        i.numPartitions, i.numCachedPartitions, i.memSize, i.diskSize)
+    }
+    val partial = storage.count(s => s._3 > 0 && s._3 < s._2)
+    val loadAvg = osBean.getSystemLoadAverage
+
     val ok = resultsFinal.filter(_.err.isEmpty)
     val failed = resultsFinal.filter(_.err.isDefined)
     val phasesTotal = phases.map(_.min).sum
@@ -555,7 +561,7 @@ object Bench {
       .append(s""","bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)}""")
       .append(s""","gc_total_sec":${r3(gcTotal)},"hygiene_sec":${r3(hygieneNs / 1e9)}""")
       .append(s""","cached_rdds":${storage.size},"partially_cached":$partial""")
-      .append(s""","sf":"$sfDir"}""")
+      .append(s""","sf":"${esc(sfDir)}"}""")
     val json = line.toString
     println(json)
     // durable full-detail record: every run's wall AND cpu per query (the
@@ -563,7 +569,10 @@ object Bench {
     val detail = new StringBuilder
     detail.append("{\n")
       .append(s""" "metric":"total","value":${r3(total)},"unit":"sec",""")
-      .append(s""""sf":"$sfDir","n_runs":$nRuns,"cpus":$cpus,""").append("\n")
+      // esc + quoted cpus: a quote/backslash in SPARK_GRAFT_SF_DIR or a
+      // non-numeric SPARK_GRAFT_CPUS must not break the parseable-JSON
+      // capture contract (r18 self-review)
+      .append(s""""sf":"${esc(sfDir)}","n_runs":$nRuns,"cpus":"${esc(cpus)}",""").append("\n")
       .append(s""" "bench_wall_sec":${r3(benchWall)},"bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)},""").append("\n")
       .append(s""" "gc_total_sec":${r3(gcTotal)},"hygiene_sec":${r3(hygieneNs / 1e9)},"regressed":$regJson,""").append("\n")
       .append(s""" "fixed_cost":$fixedCostJson,""").append("\n")

@@ -9,6 +9,11 @@ object Verify {
     // local iteration; the driver passes exactly two
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // fail loud on a typo'd key (the Bench guard): a silently-empty
+    // filter would write no query dirs yet still exit 0
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query key(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,20 +42,21 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a PREVIOUS run's dump for this key must not survive into a
+        // re-used outDir — the DuckDB compare would read it and report
+        // green for a query that no longer runs (r18 self-review)
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d))
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p): Unit)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // One escaper for both mains ([[Bench.esc]]) — two hand-rolled
+    // copies drift (r18 self-review).
+    def q(s: String): String = "\"" + Bench.esc(s) + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -17,12 +17,21 @@ object CentroidAggregator
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  // ragged input is DATA CORRUPTION, not a shape to adapt to: silently
+  // min-length-truncating would emit a wrong centroid that looks valid
+  // (the EmbMomentsAggregator require precedent) — fail with a shape
+  // diagnostic instead (r18 self-review). The dimension is pinned by the
+  // first row each partition reduces; merge cross-checks partitions.
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    require(v != null, "CentroidAggregator: null embedding row")
     val (sums, n) = b
-    if (sums.isEmpty) (v.toArray, 1L)
+    if (n == 0L) (v.toArray, 1L)
     else {
+      require(v.length == sums.length,
+        s"CentroidAggregator: ragged embedding — dim ${sums.length} " +
+        s"established, row has ${v.length}")
       var i = 0
-      while (i < sums.length && i < v.length) { sums(i) += v(i); i += 1 }
+      while (i < sums.length) { sums(i) += v(i); i += 1 }
       (sums, n + 1)
     }
   }
@@ -31,8 +40,11 @@ object CentroidAggregator
     if (a._2 == 0) b
     else if (b._2 == 0) a
     else {
+      require(a._1.length == b._1.length,
+        s"CentroidAggregator: ragged partitions — dims ${a._1.length} " +
+        s"vs ${b._1.length}")
       var i = 0
-      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
 

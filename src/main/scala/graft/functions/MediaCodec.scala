@@ -231,6 +231,13 @@ object MediaCodec {
       id match {
         case "fmt " =>
           if (size < 16) return None
+          // wFormatTag must be 1 (plain PCM): a compressed or
+          // WAVE_FORMAT_EXTENSIBLE container whose fmt happens to report
+          // 16 bits per sample would otherwise walk the data chunk as
+          // raw PCM16 and emit plausible-but-wrong stats and a
+          // meaningless fingerprint — quarantine (None) is the contract
+          // (r18 self-review)
+          if ((buf.getShort(off + 8) & 0xffff) != 1) return None
           sampleRate = buf.getInt(off + 12)
           bits = buf.getShort(off + 22) & 0xffff
         case "data" =>

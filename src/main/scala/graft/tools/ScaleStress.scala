@@ -202,7 +202,8 @@ object ScaleStress {
       s""""max_band_bucket_raw":$maxBandBucket,""" +
       s""""band_bucket_cap":${graft.api.IvfOps.BucketCap},""" +
       s""""max_ivf_cell":$maxIvfCell},""" +
-      s""""cpus":$cpus,"load_avg":${r1(java.lang.management.ManagementFactory
+      s""""cpus":"${cpus.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
+      s""""load_avg":${r1(java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage)}}"""
     println(line)
     try {

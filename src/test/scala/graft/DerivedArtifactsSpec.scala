@@ -1243,13 +1243,18 @@ class DerivedArtifactsSpec extends SparkSpec {
         .select(col("k"), (col("k") * 10).as("d")),
       compactInvariant = _ => {
         invariantCalls.incrementAndGet()
-        if (stealLease)
+        if (stealLease) {
           // a foreign breaker takes the lease mid-compaction: the
           // invariant runs under the lease BEFORE the tmp write, so the
-          // post-write fence check must see the foreign token and abort
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$wh/${table}__lease"),
-            "foreign-token".getBytes("UTF-8"))
+          // post-write fence check must see the foreign token and abort.
+          // Written through the Hadoop FS so the LocalFileSystem's .crc
+          // sidecar stays consistent (a raw java.nio overwrite logs
+          // ChecksumException noise on every later read)
+          val p = new org.apache.hadoop.fs.Path(s"$wh/${table}__lease")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, true)
+          out.write("foreign-token".getBytes("UTF-8")); out.close()
+        }
         true
       })
     try {
@@ -1276,7 +1281,9 @@ class DerivedArtifactsSpec extends SparkSpec {
       // abort memoized as permanent would disable compaction forever on
       // a read-only layer) and succeed
       stealLease = false
-      assert(new java.io.File(s"$wh/${table}__lease").delete())
+      val leaseP = new org.apache.hadoop.fs.Path(s"$wh/${table}__lease")
+      assert(leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(leaseP, false))
       invariantCalls.set(0)
       val (df, how) = serve()
       assert(how == "artifact")

@@ -592,8 +592,13 @@ class IndexArtifactsSpec extends SparkSpec {
     val bits = graft.api.IndexArtifacts.bloomBytes(spark, "g_bloom_lease")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:").stripSuffix("/")
-    val lease = java.nio.file.Paths.get(s"$wh/g_bloom_lease__lease")
-    java.nio.file.Files.write(lease, "foreign-token".getBytes("UTF-8"))
+    // written/deleted through the Hadoop FS so the LocalFileSystem's
+    // .crc sidecar stays consistent (raw java.nio writes log
+    // ChecksumException noise on every later read)
+    val lease = new org.apache.hadoop.fs.Path(s"$wh/g_bloom_lease__lease")
+    val lfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = lfs.create(lease, true)
+    out.write("foreign-token".getBytes("UTF-8")); out.close()
     try {
       // contended: the compaction is optional maintenance — it must
       // leave the (valid) multi-row layout alone rather than race the
@@ -601,7 +606,7 @@ class IndexArtifactsSpec extends SparkSpec {
       graft.api.IndexArtifacts.compactBloom(spark, "g_bloom_lease")
       assert(spark.table("g_bloom_lease").count() == 2,
         "a contended compaction must not rewrite the artifact")
-    } finally java.nio.file.Files.delete(lease)
+    } finally lfs.delete(lease, false): Unit
     // lease released: the compaction folds the rows, bits unchanged
     graft.api.IndexArtifacts.compactBloom(spark, "g_bloom_lease")
     assert(spark.table("g_bloom_lease").count() == 1)

@@ -98,6 +98,13 @@ class MultimodalSpec extends SparkSpec {
     val evil2 = bmp.clone()
     ByteBuffer.wrap(evil2).order(ByteOrder.LITTLE_ENDIAN).putInt(18, 715827883)
     assert(MediaCodec.decode(evil2).isEmpty)
+    // non-PCM wFormatTag (e.g. WAVE_FORMAT_EXTENSIBLE) with 16 bits per
+    // sample: walking the data chunk as raw PCM16 would emit
+    // plausible-but-wrong stats — quarantine instead (r18 self-review)
+    val nonPcm = wav.clone()
+    ByteBuffer.wrap(nonPcm).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 0xFFFE.toShort)
+    assert(MediaCodec.decode(nonPcm).isEmpty)
   }
 
   test("ahash60: planted near-dup image pair lands within the hamming radius") {
@@ -218,5 +225,20 @@ class MultimodalSpec extends SparkSpec {
     val want = vecs.transpose.map(xs => xs.sum / xs.length)
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
     assert(got.length == 64)
+  }
+
+  test("centroid Aggregator: ragged embeddings fail LOUDLY — never a " +
+       "silently truncated centroid (r18 self-review)") {
+    import spark.implicits._
+    val ragged = Seq((1, Seq(1.0, 2.0, 3.0)), (1, Seq(1.0)))
+      .toDF("label", "v").as[(Int, Seq[Double])]
+    val e = intercept[Exception] {
+      ragged.groupByKey(_._1).mapValues(_._2)
+        .agg(CentroidAggregator.toColumn.name("centroid")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("ragged"), msgs)
   }
 }

@@ -146,6 +146,20 @@ object EventTimeQueries {
   private val funnelLagMemo =
     new graft.api.SessionMemo[DataFrame](_.unpersist(blocking = false))
 
+  /** The 30-minute `session_window` core shared by q_session_windows,
+    * q_event_concurrency, and q_session_stats: (user_id, s_ms, e_ms, n)
+    * per session over ms-TRUNCATED timestamps (the ns-fixture vs
+    * ms-oracle rule, SURVEY §7.5) — one user_id-keyed exchange. Factored
+    * like [[funnelStageTimes]] so a gap-parameter or truncation change
+    * cannot silently reach only one of the three oracles
+    * (r18 self-review). */
+  private[graft] def sessionCore(ev: DataFrame): DataFrame =
+    ev.withColumn("tsm", timestamp_millis(col("ems")))
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(min(col("ems")).as("s_ms"),
+           max(col("ems")).as("e_ms"),
+           count(lit(1)).as("n"))
+
   /** Serves (user_id, __nev, transition, lag_ms) via the
     * manifest-incremental machinery (r18 — migrated from the plain
     * fingerprint gate so a retracted events file SHRINKS the layer).
@@ -471,12 +485,7 @@ object EventTimeQueries {
       // last+gap, which no gaps-and-islands oracle would match (§2.3).
       // Sessionize on ms-truncated timestamps so gap comparisons see the
       // exact values the ms-based oracle sees (ns fixture, §7.5).
-      ems(s, d)
-        .withColumn("tsm", timestamp_millis(col("ems")))
-        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
-        .agg(min(col("ems")).as("s_ms"),
-             max(col("ems")).as("e_ms"),
-             count(lit(1)).as("n"))
+      sessionCore(ems(s, d))
         .select("user_id", "s_ms", "e_ms", "n")
         .orderBy("user_id", "s_ms")),
 
@@ -485,16 +494,13 @@ object EventTimeQueries {
       // 30-min-gap sessions SPAN each hour, not how many events landed
       // in it — a session quiet for 25 minutes is still active, which
       // is what DAU/event-count views can't see). Shape: sessionize
-      // (the q_session_windows definition verbatim), explode each
+      // ([[sessionCore]]), explode each
       // session into the hours it spans — fan-out bounded by session
       // duration in hours, never by event count — then ONE hour-keyed
       // rollup. No interval theta join anywhere: the hour grid is the
       // bucketization of the classic interval-stab query, so at 100 TB
       // this is a map-side explode + one aggregation.
-      val sess = ems(s, d)
-        .withColumn("tsm", timestamp_millis(col("ems")))
-        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
-        .agg(min(col("ems")).as("s_ms"), max(col("ems")).as("e_ms"))
+      val sess = sessionCore(ems(s, d))
       sess
         .select(col("user_id"),
           explode(sequence(expr("s_ms div 3600000"),
@@ -511,14 +517,10 @@ object EventTimeQueries {
       // (single-event, <1m, <10m, <30m, <1h, ≥1h) with per-bucket event
       // and duration stats (exact integer means via DIV — the
       // q_event_gaps arithmetic). Shape: the same native session_window
-      // aggregation (one user_id-keyed exchange), then a ≤6-cell
-      // map-side-combining rollup — the corpus-scale output (sessions)
-      // never leaves the cluster, only the bounded histogram does.
-      val sess = ems(s, d)
-        .withColumn("tsm", timestamp_millis(col("ems")))
-        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
-        .agg(min(col("ems")).as("s_ms"), max(col("ems")).as("e_ms"),
-             count(lit(1)).as("n"))
+      // aggregation ([[sessionCore]], one user_id-keyed exchange), then
+      // a ≤6-cell map-side-combining rollup — the corpus-scale output
+      // (sessions) never leaves the cluster, only the bounded histogram.
+      val sess = sessionCore(ems(s, d))
         .select((col("e_ms") - col("s_ms")).as("dur"), col("n"))
       // bucket 0 is SINGLE-EVENT (n = 1), not dur = 0: a multi-event
       // same-millisecond burst has duration 0 but is a real session and

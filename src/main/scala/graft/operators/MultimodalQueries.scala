@@ -93,7 +93,12 @@ object MultimodalQueries {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val len = payload.length
+          // a NULL payload (null source text) drops like an empty one —
+          // payload.length would NPE the task and, in the streaming twin,
+          // one bad row would kill the stream (the drop-don't-crash
+          // posture; the oracle's octet_length filter drops it too —
+          // r18 self-review)
+          val len = if (payload == null) 0 else payload.length
           if (len == 0) None
           else {
             val mt = r.getAs[String]("media_type")

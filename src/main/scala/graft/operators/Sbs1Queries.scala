@@ -20,18 +20,27 @@ object Sbs1Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Driver-independent fixture (repo-internal, sf-invariant). */
-  val FixturePath = "/root/repo/src/test/resources/sbs1/batch.txt"
+  /** Driver-independent fixture (repo-internal, sf-invariant). Resolved
+    * against the working directory (every entry point — sbt, the driver
+    * mains — runs from the repo root), overridable for a checkout the
+    * query process does not start from; a hardcoded absolute path broke
+    * every other checkout location (r18 self-review). */
+  val FixturePath: String = sys.env.getOrElse("SPARK_GRAFT_SBS1_FIXTURE",
+    new java.io.File("src/test/resources/sbs1/batch.txt").getAbsolutePath)
 
   private def parsed(s: SparkSession): DataFrame =
     Sbs1.parse(s.read.text(FixturePath), withParsedTime = false)
 
   def queries: Map[String, Q] = Map(
+    // sorted by EVERY parsed field (the s_ingest_sbs1 rule): a
+    // two-field sort key left tie order engine-defined, so two lines
+    // sharing (generated_time, message_type) would hash-flake
+    // (r18 self-review)
     "q_sbs1_parse" -> ((s, _) =>
       parsed(s)
         .withColumn("event_time", Sbs1.eventTime)
-        .orderBy(col("generated_time").asc_nulls_first,
-                 col("message_type").asc)),
+        .orderBy(Sbs1.Fields.map { case (n, _) =>
+          col(n).asc_nulls_first }: _*)),
 
     // Flight analytics over the parsed feed: messages per aircraft by type
     // (the "flights-per-aircraft" domain query, SURVEY.md §2.1 R14).
@@ -73,7 +82,10 @@ object Sbs1Queries {
       import org.apache.spark.sql.expressions.Window
       val e = parsed(s)
         .withColumn("ems", unix_millis(Sbs1.eventTime))
-        .filter(col("hex_ident").isNotNull)
+        // null ems excluded like jumpReport: Spark windows order NULLS
+        // FIRST, DuckDB NULLS LAST — an un-timestamped squitter would
+        // sessionize divergently on the two engines (r18 self-review)
+        .filter(col("hex_ident").isNotNull && col("ems").isNotNull)
       val w = Window.partitionBy("hex_ident").orderBy("ems")
       val newFlight = when(
         col("ems") - lag("ems", 1).over(w) >= 300000 ||
@@ -244,14 +256,23 @@ object Sbs1Queries {
              when(col("squawk").isin("7500", "7600", "7700"),
                   col("squawk"))))).as("squawks"),
            min("ems").as("s_ms"), max("ems").as("e_ms"))
-      .orderBy("hex_ident")
+      // explicit NULLS FIRST matched in the oracle (the aircraft_stats
+      // rule): an anonymous emergency squitter (empty hex) would sort
+      // first on Spark, last on DuckDB (r18 self-review)
+      .orderBy(col("hex_ident").asc_nulls_first)
 
   private val duckCols = Sbs1.Fields.map { case (n, _) => s"'$n': 'VARCHAR'" }
     .mkString("{", ", ", "}")
 
+  // TRY_CAST, not CAST: the Spark parser TRY-casts to NULL, and a plain
+  // CAST would ERROR the whole oracle query on a non-numeric field value
+  // the engine silently nulls (the q_sbs1_altitude rule applied to every
+  // typed oracle — r18 self-review)
   private val duckTyped = Sbs1.Fields.map {
-    case (n, org.apache.spark.sql.types.IntegerType) => s"CAST($n AS INTEGER) AS $n"
-    case (n, org.apache.spark.sql.types.DoubleType)  => s"CAST($n AS DOUBLE) AS $n"
+    case (n, org.apache.spark.sql.types.IntegerType) =>
+      s"TRY_CAST($n AS INTEGER) AS $n"
+    case (n, org.apache.spark.sql.types.DoubleType) =>
+      s"TRY_CAST($n AS DOUBLE) AS $n"
     case (n, _) => n
   }.mkString(",\n       ")
 
@@ -273,7 +294,8 @@ object Sbs1Queries {
          |       strptime(generated_date || ' ' || generated_time,
          |                '%Y/%m/%d %H:%M:%S.%g') AS event_time
          |FROM read_csv('$FixturePath', header=false, columns=$duckCols)
-         |ORDER BY generated_time ASC NULLS FIRST, message_type ASC""".stripMargin,
+         |ORDER BY ${Sbs1.Fields.map { case (n, _) => s"$n ASC NULLS FIRST" }
+                       .mkString(", ")}""".stripMargin,
 
     "q_sbs1_aircraft_stats" ->
       s"""SELECT hex_ident, count(*) AS n_msgs,
@@ -296,7 +318,7 @@ object Sbs1Queries {
 
     "q_sbs1_types" ->
       s"""SELECT message_type,
-         |       CAST(transmission_type AS INTEGER) AS transmission_type,
+         |       TRY_CAST(transmission_type AS INTEGER) AS transmission_type,
          |       count(*) AS n_msgs,
          |       count(callsign) AS n_callsign,
          |       count(lat) AS n_pos
@@ -321,8 +343,8 @@ object Sbs1Queries {
     "q_sbs1_emergency" ->
       s"""WITH p AS (
          |  SELECT hex_ident, squawk,
-         |         CAST(alert AS INTEGER) AS alert,
-         |         CAST(emergency AS INTEGER) AS emergency,
+         |         TRY_CAST(alert AS INTEGER) AS alert,
+         |         TRY_CAST(emergency AS INTEGER) AS emergency,
          |         epoch_ms(strptime(generated_date || ' ' || generated_time,
          |                           '%Y/%m/%d %H:%M:%S.%g')) AS ems
          |  FROM read_csv('$FixturePath', header=false, columns=$duckCols))
@@ -338,7 +360,8 @@ object Sbs1Queries {
          |FROM p
          |WHERE squawk IN ('7500', '7600', '7700')
          |   OR alert = 1 OR emergency = 1
-         |GROUP BY hex_ident ORDER BY hex_ident""".stripMargin,
+         |GROUP BY hex_ident
+         |ORDER BY hex_ident ASC NULLS FIRST""".stripMargin,
 
     "s_stream_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
@@ -395,7 +418,8 @@ object Sbs1Queries {
          |g AS (SELECT hex_ident, altitude, ems,
          |             CASE WHEN ems - lag(ems) OVER w >= 300000
          |                    OR lag(ems) OVER w IS NULL THEN 1 ELSE 0 END AS nf
-         |      FROM p WINDOW w AS (PARTITION BY hex_ident ORDER BY ems)),
+         |      FROM p WHERE ems IS NOT NULL
+         |      WINDOW w AS (PARTITION BY hex_ident ORDER BY ems)),
          |i AS (SELECT hex_ident, altitude, ems,
          |             CAST(sum(nf) OVER (PARTITION BY hex_ident ORDER BY ems
          |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fid

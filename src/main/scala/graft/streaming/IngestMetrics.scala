@@ -36,27 +36,53 @@ class IngestMetrics(verbose: Boolean = false,
   def batchCount: Long = batches.sum()
   def lastBatch: Long = lastBatchRows
 
+  /** Progress events arriving BEFORE [[bind]] park here per query id:
+    * counting them unconditionally would let a CONCURRENT stream's
+    * batches inflate the counters (the exact inflation `forQuery` exists
+    * to prevent), while dropping them would undercount this stream's own
+    * early batches in the addListener→start→bind window. On bind, the
+    * bound query's parked events fold in (in arrival order) and the rest
+    * drop (r18 self-review). Bounded: only the pre-bind window parks. */
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long)]()
+
   /** Scope the counters to one query (call with `query.id` after start). */
-  def bind(queryId: java.util.UUID): Unit = forQuery = Some(queryId)
+  def bind(queryId: java.util.UUID): Unit = synchronized {
+    forQuery = Some(queryId)
+    var e = pending.poll()
+    while (e != null) {
+      if (e._1 == queryId) count(e._2)
+      e = pending.poll()
+    }
+  }
 
   private def mine(id: java.util.UUID): Boolean = forQuery.forall(_ == id)
+
+  private def count(rows: Long): Unit = {
+    total.add(rows)
+    if (rows > 0) {
+      batches.increment()
+      lastBatchRows = rows
+    }
+  }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     if (verbose && mine(event.id))
       println(s"[ingest] query ${event.name} started (R1 connect analog)")
 
-  override def onQueryProgress(event: QueryProgressEvent): Unit =
-    if (mine(event.progress.id)) {
-      val rows = event.progress.numInputRows
-      total.add(rows)
-      if (rows > 0) {
-        batches.increment()
-        lastBatchRows = rows
-        if (verbose)
-          println(s"[ingest] committed batch ${event.progress.batchId}: " +
-            s"$rows rows (total ${total.sum()}) — P:156-158 analog")
-      }
+  override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
+    val rows = event.progress.numInputRows
+    forQuery match {
+      case Some(id) =>
+        if (event.progress.id == id) {
+          count(rows)
+          if (verbose && rows > 0)
+            println(s"[ingest] committed batch ${event.progress.batchId}: " +
+              s"$rows rows (total ${total.sum()}) — P:156-158 analog")
+        }
+      case None => pending.add((event.progress.id, rows)): Unit
     }
+  }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
     if (verbose && mine(event.id))

@@ -276,6 +276,40 @@ object TransactionalJdbcSink {
     * pruning-free so callers replaying arbitrary old batches keep their
     * idempotence.
     */
+  /** A from-scratch run (batch 0) must not find claims a PREVIOUS life
+    * of the same checkpoint path left behind: deleting the checkpoint in
+    * place while keeping the database hands the new run the old run's
+    * surviving claims (pruneClaims keeps the last two), and when the new
+    * batch ids reach them those whole micro-batches of FRESH data would
+    * silently roll back as "replays" (r18 self-review). Batch 0 with a
+    * surviving batch_id > 0 claim is impossible in any legitimate flow —
+    * a resumed checkpoint never restarts at 0, and a new checkpoint path
+    * is a new scope — so it fails loudly with the remediation instead.
+    */
+  private[graft] def assertNoStaleClaims(url: String, table: String,
+                                         appId: String): Unit = {
+    val conn = connect(url)
+    try {
+      val st = conn.prepareStatement(
+        s"SELECT count(*) FROM ${table}_commits " +
+        "WHERE app_id = ? AND batch_id > 0")
+      try {
+        st.setString(1, appId)
+        val rs = st.executeQuery()
+        rs.next()
+        val stale = rs.getLong(1)
+        rs.close()
+        if (stale > 0)
+          throw new IllegalStateException(
+            s"checkpoint was reset in place but ${table}_commits still " +
+            s"holds $stale claim(s) for its scope $appId at batch_id > 0 " +
+            "— fresh batches reaching those ids would be silently " +
+            "dropped as replays. Use a NEW checkpoint path, or delete " +
+            "this scope's rows from the commits table.")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   def pruneClaims(url: String, table: String, appId: String,
                   currentBatch: Long): Unit = {
     val conn = connect(url)
@@ -306,6 +340,7 @@ object TransactionalJdbcSink {
     ensureTables(url, table, df.schema, legacyClaimScope = Some(appId))
     df.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 0L) assertNoStaleClaims(url, table, appId)
         writeBatch(b, id, url, table, batchSize, appId)
         pruneClaims(url, table, appId, id)
       }

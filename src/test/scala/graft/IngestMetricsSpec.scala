@@ -18,6 +18,12 @@ class IngestMetricsSpec extends SparkSpec {
         StreamingOps.ingestFiles(spark, srcDir.toString),
         java.nio.file.Files.createTempDirectory("mout").toString,
         java.nio.file.Files.createTempDirectory("mck").toString)
+      // the documented scope step: an UNBOUND listener parks events
+      // instead of counting them (a concurrent stream's batches must not
+      // inflate the counters), and bind() folds in this query's parked
+      // events — batches completing in the start→bind window count
+      // exactly once either way (r18 self-review)
+      metrics.bind(q.id)
       q.awaitTermination()
       // listener events are delivered asynchronously
       val deadline = System.currentTimeMillis() + 10000

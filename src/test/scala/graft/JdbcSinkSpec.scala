@@ -207,6 +207,35 @@ class JdbcSinkSpec extends SparkSpec {
     assert(count(url, "t_up") == 4)
   }
 
+  test("a checkpoint reset in place (old claims survive at batch_id > 0) " +
+       "fails batch 0 loudly instead of silently dropping fresh batches " +
+       "at the old ids (r18 self-review)") {
+    import spark.implicits._
+    val url = Dump1090StreamParser.jdbcUrl(":memory:")
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val appId = TransactionalJdbcSink.appIdFor("/tmp/ckpt-reset-in-place")
+    TransactionalJdbcSink.ensureTables(url, "t_reset", batch.schema)
+    // the previous life of this checkpoint committed through batch 7;
+    // pruneClaims left its last two claims
+    TransactionalJdbcSink.writeBatch(batch, 6L, url, "t_reset", 10,
+      appId = appId)
+    TransactionalJdbcSink.writeBatch(batch, 7L, url, "t_reset", 10,
+      appId = appId)
+    // ops deletes the checkpoint but keeps the database: the new run's
+    // batch 0 must refuse — batches 6 and 7 of FRESH data would
+    // otherwise roll back as "replays" when the ids come around again
+    val e = intercept[IllegalStateException] {
+      TransactionalJdbcSink.assertNoStaleClaims(url, "t_reset", appId)
+    }
+    assert(e.getMessage.contains("reset in place"), e.getMessage)
+    // a batch-0-only claim (a crash replaying the very first batch) is
+    // the legitimate case and passes
+    val fresh = TransactionalJdbcSink.appIdFor("/tmp/ckpt-first-batch")
+    TransactionalJdbcSink.writeBatch(batch, 0L, url, "t_reset", 10,
+      appId = fresh)
+    TransactionalJdbcSink.assertNoStaleClaims(url, "t_reset", fresh)
+  }
+
   test("appIdFor: URI and plain-path spellings of one checkpoint share a scope") {
     val plain = "/tmp/some/ckpt"
     assert(TransactionalJdbcSink.appIdFor(plain) ==

@@ -31,7 +31,10 @@ object CatalogOps {
     * one scan now, a free scalar for every consumer after.
     */
   def analyze(s: SparkSession, table: String): Unit = {
-    s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    // backtick-quoted: a hyphenated (or otherwise non-simple) caller
+    // name must ANALYZE, not parse-error — and must never splice SQL
+    // fragments into the statement (r18 self-review)
+    s.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
     ()
   }
 
@@ -50,9 +53,21 @@ object CatalogOps {
     * (q_dedup_bloom's sizing), so the lookup can never drift from the
     * registration.
     */
-  def fixtureTableName(dir: String, name: String): String = {
+  def fixtureTableName(dir: String, name: String): String =
+    s"graft_${fixtureSlug(dir)}_$name"
+
+  /** Collision-proof dir slug: the readable alnum squash PLUS a short
+    * digest of the raw path. The squash alone is lossy — distinct dirs
+    * like `/data/sf0.1` and `/data/sf0_1` collapse to one slug, and the
+    * second registration's tableExists no-op would then silently serve
+    * the FIRST dir's data under the second dir's table names
+    * (r18 self-review). Shared by the table names and the stats
+    * sidecar path so the two can never disagree. */
+  private[graft] def fixtureSlug(dir: String): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    s"graft_${slug}_$name"
+    val dig = java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+      .toString.replace("-", "").take(6)
+    s"${slug}_$dig"
   }
 
   /** Register + analyze every fixture table of a dir under
@@ -78,10 +93,9 @@ object CatalogOps {
                             dir: String): (Map[String, String], String) = {
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val statsPath = {
       val wh = s.conf.get("spark.sql.warehouse.dir")
-      s"${wh.stripSuffix("/")}/g_stats_$slug"
+      s"${wh.stripSuffix("/")}/g_stats_${fixtureSlug(dir)}"
     }
     // persisted (name -> (fp, size_bytes, row_count)); unreadable → empty.
     // Existence probe BEFORE the read: a cold warehouse is the common

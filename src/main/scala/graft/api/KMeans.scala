@@ -109,7 +109,8 @@ object KMeans {
     import spark.implicits._
     import graft.functions.expressions.VectorFunctions.dot_product
 
-    require(m >= 1 && sub >= 1 && k >= 1)
+    require(m >= 1 && sub >= 1 && k >= 1,
+      s"invalid PQ geometry: m=$m sub=$sub k=$k")
     // the corpus exploded ONCE to (id, m, subvector) — the only
     // corpus-sized frame; cached for the duration like [[fit]]'s corpus
     val parts = vecs.select(col(idCol),
@@ -122,6 +123,14 @@ object KMeans {
       val initRows = vecs.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect().map(_.getSeq[Double](0))
       require(initRows.nonEmpty, "cannot fit on an empty corpus")
+      // undersized vectors would slice to EMPTY subvectors past dim —
+      // every centroid would score the -2 floor, all rows would tie to
+      // cid 0, and the returned codebook would be silently degenerate;
+      // a geometry mismatch is caller error and fails with its shape
+      // (the CentroidAggregator convention — r18 self-review)
+      require(initRows.forall(_.length >= m * sub),
+        s"vector dim ${initRows.map(_.length).min} < m*sub = ${m * sub}: " +
+        "the PQ subspace slices would be empty or truncated")
       // cents(i) = subspace i's (cid, centroid) model
       var cents: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { i =>
         initRows.zipWithIndex.map { case (v, j) =>

@@ -45,9 +45,18 @@ object LogReg {
           lr: Double): Array[Double] = {
     val spark = feats.sparkSession
     require(dim >= 1 && iters >= 0 && lr > 0)
+    // the per-iteration aggregations grind ONLY ids the gradient can
+    // use: holdout ids are discarded by the inner join every pass, so
+    // they are dropped once up front instead (r18 self-review)
     val f = feats.select(col("id"), col("b").cast("int"),
       col("c").cast("double").as("c"))
+      .join(labels.select("id").distinct(), Seq("id"), "left_semi")
+    // ... and symmetrically, a labeled id with NO feature rows
+    // contributes no gradient anywhere — counting it in n (the 1/n step
+    // scale) and the base-rate intercept init silently deviated from
+    // full-batch GD over the set actually fitted (r18 self-review)
     val lab = labels.select(col("id"), col("y").cast("double").as("y"))
+      .join(feats.select("id").distinct(), Seq("id"), "left_semi")
     // iters passes re-read both inputs — cache the projections for the
     // fit and release on exit (the KMeans cached-corpus rule)
     f.cache(); lab.cache()

@@ -76,11 +76,21 @@ object Pca {
     val out = Seq.newBuilder[(Long, Long, Long, Long)]
     for (comp <- 0 until k) {
       // fixed init: the axis of the largest remaining diagonal entry
-      // (strict > keeps the lowest index on exact ties)
+      // (strict > keeps the lowest index on exact ties), plus a dense
+      // DETERMINISTIC hash-derived perturbation — a pure axis init can
+      // be an EXACT eigenvector of C (off-diagonal column identically
+      // zero) with a non-maximal eigenvalue, and power iteration would
+      // then never acquire a component of the true dominant direction
+      // (eigenvalues out of descending order — r18 self-review). The
+      // ~1e-6 components make exact orthogonality to the dominant
+      // eigenvector practically impossible while leaving a convergent
+      // run's fixed point (and its milli-quantized output) unchanged.
       var best = 0
       var i = 1
       while (i < dim) { if (c(i)(i) > c(best)(best)) best = i; i += 1 }
-      var v = Array.tabulate(dim)(d => if (d == best) 1.0 else 0.0)
+      var v = Array.tabulate(dim)(d =>
+        (if (d == best) 1.0 else 0.0) +
+          1e-6 * (((d * 2654435761L + comp * 40503L) & 1023L) + 1L) / 1024.0)
       var it = 0
       var degenerate = false
       while (it < Iters && !degenerate) {

@@ -48,7 +48,19 @@ final class SessionMemo[V <: AnyRef](onEvict: V => Unit = (_: V) => ()) {
           m.keySet.asScala
             .filter(k => k._1 == s && k._2 == group && k._3 != variant)
             .toSeq.foreach(k => Option(m.remove(k)).foreach(onEvict))
-          return m.computeIfAbsent((s, group, variant), _ => build)
+          // plain get-then-put, NOT computeIfAbsent: the group monitor
+          // already serializes every mutation of this (session, group),
+          // and computeIfAbsent would run the minutes-long Spark build
+          // holding the CHM *bin* lock — blocking unrelated groups that
+          // hash to the same bin (defeating the "builds of different
+          // groups stay parallel" guarantee) and forbidding a build
+          // that reentrantly consults the same memo (r18 self-review)
+          val key = (s, group, variant)
+          val cur = m.get(key)
+          if (cur != null) return cur
+          val built = build
+          m.put(key, built)
+          return built
         }
       }
     }

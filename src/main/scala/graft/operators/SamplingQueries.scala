@@ -55,10 +55,15 @@ object SamplingQueries {
     * reuse over corpora beyond it. [[DuckSrcNum]] is the one DuckDB
     * spelling, shared by both mixing oracles.
     */
-  private[operators] def srcNum: org.apache.spark.sql.Column = {
-    val sfx = regexp_extract(col("source"), "([0-9]+)$", 1)
-    when(sfx === "", lit(0L)).otherwise(sfx.cast("long"))
-  }
+  private[operators] def srcNum: org.apache.spark.sql.Column =
+    // the EXACT DuckDB spelling: TRY_CAST nulls the no-digits case AND a
+    // >19-digit suffix, COALESCE floors both (and a NULL source) to 0 —
+    // the previous when-guard left NULL for a NULL source where the
+    // oracle said 0, silently diverging the mixing cuts
+    // (r18 self-review)
+    coalesce(
+      expr("TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)"),
+      lit(0L))
   private[operators] val DuckSrcNum =
     "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
 
@@ -438,8 +443,11 @@ object SamplingQueries {
       // quantize to e6 integers BEFORE the share division (integer sums
       // are order-independent where a double Σ over sources depends on
       // accumulation order); the share window rides the sources-sized
-      // block (×3 alphas). Long envelope: q·10⁶ ≤ √n·10¹² < 2⁶³ to
-      // ~8.5e13 tokens/source. Output ≤ |sources|×3 rows.
+      // block (×3 alphas). The share product runs in DECIMAL(38)/HUGEINT
+      // on the two engines: the α=1 branch's q is the RAW token count,
+      // so a Long q·10⁶ bound at ~9.2e12 tokens/source — an order below
+      // the sqrt branches' √n·10¹² envelope and inside the 100 TB north
+      // star (r18 self-review). Output ≤ |sources|×3 rows.
       val src = documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("t"))
@@ -456,7 +464,8 @@ object SamplingQueries {
         .select(col("source"), col("n"),
           col("aq.alpha_pct").as("alpha_pct"), col("aq.q").as("q"))
         .withColumn("tot", sum("q").over(Window.partitionBy("alpha_pct")))
-        .withColumn("share_ppm", expr("q * 1000000 DIV tot"))
+        .withColumn("share_ppm",
+          expr("CAST(q AS DECIMAL(38,0)) * 1000000 DIV tot"))
         .select("alpha_pct", "source", "n", "share_ppm")
         .orderBy("alpha_pct", "source")
     }),
@@ -487,7 +496,11 @@ object SamplingQueries {
     val w = Window.orderBy(col("toks"), col("source"))
     src.withColumn("i", row_number().over(w))
       .agg(count(lit(1)).as("n_sources"), sum("toks").as("tokens_total"),
-           sum(expr("i * toks")).as("iw"))
+           // the i·toks product AND its sum accumulate in DECIMAL(38):
+           // a Long sum bound the envelope at ~4.6e17 total tokens while
+           // the oracle's HUGEINT sum sailed past — the decimal claim
+           // below only held downstream of the sum (r18 self-review)
+           sum(expr("CAST(i AS DECIMAL(38,0)) * toks")).as("iw"))
       .withColumn("gini_e6", expr(
         """CAST((2 * CAST(iw AS DECIMAL(38,0))
           |       - (n_sources + 1) * CAST(tokens_total AS DECIMAL(38,0)))
@@ -517,7 +530,8 @@ object SamplingQueries {
         |         CAST(floor(sqrt(sqrt(CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
         |  FROM src)
         |SELECT CAST(alpha_pct AS INTEGER) AS alpha_pct, source, n,
-        |       CAST(q * 1000000 // sum(q) OVER (PARTITION BY alpha_pct)
+        |       CAST(CAST(q AS HUGEINT) * 1000000
+        |            // sum(q) OVER (PARTITION BY alpha_pct)
         |            AS BIGINT) AS share_ppm
         |FROM a ORDER BY alpha_pct, source""".stripMargin,
 

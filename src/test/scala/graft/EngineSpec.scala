@@ -584,8 +584,7 @@ class EngineSpec extends SparkSpec {
     // re-analyzes (tag "analyze"), and the healed sidecar restores again
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:").stripSuffix("/")
-    val slug = sf.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val statsPath = s"$wh/g_stats_$slug"
+    val statsPath = s"$wh/g_stats_${co.fixtureSlug(sf)}"
     val side = spark.read.parquet(statsPath)
     val patched = side.collect().map { r =>
       if (r.getAs[String]("name") == "documents")

@@ -259,44 +259,10 @@ object DedupQueries {
   private def shrinkSafe(s: SparkSession, fam: String, d: String): Boolean =
     Option(shrinkVerdict.get((s, shrinkKey(fam, d)))).contains(true)
 
-  /** Serve a derived layer from its persisted artifact when the input
-    * fingerprint (+ [[DerivedVersion]]) matches; otherwise the BUILD
-    * EXECUTES EXACTLY ONCE — as the artifact write — and the layer is
-    * read back from parquet, so cold sessions pay build + tiny write
-    * where warm sessions (every later Bench/Verify run on an unchanged
-    * fixture) pay one parquet read for 10s of CPU-seconds of hashing.
-    * The caller re-applies its session layout (repartition/cache/
-    * coalesce) to the returned frame. An unwritable warehouse degrades
-    * to the live build (source stays "rebuild") — never a throw.
-    */
-  private[operators] def servedDerived(s: SparkSession, d: String,
-                            phase: String,
-                            family: String, input: String, tag: String)
-                           (build: => DataFrame): DataFrame = {
-    // fpv2 (VERDICT r16 #3): CONTENT-DIGEST fingerprint — an in-place
-    // same-size-same-mtime source rewrite invalidates, like every __mf
-    // layer; the scheme marker makes pre-migration artifacts refit once
-    val fp = graft.api.IndexArtifacts.fileFingerprintDigest(s"$d/$input") +
-      ":fpv2:" + DerivedVersion + ":" + tag
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
-    val table = s"g_drv_${family}_$slug"
-    graft.api.IndexArtifacts.readDerived(s, table, fp) match {
-      case Some(df) =>
-        derivedSource.put((s, phase), "artifact"); df
-      case None =>
-        derivedSource.put((s, phase), "rebuild")
-        lazy val built = build // once: the write job below IS its execution
-        try {
-          graft.api.IndexArtifacts.persistDerived(s, built, table, fp)
-          // a builder that returns an internally-cached frame (the
-          // connected-components final round) must not leak that pin —
-          // the artifact read below is the layer now (no-op for plain
-          // plans, which were never cached)
-          built.unpersist(blocking = false)
-          graft.api.IndexArtifacts.readDerived(s, table, fp).getOrElse(built)
-        } catch { case _: Exception => built }
-    }
-  }
+  // (the plain fingerprint-gated servedDerived serve path was removed in
+  // r18: every layer migrated to IndexArtifacts.serveDerivedIncremental
+  // — the manifest-incremental family with append/shrink/compact — and
+  // dead serve machinery drifts from the live semantics)
 
   /** One memoized index entry. Each layer is built on FIRST ACCESS (lazy
     * val — contention serializes per key, not globally), so the cache's
@@ -438,7 +404,7 @@ object DedupQueries {
       (col("pa.nrm") * col("pb.nrm"))
     val dup = IvfOps.bucketPairsWithPayload(asgP, "cid", "vec_id",
         struct(col("v"), col("nrm")))
-      .filter(floor(cos * 1e9).cast("long") >= 450000000L)
+      .filter(floor(cos * 1e9).cast("long") >= SimilarityQueries.SemDupThrE9)
       .select(col("b").as("vec_id")).distinct()
     asgP.select("vec_id", "cid")
       .join(dup.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
@@ -782,13 +748,21 @@ object DedupQueries {
       // migrated to the manifest-incremental family in r18 (shrink
       // support) — they fragment like any appending/shrinking layer
       s"g_drv_typopairs_$slug" -> uniqueInvariant("pa", "pb"),
-      s"g_drv_funlags_$slug" -> uniqueInvariant("user_id", "transition"))
+      s"g_drv_funlags_$slug" -> uniqueInvariant("user_id", "transition"),
+      // the PQ-encoded index layers append under frozen models and
+      // shrink by vec_id — they fragment like every other
+      // manifest-incremental layer and were missing from this pass
+      // (r18 self-review; their serve-policy compaction was the only
+      // coverage before)
+      s"g_drv_ivfpqidx_$slug" -> uniqueInvariant("vec_id"),
+      s"g_drv_ivfpqidxfx_$slug" -> uniqueInvariant("vec_id"))
     val out = layers.map { case (t, inv) => (t, compactDerived(s, t, inv)) }
     releaseShingleIndex(s)
     releaseWinnowPicks(s)
     TextQueries.releaseTokenLayer(s)
     releaseTypoPairs(s)
     EventTimeQueries.releaseFunnelLags(s)
+    SimilarityQueries.releaseIvfpqIndex(s)
     out
   }
 
@@ -802,9 +776,17 @@ object DedupQueries {
     pairTable
       .join(sizes.as("na"), col("da") === col("na.doc_id"))
       .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
-      .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n")) >= 800000)
+      .filter(jacE6Col(col("shared"), col("na.n"), col("nb.n"))
+        >= NearDupJacE6)
       .select("da", "db")
   }
+
+  /** The near-dup Jaccard threshold (e6) — ONE definition, interpolated
+    * into the cluster layer's artifact tag below: a hand-mirrored
+    * literal in the tag would let a threshold edit serve the stale
+    * persisted clusters under a still-matching tag (the DerivedVersion
+    * doctrine — r18 self-review). */
+  private[graft] val NearDupJacE6 = 800000L
 
   /** Verified near-dup edges → component labels via
     * [[graft.api.GraftOps.connectedComponents]].
@@ -835,7 +817,7 @@ object DedupQueries {
     val (df, src) = try {
       graft.api.IndexArtifacts.serveDerivedIncremental(
         s, table, s"$d/documents.parquet",
-        DerivedVersion + s":df$DfCap-jac800000",
+        DerivedVersion + s":df$DfCap-jac$NearDupJacE6",
         {
           val cc = graft.api.GraftOps.connectedComponents(
             verifiedNearDupEdges(sh, pairTable), "da", "db")
@@ -2111,7 +2093,8 @@ object DedupQueries {
         (col("a.nrm") * col("b.nrm"))
       val truth = sample.as("a").crossJoin(sample.as("b"))
         .filter(col("a.vec_id") < col("b.vec_id"))
-        .filter(floor(cosAB * lit(1e9)).cast("long") >= 450000000L)
+        .filter(floor(cosAB * lit(1e9)).cast("long")
+          >= SimilarityQueries.SemDupThrE9)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       val block = IvfOps.centroidBlock(
         e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
@@ -2483,7 +2466,7 @@ object DedupQueries {
       // (IvfOps) — zero shuffles. Measured recall on the fixture: 12 of
       // the 14 all-pairs-qualifying pairs at sf0.01 (probe count tunes
       // recall vs cost).
-      embedPairs(s, d, 450000000L).orderBy("va", "vb")
+      embedPairs(s, d, SimilarityQueries.SemDupThrE9).orderBy("va", "vb")
     }),
 
     "q_dedup_eval_leakage" -> ((s, d) =>
@@ -2500,7 +2483,7 @@ object DedupQueries {
       // sim_e9). Scale rides entirely on embedPairs' story; the cohort
       // filter and relabel are map-side over the near-dup-sized pair
       // table.
-      embedPairs(s, d, 450000000L)
+      embedPairs(s, d, SimilarityQueries.SemDupThrE9)
         .filter(pmod(col("va"), lit(2)) =!= pmod(col("vb"), lit(2)))
         .select(
           when(pmod(col("va"), lit(2)) === 1, col("va")).otherwise(col("vb"))
@@ -3071,7 +3054,7 @@ object DedupQueries {
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
          |truth AS (SELECT a.vec_id AS va, b.vec_id AS vb
          |          FROM samp a JOIN samp b ON a.vec_id < b.vec_id
-         |          WHERE floor($cosAB * 1e9) >= 450000000),
+         |          WHERE floor($cosAB * 1e9) >= ${SimilarityQueries.SemDupThrE9}),
          |scored AS (
          |  SELECT s.vec_id, c.cid,
          |         row_number() OVER (PARTITION BY s.vec_id
@@ -3082,7 +3065,7 @@ object DedupQueries {
          |          SELECT vec_id, cid,
          |                 row_number() OVER (PARTITION BY cid
          |                                    ORDER BY vec_id) AS brn
-         |          FROM asg0) WHERE brn <= 4096),
+         |          FROM asg0) WHERE brn <= ${graft.api.IvfOps.BucketCap}),
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |         FROM asg a JOIN asg b
          |           ON a.cid = b.cid AND a.vec_id < b.vec_id),
@@ -3397,19 +3380,19 @@ object DedupQueries {
          |        FROM cand c
          |        JOIN e a ON c.va = a.vec_id
          |        JOIN e b ON c.vb = b.vec_id
-         |        WHERE floor($cos * 1e9) >= 450000000)
+         |        WHERE floor($cos * 1e9) >= ${SimilarityQueries.SemDupThrE9})
          |SELECT asg.vec_id, asg.cid, dup.vec_id IS NULL AS is_kept
          |FROM asg LEFT JOIN dup USING (vec_id)
          |ORDER BY asg.vec_id""".stripMargin
     },
 
     "q_dedup_embed" ->
-      s"""WITH ${duckEmbedPairsCte(450000000L)}
+      s"""WITH ${duckEmbedPairsCte(SimilarityQueries.SemDupThrE9)}
          |SELECT va, vb, sim_e9 FROM pairs ORDER BY va, vb""".stripMargin,
 
     // the same pair CTE, cross-cohort filter + eval/train relabel
     "q_dedup_eval_leakage" ->
-      s"""WITH ${duckEmbedPairsCte(450000000L)}
+      s"""WITH ${duckEmbedPairsCte(SimilarityQueries.SemDupThrE9)}
          |SELECT CASE WHEN va % 2 = 1 THEN va ELSE vb END AS eval_id,
          |       CASE WHEN va % 2 = 1 THEN vb ELSE va END AS train_id,
          |       sim_e9
@@ -3447,7 +3430,7 @@ object DedupQueries {
        |          SELECT vec_id, cid,
        |                 row_number() OVER (PARTITION BY cid
        |                                    ORDER BY vec_id) AS brn
-       |          FROM asg0) WHERE brn <= 4096),
+       |          FROM asg0) WHERE brn <= ${graft.api.IvfOps.BucketCap}),
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |         FROM asg a JOIN asg b
        |           ON a.cid = b.cid AND a.vec_id < b.vec_id),

@@ -179,25 +179,38 @@ object SimilarityQueries {
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val table = s"g_model_${kind}_$slug"
       val src = s"$d/embeddings.parquet"
-      val served = graft.api.IndexArtifacts
+      // record the model-artifact epoch OBSERVED at fill time: a
+      // downstream encoded-index tag must describe the frames this memo
+      // actually serves, not whatever a FOREIGN retrain later puts on
+      // disk — stat'ing the artifacts at serve time could bless a
+      // stale-model encode under a fresh-epoch tag (r18 self-review).
+      // The stat runs BEFORE the fingerprint-checked read: stat-after
+      // would let a foreign retrain landing in the read→stat window
+      // stamp the fresh epoch over the old frames just collected.
+      // Captured-before can only UNDER-state the epoch, and an
+      // under-stated tag mismatches the next session into one rebuild —
+      // never a stale serve.
+      val preEpoch = graft.api.IndexArtifacts.modelArtifactEpoch(s, table)
+      graft.api.IndexArtifacts
         .readModelFrozen(s, table, src, tag + ModelFpVersion) match {
         case Some((m, how)) =>
-          modelSource.put((s, kind, d), how); m
+          modelSource.put((s, kind, d), how)
+          modelEpochAtLoad.put((s, kind, d), preEpoch)
+          m
         case None =>
           val m = build
           graft.api.IndexArtifacts
             .persistModelFrozen(s, m, table, src, tag + ModelFpVersion)
           modelSource.put((s, kind, d), "fit")
+          // the fit branch must describe the files it JUST wrote, so it
+          // re-stats after the persist. A foreign retrain inside that
+          // window refits deterministically on the same corpus — frames
+          // can only differ if the corpus changed, and a corpus change
+          // also changes the index tag's own source fingerprint.
+          modelEpochAtLoad.put((s, kind, d),
+            graft.api.IndexArtifacts.modelArtifactEpoch(s, table))
           m
       }
-      // record the model-artifact epoch OBSERVED at fill time: a
-      // downstream encoded-index tag must describe the frames this memo
-      // actually serves, not whatever a FOREIGN retrain later puts on
-      // disk — stat'ing the artifacts at serve time could bless a
-      // stale-model encode under a fresh-epoch tag (r18 self-review)
-      modelEpochAtLoad.put((s, kind, d),
-        graft.api.IndexArtifacts.modelArtifactEpoch(s, table))
-      served
     }
 
   /** Periodic retrain: drop the dir's persisted model artifacts and the
@@ -596,10 +609,27 @@ object SimilarityQueries {
   /** Fixture-model epoch memo: the fixture models are pure functions of
     * PINNED corpus rows (vec_id < 8 centroids, vec_id < 4 codebook), so
     * their digest is stable under growth (append keeps working) and the
-    * bounded-row collect that computes it memoizes per (dir, source
-    * state) — once per JVM per corpus state, not once per serve. */
+    * bounded-row collect that computes it memoizes per dir — keyed by
+    * dir with the source digest as a VALIDATOR, so a long-lived JVM
+    * cycling a dir through grow/shrink states (the lifecycle-fuzz
+    * workload) holds ONE entry per dir, not one per corpus state ever
+    * seen (r18 self-review; also moves the Spark collect out of
+    * computeIfAbsent's bin lock). */
   private val fixtureEpochMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def fixtureEpoch(d: String, cents: DataFrame,
+                           cb: DataFrame): String = {
+    val dg = graft.api.IndexArtifacts
+      .fileFingerprintDigest(s"$d/embeddings.parquet")
+    Option(fixtureEpochMemo.get(d)) match {
+      case Some((`dg`, v)) => v
+      case _ =>
+        val v = "rows:" + modelRowsDigest(cents, cb)
+        fixtureEpochMemo.put(d, (dg, v))
+        v
+    }
+  }
 
   private[graft] def ivfpqIndex(s: SparkSession, d: String,
                                 trained: Boolean): DataFrame = {
@@ -640,10 +670,7 @@ object SimilarityQueries {
       val tag = baseTag + ":mdl" + (
         if (trained)
           trainedModelEpoch(s, d, Seq("ivf", "ivfpq"), Seq(cents, cb))
-        else fixtureEpochMemo.computeIfAbsent(
-          (d, graft.api.IndexArtifacts
-            .fileFingerprintDigest(s"$d/embeddings.parquet")),
-          _ => "rows:" + modelRowsDigest(cents, cb)))
+        else fixtureEpoch(d, cents, cb))
       val slug = d.replaceAll("[^A-Za-z0-9]+", "_")
       val phase = if (trained) "ivfpq_index" else "ivfpq_index_fx"
       val (df, src) = graft.api.IndexArtifacts.serveDerivedIncremental(

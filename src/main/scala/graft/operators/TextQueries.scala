@@ -29,8 +29,8 @@ object TextQueries {
     * aggregation inside every timed execution; every one of their
     * downstream shapes is an aggregation OVER this relation, so it is
     * built once per (session, dir), served from the derived-artifact
-    * family (DedupQueries.servedDerived — fingerprint + sidecar, the
-    * shingle-layer posture), and attributed as the `token_counts`
+    * family (IndexArtifacts.serveDerivedIncremental — fingerprint +
+    * sidecar, the shingle-layer posture), and attributed as the `token_counts`
     * bench phase. At data scale this IS the maintained inverted index:
     * rows are (docs × distinct-tokens-per-doc), ~0.4× the raw token
     * stream, and consumers' shuffles shrink from token volume to vocab

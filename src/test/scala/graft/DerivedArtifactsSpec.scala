@@ -4,7 +4,8 @@ import graft.api.IndexArtifacts
 import graft.operators.DedupQueries
 
 /** The derived-layer artifact family (persistDerived/readDerived +
-  * DedupQueries.servedDerived): fingerprint-guarded round-trip, torn
+  * IndexArtifacts.serveDerivedIncremental): fingerprint-guarded
+  * round-trip, torn
   * writes read as absent, and — the property the Bench/Verify warm
   * path rests on — a released session memo re-serves from the artifact
   * with EXACTLY the rows the live build produced.

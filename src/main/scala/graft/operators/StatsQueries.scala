@@ -176,16 +176,7 @@ object StatsQueries {
       val q = qs.groupBy("l_returnflag").agg(
         max(when(col("p") === 0.25, col("value"))).as("q1"),
         max(when(col("p") === 0.75, col("value"))).as("q3"))
-      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
-      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
-      val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
-      lineitem(s, d)
-        .join(broadcast(q), Seq("l_returnflag"))
-        .groupBy("l_returnflag", "q1", "q3")
-        .agg(count(lit(1)).as("n"),
-             sum(when(out, 1L).otherwise(0L)).as("n_outliers"))
-        .select("l_returnflag", "n", "n_outliers", "q1", "q3")
-        .orderBy("l_returnflag")
+      tukeyProfile(lineitem(s, d), q)
     }),
 
     "q_stats_outliers_approx" -> ((s, d) => {
@@ -199,16 +190,7 @@ object StatsQueries {
       val q = lineitem(s, d).groupBy("l_returnflag").agg(
         percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("q1"),
         percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("q3"))
-      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
-      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
-      val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
-      lineitem(s, d)
-        .join(broadcast(q), Seq("l_returnflag"))
-        .groupBy("l_returnflag", "q1", "q3")
-        .agg(count(lit(1)).as("n"),
-             sum(when(out, 1L).otherwise(0L)).as("n_outliers"))
-        .select("l_returnflag", "n", "n_outliers", "q1", "q3")
-        .orderBy("l_returnflag")
+      tukeyProfile(lineitem(s, d), q)
     }),
 
     "q_agg_histogram" -> ((s, d) =>
@@ -235,16 +217,7 @@ object StatsQueries {
       // it is the t2 oracle path; q_corpus_profile_approx below is the
       // 100 TB production variant. Mean quality stays in exact BIGINT
       // floor division, never a double average of corpus-scale sums.
-      documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          TextQueries.qualityE6Col.as("q_e6"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").as("tokens_total"),
-             median(col("n_tokens")).as("tokens_median"),
-             expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
-        .orderBy("source")),
+      corpusProfile(documents(s, d), median(col("n_tokens")))),
 
     "q_corpus_profile_approx" -> ((s, d) =>
       // q_corpus_profile's declared 100 TB swap, made real: exact median
@@ -255,17 +228,9 @@ object StatsQueries {
       // as the exact profile; t2-excluded like the other sketch ops
       // (sketch internals are engine-specific), accuracy pinned by
       // EngineSpec at ±2% of the exact median per source.
-      documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          TextQueries.qualityE6Col.as("q_e6"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").as("tokens_total"),
-             percentile_approx(col("n_tokens"), lit(0.5), lit(10000))
-               .cast("double").as("tokens_median"),
-             expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
-        .orderBy("source")),
+      corpusProfile(documents(s, d),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(10000))
+          .cast("double"))),
 
     "q_stats_benford" -> ((s, d) => {
       // First-significant-digit distribution vs Benford's law (public:
@@ -430,18 +395,56 @@ object StatsQueries {
     */
   private[graft] def mwuStat(obs: DataFrame): DataFrame = {
     val vals = cohortCounts(obs)
+    // the global agg rides a (n1, n2) groupBy like ksStat's, NOT a
+    // grouping-key-free .agg: on EMPTY input the keyless form emits one
+    // all-null row where the oracle's GROUP BY (and the ks twin) emit
+    // zero — a shape divergence outside the fixture (r18 self-review)
     val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cdfAttach(vals)
       .select(expr("CAST(c1 AS DECIMAL(38,0)) *" +
         " (2 * CAST(k2 AS DECIMAL(38,0)) - c2)").as("t"))
-      .agg(sum("t").as("u_dec"))
       .crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(sum("t").as("u_dec"))
       .select(col("n1"), col("n2"),
         expr("try_cast(u_dec AS BIGINT)").as("u2x"),
         expr("try_cast(u_dec * 1000000 DIV" +
              " (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
           .as("auc_e6"))
   }
+
+  /** Tukey-fence rollup shared by q_stats_outliers and its sketch twin
+    * (r18 self-review): per-group (q1, q3) → 1.5·IQR fences → flagged
+    * counts. ONE definition, so a fence-rule or output change cannot
+    * drift between the exact op and the twin EngineSpec compares. */
+  private def tukeyProfile(li: DataFrame,
+                           q: DataFrame): DataFrame = {
+    val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+    val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+    val out = col("l_extendedprice") < lo || col("l_extendedprice") > hi
+    li.join(broadcast(q), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "q1", "q3")
+      .agg(count(lit(1)).as("n"),
+           sum(when(out, 1L).otherwise(0L)).as("n_outliers"))
+      .select("l_returnflag", "n", "n_outliers", "q1", "q3")
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-source profile shared by q_corpus_profile and its sketch twin —
+    * only the median aggregate differs, passed in so the shared columns
+    * stay structurally identical for the ±2% EngineSpec compare
+    * (r18 self-review). */
+  private def corpusProfile(docs: DataFrame,
+                            med: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextQueries.qualityE6Col.as("q_e6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("tokens_total"),
+           med.as("tokens_median"),
+           expr("sum(q_e6) DIV count(1)").as("quality_mean_e6"))
+      .orderBy("source")
 
   def oracles: Map[String, String] = Map(
     // generated from the SAME column/pair lists as the engine, HUGEINT

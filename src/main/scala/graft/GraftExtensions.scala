@@ -23,7 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.expressions", name, usage)
+    // the 5-string form (className, db, name, usage, extended): the
+    // 3-string ctor is (className, db, NAME) — it put the function name
+    // in the db slot and the usage text in the NAME slot, so DESCRIBE
+    // FUNCTION showed the doc line as the function's name and no usage
+    // at all (r18 self-review). Spark asserts a non-empty usage embeds
+    // _FUNC_, so the leading "name(" is rewritten to the placeholder.
+    new ExpressionInfo("graft.functions.expressions", null, name,
+      usage.replaceFirst(
+        "^" + java.util.regex.Pattern.quote(name), "_FUNC_"), "")
 
   private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n)

@@ -65,11 +65,20 @@ object IvfOps {
     // once, injected into the projection as a literal. No join node (of
     // any kind) appears in the consumer's plan, so assignment is a pure
     // map-side projection even in the physical plan.
+    // an EMPTY centroid block is caller error with two DIFFERENT silent
+    // degenerate outcomes (nProbe=1: array_max over [] is [null], so
+    // every row lands in one null-cid bucket and bucketPairs then pairs
+    // unrelated vectors; nProbe>1: the empty slice explodes to nothing
+    // and the whole corpus silently vanishes) — fail loudly instead
+    // (r18 self-review)
+    val guarded = when(size(col("__cents")) > 0, ranked)
+      .otherwise(raise_error(lit(
+        "IvfOps.assign: empty centroid block — nothing to assign to")))
     vecs.withColumn("__cents",
         org.apache.spark.sql.GraftSqlBridge.scalarSubquery(
           centroidBlock.select("__cents")))
       .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
-      .withColumn("__p", explode(ranked))
+      .withColumn("__p", explode(guarded))
       .withColumn("cid", -col("__p.negcid"))
       // keepScore surfaces the winning cosine (q_emb_outliers' distance-
       // to-own-centroid signal) without a centroid re-join downstream
@@ -90,6 +99,8 @@ object IvfOps {
     */
   def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
                    nProbe: Int, vecCol: String = "v"): DataFrame = {
+    require(cents.nonEmpty,
+      "assignStatic: empty centroid set — nothing to assign to")
     val scored = array(cents.map { case (cid, cv) =>
       // left-to-right sum, like DotProduct's loop — bit-identical norms;
       // zero-norm floor as in [[assign]] (ANSI-safe when-guard + nanvl)
@@ -304,9 +315,18 @@ object IvfOps {
       .filter(if (excludeSelf) col(idCol) =!= col(qIdCol) else lit(true))
       .select(col(qIdCol), col(idCol))
       .distinct()
+    // norms precompute ONCE PER ROW before the candidate joins (the
+    // bucketPairsWithPayload (v, nrm) discipline): recomputing them per
+    // candidate pair would triple the O(dim) kernels in exactly the
+    // compute-dense verify stage — sqrt(dot(v,v))·sqrt(dot(q,q)) is the
+    // same expression either way, so the scores are bit-identical
+    // (r18 self-review)
     val cand = candIds
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(queries.select(col(qIdCol), col(qVecCol)), Seq(qIdCol))
+      .join(corpus.select(col(idCol), col(vecCol),
+        sqrt(dot_product(col(vecCol), col(vecCol))).as("__cn")), Seq(idCol))
+      .join(queries.select(col(qIdCol), col(qVecCol),
+        sqrt(dot_product(col(qVecCol), col(qVecCol))).as("__qn")),
+        Seq(qIdCol))
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(idCol).asc)
     cand
       // the assign() zero-norm guard applied to the exact re-rank: a
@@ -317,8 +337,7 @@ object IvfOps {
       // a zero denominator and the nanvl belt stays for any other NaN;
       // -2 is below any cosine, so the degenerate vector ranks last
       // (r18 self-review)
-      .withColumn("__nn", sqrt(dot_product(col(vecCol), col(vecCol))) *
-                          sqrt(dot_product(col(qVecCol), col(qVecCol))))
+      .withColumn("__nn", col("__cn") * col("__qn"))
       .select(col(qIdCol), col(idCol),
               nanvl(when(col("__nn") > 0,
                       dot_product(col(vecCol), col(qVecCol)) / col("__nn"))

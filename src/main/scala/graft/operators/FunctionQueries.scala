@@ -78,7 +78,12 @@ object FunctionQueries {
       events(s, d)
         .select(
           col("event_id"), col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          // TRY_CAST on BOTH sides: a non-integral k would throw under
+          // the engine's ANSI cast and ERROR the DuckDB oracle's plain
+          // CAST — one bad JSON value must read as one NULL, not kill
+          // the query (r18 self-review)
+          expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)")
+            .as("k_val"),
           // build a map and read it back: MapType surface, fully codegen'd
           element_at(map(lit("v"), col("value")), "v").as("v_roundtrip"),
           length(col("props")).cast("long").as("props_len"))
@@ -90,7 +95,7 @@ object FunctionQueries {
       """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS brand_low,
         |       substr(p_type, 1, 4) AS type_pre,
         |       CAST(length(p_name) AS BIGINT) AS name_len,
-        |       p_brand || '|' || p_type AS tag,
+        |       concat_ws('|', p_brand, p_type) AS tag,
         |       replace(p_name, ' ', '_') AS underscored,
         |       regexp_extract(p_brand, '[0-9]+$') AS brand_num
         |FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""".stripMargin,
@@ -124,7 +129,7 @@ object FunctionQueries {
 
     "q_json_map_funcs" ->
       """SELECT event_id, user_id,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |       value AS v_roundtrip,
         |       CAST(length(props) AS BIGINT) AS props_len
         |FROM events ORDER BY event_id""".stripMargin

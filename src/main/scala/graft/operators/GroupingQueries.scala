@@ -73,7 +73,11 @@ object GroupingQueries {
         .partitionBy("l_returnflag")
         .orderBy(col("n").desc, col("qty").asc)
       lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        // floor() on BOTH sides: Spark's double->long cast TRUNCATES while
+        // DuckDB's CAST rounds — integral fixture quantities masked the
+        // divergence (r18 self-review)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("qty"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -86,12 +90,21 @@ object GroupingQueries {
       // (global avg); Catalyst decorrelates the former into an aggregate +
       // join — one shuffle on o_custkey, broadcast of the 1-row global avg.
       orders(s, d).createOrReplaceTempView("orders")
+      // averages route through DECIMAL(18,2) sums (the sumMoney / SURVEY
+      // 7.6 doctrine): a raw double avg's accumulation order differs
+      // between the engines, so a row within an ulp of the threshold
+      // could flip on one engine only (r18 self-review)
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice,
-          |       o_totalprice > (SELECT avg(o_totalprice) FROM orders) AS above_global
+          |       o_totalprice > (
+          |         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |                     AS DOUBLE) / count(*) FROM orders)
+          |         AS above_global
           |FROM orders o
-          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-          |                      WHERE o2.o_custkey = o.o_custkey)
+          |WHERE o_totalprice > (
+          |        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |                    AS DOUBLE) / count(*)
+          |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey
           |""".stripMargin)
     })
@@ -99,13 +112,13 @@ object GroupingQueries {
 
   def oracles: Map[String, String] = Map(
     "q_agg_mode" ->
-      """SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+      """SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS mode_qty,
         |       count(*) AS n
         |FROM lineitem
-        |GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+        |GROUP BY l_returnflag, CAST(floor(l_quantity) AS BIGINT)
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |                           ORDER BY count(*) DESC,
-        |                                    CAST(l_quantity AS BIGINT) ASC) = 1
+        |                                    CAST(floor(l_quantity) AS BIGINT) ASC) = 1
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_rollup" ->
@@ -132,10 +145,15 @@ object GroupingQueries {
 
     "q_multi_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |       o_totalprice > (SELECT avg(o_totalprice) FROM orders) AS above_global
+        |       o_totalprice > (
+        |         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                     AS DOUBLE) / count(*) FROM orders)
+        |         AS above_global
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
+        |WHERE o_totalprice > (
+        |        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |                    AS DOUBLE) / count(*)
+        |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -15,11 +15,7 @@ object BucketedLayout {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    write(df, table, key, buckets, "overwrite")
 
   /** Append a batch into an existing bucketed table with the SAME bucket
     * spec (Spark rejects a mismatched spec): each appended file set is
@@ -28,7 +24,13 @@ object BucketedLayout {
     */
   def appendBucketed(df: DataFrame, table: String, key: String,
                      buckets: Int): Unit =
-    df.write.mode("append")
+    write(df, table, key, buckets, "append")
+
+  // one writer for both modes: a layout change (format, sortBy, bucket
+  // validation) must not be editable in one path and missed in the other
+  private def write(df: DataFrame, table: String, key: String,
+                    buckets: Int, mode: String): Unit =
+    df.write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

@@ -613,7 +613,6 @@ object EventTimeQueries {
       // consecutive events (quadratic on hot users), never a window over
       // the path key.
       val w = Window.partitionBy("user_id").orderBy(col("ems"), col("event_id"))
-      import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
       val tri = ems(s, d)
         .withColumn("e2", lead(col("event_type"), 1).over(w))
         .withColumn("e3", lead(col("event_type"), 2).over(w))
@@ -621,8 +620,14 @@ object EventTimeQueries {
         .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
                  col("e3").as("s3"))
         .agg(count(lit(1)).as("n"))
-      val tot = tri.agg(sum("n").as("t"))
-      tri.withColumn("t", scalarSubquery(tot))
+      // the trigram total rides a single-partition window over the
+      // ≤|types|³-BOUNDED rollup (the q_mix_alpha device — r18, guide
+      // §2.4) instead of a scalar subquery whose execution re-ran the
+      // rollup subtree as its own jobs; t is identical (sum of the same
+      // group counts)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      tri.withColumn("t", sum("n").over(wAll))
         .withColumn("share_ppm", expr("n * 1000000 DIV t"))
         .drop("t")
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))

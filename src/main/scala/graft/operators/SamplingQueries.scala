@@ -67,6 +67,15 @@ object SamplingQueries {
   private[operators] val DuckSrcNum =
     "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
 
+  /** Whole-relation window frame for corpus scalars over BOUNDED
+    * (sources-sized) rollups — a deliberate single partition, the
+    * q_mix_alpha / cdfAttach bounded-block rule. Stacked uses plan as
+    * consecutive Window operators on ONE exchange (r18, guide §2.4),
+    * where the scalar-subquery form they replace ran one query execution
+    * per scalar. */
+  private val wWhole = Window.rowsBetween(
+    Window.unboundedPreceding, Window.unboundedFollowing)
+
   /** q_mix_epochs core over (source, t) per-doc token rows: temperature
     * weights (sqrt, e3-quantized — the q_mix_temperature arithmetic),
     * per-source targets at T = 3× unique tokens, epochs capped at 4.0
@@ -74,25 +83,26 @@ object SamplingQueries {
     * through the exact integer math.
     */
   private[graft] def epochSchedule(tok: DataFrame): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    // the corpus scalars (wraw, then wsum + ntot) stack as single-
+    // partition windows on the sources-sized rollup (the q_mix_sources
+    // note — r18, guide §2.4) instead of two nested scalar-subquery
+    // executions; values identical, same sum domains.
     val srcs = tok.groupBy("source").agg(sum("t").as("n_tokens"))
       .withColumn("w",
         floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
-    val totRaw = srcs.agg(sum("w").as("wraw"))
-    val q = srcs.withColumn("wraw", scalarSubquery(totRaw))
+    val q = srcs.withColumn("wraw", sum("w").over(wWhole))
       .withColumn("w_e3", greatest(expr("w * 1000 DIV wraw"), lit(1L)))
-    val tots = q.agg(sum("w_e3").as("wsum"), sum("n_tokens").as("ntot"))
-      .select(struct(col("wsum"), col("ntot")).as("tt"))
     // budget products run in DECIMAL(38,0): 3·ntot·w_e3 outgrows Long at
     // ~3e15 corpus tokens and n_tokens·epochs_e3 at ~2e15 per source —
     // the envelope swap the r10 prose promised, now in code (VERDICT r10
     // #5). Quotients re-enter BIGINT via explicit casts (they are ≤
     // 3·ntot by construction); the oracle mirrors with HUGEINT.
     // PropertySpec pins the envelope edge.
-    q.withColumn("tt", scalarSubquery(tots))
+    q.withColumn("wsum", sum("w_e3").over(wWhole))
+      .withColumn("ntot", sum("n_tokens").over(wWhole))
       .withColumn("target_tokens",
-        expr("CAST(CAST(3 AS DECIMAL(38,0)) * tt.ntot * w_e3" +
-             " DIV tt.wsum AS BIGINT)"))
+        expr("CAST(CAST(3 AS DECIMAL(38,0)) * ntot * w_e3" +
+             " DIV wsum AS BIGINT)"))
       .withColumn("epochs_e3",
         least(expr("CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000" +
                    " DIV n_tokens AS BIGINT)"), lit(4000L)))
@@ -188,7 +198,12 @@ object SamplingQueries {
       // bits is the 100 TB knob (per-bucket rows stay ~n/buckets by hash
       // uniformity). Oracle deliberately takes the textbook
       // single-window form — the two must agree exactly.
-      curriculumPlan(documents(s, d))),
+      // fanOut (r18, guide §2.5): the quality projection (4 tokenization
+      // passes/doc) runs once in the bucket rollup and once on the join
+      // probe side — both over the one-row-group fixture's single split,
+      // i.e. serially, ~2× the query's whole cost. Gated identity at
+      // data scale.
+      curriculumPlan(fanOut(documents(s, d)))),
 
     "q_chunk_docs" -> ((s, d) => {
       // The complement of packing: SPLIT long docs into overlapping
@@ -270,12 +285,15 @@ object SamplingQueries {
       // NB "wsum", not "W": resolution is case-insensitive in BOTH engines
       // (a column literally named W would collide with w)
       val srcs = docs.groupBy("source", "w").agg(count(lit(1)).as("n"))
-      val totW = srcs.agg(sum("w").as("wsum"))
-      val withW = srcs.withColumn("wsum",
-        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totW))
-      val lim = withW.select(min(expr("n * wsum DIV w")).as("B"))
-      val thresh = withW
-        .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
+      // wsum and B ride single-partition WINDOWS over the sources-sized
+      // rollup (the q_mix_alpha device) instead of chained scalar
+      // subqueries (r18, guide §2.4): each subquery level was its own
+      // query execution — separate jobs re-running the rollup subtree —
+      // where the windows stack on ONE bounded-block exchange. Values
+      // identical: same per-row expressions, same min/sum domains.
+      val thresh = srcs
+        .withColumn("wsum", sum("w").over(wWhole))
+        .withColumn("B", min(expr("n * wsum DIV w")).over(wWhole))
         .select(col("source"), col("w"), col("n"),
           expr("w * B * 1000000 DIV (wsum * n)").as("thresh_e6"))
       docs
@@ -319,16 +337,15 @@ object SamplingQueries {
                lit(1000000L)).as("bucket"))
       val srcs = docs.groupBy("source").agg(count(lit(1)).as("n"))
         .withColumn("w", floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
-      val totRaw = srcs.agg(sum("w").as("wraw"))
-      val q = srcs
-        .withColumn("wraw", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totRaw))
+      // the three corpus scalars (wraw, wsum, B) stack as single-partition
+      // windows on the sources-sized rollup (the q_mix_sources note —
+      // r18, guide §2.4): the scalar-subquery chain was three nested query
+      // executions, each its own jobs
+      val thresh = srcs
+        .withColumn("wraw", sum("w").over(wWhole))
         .withColumn("w_e3", greatest(expr("w * 1000 DIV wraw"), lit(1L)))
-      val totQ = q.agg(sum("w_e3").as("wsum"))
-      val withW = q
-        .withColumn("wsum", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(totQ))
-      val lim = withW.select(min(expr("n * wsum DIV w_e3")).as("B"))
-      val thresh = withW
-        .withColumn("B", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(lim))
+        .withColumn("wsum", sum("w_e3").over(wWhole))
+        .withColumn("B", min(expr("n * wsum DIV w_e3")).over(wWhole))
         .select(col("source"), col("n"), col("w_e3"),
           expr("w_e3 * B * 1000000 DIV (wsum * n)").as("thresh_e6"))
       docs.join(thresh, Seq("source"))

@@ -105,11 +105,22 @@ object StatsQueries {
       val idx = cs.indices
       val q = lineitem(s, d).select(cs.zipWithIndex.map { case (c, i) =>
         floor(col(c) * 100).cast("long").as(s"x$i") }: _*)
+      // products multiply in LONG, accumulate in DECIMAL(38,0) (r18,
+      // guide §1.2 per-task work): the old cast-then-multiply form ran 10
+      // BigDecimal multiplies per row — measured 1.3 s of single-core
+      // task time, the query's whole cost. The Long product is exact
+      // under a PER-ROW VALUE envelope (|xᵢ| ≤ ~3·10⁹, i.e. ~3·10⁷
+      // dollars per cents cell — 100× the TPC-H money domain), which
+      // unlike the SUM does not grow with the corpus; ANSI overflow is
+      // loud past it (the q_emb_dims documented-envelope rule). The SUM
+      // stays DECIMAL(38,0) — scale-safe as before, and the decimal adds
+      // ride the compact fast path. Values bit-identical to the oracle's
+      // HUGEINT products wherever the envelope holds.
       val sums =
         (count(lit(1)).as("n") +:
          idx.map(i => sum(expr(s"cast(x$i AS DECIMAL(38,0))")).as(s"s$i"))) ++
         (for { i <- idx; j <- idx if j >= i } yield
-          sum(expr(s"cast(x$i AS DECIMAL(38,0)) * x$j")).as(s"p${i}_$j"))
+          sum(expr(s"cast(x$i * x$j AS DECIMAL(38,0))")).as(s"p${i}_$j"))
       val pairs = for { i <- idx; j <- idx if j > i } yield (i, j)
       q.agg(sums.head, sums.tail: _*)
         .select(explode(array(pairs.map { case (i, j) =>
@@ -139,6 +150,13 @@ object StatsQueries {
       // cents-quantized map-side (the q_stats_covariance device) so the
       // whole statistic is exact integers — see [[ksStat]] for the
       // distributed two-level prefix-sum shape.
+      // examined r18: a fanOut before cohortCounts was tried and REVERTED
+      // — the price column is ~97% distinct at the fixture scale, so the
+      // map-side partial agg compresses nothing and the added round-robin
+      // exchange (plus its sortBeforeRepartition local sort) cost more
+      // than the serial partial agg it parallelized (micro-measured
+      // 0.66 s → 1.1 s on the agg alone). The two-level prefix-sum shape
+      // stands as audited in r9.
       ksStat(lineitem(s, d).select(
         floor(col("l_extendedprice") * 100).cast("long").as("v"),
         (col("l_orderkey") % 2 === 0).as("in_a")))),
@@ -149,6 +167,7 @@ object StatsQueries {
       // reading beside KS's CDF-gap reading (a null split: auc_e6 should
       // sit near 500000; a sustained deviation on a production split is
       // the "new crawl skews larger" gate). See [[mwuStat]].
+      // examined r18: fanOut tried and reverted — see the q_stats_ks note
       mwuStat(lineitem(s, d).select(
         floor(col("l_extendedprice") * 100).cast("long").as("v"),
         (col("l_orderkey") % 2 === 0).as("in_a")))),
@@ -187,7 +206,11 @@ object StatsQueries {
       // Quantiles' per-group targets would crowd the driver. No DuckDB
       // oracle (sketch internals are engine-specific); EngineSpec pins
       // the fence counts against the exact twin within tolerance.
-      val q = lineitem(s, d).groupBy("l_returnflag").agg(
+      // examined r18: fanOut before the sketch build tried and reverted —
+      // the added exchange cost more than the serialized sketch updates
+      // it spread (the q_stats_ks finding); shape unchanged
+      val q = lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag").agg(
         percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("q1"),
         percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("q3"))
       tukeyProfile(lineitem(s, d), q)
@@ -270,22 +293,29 @@ object StatsQueries {
     * first char of the exact BIGINT cents string; expected ppm from the
     * baked floor(log10(1+1/d)·10⁶) table. Factored for crafted specs. */
   private[graft] def benford(df: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge.scalarSubquery
+    import org.apache.spark.sql.expressions.Window
     val expect = array(lit(301029L), lit(176091L), lit(124938L),
       lit(96910L), lit(79181L), lit(66946L), lit(57991L), lit(51152L),
       lit(45757L))
     // abs() first: a negative amount's cents string would lead with '-'
     // (null digit); Benford's law reads the magnitude. Zero amounts have
-    // no first significant digit — filtered BEFORE the expectation
-    // lookup (element_at at index 0 throws under Spark's 1-based array
-    // indexing where DuckDB's [0] reads NULL; the guard keeps both
-    // engines on defined ground).
+    // no first significant digit — filtered AFTER the rollup here (r18,
+    // guide §2.4): grouping ALL rows (null/zero digits form their own ≤2
+    // extra groups) makes the corpus total a single-partition window SUM
+    // over the ≤11-row digit rollup — a bounded block, the q_mix_alpha
+    // device — where the scalar-subquery form re-scanned the corpus for
+    // count(*). One scan instead of two; t is identical (every input row
+    // lands in exactly one digit group). The digit≥1 filter still runs
+    // BEFORE the expectation lookup (element_at at index 0 throws under
+    // Spark's 1-based array indexing where DuckDB's [0] reads NULL).
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(substring(
         expr(s"CAST(CAST(round(abs($c) * 100) AS BIGINT) AS STRING)"),
         1, 1).cast("int").as("digit"))
-      .filter(col("digit") >= 1)
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .withColumn("t", scalarSubquery(df.agg(count(lit(1)))))
+      .withColumn("t", sum("n").over(wAll))
+      .filter(col("digit") >= 1)
       .withColumn("share_ppm", expr("n * 1000000 DIV t"))
       .withColumn("benford_ppm", element_at(expect, col("digit")))
       .withColumn("delta_ppm", abs(col("share_ppm") - col("benford_ppm")))

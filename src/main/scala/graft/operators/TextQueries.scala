@@ -1879,7 +1879,12 @@ object TextQueries {
       // broadcast it degrades to a keyed, skew-splittable shuffle join —
       // either way no task ever holds a whole stop-word context serially.
       val bc = cnt.groupBy("h1", "h2").agg(sum("c").as("cb"))
-      val cu = cnt.groupBy("h1").agg(sum("c").as("cu"))
+      // cu folds over bc, not cnt (r18, guide §2.3): Σ_{h2} cb(h1,h2) ≡
+      // Σ_{h2} Σ_docs c — bit-identical Long sums — so the w1-context
+      // totals aggregate the BIGRAM-VOCAB-sized bc instead of re-
+      // aggregating the corpus-sized cnt (bc's exchange is reused; the
+      // cu exchange now ships vocab partials, not corpus partials)
+      val cu = bc.groupBy("h1").agg(sum("cb").as("cu"))
       cnt
         .join(bc.join(cu, Seq("h1")), Seq("h1", "h2"))
         .groupBy("doc_id")

@@ -157,12 +157,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_mix_temperature: corpus scalars attach as subqueries, no BNLJ; " +
-       "q_text_dup_ngrams joins keyed only") {
+  test("q_mix_temperature: corpus scalars ride windows on the bounded " +
+       "sources rollup, no BNLJ; q_text_dup_ngrams joins keyed only") {
     val pt = plan("q_mix_temperature")
-    // wraw/wsum/B are 1-row totals — they must inject as subquery results,
-    // never as join nodes against the per-doc side
-    assert(pt.contains("Subquery"), pt)
+    // wraw/wsum/B are totals over the SOURCES-sized rollup — they stack
+    // as Window nodes on the rollup's single bounded partition (r18; the
+    // scalar-subquery form ran one query execution per scalar), and must
+    // never become join nodes against the per-doc side
+    assert(pt.contains("Window"), pt)
     assert(!pt.contains("BroadcastNestedLoopJoin"), pt)
     val pd = plan("q_text_dup_ngrams")
     assert(!pd.contains("BroadcastNestedLoopJoin"), pd)
@@ -212,14 +214,13 @@ class PlanSpec extends SparkSpec {
     val full = plan("q_event_paths")
     assert(!full.contains("Join"), full)
     assert(full.contains("TakeOrderedAndProject"), full)
-    // AQE's final-plan print collapses completed stages, so audit the
-    // initial-plan section (the full tree): the total-sum scalar
-    // subquery PRINTS a second copy of the window+agg pipeline, but at
-    // runtime it reads the main branch's exchange (ReusedExchange in the
-    // final plan) — the trigram pipeline evaluates once
+    // exactly two Windows: the lead window (both leads in one node) and
+    // the trigram-total window over the ≤|types|³-bounded rollup (r18 —
+    // the total was a scalar subquery whose printed plan duplicated the
+    // whole window+agg pipeline and whose execution was its own jobs;
+    // now the rollup pipeline appears, and runs, exactly once)
     val init = full.split("== Initial Plan ==").last
-    assert("Window \\[".r.findAllIn(init).length <= 2, init)
-    assert(full.contains("ReusedExchange"), full)
+    assert("Window \\[".r.findAllIn(init).length == 2, init)
   }
 
   test("q_dedup_keeper rolls clusters up in an aggregation — no Window " +
@@ -509,11 +510,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // scalar-subquery totals
   }
 
-  test("q_stats_benford: map-side digit rollup, no join node, one scan " +
-       "per subquery branch") {
+  test("q_stats_benford: map-side digit rollup, no join node, ONE corpus " +
+       "scan (total = bounded window over the ≤11-row rollup)") {
     val p = plan("q_stats_benford")
     assert(!p.contains("Join"), p)
-    assert(!p.contains("Window"), p)
+    // r18: the corpus total moved from a count(*) scalar subquery (a
+    // second full scan) onto a single-partition window over the digit
+    // rollup — the plan must show exactly one parquet scan and a Window
+    val init = p.split("== Initial Plan ==").last
+    assert("Scan parquet".r.findAllIn(init).length == 1, init)
+    assert(p.contains("Window"), p)
   }
 
   test("q_text_hapax / q_event_diversity: pure keyed-aggregation stacks " +

@@ -98,7 +98,8 @@ object IvfOps {
     * centroids are already materialized on the driver.
     */
   def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
-                   nProbe: Int, vecCol: String = "v"): DataFrame = {
+                   nProbe: Int, vecCol: String = "v",
+                   keepScore: Boolean = false): DataFrame = {
     require(cents.nonEmpty,
       "assignStatic: empty centroid set — nothing to assign to")
     val scored = array(cents.map { case (cid, cv) =>
@@ -118,6 +119,11 @@ object IvfOps {
       .withColumn("__nrm", sqrt(dot_product(col(vecCol), col(vecCol))))
       .withColumn("__p", explode(ranked))
       .withColumn("cid", -col("__p.negcid"))
+      // keepScore mirrors [[assign]]'s: the winning cosine as a column
+      .withColumns(
+        if (keepScore) Map[String, org.apache.spark.sql.Column](
+          "csim" -> col("__p.csim"))
+        else Map.empty[String, org.apache.spark.sql.Column])
       .drop("__nrm", "__p")
   }
 
@@ -296,15 +302,37 @@ object IvfOps {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               centroids: DataFrame, k: Int,
               corpusProbes: Int = 2, queryProbes: Int = 3,
-              excludeSelf: Boolean = true): DataFrame = {
-    val block = centroidBlock(centroids, "cid", "cv")
+              excludeSelf: Boolean = true): DataFrame =
+    annTopKWith(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      (vecs, np, vc) => assign(vecs, centroidBlock(centroids, "cid", "cv"),
+        np, vc),
+      k, corpusProbes, queryProbes, excludeSelf)
+
+  /** [[annTopK]] over DRIVER-RESIDENT centroids: both assignment passes
+    * ride [[assignStatic]]'s literal codegen (no scalar-subquery job per
+    * pass, no interpreted per-row lambda — the documented at-scale swap;
+    * scores bit-identical). */
+  def annTopKStatic(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    cents: Seq[(Long, Array[Double])], k: Int,
+                    corpusProbes: Int = 2, queryProbes: Int = 3,
+                    excludeSelf: Boolean = true): DataFrame =
+    annTopKWith(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      (vecs, np, vc) => assignStatic(vecs, cents, np, vc),
+      k, corpusProbes, queryProbes, excludeSelf)
+
+  private def annTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              assignFn: (DataFrame, Int, String) => DataFrame, k: Int,
+              corpusProbes: Int, queryProbes: Int,
+              excludeSelf: Boolean): DataFrame = {
     // candidate generation and pair-dedup carry ONLY the id pair — at
     // dim=64 each vector is ~0.5 KB, so keeping both vectors in the
     // bucket-join rows and the distinct's shuffle key would move ~1 KB of
     // pure overhead per candidate; the vectors re-attach by id afterwards
-    val candIds = assign(corpus, block, corpusProbes, vecCol)
+    val candIds = assignFn(corpus, corpusProbes, vecCol)
       .select(col("cid"), col(idCol))
-      .join(assign(queries, block, queryProbes, qVecCol)
+      .join(assignFn(queries, queryProbes, qVecCol)
               .select(col("cid"), col(qIdCol)), Seq("cid"))
       // excludeSelf drops id-equal pairs — the QUERIES-ARE-CORPUS-ROWS
       // posture (every in-repo call site). Set it false when the query

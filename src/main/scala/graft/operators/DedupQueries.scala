@@ -395,8 +395,11 @@ object DedupQueries {
     * set-based form of SemDeDup's within-cluster pruning). ONE
     * definition for the fixture-centroid twin and the trained twin.
     */
-  private def semanticKeepers(e: DataFrame, block: DataFrame): DataFrame = {
-    val asgP = IvfOps.assign(e, block, nProbe = 1)
+  private def semanticKeepers(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    // assignStatic over driver-resident centroids (r18): literal codegen'd
+    // scoring, no per-run scalar-subquery job — identical scores
+    val asgP = IvfOps.assignStatic(e, cents, nProbe = 1)
     // the (v, nrm) payload rides through the block expansion — verify is
     // map-side over the spread block-pair partitions (the embedPairs r17
     // shape), never a corpus re-join onto the pair stream
@@ -2096,9 +2099,10 @@ object DedupQueries {
         .filter(floor(cosAB * lit(1e9)).cast("long")
           >= SimilarityQueries.SemDupThrE9)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      val block = IvfOps.centroidBlock(
-        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-      val asg = IvfOps.assign(sample, block, nProbe = 2)
+      // assignStatic over the memoized fixture centroids (r18 — the
+      // q_emb_drift note)
+      val asg = IvfOps.assignStatic(sample,
+          SimilarityQueries.fixtureIvfCentroidSeq(s, d), nProbe = 2)
         .select("vec_id", "cid")
       val cand = IvfOps.bucketPairs(asg, "cid", "vec_id")
         .select(col("a").as("va"), col("b").as("vb")).distinct()
@@ -2429,9 +2433,7 @@ object DedupQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-      val block = IvfOps.centroidBlock(
-        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-      semanticKeepers(e, block)
+      semanticKeepers(e, SimilarityQueries.fixtureIvfCentroidSeq(s, d))
     }),
 
     "q_dedup_semantic_trained" -> ((s, d) => {
@@ -2448,9 +2450,7 @@ object DedupQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-      val block = IvfOps.centroidBlock(
-        SimilarityQueries.trainedIvfCentroids(s, d), "cid", "cv")
-      semanticKeepers(e, block)
+      semanticKeepers(e, SimilarityQueries.trainedIvfCentroidSeq(s, d))
     }),
 
     "q_dedup_embed" -> ((s, d) => {
@@ -2711,9 +2711,10 @@ object DedupQueries {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    val block = IvfOps.centroidBlock(
-      e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v")))
-    val asg = IvfOps.assign(e, block, nProbe = 2)
+    // assignStatic over the memoized fixture centroids (r18 — the
+    // q_emb_drift note): no per-run subquery job, codegen'd scoring
+    val asg = IvfOps.assignStatic(e,
+      SimilarityQueries.fixtureIvfCentroidSeq(s, d), nProbe = 2)
     // pairs from bucket membership via ONE aggregation instead of a
     // self-join on cid (which would evaluate the assignment subtree
     // twice and shuffle it twice); IvfOps caps membership per bucket

@@ -19,11 +19,20 @@ object CatalogOps {
 
   /** Register an existing parquet path as an EXTERNAL catalog table
     * (idempotent). The data stays where it is; only metadata enters the
-    * catalog.
+    * catalog. An explicit `schema` skips createTable's own footer
+    * inference (r18: the fixture registration re-inferred all 10 tables'
+    * schemas per session, ~60 ms each, when the memoized Tables reader
+    * had already paid that inference once — the schema is identical by
+    * construction: same reader, same session confs).
     */
-  def registerParquet(s: SparkSession, table: String, path: String): Unit =
+  def registerParquet(s: SparkSession, table: String, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     if (!s.catalog.tableExists(table)) {
-      s.catalog.createTable(table, path, "parquet")
+      schema match {
+        case Some(sc) =>
+          s.catalog.createTable(table, "parquet", sc, Map("path" -> path))
+        case None => s.catalog.createTable(table, path, "parquet")
+      }
       ()
     }
 
@@ -116,7 +125,10 @@ object CatalogOps {
     val fresh = scala.collection.mutable.Map.empty[String, (String, Long, Long)]
     val out = names.map { n =>
       val t = fixtureTableName(dir, n)
-      registerParquet(s, t, s"$dir/$n.parquet")
+      // schema from the memoized reader — one footer inference per
+      // (session, path), shared with every query (see registerParquet)
+      registerParquet(s, t, s"$dir/$n.parquet",
+        schema = Some(graft.Tables.t(s, dir, n).schema))
       // digested fingerprint (r16 review): a same-size-same-mtime
       // in-place rewrite must re-analyze, not restore stale stats
       val fp = IndexArtifacts.fileFingerprintDigest(s"$dir/$n.parquet")

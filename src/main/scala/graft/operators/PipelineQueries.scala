@@ -47,8 +47,12 @@ object PipelineQueries {
       val nearDupDrops = DedupQueries.queries("q_dedup_minhash")(s, d)
         .select(col("db").as("doc_id")).distinct()
       val bucket = pmod(md5long(col("doc_id").cast("string")), lit(100L))
-      val withMd5 = documents(s, d)
-        .select(col("doc_id"), col("text"))
+      // fanOut (r18, guide §2.5): the md5 digest + tokenize projections
+      // below run once in the keeper rollup and once on the join's left
+      // side — both over the one-row-group fixture's single split, i.e.
+      // serially. Gated identity at data scale.
+      val withMd5 = fanOut(documents(s, d)
+        .select(col("doc_id"), col("text")))
         .withColumn("content_md5", md5(col("text").cast("binary")))
       // exact keeper via digest aggregation + id-keyed semi-join, not a
       // window over the digest: a mega dup-group would serialize in one
@@ -117,7 +121,10 @@ object PipelineQueries {
       // gates the pool — the eval set can never drift from the probe
       val cleanIds = TextQueries.contaminationStats(s, d)
         .filter(col("n_contaminated") === 0).select("doc_id")
-      documents(s, d)
+      // fanOut (r18, guide §2.5): the quality projection (4 tokenization
+      // passes/doc) ran on the fixture file's single split; identity at
+      // data scale
+      fanOut(documents(s, d))
         .join(cleanIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), TextQueries.qualityE6Col.as("quality_e6"),
                 md5long(col("doc_id").cast("string")).as("hk"))

@@ -205,6 +205,15 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // generated-class cache (static conf — builder only): the default
+      // 100 entries thrash across a 216-query sweep (each query carries
+      // several codegen fragments), so every query's run 1 recompiled
+      // fragments the warmup had already compiled — probe-measured 31
+      // janino compilations on a single fresh q_text_bm25 build at the
+      // default vs 0 at 4096, exec 2.8 s → 1.65 s (r18). A production
+      // driver serving many query shapes wants the same headroom; the
+      // value is shape-count-scaled, not core-count- or data-scaled.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail loudly on a misspelled key: a typo'd arg would otherwise

@@ -1048,8 +1048,10 @@ object SimilarityQueries {
       val e = emb(s, d)
       // assignStatic over the memoized driver-resident fixture centroids
       // (r18): literal codegen'd scoring — no per-run scalar-subquery job,
-      // no interpreted per-row lambda; identical scores
-      val asg = IvfOps.assignStatic(fanOut(e),
+      // no interpreted per-row lambda; identical scores. No fanOut: the
+      // codegen'd assignment is ~µs/row, so the repartition's 32 task
+      // constants outweighed it (the bm25 r18 note).
+      val asg = IvfOps.assignStatic(e,
           fixtureIvfCentroidSeq(s, d), nProbe = 1)
         .select(col("cid"), pmod(col("vec_id"), lit(2L)).as("cohort"))
       val cells = asg.groupBy("cid", "cohort").agg(count(lit(1)).as("n"))
@@ -1090,8 +1092,9 @@ object SimilarityQueries {
       // centroids (vec_id < 8) keep this twin hash-checked.
       val e = emb(s, d)
       // assignStatic over memoized fixture centroids (the q_emb_drift r18
-      // note) with the winning cosine kept
-      val asg = IvfOps.assignStatic(fanOut(e),
+      // note) with the winning cosine kept; no fanOut — codegen'd
+      // assignment, µs/row
+      val asg = IvfOps.assignStatic(e,
           fixtureIvfCentroidSeq(s, d), nProbe = 1, keepScore = true)
         .select(col("vec_id"), col("cid"),
           floor(col("csim") * 1e9).cast("long").as("cos_e9"))
@@ -1279,7 +1282,7 @@ object SimilarityQueries {
       // so trivial stages are worth trimming even at 40 rows). The
       // single-partition rank windows only ever see those k rows.
       import org.apache.spark.sql.expressions.Window
-      val lex = graft.operators.TextQueries.bm25(fanOut(documents(s, d)))
+      val lex = graft.operators.TextQueries.bm25(documents(s, d))
         .select(col("doc_id"),
           row_number().over(
             Window.orderBy(col("score_e12").desc_nulls_last, col("doc_id")))

@@ -1780,8 +1780,11 @@ object TextQueries {
     }),
 
     "q_text_bm25" -> ((s, d) =>
-      // Okapi BM25 top-20 for the fixed 3-term query — see [[bm25]]
-      bm25(fanOut(documents(s, d)))),
+      // Okapi BM25 top-20 for the fixed 3-term query — see [[bm25]].
+      // No fanOut (r18): the fused token kernels are ~µs/doc — the
+      // repartition bought nothing and charged every downstream stage 32
+      // task constants (deserialize + schedule); stage-probe-measured.
+      bm25(documents(s, d))),
 
     "q_text_surprisal" -> ((s, d) => {
       // Corpus-frequency surprisal scoring (the CCNet-style "perplexity

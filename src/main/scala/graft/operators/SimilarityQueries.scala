@@ -711,6 +711,7 @@ object SimilarityQueries {
   private[graft] def releaseTrainedModels(s: SparkSession): Unit = {
     modelCache.release(s)
     centroidSeqMemo.release(s) // plain driver Seqs — re-collected on next use
+    qv0Memo.release(s)
     // the at-load epochs describe the released frames — drop them so the
     // next fill re-observes (a foreign refit then reads as a new epoch)
     modelEpochAtLoad.keySet.removeIf(_._1 eq s)
@@ -753,6 +754,27 @@ object SimilarityQueries {
           r.getSeq[Double](r.fieldIndex("cv")).toArray))
         .sortBy(_._1).toSeq
     }
+
+  /** The fixture query row (vec_id = 0) as driver-resident literals —
+    * (vector, label), 1×[[Dim]] bounded model state, memoized per
+    * (session, dir): consumers inline it with `lit(...)` instead of the
+    * uncorrelated scalar subquery, whose execution was one job per query
+    * run injecting the SAME values (r18 — the assignStatic device).
+    * Exactly one vec-0 row is required, loudly — the subquery form threw
+    * on duplicates too (scalar subquery cardinality check). */
+  private val qv0Memo = new graft.api.SessionMemo[(Array[Double], Any)]()
+  private def queryRow0(s: SparkSession, d: String): (Array[Double], Any) =
+    qv0Memo.get(s, "qv0", d) {
+      val rows = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("v"), col("label")).collect()
+      require(rows.length == 1,
+        s"expected exactly one vec_id=0 query row, got ${rows.length}")
+      // label kept type-generic (the fixture's is integer): lit(Any)
+      // infers the matching Literal type for the filter compare
+      (rows(0).getSeq[Double](0).toArray, rows(0).get(1))
+    }
+  private def queryVec0(s: SparkSession, d: String): Column =
+    lit(queryRow0(s, d)._1)
 
   /** Driver-resident FIXTURE IVF centroids (vec_id < 8, double-cast) —
     * the literal form of the fixture centroid block (8×[[Dim]] doubles).
@@ -931,12 +953,12 @@ object SimilarityQueries {
       // q_sim_knn_quantized: scalar-subquery query vector, map-side
       // scoring, no join node, TakeOrderedAndProject. See [[pqEncode]].
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       // encode the FULL table (the codebook includes vec 0's subvectors),
-      // then drop the query row from the scored corpus
+      // then drop the query row from the scored corpus; the query vector
+      // inlines as a driver-resident literal (r18 — the queryRow0 device)
       pqEncode(fanOut(e))
         .filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("codes"),
                 floor9(cosine(col("rv"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -952,10 +974,9 @@ object SimilarityQueries {
       // determinism + quantization-error-not-worse-than-fixture
       // (KMeansIvfSpec), fixture twin q_sim_pq stays hash-checked.
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       pqEncodeWith(fanOut(e), trainedPqCodebook(s, d))
         .filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("codes"),
                 floor9(cosine(col("rv"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -1126,15 +1147,15 @@ object SimilarityQueries {
                            lit(255L))))
       val recon = transform(codes, c =>
         vmin + (c.cast("double") + lit(0.5)) * scale)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       // the quantize→reconstruct lambdas run interpreted (HOFs don't
       // codegen), so spread the scan — the small fixture file reads as
       // ONE partition and would serialize ~all the query's CPU on one
       // core; fanOut is gated (identity once partitions ≥ parallelism,
-      // i.e. at any real corpus size)
+      // i.e. at any real corpus size). Query vector as a literal (r18 —
+      // the queryRow0 device).
       fanOut(e.filter(col("vec_id") =!= 0))
         .select(col("vec_id"), recon.as("rv"))
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), floor9(cosine(col("rv"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
@@ -1145,9 +1166,11 @@ object SimilarityQueries {
       // inlined as a scalar subquery (no join node of any kind), scoring
       // is map-side, TakeOrderedAndProject keeps the top-k.
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // the query vector inlines as a driver-resident literal (r18 — the
+      // queryRow0 device; the subquery form executed one job per run to
+      // inject the same values)
       e.filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
@@ -1164,13 +1187,14 @@ object SimilarityQueries {
       // AND label ride ONE subquery as a struct — no join node),
       // map-side scoring, TakeOrderedAndProject.
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") === 0)
-        .select(struct(col("v").as("qv"), col("label").as("ql")).as("q"))
+      // query vector AND label inline as driver-resident literals (r18 —
+      // the queryRow0 device); the literal label predicate now actually
+      // pushes to the scan, which the struct-subquery compare could not
+      val (qv, ql) = queryRow0(s, d)
       e.filter(col("vec_id") =!= 0)
-        .withColumn("q", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
-        .filter(col("label") === col("q.ql"))
+        .filter(col("label") === lit(ql))
         .select(col("vec_id"), col("label"),
-          floor9(cosine(col("v"), col("q.qv"))).as("sim"))
+          floor9(cosine(col("v"), lit(qv))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
     }),
@@ -1288,9 +1312,8 @@ object SimilarityQueries {
             Window.orderBy(col("score_e12").desc_nulls_last, col("doc_id")))
             .cast("long").as("r_lex"))
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val vec = e.filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(20)
@@ -1390,23 +1413,23 @@ object SimilarityQueries {
       val e = emb(s, d)
       val index = ivfpqIndex(s, d, trained = false)
       val q = e.filter(col("vec_id") === 0)
-      val qv = q.select(col("v").as("qv"))
       // probe assignment via assignStatic over the memoized fixture
-      // centroids (r18 — the q_emb_drift note)
+      // centroids; the query vector inlines as a literal (r18 — the
+      // queryRow0 device)
       val probes = IvfOps.assignStatic(q, fixtureIvfCentroidSeq(s, d),
           nProbe = 2)
         .select(col("cid").as("probe_cid"))
       val shortlist = index
         .join(broadcast(probes), col("cid") === col("probe_cid"))
         .filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("cid"), col("codes"),
                 floor9(cosine(col("rvfull"), col("qv"))).as("adc_sim"))
         .orderBy(col("adc_sim").desc, col("vec_id").asc)
         .limit(IvfPqShortlist)
       e.join(broadcast(shortlist.select("vec_id", "cid", "codes")),
              Seq("vec_id"))
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("cid"), col("codes"),
                 floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -1449,22 +1472,21 @@ object SimilarityQueries {
       val index = ivfpqIndex(s, d, trained = true)
         .select("vec_id", "cid", "rvfull")
       val q = e.filter(col("vec_id") === 0)
-      val qv = q.select(col("v").as("qv"))
       // probe assignment via assignStatic over the memoized trained
-      // centroid Seq (r18 — the q_emb_drift note)
+      // centroid Seq; query vector as a literal (r18)
       val probes = IvfOps.assignStatic(q, trainedIvfCentroidSeq(s, d),
           nProbe = 2)
         .select(col("cid").as("probe_cid"))
       val shortlist = index
         .join(broadcast(probes), col("cid") === col("probe_cid"))
         .filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("cid"),
                 cosine(col("rvfull"), col("qv")).as("adc_sim"))
         .orderBy(col("adc_sim").desc, col("vec_id").asc)
         .limit(IvfPqShortlist)
       e.join(broadcast(shortlist.select("vec_id", "cid")), Seq("vec_id"))
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(qv))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("cid"),
                 floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -1512,11 +1534,10 @@ object SimilarityQueries {
       val probes = IvfOps.assignStatic(
         e.filter(col("vec_id") === 0), fx, nProbe = 2)
         .select(col("cid").as("probe_cid"))
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       assigned
         .join(broadcast(probes), col("cid") === col("probe_cid"))
         .filter(col("vec_id") =!= 0)
-        .withColumn("qv", org.apache.spark.sql.GraftSqlBridge.scalarSubquery(q))
+        .withColumn("qv", queryVec0(s, d))
         .select(col("vec_id"), col("cid"),
                 floor9(cosine(col("v"), col("qv"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)

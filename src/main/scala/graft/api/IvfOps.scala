@@ -97,6 +97,38 @@ object IvfOps {
     * per row; identical results, pinned by spec). Preferred whenever the
     * centroids are already materialized on the driver.
     */
+  /** Literal-codegen centroid bound for [[assignStatic]]: past it the
+    * per-row expression tree (k structs, each a dim-literal dot product)
+    * outgrows whole-stage codegen — the generated method blows the JVM
+    * size limits and execution falls back to INTERPRETED expression eval
+    * per row, while the plan itself carries k×dim literal doubles into
+    * every task binary. The r18 scale-stress run measured the cliff:
+    * the trained-ANN phase went 4.2 → 62.6 s when the sized-k model
+    * (k=40 at the stress corpus; kMax 65536 at scale) rode the literal
+    * form. [[assignAuto]] routes larger models to the scalar-subquery
+    * block, whose centroids are DATA (one interpreted lambda loop over a
+    * runtime array), not plan. */
+  val StaticKMax = 16
+
+  /** [[assignStatic]] for models within [[StaticKMax]], the broadcast
+    * block form past it — the dispatch every DRIVER-RESIDENT-centroid
+    * caller should use when k is corpus-sized (trained models under the
+    * sized-k policy); constant-k fixture callers may call assignStatic
+    * directly. Identical results on both routes (same dot/norm
+    * arithmetic — the assign/assignStatic spec pin). */
+  def assignAuto(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
+                 nProbe: Int, vecCol: String = "v",
+                 keepScore: Boolean = false): DataFrame =
+    if (cents.size <= StaticKMax)
+      assignStatic(vecs, cents, nProbe, vecCol, keepScore)
+    else {
+      val s = vecs.sparkSession
+      import s.implicits._
+      val cdf = cents.toDF("cid", "cv")
+      assign(vecs, centroidBlock(cdf, "cid", "cv"), nProbe, vecCol,
+        keepScore)
+    }
+
   def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
                    nProbe: Int, vecCol: String = "v",
                    keepScore: Boolean = false): DataFrame = {
@@ -309,16 +341,17 @@ object IvfOps {
       k, corpusProbes, queryProbes, excludeSelf)
 
   /** [[annTopK]] over DRIVER-RESIDENT centroids: both assignment passes
-    * ride [[assignStatic]]'s literal codegen (no scalar-subquery job per
-    * pass, no interpreted per-row lambda — the documented at-scale swap;
-    * scores bit-identical). */
+    * ride [[assignAuto]] — literal codegen within [[StaticKMax]] (no
+    * scalar-subquery job per pass, no interpreted per-row lambda), the
+    * block form past it (the sized-k cliff note on StaticKMax); scores
+    * bit-identical either way. */
   def annTopKStatic(corpus: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     cents: Seq[(Long, Array[Double])], k: Int,
                     corpusProbes: Int = 2, queryProbes: Int = 3,
                     excludeSelf: Boolean = true): DataFrame =
     annTopKWith(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
-      (vecs, np, vc) => assignStatic(vecs, cents, np, vc),
+      (vecs, np, vc) => assignAuto(vecs, cents, np, vc),
       k, corpusProbes, queryProbes, excludeSelf)
 
   private def annTopKWith(corpus: DataFrame, idCol: String, vecCol: String,

@@ -397,9 +397,12 @@ object DedupQueries {
     */
   private def semanticKeepers(e: DataFrame,
       cents: Seq[(Long, Array[Double])]): DataFrame = {
-    // assignStatic over driver-resident centroids (r18): literal codegen'd
-    // scoring, no per-run scalar-subquery job — identical scores
-    val asgP = IvfOps.assignStatic(e, cents, nProbe = 1)
+    // assignAuto over driver-resident centroids (r18): literal codegen'd
+    // scoring within StaticKMax (no per-run scalar-subquery job), the
+    // block form past it — the trained caller's k is corpus-sized, and
+    // the stress run measured the literal form's interpreted-fallback
+    // cliff at k=40. Identical scores on both routes.
+    val asgP = IvfOps.assignAuto(e, cents, nProbe = 1)
     // the (v, nrm) payload rides through the block expansion — verify is
     // map-side over the spread block-pair partitions (the embedPairs r17
     // shape), never a corpus re-join onto the pair stream

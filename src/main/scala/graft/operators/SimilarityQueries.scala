@@ -1472,9 +1472,10 @@ object SimilarityQueries {
       val index = ivfpqIndex(s, d, trained = true)
         .select("vec_id", "cid", "rvfull")
       val q = e.filter(col("vec_id") === 0)
-      // probe assignment via assignStatic over the memoized trained
-      // centroid Seq; query vector as a literal (r18)
-      val probes = IvfOps.assignStatic(q, trainedIvfCentroidSeq(s, d),
+      // probe assignment via assignAuto over the memoized trained
+      // centroid Seq (k is corpus-sized — the StaticKMax dispatch);
+      // query vector as a literal (r18)
+      val probes = IvfOps.assignAuto(q, trainedIvfCentroidSeq(s, d),
           nProbe = 2)
         .select(col("cid").as("probe_cid"))
       val shortlist = index

@@ -30,6 +30,30 @@ class KMeansIvfSpec extends SparkSpec {
     assert(dyn == stat)
   }
 
+  test("assignAuto dispatches by k and both routes agree (r18: the " +
+       "StaticKMax cliff — literal codegen within the bound, block past)") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // a >StaticKMax centroid set (every vec_id < 24 vector) forces the
+    // block route; the ≤StaticKMax fixture set takes the literal route —
+    // both must equal the always-block assign() on the same centroids
+    for (kCut <- Seq(8L, IvfOps.StaticKMax + 8L)) {
+      val centsDf = e.filter(col("vec_id") < kCut)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cents = centsDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val auto = IvfOps.assignAuto(e, cents, nProbe = 2)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val block = IvfOps.assign(e, IvfOps.centroidBlock(centsDf, "cid", "cv"),
+          nProbe = 2)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(auto == block, s"kCut=$kCut")
+    }
+  }
+
   test("corpus-sized coarse k (VERDICT r17 #1): the policy clamps " +
        "ceil(n/targetCell) to [8, kMax], realizes from catalog stats / " +
        "footer counts, and the fixture fit carries it") {

@@ -616,7 +616,16 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         detail.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+      // per-core-count copy (VERDICT r18 #2): the driver benches at two
+      // core counts and the second run OVERWROTE target/bench.json — the
+      // r18 8-core run clobbered the 32-core record. One durable file per
+      // SPARK_GRAFT_CPUS value keeps both. (cpus is env text — sanitize.)
+      val cpuSlug = cpus.replaceAll("[^A-Za-z0-9]+", "_")
+      val outC = java.nio.file.Paths.get("target", s"bench_c$cpuSlug.json")
+      java.nio.file.Files.write(outC,
+        detail.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(
+        s"[bench] wrote ${out.toAbsolutePath} and ${outC.toAbsolutePath}")
     } catch {
       case t: Throwable => System.err.println(s"[bench] file write failed: $t")
     }
@@ -626,5 +635,29 @@ object Bench {
     // (BENCH_r07/r08 both arrived with the line's head clipped) — a
     // trailing duplicate gives tail-capture a clean copy to parse
     println(json)
+    // COMPACT SUMMARY, the process's true last line (VERDICT r18 #2): the
+    // driver keeps only a ~2000-char stdout TAIL, and the full line above
+    // (~10 KB at 216 queries) arrives with its head clipped — BENCH_r10
+    // through r18 all parsed to null, leaving every round-over-round PERF
+    // comparison empty. This line is ≤1.5 KB by construction (no
+    // per-query map — that detail stays in the full line and in
+    // target/bench*.json), so a tail capture always holds one complete
+    // parseable JSON line. The full line keeps the exact per-query
+    // contract it always had; this is an ADDITION, declared in
+    // OPTIMIZATION_r19.md.
+    val compact = new StringBuilder
+    compact.append(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""")
+      .append(s""","queries_sec":${r3(ok.map(_.min).sum)}""")
+      .append(s""","phases_sec":${r3(phasesTotal)}""")
+      .append(s""","n_queries":${ok.length},"n_errors":${failed.length}""")
+      .append(s""","n_regressed":${regressed.length}""")
+      .append(s""","n_regressed_phases":${regressedPhases.length}""")
+      .append(s""","fixed_cost":$fixedCostJson""")
+      .append(s""","n_runs":$nRuns,"bench_wall_sec":${r3(benchWall)}""")
+      .append(s""","bench_cpu_sec":${r3(benchCpu)},"load_avg":${r3(loadAvg)}""")
+      .append(s""","gc_total_sec":${r3(gcTotal)}""")
+      .append(s""","cached_rdds":${storage.size},"partially_cached":$partial""")
+      .append(s""","cpus":"${esc(cpus)}","sf":"${esc(sfDir)}"}""")
+    println(compact.toString)
   }
 }

@@ -115,11 +115,18 @@ object CatalogOps {
       val p = new org.apache.hadoop.fs.Path(statsPath)
       if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
         Map.empty
-      else s.read.parquet(statsPath).collect().map { r =>
-        r.getAs[String]("name") ->
-          ((r.getAs[String]("fp"), r.getAs[Long]("size_bytes"),
-            r.getAs[Long]("row_count")))
-      }.toMap
+      else {
+        // 10-row sidecar read on the DRIVER (r19, VERDICT r18 #3) — the
+        // Spark-read form cost the warm restore path one job per session
+        val rows: Seq[org.apache.spark.sql.Row] =
+          LocalParquet.readRows(s, statsPath).map(_._2)
+            .getOrElse(s.read.parquet(statsPath).collect().toSeq)
+        rows.map { r =>
+          r.getAs[String]("name") ->
+            ((r.getAs[String]("fp"), r.getAs[Long]("size_bytes"),
+              r.getAs[Long]("row_count")))
+        }.toMap
+      }
     } catch { case _: Exception => Map.empty }
     var analyzed = 0
     val fresh = scala.collection.mutable.Map.empty[String, (String, Long, Long)]

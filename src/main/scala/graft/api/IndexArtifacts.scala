@@ -455,7 +455,12 @@ object IndexArtifacts {
   def bloomBytes(s: SparkSession, table: String): Array[Byte] = {
     import org.apache.spark.util.sketch.BloomFilter
     s.catalog.refreshTable(table)
-    val rows = s.table(table).collect().map(_.getAs[Array[Byte]]("bf"))
+    // bounded sketch rows (BloomNumBits/8 bytes each) — driver-side read
+    // (r19), with the catalog read as fallback. The refreshTable above
+    // stays: Spark-read consumers elsewhere must not see a stale listing.
+    val rows = LocalParquet.readRows(s, tablePath(s, table)).map(_._2)
+      .getOrElse(s.table(table).collect().toSeq)
+      .map(_.getAs[Array[Byte]]("bf"))
       .filter(_ != null) // a legacy null row (pre-guard append) is inert
     require(rows.nonEmpty, s"empty bloom artifact $table")
     val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(rows.head))
@@ -651,12 +656,24 @@ object IndexArtifacts {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     } catch { case _: Exception => false }
     if (!exists) return None
-    val t = try s.read.parquet(path) catch { case _: Throwable => return None }
-    if (!t.columns.contains("__fp")) return None
-    val rows = t.collect() // k×dim model rows — bounded model state
+    // k×dim model rows — bounded model state. Read on the DRIVER (r19,
+    // VERDICT r18 #3): the Spark read+collect cost a job per warm model
+    // serve (8 trained-model phases each paid one); parquet bytes decode
+    // to the identical external rows, and any anomaly falls back to the
+    // exact old path
+    val (schema, rows): (org.apache.spark.sql.types.StructType,
+                         Seq[org.apache.spark.sql.Row]) =
+      LocalParquet.readRows(s, path) match {
+        case Some((sc, rs)) => (sc, rs)
+        case None =>
+          val t = try s.read.parquet(path)
+            catch { case _: Throwable => return None }
+          (t.schema, t.collect().toSeq)
+      }
+    if (!schema.fieldNames.contains("__fp")) return None
     if (rows.isEmpty ||
         !rows.forall(_.getAs[String]("__fp") == fingerprint)) return None
-    val keep = t.schema.fields.filter(_.name != "__fp")
+    val keep = schema.fields.filter(_.name != "__fp")
     val out = rows.map(r => org.apache.spark.sql.Row.fromSeq(
       keep.map(f => r.getAs[Any](f.name)).toSeq))
     Some(s.createDataFrame(java.util.Arrays.asList(out: _*),
@@ -667,6 +684,18 @@ object IndexArtifacts {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     s"${wh.stripSuffix("/")}/$table"
   }
+
+  /** A CATALOG table's data location (the Bloom artifacts are
+    * `saveAsTable`-managed, unlike the path-addressed model/derived
+    * families) — from the catalog metadata, falling back to the
+    * warehouse-dir convention when the lookup fails. Only used to route
+    * the driver-side read; a wrong path just means the Spark-read
+    * fallback runs, exactly the old behaviour. */
+  private def tablePath(s: SparkSession, table: String): String =
+    try s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    catch { case _: Exception => modelPath(s, table) }
 
   /** The digest fingerprint of a RAW manifest string — the exact value
     * [[fileFingerprintDigest]] yields for the source that listing came
@@ -715,7 +744,10 @@ object IndexArtifacts {
           val p = modelPath(s, table) + "__mmf"
           if (!pathExists(s, p)) None
           else {
-            val rows = s.read.parquet(p).collect()
+            // driver-side one-row read (r19) — see serveLocked
+            val rows: Seq[org.apache.spark.sql.Row] =
+              LocalParquet.readRows(s, p).map(_._2)
+                .getOrElse(s.read.parquet(p).collect().toSeq)
             if (rows.length == 1)
               Some((rows(0).getAs[String]("tag"), rows(0).getAs[String]("mf")))
             else None
@@ -834,7 +866,10 @@ object IndexArtifacts {
       // probe first — see the serveLocked note: a cold warehouse must
       // not emit Spark's logged analysis failure on the way to "absent"
       pathExists(s, path + "__fp") && {
-        val rows = s.read.parquet(path + "__fp").collect()
+        // driver-side one-row read (r19) — no job; Spark-read fallback
+        val rows: Seq[org.apache.spark.sql.Row] =
+          LocalParquet.readRows(s, path + "__fp").map(_._2)
+            .getOrElse(s.read.parquet(path + "__fp").collect().toSeq)
         rows.length == 1 && rows(0).getString(0) == fingerprint
       }
     } catch { case _: Exception => false }
@@ -1135,7 +1170,12 @@ object IndexArtifacts {
       // that by design reads as "absent → rebuild"
       if (!pathExists(s, path + "__mf")) None
       else {
-      val rows = s.read.parquet(path + "__mf").collect()
+      // one-row sidecar read on the DRIVER (r19, VERDICT r18 #3): the
+      // Spark-read form cost a full job per warm serve; fallback keeps
+      // the old path on any read anomaly
+      val rows: Seq[org.apache.spark.sql.Row] =
+        LocalParquet.readRows(s, path + "__mf").map(_._2)
+          .getOrElse(s.read.parquet(path + "__mf").collect().toSeq)
       if (rows.length == 1)
         Some((rows(0).getAs[String]("tag"), rows(0).getAs[String]("mf"),
               rows(0).getAs[Long]("n")))
@@ -1371,7 +1411,10 @@ object IndexArtifacts {
           if (!pathExists(s, path + "__mf") || !pathExists(s, path))
             "skipped"
           else {
-            val rows = s.read.parquet(path + "__mf").collect()
+            // driver-side one-row read (r19) — see serveLocked
+            val rows: Seq[org.apache.spark.sql.Row] =
+              LocalParquet.readRows(s, path + "__mf").map(_._2)
+                .getOrElse(s.read.parquet(path + "__mf").collect().toSeq)
             if (rows.length != 1) "skipped"
             else if (expectedTag.exists(_ != rows(0).getAs[String]("tag")))
               "stale"

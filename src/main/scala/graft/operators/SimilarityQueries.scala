@@ -402,13 +402,43 @@ object SimilarityQueries {
     * member array from `cellPack`. Emits (vec_id, v, __ms_0, __ms_1).
     */
   private def withProbedCells(batch: DataFrame,
-      cents: Seq[(Long, Array[Double])], cellPack: DataFrame): DataFrame = {
-    val scored = array(cents.map { case (cid, cv) =>
-      val cnrm = math.sqrt(cv.map(x => x * x).sum)
-      struct(nanvl(dot_product(col("v"), lit(cv)) /
-                     (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
-             lit(-cid).as("negcid"))
-    }: _*)
+      cents: Seq[(Long, Array[Double])], cellPack: DataFrame,
+      // test seam: GateDispatchSpec forces each form on BOTH sides of
+      // the bound to pin their row equality; production callers leave it
+      // None and take the k-dispatch
+      forceBlock: Option[Boolean] = None): DataFrame = {
+    // k-DISPATCH (r19, VERDICT r18 #1 — the assignAuto rule applied to
+    // the streaming gates, the last literal-centroid path): within
+    // IvfOps.StaticKMax the per-centroid cosines are k codegen'd literal
+    // expressions (every fixture path, k=8); PAST it that expression
+    // tree outgrows whole-stage codegen (generated-method size limits →
+    // interpreted per-row eval, k×dim literals in every task binary —
+    // the 4.2→62.6 s cliff the r18 scale stress measured on the batch
+    // twin). Large models instead ship as ONE literal array-of-structs
+    // VALUE — centroids are DATA, scored by a single transform() lambda
+    // over a runtime array, so k grows the array, never the plan. Both
+    // forms are pure projections (stream-safe, no subquery, no join) and
+    // compute the identical doubles: same dot_product, same driver-side
+    // cnrm, same nanvl floor (GateDispatchSpec pins row equality on both
+    // sides of the bound).
+    val scored =
+      if (!forceBlock.getOrElse(cents.size > graft.api.IvfOps.StaticKMax))
+        array(cents.map { case (cid, cv) =>
+          val cnrm = math.sqrt(cv.map(x => x * x).sum)
+          struct(nanvl(dot_product(col("v"), lit(cv)) /
+                         (col("__nrm") * lit(cnrm)), lit(-2d)).as("csim"),
+                 lit(-cid).as("negcid"))
+        }: _*)
+      else {
+        val centArr = typedlit(cents.map { case (cid, cv) =>
+          (cid, cv.toSeq, math.sqrt(cv.map(x => x * x).sum))
+        })
+        transform(centArr, c =>
+          struct(nanvl(dot_product(col("v"), c.getField("_2")) /
+                         (col("__nrm") * c.getField("_3")), lit(-2d))
+                   .as("csim"),
+                 (-c.getField("_1")).as("negcid")))
+      }
     val ranked = slice(reverse(array_sort(scored)), 1, 2)
     val keyed = batch
       .withColumn("__nrm", sqrt(dot_product(col("v"), col("v"))))
@@ -431,9 +461,10 @@ object SimilarityQueries {
     array().cast("array<struct<vec_id:bigint,v:array<double>>>")
 
   private[graft] def semanticGateRows(batch: DataFrame,
-      cents: Seq[(Long, Array[Double])], cellPack: DataFrame): DataFrame = {
+      cents: Seq[(Long, Array[Double])], cellPack: DataFrame,
+      forceBlock: Option[Boolean] = None): DataFrame = {
     val nilBest = struct(lit(-2d).as("s"), lit(-1L).as("id"))
-    val out = withProbedCells(batch, cents, cellPack)
+    val out = withProbedCells(batch, cents, cellPack, forceBlock)
     // best (cosine, id) over one cell's members: exact same better-rule
     // in the fold and the cross-probe combine — higher sim wins, ties to
     // the lowest id; the probe row itself can never be its own neighbour
@@ -489,8 +520,8 @@ object SimilarityQueries {
     */
   private[graft] def annServeRows(queries: DataFrame,
       cents: Seq[(Long, Array[Double])], cellPack: DataFrame,
-      k: Int = 3): DataFrame = {
-    val out = withProbedCells(queries, cents, cellPack)
+      k: Int = 3, forceBlock: Option[Boolean] = None): DataFrame = {
+    val out = withProbedCells(queries, cents, cellPack, forceBlock)
     // top-k invariant fold: the accumulator stays SORTED DESCENDING, so
     // a candidate enters only when the list isn't full or it beats the
     // current k-th (one struct comparison) — the insert's

@@ -135,8 +135,33 @@ object StreamLatencyProbe {
     val corpusSigs = dq.bandSigTable(spark, sfDir)
       .filter(col("doc_id") % 50 =!= 0)
     corpusSigs.count()
-    val cents = simq.trainedIvfCentroidSeq(spark, sfDir)
-    val pack = simq.semanticGateCorpusPack(spark, sfDir)
+    // SPARK_GRAFT_STREAM_K (r19, VERDICT r18 #1): the fixture's sized k
+    // resolves to 8, so the gates' k-dispatch never leaves the literal
+    // form in a fixture run. Setting this to a k past IvfOps.StaticKMax
+    // fits that many centroids over the fixture embeddings and serves the
+    // two vector gates from THEM — the engaged-k latency drill for the
+    // block route (centroids as data), without needing a corpus-sized
+    // fixture. Unset = the exact historical probe.
+    val kOverride = sys.env.get("SPARK_GRAFT_STREAM_K").map(_.toInt)
+    val (cents, pack) = kOverride match {
+      case None =>
+        (simq.trainedIvfCentroidSeq(spark, sfDir),
+         simq.semanticGateCorpusPack(spark, sfDir))
+      case Some(k) =>
+        val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val cdf = graft.api.KMeans.fit(embAll, "vec_id", "v",
+          k = k, iters = 5)
+        val cseq = cdf.collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](r.fieldIndex("cv")).toArray))
+          .sortBy(_._1).toSeq
+        val p = simq.semanticGateCellPack(
+          embAll.filter(col("vec_id") % 10 =!= 0), cdf).cache()
+        p.count()
+        (cseq, p)
+    }
     // the r16 routing gates' static sides (attach reads the sig table
     // aggregated per sig; route adds the bounded corpus label table)
     val routeLabels = dq.corpusRouteLabels(spark, sfDir)
@@ -193,6 +218,7 @@ object StreamLatencyProbe {
     val line =
       s"""{"metric":"stream_latency_ms","gates":$gateJson,""" +
         s""""rows_per_batch":$rowsPer,"sf":"$sfDir",""" +
+        kOverride.fold("")(k => s""""k_override":$k,""") +
         s""""load_avg":${r1(java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage)}}"""
     println(line)

@@ -1337,7 +1337,8 @@ object SimilarityQueries {
       // so trivial stages are worth trimming even at 40 rows). The
       // single-partition rank windows only ever see those k rows.
       import org.apache.spark.sql.expressions.Window
-      val lex = graft.operators.TextQueries.bm25(documents(s, d))
+      val lex = graft.operators.TextQueries.bm25(documents(s, d),
+        Some(graft.operators.TextQueries.tokenLayer(s, d)))
         .select(col("doc_id"),
           row_number().over(
             Window.orderBy(col("score_e12").desc_nulls_last, col("doc_id")))

@@ -52,15 +52,42 @@ object Tables {
     * with no error pointing here. `path` is the full parquet path as
     * [[t]] builds it: `"$dir/$name.parquet"`.
     */
-  private[graft] def invalidate(spark: SparkSession, path: String): Unit =
+  private[graft] def invalidate(spark: SparkSession, path: String): Unit = {
     readers.synchronized {
       val per = readers.get(spark)
       if (per != null) per.remove(path)
     }
+    fireInvalidation(spark, path)
+  }
 
   /** Drop every memoized reader of `spark` (see [[invalidate]]). */
-  private[graft] def clear(spark: SparkSession): Unit =
+  private[graft] def clear(spark: SparkSession): Unit = {
     readers.synchronized { readers.remove(spark); () }
+    fireInvalidation(spark, "*")
+  }
+
+  /** Invalidation HOOKS (r19, ADVICE r18): modules that memoize DERIVED
+    * fixture content per (session, dir) — the collected centroid Seqs,
+    * the vec-0 query row — register here so the sanctioned rewrite
+    * escape hatch ([[invalidate]]/[[clear]], and registerFixtureTagged's
+    * observed fingerprint change) releases THEIR state too, not just the
+    * reader snapshot. Hooks receive (session, parquet path; "*" = all)
+    * and must be idempotent. Registration is once per module (object
+    * init); a module never touched has no memoized state to release.
+    */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[(SparkSession, String) => Unit]()
+
+  private[graft] def onInvalidate(h: (SparkSession, String) => Unit): Unit = {
+    invalidationHooks.add(h); ()
+  }
+
+  private def fireInvalidation(spark: SparkSession, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    invalidationHooks.asScala.foreach { h =>
+      try h(spark, path) catch { case _: Exception => }
+    }
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = readers.synchronized {

@@ -24,6 +24,13 @@ object CatalogOps {
     * schemas per session, ~60 ms each, when the memoized Tables reader
     * had already paid that inference once — the schema is identical by
     * construction: same reader, same session confs).
+    *
+    * The schema override is valid ONLY for UNPARTITIONED paths (ADVICE
+    * r18): the explicit-schema createTable branch performs no partition
+    * discovery, so a Hive-style partitioned directory registered this
+    * way would silently lose its partition columns. Every fixture file
+    * is a flat parquet dir; a partitioned path must pass schema = None
+    * and take the inference branch.
     */
   def registerParquet(s: SparkSession, table: String, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
@@ -144,6 +151,14 @@ object CatalogOps {
           restoreStats(s, t, size, rows)
           fresh(n) = (fp, size, rows)
         case None =>
+          // an observed REWRITE (a persisted fingerprint exists and no
+          // longer matches) releases the session's memoized reader
+          // snapshot AND the fixture-derived memos (centroid Seqs, the
+          // vec-0 query row — ADVICE r18) before the re-analyze; a
+          // merely-absent sidecar is the normal cold path and must not
+          // thrash warm state
+          if (persisted.contains(n))
+            graft.Tables.invalidate(s, s"$dir/$n.parquet")
           analyze(s, t)
           analyzed += 1
           val meta = s.sessionState.catalog.getTableMetadata(

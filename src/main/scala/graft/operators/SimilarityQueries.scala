@@ -775,6 +775,19 @@ object SimilarityQueries {
   private val centroidSeqMemo =
     new graft.api.SessionMemo[Seq[(Long, Array[Double])]]()
 
+  // ADVICE r18: these memos hold FIXTURE-DERIVED content (the vec-0
+  // query row, the fixture/trained centroid Seqs) with no per-access
+  // fingerprint — an in-place embeddings rewrite mid-session could serve
+  // stale model literals where the replaced scalar-subquery form read
+  // live data. The sanctioned rewrite paths (Tables.invalidate/clear,
+  // registerFixtureTagged observing a changed fingerprint) now release
+  // them through this hook, keeping the hot path free of per-run digest
+  // I/O.
+  graft.Tables.onInvalidate { (s, path) =>
+    if (path == "*" || path.endsWith("/embeddings.parquet"))
+      releaseTrainedModels(s)
+  }
+
   /** Driver-resident (cid, centroid) rows of the trained IVF model — the
     * literal form [[semanticGateRows]] ships to executors. */
   private[graft] def trainedIvfCentroidSeq(s: SparkSession,

@@ -116,11 +116,24 @@ object StatsQueries {
       // stays DECIMAL(38,0) — scale-safe as before, and the decimal adds
       // ride the compact fast path. Values bit-identical to the oracle's
       // HUGEINT products wherever the envelope holds.
+      // ADVICE r18: the Long product's exactness past the documented
+      // envelope depends on ANSI making overflow LOUD — under
+      // spark.sql.ansi.enabled=false a wrapped Long would silently
+      // corrupt the statistic. A non-ANSI session therefore falls back
+      // to the decimal multiply (the pre-r18 form: slower, never wrong);
+      // every engine entry point runs ANSI-on, so the fast path is what
+      // the bench and driver measure.
+      val ansiOn =
+        try s.conf.get("spark.sql.ansi.enabled", "true").toBoolean
+        catch { case _: Exception => false }
+      val prodExpr: (Int, Int) => String =
+        if (ansiOn) (i, j) => s"cast(x$i * x$j AS DECIMAL(38,0))"
+        else (i, j) => s"cast(x$i AS DECIMAL(38,0)) * x$j"
       val sums =
         (count(lit(1)).as("n") +:
          idx.map(i => sum(expr(s"cast(x$i AS DECIMAL(38,0))")).as(s"s$i"))) ++
         (for { i <- idx; j <- idx if j >= i } yield
-          sum(expr(s"cast(x$i * x$j AS DECIMAL(38,0))")).as(s"p${i}_$j"))
+          sum(expr(prodExpr(i, j))).as(s"p${i}_$j"))
       val pairs = for { i <- idx; j <- idx if j > i } yield (i, j)
       q.agg(sums.head, sums.tail: _*)
         .select(explode(array(pairs.map { case (i, j) =>

@@ -462,9 +462,19 @@ object TextQueries {
             broadcast(tfL.select("doc_id").distinct()), Seq("doc_id"),
             "left_semi")
           .groupBy("doc_id").agg(sum("c").as("dl"))
-        val statsL = tl.agg(sum("c").as("t"))
-          .crossJoin(docs.agg(count(lit(1)).as("n")))
-          .select(struct(col("n"), col("t")).as("nt"))
+        // one UNION-fed aggregation, not a crossJoin of two 1-row aggs:
+        // a crossJoin plans a BroadcastNestedLoopJoin inside the
+        // subquery, and the suite-wide PlanSpec pin (rightly) rejects
+        // BNLJ nodes. Layer rows carry (c, 0), doc rows (null, 1);
+        // sum(c) skips the doc rows' nulls, sum(one) counts exactly the
+        // doc rows — same exact Longs.
+        val statsL = tl.select(col("c"), lit(0L).as("one"))
+          .unionByName(docs.select(lit(null).cast("bigint").as("c"),
+            lit(1L).as("one")))
+          .agg(sum("c").as("t"), sum("one").as("n"))
+          // count() was never null — pin n=0 on an empty corpus too
+          .select(struct(coalesce(col("n"), lit(0L)).as("n"),
+            col("t")).as("nt"))
         (tfL, Some(dlL), statsL)
       case None =>
         val counted = docs.select(
@@ -1909,6 +1919,13 @@ object TextQueries {
       // join-back is AQE-skew-splittable. All shuffles keyed, nothing
       // pair-quadratic.
       import graft.functions.expressions.StringFunctions.bigram_hash_counts
+      // examined r19: a doc_id-KEYED fan-out (so the (doc_id,h1,h2) agg
+      // and the final rollup ride one exchange) was tried and REVERTED —
+      // moving the exchange BELOW the kernel un-shares it: bc's branch
+      // re-ran the bigram kernel (executed plan: 2 Generates/2 scans
+      // where the PlanSpec pin requires 1), because what the consumers
+      // share is cnt's POST-kernel aggregation exchange. The round-robin
+      // fanOut + canonicalizing agg exchange stands as designed.
       val cnt = fanOut(documents(s, d))
         .select(col("doc_id"),
           explode(bigram_hash_counts(col("text"))).as("b"))

@@ -414,7 +414,11 @@ class PlanSpec extends SparkSpec {
     * dedicated two-sample-test plan test pins it stays a broadcast.
     */
   private val boundedBnljAllowed =
-    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks", "q_stats_mwu")
+    // q_multi_subquery (r19): the 1-row global-average block attaches to
+    // the filtered stream by a broadcast of exactly one row — the same
+    // bounded class as ks/mwu's crossJoin(broadcast(tot))
+    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks", "q_stats_mwu",
+        "q_multi_subquery")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>

@@ -101,15 +101,23 @@ object Quantiles {
     // The refinement makes 2+iters passes over the SAME 2-column
     // projection — persist it for the call (MEMORY_AND_DISK: spills, the
     // KMeans cached-corpus precedent) and release before returning; the
-    // driver-double result needs no lineage back to it.
-    val base = df.select(col(group), col(value).cast(DoubleType).as("v"))
+    // driver-double result needs no lineage back to it. r19: when the
+    // INPUT is already cached (q_event_funnel_time's memoized lag layer),
+    // re-persisting the trivial projection just pays a second cache
+    // write + unpersist bookkeeping per call — each pass recomputes the
+    // projection from the cached parent instead.
+    val proj = df.select(col(group), col(value).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inputCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base =
+      if (inputCached) proj
+      else proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       exactOverBase(spark, df, base, group, ps, bins, leaf, maxIters,
         maxGroups)
     }
-    finally { base.unpersist(blocking = false) }
+    finally { if (!inputCached) base.unpersist(blocking = false) }
   }
 
   private def exactOverBase(

@@ -344,29 +344,54 @@ object StatsQueries {
       sum(when(col("in_a"), 0L).otherwise(1L)).as("c2"))
 
   /** Stages (2)–(4) of the distributed prefix sum over [[cohortCounts]]
-    * output: (v, c1, c2, k1, k2) with k = INCLUSIVE cumulative counts in
-    * value order. Shared by [[ksStat]] and [[mwuStat]] — see [[ksStat]]
-    * for the shape rationale (bounded bin table, bin-partitioned in-bin
-    * windows, broadcast offset re-attach). */
+    * output: (v, c1, c2, k1, k2, n1, n2) with k = INCLUSIVE cumulative
+    * counts in value order and n = the COHORT TOTALS. Shared by
+    * [[ksStat]] and [[mwuStat]] — see [[ksStat]] for the shape rationale
+    * (bounded bin table, bin-partitioned in-bin windows, broadcast
+    * offset re-attach).
+    *
+    * r19 (VERDICT r18 #7): two structural changes, both
+    * corpus-agg-evaluation removers with IDENTICAL semantics —
+    *   1. the totals ride the bin rollup's own bounded window
+    *      (n = Σ_bins b ≡ Σ_v c exactly: every vals row lands in one
+    *      bin group, the null bin included) instead of a THIRD
+    *      evaluation of `vals` crossJoined back as a broadcast;
+    *   2. the offset re-attach is a LEFT join: the inner form's
+    *      constraint inference pushed isnotnull(bin)→isnotnull(v) into
+    *      ONE branch's scan, de-canonicalizing the two `vals` subtrees
+    *      so ReuseExchange could not share the corpus aggregation (the
+    *      r18 examined-and-left finding, now closed). Every non-null
+    *      bin exists on both sides by construction, so left ≡ inner
+    *      there; a null-v row (null bin) was DROPPED by the inner join
+    *      and now survives with null o/k — and a null k makes its
+    *      ks/mwu term null, which max()/sum() skip: contributes
+    *      nothing, exactly as the drop did.
+    */
   private def cdfAttach(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val binned = vals.withColumn("bin", expr("v DIV 65536"))
     // exclusive prefix over the bounded bin table: rows here are one per
     // bin, so the unpartitioned window is a deliberate bounded-state
-    // single partition (the Quantiles GROUPS-table precedent)
+    // single partition (the Quantiles GROUPS-table precedent); the
+    // full-frame totals ride the same bounded table
     val wBins = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = binned.groupBy("bin")
       .agg(sum("c1").as("b1"), sum("c2").as("b2"))
       .select(col("bin"),
         coalesce(sum("b1").over(wBins), lit(0L)).as("o1"),
-        coalesce(sum("b2").over(wBins), lit(0L)).as("o2"))
+        coalesce(sum("b2").over(wBins), lit(0L)).as("o2"),
+        sum("b1").over(wAll).as("n1"),
+        sum("b2").over(wAll).as("n2"))
     val wIn = Window.partitionBy("bin").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    binned.join(broadcast(offs), Seq("bin"))
+    binned.join(broadcast(offs), Seq("bin"), "left")
       .select(col("v"), col("c1"), col("c2"),
         (col("o1") + sum("c1").over(wIn)).as("k1"),
-        (col("o2") + sum("c2").over(wIn)).as("k2"))
+        (col("o2") + sum("c2").over(wIn)).as("k2"),
+        col("n1"), col("n2"))
   }
 
   /** Exact two-sample KS statistic over integer-quantized observations:
@@ -392,22 +417,25 @@ object StatsQueries {
     * (k·n ≈ n² wraps Long past ~3·10⁹ rows per cohort) with try_cast
     * BIGINT outputs — the repo's exact-integer envelope convention.
     */
-  private[graft] def ksStat(obs: DataFrame): DataFrame = {
-    val vals = cohortCounts(obs)
-    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    cdfAttach(vals)
-      .select(col("k1"), col("k2"))
-      .crossJoin(broadcast(tot))
+  private[graft] def ksStat(obs: DataFrame): DataFrame =
+    // n1/n2 ride cdfAttach's bounded bin rollup (r19 — see its doc);
+    // the old tot branch was a third full evaluation of the cohort
+    // aggregation, crossJoined back as a 1-row broadcast
+    cdfAttach(cohortCounts(obs))
       .select(col("n1"), col("n2"),
         abs(expr("CAST(k1 AS DECIMAL(38,0)) * n2" +
                  " - CAST(k2 AS DECIMAL(38,0)) * n1")).as("dd"))
       .groupBy("n1", "n2")
       .agg(max("dd").as("d_dec"))
+      // the degenerate every-value-null input used to yield ZERO rows
+      // (its lone cdf row dropped at the inner bin join); the left join
+      // keeps that row with a null dd, so the all-null group filters
+      // out AFTER the rollup — a post-agg filter, nothing to push down
+      .filter(col("d_dec").isNotNull)
       .select(col("n1"), col("n2"),
         expr("try_cast(d_dec AS BIGINT)").as("d_num"),
         expr("try_cast(d_dec * 1000000 DIV" +
              " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_e6"))
-  }
 
   /** Exact two-sample Mann–Whitney U over integer-quantized observations
     * (public: Wilcoxon 1945; Mann & Whitney 1947) — the rank-based drift
@@ -436,25 +464,24 @@ object StatsQueries {
     * outputs. Requires both cohorts non-empty (AUC undefined otherwise —
     * the DIV is ANSI-loud, never a silent zero).
     */
-  private[graft] def mwuStat(obs: DataFrame): DataFrame = {
-    val vals = cohortCounts(obs)
-    // the global agg rides a (n1, n2) groupBy like ksStat's, NOT a
-    // grouping-key-free .agg: on EMPTY input the keyless form emits one
-    // all-null row where the oracle's GROUP BY (and the ks twin) emit
-    // zero — a shape divergence outside the fixture (r18 self-review)
-    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    cdfAttach(vals)
-      .select(expr("CAST(c1 AS DECIMAL(38,0)) *" +
+  private[graft] def mwuStat(obs: DataFrame): DataFrame =
+    // n1/n2 from cdfAttach's bin rollup — the ksStat r19 note; the
+    // (n1, n2) groupBy (never a keyless .agg) keeps EMPTY input at zero
+    // rows like the oracle's GROUP BY (r18 self-review), and the
+    // post-agg null filter keeps the degenerate all-null-value input at
+    // zero rows exactly as the old inner bin join did
+    cdfAttach(cohortCounts(obs))
+      .select(col("n1"), col("n2"),
+        expr("CAST(c1 AS DECIMAL(38,0)) *" +
         " (2 * CAST(k2 AS DECIMAL(38,0)) - c2)").as("t"))
-      .crossJoin(broadcast(tot))
       .groupBy("n1", "n2")
       .agg(sum("t").as("u_dec"))
+      .filter(col("u_dec").isNotNull)
       .select(col("n1"), col("n2"),
         expr("try_cast(u_dec AS BIGINT)").as("u2x"),
         expr("try_cast(u_dec * 1000000 DIV" +
              " (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
           .as("auc_e6"))
-  }
 
   /** Tukey-fence rollup shared by q_stats_outliers and its sketch twin
     * (r18 self-review): per-group (q1, q3) → 1.5·IQR fences → flagged

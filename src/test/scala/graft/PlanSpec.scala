@@ -415,10 +415,10 @@ class PlanSpec extends SparkSpec {
     */
   private val boundedBnljAllowed =
     // q_multi_subquery (r19): the 1-row global-average block attaches to
-    // the filtered stream by a broadcast of exactly one row — the same
-    // bounded class as ks/mwu's crossJoin(broadcast(tot))
-    Set("q_sim_knn_batch", "q_emb_recall", "q_stats_ks", "q_stats_mwu",
-        "q_multi_subquery")
+    // the filtered stream by a broadcast of exactly one row — the
+    // bounded class ks/mwu's crossJoin(broadcast(tot)) used to occupy
+    // (their totals now ride the bin rollup, so they left the list)
+    Set("q_sim_knn_batch", "q_emb_recall", "q_multi_subquery")
 
   test("no query plans a BroadcastNestedLoopJoin on corpus-shaped data") {
     SparkEntry.queries.keys.filterNot(boundedBnljAllowed).foreach { name =>
@@ -692,15 +692,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
   }
 
-  test("q_stats_ks / q_stats_mwu: both prefix-sum attach joins broadcast " +
-       "(bounded bin offsets + 1-row totals), never a sort-merge join") {
+  test("q_stats_ks / q_stats_mwu: the offset attach broadcasts, the " +
+       "totals ride the bin rollup (no totals join), the cohort " +
+       "aggregation evaluates once") {
     Seq("q_stats_ks", "q_stats_mwu").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q: $p")
-      // offsets re-attach on bin (BroadcastHashJoin); the 1-row totals
-      // spine attaches via the broadcast cross join
+      // offsets re-attach on bin (BroadcastHashJoin); r19: the totals
+      // are full-frame window sums over the SAME bounded bin rollup —
+      // the old 1-row crossJoin spine (a BNLJ and a third evaluation of
+      // the corpus cohort aggregation) is gone, and the left-join attach
+      // (no isnotnull inference) lets ReuseExchange share the cohort
+      // exchange between the two remaining consumers
       assert(p.contains("BroadcastHashJoin"), s"$q: $p")
-      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(finalPlan.contains("ReusedExchange") ||
+             finalPlan.contains("ReusedQueryStage"),
+        s"$q lost the cohort-exchange reuse:\n$p")
     }
   }
 

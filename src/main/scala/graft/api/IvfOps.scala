@@ -121,53 +121,13 @@ object IvfOps {
                  keepScore: Boolean = false): DataFrame =
     if (cents.size <= StaticKMax)
       assignStatic(vecs, cents, nProbe, vecCol, keepScore)
-    else
-      assign(vecs, blockOf(vecs.sparkSession, cents), nProbe, vecCol,
+    else {
+      val s = vecs.sparkSession
+      import s.implicits._
+      val cdf = cents.toDF("cid", "cv")
+      assign(vecs, centroidBlock(cdf, "cid", "cv"), nProbe, vecCol,
         keepScore)
-
-  /** Reference-identity key for [[blockMemo]]: the centroid Seqs are
-    * themselves session-memoized stable instances, so identity equality
-    * is exact — a hash-code key could collide and silently serve the
-    * WRONG model. */
-  private final class Ref(val v: AnyRef) {
-    override def hashCode: Int = System.identityHashCode(v)
-    override def equals(o: Any): Boolean = o match {
-      case r: Ref => r.v eq v
-      case _ => false
     }
-  }
-
-  /** The collapsed centroid-block DataFrame per (session, centroid-Seq
-    * INSTANCE) — ADVICE r18: assignAuto's past-StaticKMax route rebuilt
-    * cents.toDF (at the kMax ceiling a ~32 MB LocalRelation) plus the
-    * centroidBlock aggregation on EVERY call. Cached so the collapse
-    * executes once; keyed by reference so a released/refit model (a new
-    * Seq instance) can never be served a stale block. Capped defensively:
-    * a non-memoized caller minting fresh Seqs per call would otherwise
-    * grow this without bound — on overflow everything unpersists and the
-    * next call rebuilds (correct, just unmemoized). */
-  private val blockMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Ref), DataFrame]()
-
-  private def blockOf(s: org.apache.spark.sql.SparkSession,
-                      cents: Seq[(Long, Array[Double])]): DataFrame = {
-    val key = (s, new Ref(cents))
-    val cur = blockMemo.get(key)
-    if (cur != null) return cur
-    // cap check OUTSIDE the insert (never mutate a CHM inside its own
-    // compute); the build is a tiny k-row collapse — a racing duplicate
-    // build is harmless, loser unpersists
-    if (blockMemo.size > 8) {
-      import scala.jdk.CollectionConverters._
-      blockMemo.values.asScala.foreach(_.unpersist(blocking = false))
-      blockMemo.clear()
-    }
-    import s.implicits._
-    val b = centroidBlock(cents.toDF("cid", "cv"), "cid", "cv").cache()
-    b.count()
-    val prev = blockMemo.putIfAbsent(key, b)
-    if (prev != null) { b.unpersist(blocking = false); prev } else b
-  }
 
   def assignStatic(vecs: DataFrame, cents: Seq[(Long, Array[Double])],
                    nProbe: Int, vecCol: String = "v",

@@ -170,7 +170,7 @@ object Bench {
     * a phase RE-measure times the honest warm path (artifact read + cache)
     * instead of a memo hit. The artifacts themselves stay — this releases
     * session state only, exactly what a fresh Bench JVM starts without. */
-  private def releasePhaseState(spark: SparkSession): Unit = {
+  private def releasePhaseState(spark: SparkSession, sfDir: String): Unit = {
     operators.DedupQueries.releaseShingleIndex(spark) // + band sigs + hot set
     operators.DedupQueries.releaseWinnowPicks(spark)
     operators.DedupQueries.releaseTypoPairs(spark)
@@ -180,6 +180,14 @@ object Bench {
     operators.EventTimeQueries.releaseFunnelLags(spark)
     operators.SimilarityQueries.releaseTrainedModels(spark)
     operators.StatsQueries.releaseQuartiles(spark)
+    // catalog registration + the memoized readers too (r19): without
+    // these, a catalog_analyze re-measure hits registerParquet's
+    // tableExists short-circuit and times a near-no-op (~0.1 s vs the
+    // ~1.0 s honest cost) — and min-of-samples would publish the no-op.
+    // Tables.clear also fires the fixture-memo invalidation hooks, so the
+    // model_literals re-measure re-collects honestly as well.
+    api.CatalogOps.releaseFixture(spark, sfDir)
+    Tables.clear(spark)
   }
 
   def main(args: Array[String]): Unit = {
@@ -418,7 +426,7 @@ object Bench {
           s"[bench] phase tripwire [${trippedFirst.mkString(", ")}]" +
           (if (forceRemeasure) " (forced)" else "") +
           " — releasing session memos, re-measuring the phase sweep")
-        releasePhaseState(spark)
+        releasePhaseState(spark, sfDir)
         hygiene()
         Some(runPhaseSweep(phaseDefs).toMap)
       } else None

@@ -105,10 +105,27 @@ object CatalogOps {
     * refreshed). A torn/unreadable sidecar degrades to re-ANALYZE —
     * never stale stats: a fingerprint mismatch scans.
     */
+  /** The fixture table set, shared by registration and release so the
+    * two can never disagree. */
+  private val FixtureNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Drop `dir`'s fixture tables from the session catalog — METADATA
+    * only (external tables; the parquet stays). The bench's end-of-sweep
+    * phase re-measure releases these so a catalog_analyze re-run times
+    * the honest registration path: without it, registerParquet's
+    * tableExists short-circuit made the second sample a near-no-op
+    * (~0.1 s for a phase whose real cold cost is ~1.0 s) and the
+    * min-of-samples doctrine published the no-op (r19 measurement-honesty
+    * fix, declared in OPTIMIZATION_r19.md). */
+  def releaseFixture(s: SparkSession, dir: String): Unit =
+    FixtureNames.foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS `${fixtureTableName(dir, n)}`"); ()
+    }
+
   def registerFixtureTagged(s: SparkSession,
                             dir: String): (Map[String, String], String) = {
-    val names = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    val names = FixtureNames
     val statsPath = {
       val wh = s.conf.get("spark.sql.warehouse.dir")
       s"${wh.stripSuffix("/")}/g_stats_${fixtureSlug(dir)}"
@@ -135,17 +152,43 @@ object CatalogOps {
         }.toMap
       }
     } catch { case _: Exception => Map.empty }
+    // Per-table one-time setup — the memoized reader's footer inference
+    // and the source fingerprint digest — is independent across tables
+    // and read-only, and at data scale the inference is itself a
+    // distributed footer job (§2.6: overlap independent jobs — the
+    // sequential loop serialized ten of them on one driver thread, so
+    // the registration phase paid the SUM where the slowest table
+    // suffices). Warm them concurrently; catalog MUTATIONS (createTable,
+    // ANALYZE, alterTableStats) stay in the sequential loop below.
+    // Tables.t is documented thread-safe (construction outside the lock,
+    // first publish wins); a warm failure rethrows at Await exactly as
+    // the sequential form threw inline.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(names.size, 8))
+    val warmed: Map[String, (org.apache.spark.sql.types.StructType, String)] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        names.map { n =>
+          n -> scala.concurrent.Future {
+            (graft.Tables.t(s, dir, n).schema,
+             // digested fingerprint (r16 review): a same-size-same-mtime
+             // in-place rewrite must re-analyze, not restore stale stats
+             IndexArtifacts.fileFingerprintDigest(s"$dir/$n.parquet"))
+          }
+        }.map { case (n, f) =>
+          n -> scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)
+        }.toMap
+      } finally pool.shutdown()
     var analyzed = 0
     val fresh = scala.collection.mutable.Map.empty[String, (String, Long, Long)]
     val out = names.map { n =>
       val t = fixtureTableName(dir, n)
+      val (schema, fp) = warmed(n)
       // schema from the memoized reader — one footer inference per
       // (session, path), shared with every query (see registerParquet)
-      registerParquet(s, t, s"$dir/$n.parquet",
-        schema = Some(graft.Tables.t(s, dir, n).schema))
-      // digested fingerprint (r16 review): a same-size-same-mtime
-      // in-place rewrite must re-analyze, not restore stale stats
-      val fp = IndexArtifacts.fileFingerprintDigest(s"$dir/$n.parquet")
+      registerParquet(s, t, s"$dir/$n.parquet", schema = Some(schema))
       persisted.get(n).filter(_._1 == fp) match {
         case Some((_, size, rows)) =>
           restoreStats(s, t, size, rows)

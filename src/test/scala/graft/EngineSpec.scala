@@ -569,8 +569,15 @@ class EngineSpec extends SparkSpec {
     val co = graft.api.CatalogOps
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    def dropAll(): Unit = names.foreach(n =>
-      spark.sql(s"DROP TABLE IF EXISTS ${co.fixtureTableName(sf, n)}"))
+    // releaseFixture IS the "fresh catalog" device (r19: the bench's
+    // phase re-measure uses it so catalog_analyze never times a
+    // tableExists no-op) — pin that it drops every fixture table
+    def dropAll(): Unit = {
+      co.releaseFixture(spark, sf)
+      names.foreach(n => assert(
+        !spark.catalog.tableExists(co.fixtureTableName(sf, n)),
+        s"releaseFixture left $n registered"))
+    }
     co.registerFixture(spark, sf) // cold path: analyze + persist sidecar
     // a "fresh session" is an empty in-memory catalog — stats must come
     // back from the sidecar, not a scan

@@ -93,12 +93,18 @@ object GroupingQueries {
       // DECIMAL sums ≡ the global DECIMAL sum, and Σ counts ≡ count(*),
       // so CAST(..AS DOUBLE)/n is the identical double — where the old
       // uncorrelated scalar subquery re-scanned the whole orders table
-      // as its own query execution (a third corpus pass at 100 TB, a
-      // separate subquery job locally). The two bycust references inline
-      // to identical subtrees whose custkey Exchange is reused
-      // (ReuseExchange), so the plan is: 2 orders scans (main + one
-      // aggregation), not 3, and 0 scalar subqueries. Oracle unchanged —
-      // equivalence is proven against it, not assumed.
+      // as its own independently-planned query execution. The win is
+      // 2 scalar subqueries → 0: one execution chain, no subquery jobs
+      // (bench 0.55 → 0.28–0.41). The two bycust references do NOT share
+      // their custkey exchange, and the executed plan keeps 3 orders
+      // scans: the correlated join infers isnotnull(o_custkey) into its
+      // bycust subtree (the ks/mwu disease) while glob's bycust MUST
+      // keep the null-custkey group — the oracle's global average is
+      // over ALL orders — so the subtrees can never canonicalize equal,
+      // and a LEFT-join dodge collapses back to Inner (EliminateOuterJoin:
+      // the WHERE drops unmatched rows). Measured and accepted (r19):
+      // the reachable reuse would change what the query computes.
+      // Oracle unchanged — equivalence is proven against it, not assumed.
       orders(s, d).createOrReplaceTempView("orders")
       // averages route through DECIMAL(18,2) sums (the sumMoney / SURVEY
       // 7.6 doctrine): a raw double avg's accumulation order differs
